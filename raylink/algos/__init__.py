@@ -1,0 +1,9 @@
+"""Algorithm library — Ray-Data-native re-expression of the reference's
+sample-hama workload (SURVEY.md §2.4)."""
+
+from raylink.algos.pagerank import PageRank, pagerank  # noqa: F401
+from raylink.algos.lpa import MinLabelLPA, label_propagation  # noqa: F401
+from raylink.algos.cc import connected_components  # noqa: F401
+from raylink.algos.sssp import SSSP, sssp  # noqa: F401
+from raylink.algos.kcore import KCore, kcore  # noqa: F401
+from raylink.algos.triangles import triangle_count  # noqa: F401

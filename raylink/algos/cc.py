@@ -1,0 +1,91 @@
+"""Connected components — subgraph-centric, like the reference.
+
+sample-hama/.../ConnectedComponents.java:45-120 runs min-label propagation
+over the META-GRAPH of subgraphs (one node per within-partition WCC), which
+converges in O(meta-diameter) supersteps instead of O(graph-diameter) — the
+reference's core "think like a subgraph" win (README.md:3).
+
+Pipeline:
+  1. build undirected LinkGraph  (per-partition union-find -> subgraphs)
+  2. ``meta_edges``                (remote-sgid resolution as one hash join)
+  3. MinLabelLPA over the meta-graph, vertex id == subgraph's min vid
+     (globally unique; the final label is therefore the component's min vid,
+     partitioning-invariant and SQL-checkable)
+  4. broadcast the tiny (sg -> component) map via ``ray.put`` and join it
+     back onto the vertex table with ``map_batches`` (broadcast join — the
+     meta-graph is orders of magnitude smaller than the graph; a
+     hash-partitioned join is the documented fallback for pathological
+     partition counts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.algos.lpa import MinLabelLPA
+from raylink.graph import LinkGraph, build_graph, meta_edges, vertex_table
+from raylink.superstep import run_bsp
+
+
+def connected_components(
+    edges_ds=None,
+    g: LinkGraph | None = None,
+    vertices_ds=None,
+    num_parts: int = 16,
+    partitioner: str = "hash",
+    max_supersteps: int = 500,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+):
+    """Returns (BSPResult of the meta-graph LPA, Dataset (vid, component))
+    where component = min vid of the vertex's weakly connected component."""
+    import ray
+    import ray.data as rd
+
+    if g is None:
+        g = build_graph(
+            edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
+            directed=False,
+        )
+    me = meta_edges(g).map_batches(
+        lambda b: pa.table({"src": b.column("src_sg"), "dst": b.column("dst_sg")}),
+        batch_format="pyarrow",
+    )
+    # meta vertex universe: every subgraph (isolated ones have no meta edge)
+    sg_verts = (
+        vertex_table(g)
+        .map_batches(
+            lambda b: pa.table({"vid": np.unique(b.column("sg_minvid").to_numpy(zero_copy_only=False))}),
+            batch_format="pyarrow",
+        )
+    )
+    g_meta = build_graph(
+        me,
+        sg_verts,
+        num_parts=min(g.num_parts, 8),
+        partitioner="hash",
+        directed=True,  # meta edge set is already symmetric
+    )
+    res = run_bsp(
+        g_meta,
+        MinLabelLPA(),
+        {"partitioner": g_meta.partitioner, "num_parts": g_meta.num_parts},
+        max_supersteps=max_supersteps,
+        ckpt_dir=ckpt_dir,
+        resume=resume,
+    )
+    meta_pdf = res.state_dataset().select_columns(["vid", "label"]).to_pandas()
+    sg_arr = meta_pdf["vid"].to_numpy(dtype=np.int64)
+    lab_arr = meta_pdf["label"].to_numpy(dtype=np.int64)
+    order = np.argsort(sg_arr)
+    ref = ray.put((sg_arr[order], lab_arr[order]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        sgs, labs = ray.get(ref)
+        mine = batch.column("sg_minvid").to_numpy(zero_copy_only=False)
+        comp = labs[np.searchsorted(sgs, mine)]
+        return pa.table({"vid": batch.column("vid"), "component": pa.array(comp)})
+
+    comps = vertex_table(g).map_batches(attach, batch_format="pyarrow")
+    return res, comps

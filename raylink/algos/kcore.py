@@ -1,0 +1,102 @@
+"""k-core membership via distributed peeling.
+
+The reference ships three Montresor-style variants (sample-hama/.../
+KCore.java:35-146, KCoreFast.java:35-145 with the remote-core
+Integer.MAX_VALUE trick at :55, KCoreSort.java:38-206): iterative local
+lower-bound recomputation with notify-on-decrease. This implementation keeps
+the same message pattern specialized to fixed-k membership:
+
+- state: remaining degree, removed flag; init removed = deg < k
+  (reference init core = deg, KCore.java);
+- per superstep: subtract incoming removal decrements, newly removed vertices
+  notify ALL neighbours (messages flow through the same dst_part shuffle
+  whether or not the neighbour is local — uniform path);
+- halt when no vertex is newly removed anywhere.
+
+Run on the undirected closure. Output: (vid, in_core:bool, deg_remaining).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.graph import LinkGraph, build_graph
+from raylink.superstep import Algorithm, run_bsp
+from raylink.util import PARTITIONERS
+
+
+class KCore(Algorithm):
+    name = "kcore"
+    msg_fields = [("dec", pa.int64())]
+
+    def init(self, shard: dict, ctx: dict) -> dict:
+        deg = np.diff(shard["indptr"]).astype(np.int64)
+        return {"deg": deg, "removed": np.zeros(len(deg), dtype=bool)}
+
+    def step(self, s: int, shard: dict, state: dict, msgs: pa.Table, ctx: dict):
+        vids, indptr, indices = shard["vids"], shard["indptr"], shard["indices"]
+        k = ctx["k"]
+        deg = np.asarray(state["deg"], dtype=np.int64).copy()
+        removed = np.asarray(state["removed"], dtype=bool).copy()
+        if s > 0 and msgs.num_rows:
+            d = msgs.column("dst").to_numpy(zero_copy_only=False)
+            dec = msgs.column("dec").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vids, d)
+            np.subtract.at(deg, pos, dec)
+        newly = (~removed) & (deg < k)
+        removed |= newly
+        out = None
+        if np.any(newly):
+            fulldeg = np.diff(indptr)
+            sel = np.repeat(newly, fulldeg)
+            dst = indices[sel]
+            if len(dst):
+                dsts, counts = np.unique(dst, return_counts=True)
+                partfn = PARTITIONERS[ctx["partitioner"]]
+                out = self.make_msgs(
+                    partfn(dsts, ctx["num_parts"]), dsts, dec=counts.astype(np.int64)
+                )
+        return (
+            {"deg": deg, "removed": removed},
+            out,
+            int(newly.sum()),
+            0.0,
+        )
+
+
+def kcore(
+    edges_ds=None,
+    g: LinkGraph | None = None,
+    vertices_ds=None,
+    k: int = 3,
+    num_parts: int = 16,
+    partitioner: str = "hash",
+    max_supersteps: int = 500,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+):
+    """Returns (BSPResult, Dataset (vid, in_core, deg_remaining))."""
+    if g is None:
+        g = build_graph(
+            edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
+            directed=False,
+        )
+    ctx = {"k": int(k), "partitioner": g.partitioner, "num_parts": g.num_parts}
+    res = run_bsp(
+        g, KCore(), ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir,
+        resume=resume,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        removed = batch.column("removed").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "in_core": pa.array(~removed),
+                "deg_remaining": batch.column("deg"),
+            }
+        )
+
+    out = res.state_dataset().map_batches(finish, batch_format="pyarrow")
+    return res, out

@@ -1,0 +1,139 @@
+"""HTML -> (text, out-links) extraction.
+
+The reference loads graphs from pre-built adjacency-list text files
+(hama/.../LongTextAdjacencyListReader.java:88-106); per BASELINE.json the new
+engine instead starts from Common-Crawl-style web pages
+``(url, warc_ts, html, lang)`` and *derives* the adjacency list online.
+
+``HtmlExtractor`` is a small, dependency-free, deterministic HTML scanner
+(no lxml/selectolax in this environment; and the per-url extracted ``text``
+must be byte-stable across versions — it is a golden value in tests):
+
+- comments, ``<script>``, ``<style>`` and the whole ``<head>`` are skipped;
+- text nodes are entity-unescaped and preserved byte-exact; whitespace-only
+  inter-tag text nodes are dropped;
+- a newline is emitted at block-tag boundaries (p, h1-h6, li, ul, ol, div,
+  br, tr, table, section, article), consecutive newlines collapsed;
+- ``href`` attributes of ``<a>`` tags are collected (entity-unescaped).
+
+``ExtractPages`` is the Ray Data stage: a callable class for
+``map_batches(..., batch_format="pyarrow", concurrency=N)`` so the compiled
+regexes/tables are built once per actor (reference analog: graph parsing done
+once per BSP peer at setup, GraphJobRunner.java:105-182).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+
+import numpy as np
+import pyarrow as pa
+
+BLOCK_TAGS = frozenset(
+    "p h1 h2 h3 h4 h5 h6 li ul ol div br tr table section article blockquote pre".split()
+)
+RAW_TEXT_TAGS = frozenset(("script", "style"))
+
+_HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+
+
+def extract_html(doc: str) -> tuple[str, list[str]]:
+    """Pure function: html string -> (extracted_text, [href, ...])."""
+    parts: list[str] = []
+    links: list[str] = []
+    i, n = 0, len(doc)
+    while i < n:
+        lt = doc.find("<", i)
+        if lt < 0:
+            seg = doc[i:]
+            if seg.strip():
+                parts.append(_htmlmod.unescape(seg))
+            break
+        if lt > i:
+            seg = doc[i:lt]
+            if seg.strip():
+                parts.append(_htmlmod.unescape(seg))
+        if doc.startswith("<!--", lt):
+            end = doc.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        gt = doc.find(">", lt + 1)
+        if gt < 0:
+            break
+        rawtag = doc[lt + 1 : gt]
+        i = gt + 1
+        if not rawtag:
+            continue
+        closing = rawtag.startswith("/")
+        body = rawtag[1:] if closing else rawtag
+        name = body.split(None, 1)[0].rstrip("/").lower() if body else ""
+        if not name or name.startswith("!") or name.startswith("?"):
+            continue
+        if not closing and name == "head":
+            end = doc.find("</head", i)
+            if end >= 0:
+                gt2 = doc.find(">", end)
+                i = n if gt2 < 0 else gt2 + 1
+            continue
+        if not closing and name in RAW_TEXT_TAGS:
+            end = doc.find("</" + name, i)
+            if end >= 0:
+                gt2 = doc.find(">", end)
+                i = n if gt2 < 0 else gt2 + 1
+            continue
+        if not closing and name == "a":
+            m = _HREF_RE.search(rawtag)
+            if m:
+                links.append(_htmlmod.unescape(m.group(1) or m.group(2) or m.group(3) or ""))
+        if name in BLOCK_TAGS and parts and not parts[-1].endswith("\n"):
+            parts.append("\n")
+    return "".join(parts).strip("\n"), links
+
+
+class ExtractPages:
+    """Actor-pool ``map_batches`` stage: pages batch -> extracted batch.
+
+    Input columns:  url:string, html:binary (utf-8), [lang:string passthrough]
+    Output columns: url:string, text:string, links:list<string>, n_links:int32
+    """
+
+    def __init__(self) -> None:
+        # per-actor setup (once): nothing heavy needed for the pure-python
+        # scanner, but regexes above are compiled at import, once per process.
+        self._decode_errors = "replace"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        texts: list[str] = []
+        links_all: list[list[str]] = []
+        for h in htmls:
+            if isinstance(h, (bytes, bytearray, memoryview)):
+                h = bytes(h).decode("utf-8", self._decode_errors)
+            text, links = extract_html(h or "")
+            texts.append(text)
+            links_all.append(links)
+        n_links = np.fromiter((len(ls) for ls in links_all), dtype=np.int32, count=len(links_all))
+        cols = {
+            "url": batch.column("url"),
+            "text": pa.array(texts, type=pa.string()),
+            "links": pa.array(links_all, type=pa.list_(pa.string())),
+            "n_links": pa.array(n_links),
+        }
+        if "lang" in batch.column_names:
+            cols["lang"] = batch.column("lang")
+        return pa.table(cols)
+
+
+def explode_links(batch: pa.Table) -> pa.Table:
+    """Vectorized flatten: (url, links) -> (src_url, dst_url) edge rows."""
+    links = batch.column("links")
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    flat = links.flatten()
+    counts = np.asarray(links.value_lengths().fill_null(0))
+    src = batch.column("url")
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    src_rep = src.take(pa.array(np.repeat(np.arange(len(counts), dtype=np.int64), counts)))
+    return pa.table({"src_url": src_rep, "dst_url": flat})

@@ -1,0 +1,292 @@
+"""BSP-on-Datasets superstep driver.
+
+The reference executes supersteps as Hama BSP: per-peer compute threads, then
+``peer.sync()`` barrier, messages delivered next superstep, termination by
+heartbeats + GLOBAL_HALT broadcast (GraphJobRunner.java:210-354,428-504,606).
+
+Ray-Data-native re-expression (SURVEY.md §1.3, §7):
+
+- a superstep = ONE ``groupby('dst_part').map_groups(step)`` shuffle of the
+  round's message Dataset (plus one 'tick' row per partition so every
+  partition runs even with no mail — replaces the run-iff
+  ``!votedToHalt || hasMessages`` check, GraphJobRunner.java:309);
+- the barrier = materializing the round's outgoing messages via
+  ``write_parquet`` — which *is* the checkpoint (barrier == checkpoint, so
+  resume-from-mid-iteration is free);
+- per-partition vertex state lives in Arrow/parquet state tables
+  (``state/ss={s}/part-{p}.parquet``), not Python closures — reference analog:
+  compute-instance fields surviving supersteps (PageRank.java:27-30);
+- termination: the driver reads the round's tiny metrics table and halts when
+  ``sum(active)==0 and msgs_out==0`` (replaces heartbeat bit-twiddling; the
+  reference even has an operator-precedence bug there,
+  GraphJobRunner.java:434);
+- a ``manifest.json`` with per-round lineage + metrics makes any run
+  resumable: re-running skips completed supersteps.
+
+Determinism contract: algorithms MUST reduce messages in a deterministic
+order (sort by key columns before summing) so that resume and N-vs-4N-cpu
+runs are bit-identical (SURVEY.md §7.4 float-summation-order).
+
+BSP ordering guarantee (messages from round t all visible at t+1, Hama
+contract, SURVEY.md §2.9) holds because round t's message Dataset is fully
+materialized before round t+1 starts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raylink.graph import LinkGraph, load_shard
+
+CKPT_ROOT = os.environ.get("RAYLINK_CKPT_ROOT", "/tmp/raylink/ckpt")
+
+MSG_BASE_FIELDS = [("dst_part", pa.int32()), ("dst", pa.int64())]
+
+
+class Algorithm:
+    """Subgraph/vertex computation plugged into the BSP driver — the analog
+    of subclassing AbstractSubgraphComputation (goffish-api/..:49).
+
+    - ``msg_fields``: payload columns beyond (dst_part:int32, dst:int64)
+    - ``init(shard, ctx)`` -> state dict of per-owned-vid numpy arrays
+    - ``step(s, shard, state, msgs, ctx)`` -> (state, msgs_out_table|None,
+       n_active, delta_max) — called once per partition per superstep; at
+       s==0 ``msgs`` is empty (reference ss0 semantics).
+    """
+
+    name = "algorithm"
+    msg_fields: list = []
+
+    def init(self, shard: dict, ctx: dict) -> dict:
+        raise NotImplementedError
+
+    def step(self, s: int, shard: dict, state: dict, msgs: pa.Table, ctx: dict):
+        raise NotImplementedError
+
+    def halted(self, agg: dict, s: int, ctx: dict) -> bool:
+        return agg["n_active"] == 0 and agg["msgs_out"] == 0
+
+    def msg_schema(self) -> pa.Schema:
+        return pa.schema(MSG_BASE_FIELDS + list(self.msg_fields))
+
+    def empty_msgs(self) -> pa.Table:
+        return self.msg_schema().empty_table()
+
+    def make_msgs(self, dst_part, dst, **payload) -> pa.Table:
+        cols = {"dst_part": pa.array(np.asarray(dst_part, dtype=np.int32)),
+                "dst": pa.array(np.asarray(dst, dtype=np.int64))}
+        for name, typ in self.msg_fields:
+            cols[name] = pa.array(payload[name], type=typ)
+        return pa.table(cols)
+
+
+def sort_msgs(msgs: pa.Table, keys: list[str]) -> pa.Table:
+    """Deterministic message order before float reduction."""
+    if msgs.num_rows == 0:
+        return msgs
+    return msgs.sort_by([(k, "ascending") for k in keys])
+
+
+# --------------------------------------------------------------- checkpointing
+@dataclass
+class Checkpoint:
+    ckpt_dir: str
+
+    def state_path(self, s: int, p: int) -> str:
+        return os.path.join(self.ckpt_dir, "state", f"ss={s}", f"part-{p}.parquet")
+
+    def msgs_dir(self, s: int) -> str:
+        return os.path.join(self.ckpt_dir, "msgs", f"ss={s}")
+
+    def metrics_path(self, s: int, p: int) -> str:
+        return os.path.join(self.ckpt_dir, "metrics", f"ss={s}", f"part-{p}.parquet")
+
+    def write_atomic(self, table: pa.Table, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:6]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+    def manifest_path(self) -> str:
+        return os.path.join(self.ckpt_dir, "manifest.json")
+
+    def read_manifest(self) -> dict | None:
+        try:
+            with open(self.manifest_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def write_manifest(self, man: dict) -> None:
+        tmp = self.manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self.manifest_path())
+
+    def round_metrics(self, s: int, parts: list[int]) -> dict:
+        rows = []
+        base = os.path.join(self.ckpt_dir, "metrics", f"ss={s}")
+        for p in parts:
+            rows.append(pq.read_table(os.path.join(base, f"part-{p}.parquet")))
+        t = pa.concat_tables(rows)
+        return {
+            "n_active": int(pa.compute.sum(t.column("n_active")).as_py() or 0),
+            "msgs_in": int(pa.compute.sum(t.column("msgs_in")).as_py() or 0),
+            "msgs_out": int(pa.compute.sum(t.column("msgs_out")).as_py() or 0),
+            "delta_max": float(pa.compute.max(t.column("delta_max")).as_py() or 0.0),
+            "compute_ms": float(pa.compute.sum(t.column("compute_ms")).as_py() or 0.0),
+        }
+
+
+# ------------------------------------------------------------------ the runner
+class _StepRunner:
+    """Pickled per superstep; executed once per partition group."""
+
+    def __init__(self, algo: Algorithm, g: LinkGraph, ck: Checkpoint, s: int, ctx: dict):
+        self.algo, self.g, self.ck, self.s, self.ctx = algo, g, ck, s, ctx
+        self.__name__ = f"{algo.name}_ss{s}"  # for Ray Data progress display
+
+    def _load_state(self, p: int) -> dict:
+        t = pq.read_table(self.ck.state_path(self.s - 1, p))
+        return {c: t.column(c).to_numpy(zero_copy_only=False) for c in t.column_names}
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        p = int(group.column("dst_part")[0].as_py())
+        mask = pa.compute.greater_equal(group.column("dst"), pa.scalar(-0))
+        msgs = group.filter(pa.compute.greater_equal(group.column("dst"), 0))
+        shard = load_shard(self.g.graph_dir, p)
+        if self.s == 0:
+            state = self.algo.init(shard, self.ctx)
+        else:
+            state = self._load_state(p)
+        state, msgs_out, n_active, delta_max = self.algo.step(
+            self.s, shard, state, msgs, self.ctx
+        )
+        if msgs_out is None:
+            msgs_out = self.algo.empty_msgs()
+        state_cols = {"vid": pa.array(shard["vids"])}
+        state_cols.update({k: pa.array(v) for k, v in state.items()})
+        self.ck.write_atomic(pa.table(state_cols), self.ck.state_path(self.s, p))
+        ms = (time.perf_counter() - t0) * 1000.0
+        self.ck.write_atomic(
+            pa.table(
+                {
+                    "superstep": pa.array([self.s], type=pa.int64()),
+                    "part": pa.array([p], type=pa.int32()),
+                    "n_active": pa.array([int(n_active)], type=pa.int64()),
+                    "msgs_in": pa.array([msgs.num_rows], type=pa.int64()),
+                    "msgs_out": pa.array([msgs_out.num_rows], type=pa.int64()),
+                    "delta_max": pa.array([float(delta_max)], type=pa.float64()),
+                    "compute_ms": pa.array([ms], type=pa.float64()),
+                }
+            ),
+            self.ck.metrics_path(self.s, p),
+        )
+        return msgs_out
+
+
+@dataclass
+class BSPResult:
+    graph: LinkGraph
+    ckpt_dir: str
+    last_superstep: int
+    supersteps_run: int
+    history: list = field(default_factory=list)
+    wall_sec: float = 0.0
+
+    def state_dataset(self):
+        import ray.data as rd
+
+        ck = Checkpoint(self.ckpt_dir)
+        paths = [
+            ck.state_path(self.last_superstep, p) for p in self.graph.parts
+        ]
+        return rd.read_parquet(paths)
+
+
+def run_bsp(
+    g: LinkGraph,
+    algo: Algorithm,
+    ctx: dict | None = None,
+    max_supersteps: int = 200,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+) -> BSPResult:
+    import ray.data as rd
+
+    ctx = dict(ctx or {})
+    ctx.setdefault("n_vertices", g.n_vertices)
+    if ckpt_dir is None:
+        ckpt_dir = os.path.join(CKPT_ROOT, f"{algo.name}-{uuid.uuid4().hex[:12]}")
+    ck = Checkpoint(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    # tick rows: one per partition, dst=-1 (ensures every partition computes)
+    tick_cols = {
+        "dst_part": pa.array(np.asarray(g.parts, dtype=np.int32)),
+        "dst": pa.array(np.full(len(g.parts), -1, dtype=np.int64)),
+    }
+    for name, typ in algo.msg_fields:
+        tick_cols[name] = pa.nulls(len(g.parts), type=typ)
+    ticks = pa.table(tick_cols)
+
+    history: list[dict] = []
+    s_start, msgs_ds, halted = 0, None, False
+    man = ck.read_manifest() if resume else None
+    if man is not None and man.get("algo") == algo.name:
+        history = man.get("history", [])
+        last = man["last_complete"]
+        halted = man.get("halted", False)
+        s_start = last + 1
+        if not halted and man.get("msg_rows", 0) > 0:
+            msgs_ds = rd.read_parquet(ck.msgs_dir(last))
+
+    t_run0 = time.perf_counter()
+    s = s_start
+    while not halted and s < max_supersteps:
+        t0 = time.perf_counter()
+        in_ds = rd.from_arrow(ticks)
+        if msgs_ds is not None:
+            in_ds = in_ds.union(msgs_ds)
+        runner = _StepRunner(algo, g, ck, s, ctx)
+        out = in_ds.groupby("dst_part").map_groups(runner, batch_format="pyarrow")
+        mdir = ck.msgs_dir(s)
+        os.makedirs(mdir, exist_ok=True)
+        out.write_parquet(mdir)  # barrier + message checkpoint
+        agg = ck.round_metrics(s, g.parts)
+        agg["superstep"] = s
+        agg["wall_sec"] = time.perf_counter() - t0
+        history.append(agg)
+        halted = algo.halted(agg, s, ctx)
+        msgs_ds = rd.read_parquet(mdir) if agg["msgs_out"] > 0 else None
+        if msgs_ds is None and not halted and agg["n_active"] == 0:
+            halted = True
+        ck.write_manifest(
+            {
+                "algo": algo.name,
+                "graph_dir": g.graph_dir,
+                "last_complete": s,
+                "msg_rows": agg["msgs_out"],
+                "halted": halted,
+                "history": history,
+            }
+        )
+        s += 1
+
+    return BSPResult(
+        graph=g,
+        ckpt_dir=ckpt_dir,
+        last_superstep=s - 1,
+        supersteps_run=s - s_start,
+        history=history,
+        wall_sec=time.perf_counter() - t_run0,
+    )

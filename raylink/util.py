@@ -1,0 +1,63 @@
+"""Deterministic hashing / partitioning helpers (vectorized, numpy).
+
+The reference encodes partition into ids by bit-packing
+(LongTextAdjacencyListReader.java:97-98,293-294). We keep the same idea:
+``sgid = local_idx | (part << 32)`` but choose the *partitioner* explicitly:
+
+- ``mod_partitioner``  : ``vid % P`` — trivially SQL-expressible, used by the
+  oracle-checked subgraph queries.
+- ``hash_partitioner`` : splitmix64-scrambled ``vid`` — the production default;
+  robust to structured id spaces (sequential crawl ids would otherwise put
+  neighbouring pages in the same partition and skew boundary traffic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+U64 = np.uint64
+MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64/int64 arrays."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += U64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
+        z = z ^ (z >> U64(31))
+    return z
+
+
+def hash_partitioner(vids: np.ndarray, num_parts: int) -> np.ndarray:
+    return (splitmix64(vids) % U64(num_parts)).astype(np.int32)
+
+
+def mod_partitioner(vids: np.ndarray, num_parts: int) -> np.ndarray:
+    return (vids.astype(np.int64) % np.int64(num_parts)).astype(np.int32)
+
+
+PARTITIONERS = {"hash": hash_partitioner, "mod": mod_partitioner}
+
+
+def make_sgid(part: np.ndarray, local_idx: np.ndarray) -> np.ndarray:
+    """Reference subgraph-id encoding: local_idx | (part << 32)
+    (LongTextAdjacencyListReader.java:293-294)."""
+    return (local_idx.astype(np.int64)) | (part.astype(np.int64) << np.int64(32))
+
+
+def text_hash64(texts) -> np.ndarray:
+    """Stable 64-bit content hash of strings (FNV-1a, pure python per row —
+    used for exact-dedup keys where no vectorized cryptographic kernel
+    exists; cost is one C-loop per string)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    fnv_offset = 0xCBF29CE484222325
+    fnv_prime = 0x100000001B3
+    mask = 0xFFFFFFFFFFFFFFFF
+    for i, t in enumerate(texts):
+        h = fnv_offset
+        for b in t.encode("utf-8"):
+            h = ((h ^ b) * fnv_prime) & mask
+        out[i] = h
+    return out
