@@ -1,0 +1,362 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five families, each the standard large-scale construction (exact dedup =
+hash-partition + per-group first; MinHash-LSH = shingle -> minhash -> band ->
+bucket groupby -> verify; SimHash banding; n-gram Jaccard self-join;
+embedding-cosine near-dup), expressed as Ray Data pipelines:
+
+- ``exact_dedup``      : md5-keyed groupby, keep min doc_id (SQL-checkable).
+- ``ngram_pairs``      : exact word-n-gram Jaccard >= tau via a gram-keyed
+  pair-generation groupby (SQL-checkable). Hot grams (document frequency >
+  ``max_df``) are dropped on BOTH sides — the standard DF cut that bounds the
+  per-gram pair blowup at scale.
+- ``minhash_pairs``    : b bands x r rows LSH candidates + exact verify.
+- ``simhash_pairs``    : 64-bit simhash, 4x16-bit band candidates + exact
+  hamming verify.
+- ``embedding_pairs`` / in ``similarity.py``: cosine near-dup.
+
+Shingling/minhash state (hash coefficients) is built once per actor
+(callable classes). Candidate verification joins text back in a second pass;
+at crawl scale the verify stage is pair-partitioned — here candidates are
+small and verified via a broadcast text lookup (documented assumption).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.util import text_hash64
+
+WORD_RE = re.compile(r"[a-z0-9]+")
+
+MERSENNE = (1 << 61) - 1
+
+
+def _grams_of(text: str, n: int) -> set:
+    ws = WORD_RE.findall((text or "").lower())
+    if len(ws) < n:
+        return set()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+# ------------------------------------------------------------------ exact
+def exact_dedup(docs_ds):
+    """-> Dataset (keep_id, n_dups): one row per distinct text content."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5((t or "").encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "h": pa.array(h)})
+
+    def first(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "keep_id": pa.array([ids.min()]),
+                "n_dups": pa.array([len(ids)], type=pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(first, batch_format="pyarrow")
+    )
+
+
+# ------------------------------------------------------------------ n-gram
+class _Shingler:
+    def __init__(self, n: int):
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for g in _grams_of(t, self.n):
+                ids.append(i)
+                grams.append(g)
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "gram": pa.array(grams)}
+        )
+
+
+def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None):
+    """Exact n-gram Jaccard pairs -> Dataset (doc_a, doc_b, jaccard r6).
+
+    max_df: drop grams appearing in more than max_df docs (DF cut; must be
+    mirrored in any oracle)."""
+    import ray
+
+    grams = docs_ds.map_batches(_Shingler(n), batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"a": pa.array(ids[ii]), "b": pa.array(ids[jj]),
+             "c": pa.array(np.ones(len(ii), dtype=np.int64))}
+        )
+
+    inter = (
+        grams.groupby("gram")
+        .map_groups(pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda b: pa.table(
+                {"key": pa.array(
+                    (b.column("a").to_numpy(zero_copy_only=False) << np.int64(32))
+                    | b.column("b").to_numpy(zero_copy_only=False)
+                ), "c": b.column("c")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("key")
+        .sum("c")
+    )
+    # |gram set| per doc -> broadcast (small; scale path: hash join on doc id)
+    sizes = (
+        grams.groupby("doc_id").count().to_pandas()
+    )
+    vid = sizes["doc_id"].to_numpy(np.int64)
+    cnt = sizes["count()"].to_numpy(np.int64)
+    order = np.argsort(vid)
+    ref = ray.put((vid[order], cnt[order]))
+
+    def jac(batch: pa.Table) -> pa.Table:
+        vids, cnts = ray.get(ref)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        a, b = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
+        na = cnts[np.searchsorted(vids, a)]
+        nb = cnts[np.searchsorted(vids, b)]
+        j = np.round(c / (na + nb - c), 6)
+        keep = j >= tau
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
+
+    return inter.map_batches(jac, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ minhash
+class MinHasher:
+    """Per-actor state: seeded xor-mix hash family (one seed per
+    permutation); sig_i = min over grams of splitmix64(gram_hash ^ seed_i) —
+    fully vectorized in uint64, no 128-bit modular arithmetic needed."""
+
+    def __init__(self, n: int = 3, perms: int = 128, seed: int = 7):
+        from raylink.util import splitmix64
+
+        self.n = n
+        rng = np.random.default_rng(seed)
+        self.seeds = rng.integers(0, 2**63, size=perms, dtype=np.int64).astype(np.uint64)
+        self.perms = perms
+        self._mix = splitmix64
+
+    def signature(self, text: str) -> np.ndarray:
+        grams = sorted(_grams_of(text, self.n))
+        if not grams:
+            return np.zeros(self.perms, dtype=np.uint64)
+        x = text_hash64(grams)
+        return self._mix(x[None, :] ^ self.seeds[:, None]).min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+            }
+        )
+
+
+def minhash_pairs(
+    docs_ds, n: int = 3, tau: float = 0.7, bands: int = 32, rows: int = 4, seed: int = 7
+):
+    """MinHash-LSH near-dup -> Dataset (doc_a, doc_b, jaccard r6), exact
+    Jaccard verified >= tau. b=32 x r=4 => P(catch | j=0.9) ~ 1-1e-15."""
+    import ray
+    import ray.data as rd
+
+    hasher = MinHasher(n=n, perms=bands * rows, seed=seed)
+    sigs = docs_ds.map_batches(hasher, batch_format="pyarrow")
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = np.array(batch.column("sig").to_pylist(), dtype=np.uint64)
+        out_id, out_bucket = [], []
+        for bi in range(bands):
+            band = sig[:, bi * rows : (bi + 1) * rows]
+            h = np.zeros(len(ids), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for c in range(rows):
+                    h = h * np.uint64(1099511628211) + band[:, c]
+            out_id.append(ids)
+            out_bucket.append((np.uint64(bi) << np.uint64(56)) ^ (h >> np.uint64(8)))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "bucket": pa.array(np.concatenate(out_bucket)),
+            }
+        )
+
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+
+    def cand(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"key": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"key": pa.array((ids[ii] << np.int64(32)) | ids[jj])})
+
+    cand_keys = (
+        buckets.groupby("bucket")
+        .map_groups(cand, batch_format="pyarrow")
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+        .to_pandas()["key"]
+        .to_numpy(np.int64)
+    )
+    if len(cand_keys) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"doc_a": pa.array([], type=pa.int64()),
+                 "doc_b": pa.array([], type=pa.int64()),
+                 "jaccard": pa.array([], type=pa.float64())}
+            )
+        )
+    # exact verify (candidate set is small by construction; broadcast texts of
+    # involved docs — scale path: pair-partitioned join)
+    involved = np.unique(
+        np.concatenate([cand_keys >> np.int64(32), cand_keys & np.int64(0xFFFFFFFF)])
+    )
+    inv_set = set(involved.tolist())
+    texts_pdf = (
+        docs_ds.map_batches(
+            lambda b: b.filter(
+                pa.array([i in inv_set for i in b.column("doc_id").to_pylist()])
+            ),
+            batch_format="pyarrow",
+        )
+        .select_columns(["doc_id", "text"])
+        .to_pandas()
+    )
+    gset = {r.doc_id: _grams_of(r.text, n) for r in texts_pdf.itertuples()}
+    rows_out = []
+    for key in cand_keys:
+        a, b = int(key >> np.int64(32)), int(key & np.int64(0xFFFFFFFF))
+        ga, gb = gset.get(a, set()), gset.get(b, set())
+        u = len(ga | gb)
+        j = len(ga & gb) / u if u else 0.0
+        if j >= tau:
+            rows_out.append((a, b, round(j, 6)))
+    t = pa.table(
+        {
+            "doc_a": pa.array([r[0] for r in rows_out], type=pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows_out], type=pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows_out], type=pa.float64()),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+# ------------------------------------------------------------------ simhash
+class SimHasher:
+    def __init__(self, seed: int = 0):
+        self.word = WORD_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        out = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            ws, cs = np.unique(self.word.findall((t or "").lower()), return_counts=True)
+            if len(ws) == 0:
+                out[i] = 0
+                continue
+            hs = text_hash64(list(ws))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            acc = ((bits * 2 - 1) * cs[:, None]).sum(axis=0)
+            out[i] = int(
+                np.bitwise_or.reduce(
+                    (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+                ).astype(np.int64)
+            )
+        return pa.table(
+            {"doc_id": pa.array(ids, type=pa.int64()), "simhash": pa.array(out)}
+        )
+
+
+def simhash_pairs(docs_ds, max_hamming: int = 3):
+    """SimHash near-dup: 4x16-bit bands (catches all pairs with hamming <= 3
+    by pigeonhole) + exact hamming verify -> (doc_a, doc_b, hamming)."""
+    import ray.data as rd
+
+    sigs = docs_ds.map_batches(SimHasher(), batch_format="pyarrow").materialize()
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_id, out_b = [], []
+        for bi in range(4):
+            chunk = (sh >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
+            out_id.append(ids)
+            out_b.append((np.uint64(bi) << np.uint64(16)) | chunk)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "band": pa.array(np.concatenate(out_b).astype(np.int64)),
+            }
+        )
+
+    def cand(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"key": pa.array([], type=pa.int64())})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"key": pa.array((ids[ii] << np.int64(32)) | ids[jj])})
+
+    cands = (
+        sigs.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("band")
+        .map_groups(cand, batch_format="pyarrow")
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+    )
+    sig_pdf = sigs.to_pandas()
+    lookup = dict(zip(sig_pdf["doc_id"], sig_pdf["simhash"].astype(np.uint64)))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        a, b = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+        ham = np.array(
+            [bin(int(lookup[x]) ^ int(lookup[y])).count("1") for x, y in zip(a, b)],
+            dtype=np.int64,
+        )
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    return cands.map_batches(verify, batch_format="pyarrow")

@@ -1,0 +1,142 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language identification (n-gram/stopword heuristic), document
+fingerprinting.
+
+Every scalar rule here is deliberately expressible in ANSI SQL so the driver
+can cross-check the Ray pipeline against DuckDB (see ``__ray_entry__``). All
+stages are vectorized-per-batch ``map_batches`` callables; ``TextStats`` is a
+callable class (actor pool) so regexes compile once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+WORD_PATTERN = r"[a-z]+"
+CJK_PATTERN = "[一-鿿]"
+
+# ascii-only stopword sets (RE2/Python regex parity; see lang_id rule below)
+STOP_EN = ("the", "and", "of", "to", "in", "is", "that", "for", "a", "with")
+STOP_DE = ("der", "die", "und", "das", "nicht", "ist", "zu", "ein", "den", "von")
+STOP_FR = ("le", "la", "les", "et", "des", "est", "un", "une", "du", "dans")
+STOP_ES = ("el", "los", "las", "y", "es", "un", "una", "por", "con", "para")
+
+
+class TextStats:
+    """documents batch -> per-doc stats.
+
+    Output columns (all mirrored 1:1 in oracle SQL):
+      doc_id, n_chars, n_tokens, n_words, n_uniq_words, stop_ratio (r6),
+      quality (r6), keep (bool)
+    Quality rule (C4-ish): keep iff n_words >= 10 and 2 <= avg word length
+    <= 12; quality = min(n_words,50)/50 * 0.5 + min(stop_ratio,0.4)/0.4 * 0.5.
+    """
+
+    def __init__(self) -> None:
+        self.tok = re.compile(TOKEN_PATTERN)
+        self.word = re.compile(WORD_PATTERN)
+        self.stop_en = frozenset(STOP_EN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, np.int64)
+        n_tokens = np.empty(n, np.int64)
+        n_words = np.empty(n, np.int64)
+        n_uniq = np.empty(n, np.int64)
+        stop_ratio = np.empty(n, np.float64)
+        quality = np.empty(n, np.float64)
+        keep = np.empty(n, bool)
+        for i, t in enumerate(texts):
+            t = t or ""
+            n_chars[i] = len(t)
+            n_tokens[i] = len(self.tok.findall(t))
+            words = self.word.findall(t.lower())
+            n_words[i] = len(words)
+            n_uniq[i] = len(set(words))
+            ns = sum(1 for w in words if w in self.stop_en)
+            sr = ns / len(words) if words else 0.0
+            stop_ratio[i] = round(sr, 6)
+            avg = (sum(len(w) for w in words) / len(words)) if words else 0.0
+            keep[i] = len(words) >= 10 and 2.0 <= avg <= 12.0
+            quality[i] = round(
+                min(len(words), 50) / 50.0 * 0.5 + min(sr, 0.4) / 0.4 * 0.5, 6
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "n_words": pa.array(n_words),
+                "n_uniq_words": pa.array(n_uniq),
+                "stop_ratio": pa.array(stop_ratio),
+                "quality": pa.array(quality),
+                "keep": pa.array(keep),
+            }
+        )
+
+
+class LangId:
+    """Stopword/CJK-heuristic language id -> (doc_id, pred_lang).
+
+    Rule (mirrored in SQL): CJK chars present -> 'zh'; else argmax of
+    per-language stopword hit counts with tie order en > de > fr > es;
+    all-zero -> 'und'.
+    """
+
+    def __init__(self) -> None:
+        self.word = re.compile(WORD_PATTERN)
+        self.cjk = re.compile(CJK_PATTERN)
+        self.sets = [
+            ("en", frozenset(STOP_EN)),
+            ("de", frozenset(STOP_DE)),
+            ("fr", frozenset(STOP_FR)),
+            ("es", frozenset(STOP_ES)),
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        preds = []
+        for t in texts:
+            t = t or ""
+            if self.cjk.search(t):
+                preds.append("zh")
+                continue
+            words = self.word.findall(t.lower())
+            counts = [sum(1 for w in words if w in s) for _, s in self.sets]
+            best = max(counts)
+            if best == 0:
+                preds.append("und")
+            else:
+                preds.append(self.sets[counts.index(best)][0])
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "pred_lang": pa.array(preds)}
+        )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Content fingerprints: md5 hex (SQL-checkable) + 64-bit rolling
+    polynomial hash mod 2^61-1 (engine-side shingling primitive)."""
+    texts = batch.column("text").to_pylist()
+    md5s, rolls = [], np.empty(len(texts), np.int64)
+    MOD = (1 << 61) - 1
+    BASE = 257
+    for i, t in enumerate(texts):
+        bs = (t or "").encode("utf-8")
+        md5s.append(hashlib.md5(bs).hexdigest())
+        h = 0
+        for b in bs:
+            h = (h * BASE + b) % MOD
+        rolls[i] = h
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp_md5": pa.array(md5s, type=pa.string()),
+            "fp_roll": pa.array(rolls),
+        }
+    )

@@ -1,0 +1,260 @@
+"""Training-data ops vs brute-force oracles on crafted inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from raylink.ops.dedup import (
+    _grams_of,
+    exact_dedup,
+    minhash_pairs,
+    ngram_pairs,
+    simhash_pairs,
+)
+from raylink.ops.similarity import embedding_pairs, knn_brute, lsh_ann
+from raylink.ops.textstats import LangId, TextStats, fingerprint_batch
+from raylink.ops.windows import sessionize, tumbling_window
+
+
+def _docs_table():
+    base = "the quick brown fox jumps over the lazy dog and runs far away to the hills"
+    near = base.replace("lazy", "sleepy")  # one word changed -> high jaccard
+    texts = [
+        base,
+        near,
+        base,  # exact dup of 0
+        "completely different content about ray data pipelines and arrow batches",
+        "der hund und die katze sind nicht zu hause der das ein",
+        "le chat et le chien sont dans la maison les des",
+        "el perro y el gato es una casa los las por con",
+        "中文文档内容测试",
+        "zz qq xx",  # no stopwords -> und
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_docs_table())
+
+
+def test_exact_dedup(docs_ds):
+    pdf = exact_dedup(docs_ds).to_pandas().sort_values("keep_id").reset_index(drop=True)
+    row = pdf[pdf["keep_id"] == 0]
+    assert len(row) == 1 and int(row["n_dups"].iloc[0]) == 2
+    assert len(pdf) == 8  # 9 docs, one exact dup collapsed
+
+
+def _brute_jaccard_pairs(texts, n, tau):
+    gs = [_grams_of(t, n) for t in texts]
+    out = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            u = len(gs[a] | gs[b])
+            if u and len(gs[a] & gs[b]) / u >= tau:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_pairs_vs_brute(docs_ds):
+    texts = _docs_table().column("text").to_pylist()
+    exp = _brute_jaccard_pairs(texts, 3, 0.5)
+    pdf = ngram_pairs(docs_ds, n=3, tau=0.5).to_pandas()
+    got = set(zip(pdf["doc_a"], pdf["doc_b"]))
+    assert got == exp
+    assert (0, 2) in got  # exact dup pair
+    assert (0, 1) in got or (1, 2) in got  # near dup pair
+
+
+def test_minhash_pairs_vs_brute(docs_ds):
+    texts = _docs_table().column("text").to_pylist()
+    exp = _brute_jaccard_pairs(texts, 3, 0.5)
+    pdf = minhash_pairs(docs_ds, n=3, tau=0.5).to_pandas()
+    got = set(zip(pdf["doc_a"], pdf["doc_b"]))
+    # LSH at b=32,r=4 catches j>=0.5 pairs with prob ~1-(1-0.5^4)^32 ~ 0.87;
+    # our near-dups have j>~0.7 -> effectively always caught
+    assert got == exp
+
+
+def test_simhash_pairs(docs_ds):
+    pdf = simhash_pairs(docs_ds, max_hamming=3).to_pandas()
+    got = set(zip(pdf["doc_a"], pdf["doc_b"]))
+    assert (0, 2) in got  # identical docs -> hamming 0
+    ham0 = pdf[(pdf["doc_a"] == 0) & (pdf["doc_b"] == 2)]["hamming"].iloc[0]
+    assert ham0 == 0
+
+
+def test_textstats_and_langid(docs_ds):
+    stats = TextStats()(_docs_table()).to_pandas()
+    assert stats.loc[0, "n_words"] == 16
+    assert stats.loc[0, "keep"]
+    assert not stats.loc[8, "keep"]  # 3 words < 10
+    preds = LangId()(_docs_table()).to_pandas().set_index("doc_id")["pred_lang"]
+    assert preds[0] == "en" and preds[4] == "de" and preds[5] == "fr"
+    assert preds[6] == "es" and preds[7] == "zh" and preds[8] == "und"
+
+
+def test_fingerprints_deterministic():
+    a = fingerprint_batch(_docs_table()).to_pandas()
+    b = fingerprint_batch(_docs_table()).to_pandas()
+    assert (a["fp_md5"] == b["fp_md5"]).all() and (a["fp_roll"] == b["fp_roll"]).all()
+    assert a.loc[0, "fp_md5"] == a.loc[2, "fp_md5"]
+    assert a.loc[0, "fp_md5"] != a.loc[1, "fp_md5"]
+
+
+def _emb_table(n=60, dim=16, seed=5):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((4, dim)) * 3
+    vecs = centers[np.arange(n) % 4] + rng.standard_normal((n, dim)) * 0.3
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+
+
+def _brute_topk(tbl, qids, k):
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = np.round(m[q] @ m.T, 6)
+        mask = ids != q
+        order = np.lexsort((ids[mask], -sims[mask]))[:k]
+        out[q] = list(zip(ids[mask][order], sims[mask][order]))
+    return out
+
+
+def test_knn_brute(ray_session):
+    import ray.data as rd
+
+    tbl = _emb_table()
+    ds = rd.from_arrow(tbl)
+    got = knn_brute(ds, [0, 1, 2], k=5).to_pandas()
+    exp = _brute_topk(tbl, [0, 1, 2], 5)
+    for q in [0, 1, 2]:
+        sub = got[got["query_id"] == q].sort_values("rank")
+        assert list(zip(sub["neighbor_id"], sub["cosine"])) == exp[q]
+
+
+def test_lsh_ann_recall(ray_session):
+    import ray.data as rd
+
+    tbl = _emb_table(n=120)
+    ds = rd.from_arrow(tbl)
+    got = lsh_ann(ds, [0, 1, 2, 3], k=5, n_tables=12, bits=6).to_pandas()
+    exp = _brute_topk(tbl, [0, 1, 2, 3], 5)
+    hits = tot = 0
+    for q in [0, 1, 2, 3]:
+        e = {n for n, _ in exp[q]}
+        g = set(got[got["query_id"] == q]["neighbor_id"])
+        hits += len(e & g)
+        tot += len(e)
+    assert hits / tot >= 0.6, f"LSH recall too low: {hits}/{tot}"
+
+
+def test_embedding_pairs(ray_session):
+    import ray.data as rd
+
+    tbl = _emb_table()
+    ds = rd.from_arrow(tbl)
+    pdf = embedding_pairs(ds, tau=0.95).to_pandas()
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(m @ m.T, 6)
+    exp = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if i < j and sims[i, j] >= 0.95
+    }
+    assert set(zip(pdf["id_a"], pdf["id_b"])) == exp
+    assert len(exp) > 0
+
+
+def _events_table():
+    rng = np.random.default_rng(3)
+    n = 500
+    ts = np.datetime64("2024-05-01T00:00:00", "us") + rng.integers(
+        0, 6 * 3600, n
+    ).astype("timedelta64[s]").astype("timedelta64[us]")
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+            "value": pa.array(np.round(rng.random(n) * 10, 3)),
+        }
+    )
+
+
+def test_tumbling_window(ray_session):
+    import ray.data as rd
+
+    tbl = _events_table()
+    got = (
+        tumbling_window(rd.from_arrow(tbl), 3600)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pdf = tbl.to_pandas()
+    pdf["window_start"] = pdf["ts"].astype("int64") // 1_000_000 // 3600 * 3600
+    exp = (
+        pdf.groupby(["user_id", "window_start"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp["sum_value"] = exp["sum_value"].round(6)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_sessionize(ray_session):
+    import ray.data as rd
+
+    tbl = _events_table()
+    got = sessionize(rd.from_arrow(tbl), gap_sec=600).to_pandas()
+    # invariants: per-user event counts conserved; sessions ordered, gaps > 600
+    pdf = tbl.to_pandas()
+    assert got["n_events"].sum() == len(pdf)
+    for uid, sub in got.groupby("user_id"):
+        starts = sub["session_start"].sort_values().to_numpy()
+        ends = (sub["session_start"] + sub["duration_sec"]).sort_values().to_numpy()
+        assert (starts[1:] - ends[:-1] > 600).all()
+
+
+def test_media_decode(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.multimodal import DecodeMedia, media_features, synth_media
+
+    media = synth_media(50, seed=9)
+    out = media_features(rd.from_arrow(media), batch_size=16, concurrency=2).to_pandas()
+    assert len(out) == 50
+    assert (out.sort_values("media_id")["width"].to_numpy() == media.column("width").to_numpy()).all()
+    feats = np.array(out["features"].tolist())
+    assert feats.shape == (50, 8)
+    np.testing.assert_allclose(feats.sum(axis=1), 1.0, atol=1e-5)
+    # probe: non-synthetic blob must raise NotImplementedError (stub contract)
+    bad = pa.table(
+        {"media_id": pa.array([0], type=pa.int64()),
+         "media": pa.array([b"\x89PNG\r\n\x1a\nxxxx"], type=pa.binary())}
+    )
+    with pytest.raises(NotImplementedError):
+        DecodeMedia()(bad)
