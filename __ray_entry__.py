@@ -1,44 +1,116 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the raylink engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (synthetic Common-Crawl-style pages ->
+actor-pool HTML extraction -> edge table -> partitioned CSR build -> PageRank
+to 1e-6 convergence) at sf0.001. ``queries()`` exposes every implemented
+operator/pipeline (SURVEY.md §2 + training-data ops); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for each SQL-expressible one (see
+raylink/oracles_sql.py — iterative graph algorithms are mirrored with
+unrolled/recursive CTEs over the closed-form synthetic link graph).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages -> extract -> graph -> PageRank(eps=1e-6) at sf0.001.
+
+    Returns a Dataset (url, vid, rank)."""
+    import pyarrow as pa
+
+    from raylink.pipelines import page_graph
+    from raylink.algos import pagerank
+    from raylink.queries import _ckpt
+    from raylink.synth import url_of
+
+    sf = "/root/testdata/sf0.001"
+    g = page_graph(sf, directed=True)
+    _, ranks = pagerank(g=g, eps=1e-6, ckpt_dir=_ckpt("entry_pagerank", sf))
+
+    def add_url(batch: pa.Table) -> pa.Table:
+        vids = batch.column("vid").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([url_of(v) for v in vids]),
+                "vid": batch.column("vid"),
+                "rank": batch.column("rank"),
+            }
+        )
+
+    return ranks.map_batches(add_url, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from raylink import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph engine over the synthetic page corpus
+        "page_text": q.q_page_text,
+        "page_edges": q.q_page_edges,
+        "pagerank": q.q_pagerank,
+        "pagerank_converged": q.q_pagerank_converged,
+        "connected_components": q.q_connected_components,
+        "label_propagation": q.q_label_propagation,
+        "triangle_count": q.q_triangles,
+        "degrees": q.q_degrees,
+        "subgraphs": q.q_subgraphs,
+        "meta_graph": q.q_meta_graph,
+        "sssp": q.q_sssp,
+        "kcore": q.q_kcore,
+        "graph_stats": q.q_graph_stats,
+        # training-data ops
+        "dedup_exact": q.q_dedup_exact,
+        "dedup_ngram": q.q_dedup_ngram,
+        "dedup_minhash": q.q_dedup_minhash,
+        "dedup_simhash": q.q_dedup_simhash,
+        "token_count": q.q_token_count,
+        "text_stats": q.q_text_stats,
+        "lang_id": q.q_lang_id,
+        "fingerprint": q.q_fingerprint,
+        "knn": q.q_knn,
+        "ann_lsh": q.q_ann_lsh,
+        "embedding_pairs": q.q_embedding_pairs,
+        "events_window": q.q_events_window,
+        "events_sessionize": q.q_events_sessionize,
+        "media_features": q.q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from raylink import oracles_sql as o
+
+    return {
+        "page_text": o.page_text_sql(),
+        "page_edges": o.page_edges_sql(),
+        "pagerank": o.pagerank_sql(iters=30),
+        "connected_components": o.cc_sql(),
+        "label_propagation": o.lpa_sql(),
+        "triangle_count": o.triangles_sql(),
+        "degrees": o.degrees_sql(),
+        "subgraphs": o.subgraphs_sql(),
+        "meta_graph": o.meta_graph_sql(),
+        "sssp": o.sssp_sql(source=0),
+        "graph_stats": o.graph_stats_sql(),
+        "dedup_exact": o.dedup_exact_sql(),
+        "dedup_ngram": o.ngram_pairs_sql(tau=0.5),
+        "token_count": o.token_count_sql(),
+        "text_stats": o.text_stats_sql(),
+        "lang_id": o.lang_id_sql(),
+        "fingerprint": o.fingerprint_sql(),
+        "knn": o.knn_sql(k=5, n_queries=10),
+        "embedding_pairs": o.embedding_pairs_sql(tau=0.4),
+        "events_window": o.events_window_sql(3600),
+        # rows-only (non-SQL-expressible / data-dependent iteration counts):
+        # pagerank_converged, kcore, dedup_minhash, dedup_simhash, ann_lsh,
+        # events_sessionize, media_features
+    }

@@ -29,7 +29,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import text_hash64
+from raylink.util import round_half_away, text_hash64
 
 WORD_RE = re.compile(r"[a-z0-9]+")
 
@@ -138,7 +138,7 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
         c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
         na = cnts[np.searchsorted(vids, a)]
         nb = cnts[np.searchsorted(vids, b)]
-        j = np.round(c / (na + nb - c), 6)
+        j = round_half_away(c / (na + nb - c), 6)
         keep = j >= tau
         return pa.table(
             {
@@ -264,7 +264,7 @@ def minhash_pairs(
         u = len(ga | gb)
         j = len(ga & gb) / u if u else 0.0
         if j >= tau:
-            rows_out.append((a, b, round(j, 6)))
+            rows_out.append((a, b, float(round_half_away(j, 6))))
     t = pa.table(
         {
             "doc_a": pa.array([r[0] for r in rows_out], type=pa.int64()),

@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from raylink.util import round_half_away
+
 
 def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch.column(col)
@@ -56,7 +58,7 @@ def knn_brute(emb_ds, query_ids: list[int], k: int = 5):
         qi, qmat = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         m = _normalize(_mat(batch))
-        sims = np.round(qmat @ m.T, 6)  # (nq, nb)
+        sims = round_half_away(qmat @ m.T, 6)  # (nq, nb)
         out_q, out_n, out_s = [], [], []
         for r, q in enumerate(qi):
             mask = ids != q
@@ -158,7 +160,7 @@ def lsh_ann(emb_ds, query_ids: list[int], k: int = 5, n_tables: int = 8, bits: i
             cand &= ids != q
             if not cand.any():
                 continue
-            s = np.round(qmat[r] @ m[cand].T, 6)
+            s = round_half_away(qmat[r] @ m[cand].T, 6)
             out_q.append(np.full(cand.sum(), q, dtype=np.int64))
             out_n.append(ids[cand])
             out_s.append(s)
@@ -213,7 +215,7 @@ def embedding_pairs(emb_ds, tau: float = 0.9):
         all_ids, all_m = ray.get(ref)
         bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         bm = _normalize(_mat(batch))
-        sims = np.round(bm @ all_m.T, 6)
+        sims = round_half_away(bm @ all_m.T, 6)
         keep = (sims >= tau) & (bids[:, None] < all_ids[None, :])
         ii, jj = np.nonzero(keep)
         return pa.table(

@@ -16,6 +16,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from raylink.util import round_half_away
+
 TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 WORD_PATTERN = r"[a-z]+"
 CJK_PATTERN = "[一-鿿]"
@@ -61,12 +63,12 @@ class TextStats:
             n_uniq[i] = len(set(words))
             ns = sum(1 for w in words if w in self.stop_en)
             sr = ns / len(words) if words else 0.0
-            stop_ratio[i] = round(sr, 6)
+            stop_ratio[i] = float(round_half_away(sr, 6))
             avg = (sum(len(w) for w in words) / len(words)) if words else 0.0
             keep[i] = len(words) >= 10 and 2.0 <= avg <= 12.0
-            quality[i] = round(
+            quality[i] = float(round_half_away(
                 min(len(words), 50) / 50.0 * 0.5 + min(sr, 0.4) / 0.4 * 0.5, 6
-            )
+            ))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

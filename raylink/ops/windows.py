@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from raylink.util import round_half_away
+
 
 def tumbling_window(events_ds, size_sec: int = 3600):
     """-> Dataset (user_id, window_start:int64 epoch sec, n_events,
@@ -47,7 +49,7 @@ def tumbling_window(events_ds, size_sec: int = 3600):
                 "window_start": batch.column("window_start"),
                 "n_events": batch.column("sum(n)"),
                 "sum_value": pa.array(
-                    np.round(
+                    round_half_away(
                         batch.column("sum(s)").to_numpy(zero_copy_only=False), 6
                     )
                 ),

@@ -1,0 +1,320 @@
+"""ANSI-SQL oracles (DuckDB dialect) for every SQL-expressible query in
+``__ray_entry__.queries()``.
+
+The synthetic page corpus embeds a link graph with a closed form
+(raylink/synth.py LINK SPEC v1), so even the HTML-extraction pipeline and the
+iterative graph algorithms have SQL oracles: edge generation is mirrored with
+``generate_series``, PageRank as K unrolled CTE iterations, CC/SSSP/subgraph
+labeling as recursive CTEs. Scalar text rules mirror raylink.ops 1:1.
+
+Column names and integer/float types are matched exactly to the Ray results
+(the driver hash-compares values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from raylink.ops.textstats import (
+    CJK_PATTERN,
+    STOP_DE,
+    STOP_EN,
+    STOP_ES,
+    STOP_FR,
+    TOKEN_PATTERN,
+    WORD_PATTERN,
+)
+
+P = 8  # partitions used by the oracle-checked graph queries (mod partitioner)
+
+# ---- shared CTE snippets -----------------------------------------------------
+
+GRAPH_CTES = """
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+mm AS (SELECT n, n - (n % 3) AS m FROM nn),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT d.doc_id AS src, (d.doc_id + 3*j*j) % p.m AS dst
+    FROM documents d, mm p, unnest(generate_series(1, (d.doc_id % 5) + 1)) AS t(j)
+    WHERE d.doc_id < p.m
+    UNION ALL
+    SELECT d.doc_id, d.doc_id % 3 FROM documents d, mm p
+    WHERE d.doc_id < p.m AND d.doc_id % 7 = 3
+  )
+),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+verts AS (SELECT doc_id AS vid FROM documents)
+"""
+
+CC_CTE = """
+lbl AS (
+  SELECT vid, vid AS l FROM verts
+  UNION
+  SELECT e.dst, x.l FROM lbl x JOIN und e ON e.src = x.vid
+),
+comp AS (SELECT vid, MIN(l)::BIGINT AS component FROM lbl GROUP BY vid)
+"""
+
+SG_CTE = f"""
+sp AS (SELECT src, dst FROM und WHERE src % {P} = dst % {P}),
+sglbl AS (
+  SELECT vid, vid AS l FROM verts
+  UNION
+  SELECT e.dst, x.l FROM sglbl x JOIN sp e ON e.src = x.vid
+),
+sgmap AS (SELECT vid, MIN(l)::BIGINT AS sg FROM sglbl GROUP BY vid)
+"""
+
+
+def _with(*ctes: str, recursive: bool = False) -> str:
+    return ("WITH RECURSIVE " if recursive else "WITH ") + ",".join(ctes)
+
+
+def page_text_sql() -> str:
+    return (
+        _with(
+            GRAPH_CTES,
+            """k AS (
+  SELECT d.doc_id, d.text,
+    CASE WHEN d.doc_id < p.m
+         THEN (d.doc_id % 5) + 1 + CASE WHEN d.doc_id % 7 = 3 THEN 1 ELSE 0 END
+         ELSE 0 END AS nlinks
+  FROM documents d, mm p)""",
+        )
+        + """
+SELECT 'https://site' || (doc_id % 97) || '.example/d/' || doc_id AS url,
+       'Document ' || doc_id || chr(10)
+       || replace(replace(text, chr(13), ' '), chr(10), ' ')
+       || CASE WHEN nlinks > 0
+               THEN chr(10) || rtrim(repeat('link' || chr(10), nlinks), chr(10))
+               ELSE '' END AS text
+FROM k"""
+    )
+
+
+def page_edges_sql() -> str:
+    return _with(GRAPH_CTES) + "\nSELECT src::BIGINT AS src, dst::BIGINT AS dst FROM edges"
+
+
+def pagerank_sql(iters: int = 30) -> str:
+    ctes = [
+        GRAPH_CTES,
+        "deg AS (SELECT src AS vid, count(*)::BIGINT AS outdeg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT vid, 1.0 / nn.n AS rank FROM verts, nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pr{t} AS MATERIALIZED (
+  SELECT v.vid, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.ms, 0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.rank / d.outdeg) AS ms
+    FROM pr{t - 1} p JOIN deg d ON d.vid = p.vid JOIN edges e ON e.src = p.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid)"""
+        )
+    return _with(*ctes) + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, 8) AS rank FROM pr{iters}"
+
+
+def cc_sql() -> str:
+    return (
+        _with(GRAPH_CTES, CC_CTE, recursive=True)
+        + "\nSELECT vid::BIGINT AS vid, component FROM comp"
+    )
+
+
+def lpa_sql() -> str:
+    return (
+        _with(GRAPH_CTES, CC_CTE, recursive=True)
+        + "\nSELECT vid::BIGINT AS vid, component AS label FROM comp"
+    )
+
+
+def triangles_sql() -> str:
+    return (
+        _with(
+            GRAPH_CTES,
+            """fwd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+        )
+        + """
+SELECT count(*)::BIGINT AS triangles
+FROM fwd e1 JOIN fwd e2 ON e2.a = e1.b JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.b"""
+    )
+
+
+def degrees_sql() -> str:
+    return (
+        _with(GRAPH_CTES)
+        + """
+SELECT v.vid::BIGINT AS vid,
+       COALESCE(o.c, 0)::BIGINT AS out_degree,
+       COALESCE(i.c, 0)::BIGINT AS in_degree
+FROM verts v
+LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON o.src = v.vid
+LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON i.dst = v.vid"""
+    )
+
+
+def subgraphs_sql() -> str:
+    return (
+        _with(GRAPH_CTES, SG_CTE, recursive=True)
+        + f"\nSELECT vid::BIGINT AS vid, (vid % {P})::BIGINT AS part, sg FROM sgmap"
+    )
+
+
+def meta_graph_sql() -> str:
+    return (
+        _with(GRAPH_CTES, SG_CTE, recursive=True)
+        + f"""
+SELECT DISTINCT a.sg AS sg_src, b.sg AS sg_dst
+FROM und e JOIN sgmap a ON a.vid = e.src JOIN sgmap b ON b.vid = e.dst
+WHERE e.src % {P} <> e.dst % {P}"""
+    )
+
+
+def sssp_sql(source: int = 0, cap: int = 64) -> str:
+    return (
+        _with(
+            GRAPH_CTES,
+            f"""dists AS (
+  SELECT CAST({source} AS BIGINT) AS vid, 0 AS d
+  UNION
+  SELECT e.dst, x.d + 1 FROM dists x JOIN und e ON e.src = x.vid WHERE x.d < {cap}
+)""",
+            recursive=True,
+        )
+        + """
+SELECT v.vid::BIGINT AS vid, COALESCE(MIN(x.d), -1)::BIGINT AS dist
+FROM verts v LEFT JOIN dists x ON x.vid = v.vid GROUP BY v.vid"""
+    )
+
+
+def graph_stats_sql() -> str:
+    return (
+        _with(GRAPH_CTES, CC_CTE, SG_CTE, recursive=True)
+        + """
+SELECT (SELECT count(*) FROM verts)::BIGINT AS n_vertices,
+       (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+       (SELECT count(DISTINCT component) FROM comp)::BIGINT AS n_components,
+       (SELECT count(DISTINCT sg) FROM sgmap)::BIGINT AS n_subgraphs,
+       (SELECT count(*) FROM verts v WHERE NOT EXISTS (SELECT 1 FROM und WHERE src = v.vid))::BIGINT AS n_isolated,
+       (SELECT max(c) FROM (SELECT count(*) AS c FROM edges GROUP BY src))::BIGINT AS max_out_degree,
+       (SELECT max(c) FROM (SELECT count(*) AS c FROM edges GROUP BY dst))::BIGINT AS max_in_degree"""
+    )
+
+
+# ---- documents / embeddings / events ----------------------------------------
+
+_STOP = lambda ws: ", ".join(f"'{w}'" for w in ws)  # noqa: E731
+
+
+def dedup_exact_sql() -> str:
+    return (
+        "SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_dups "
+        "FROM documents GROUP BY md5(text)"
+    )
+
+
+def ngram_pairs_sql(n: int = 3, tau: float = 0.5) -> str:
+    assert n == 3, "oracle written for trigrams"
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS nb FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia::BIGINT AS doc_a, ib::BIGINT AS doc_b,
+       ROUND(c * 1.0 / (sa.nb + sb.nb - c), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+WHERE ROUND(c * 1.0 / (sa.nb + sb.nb - c), 6) >= {tau}"""
+
+
+def token_count_sql() -> str:
+    return (
+        "SELECT SUM(len(regexp_extract_all(text, '"
+        + TOKEN_PATTERN
+        + "')))::BIGINT AS total_tokens FROM documents"
+    )
+
+
+def text_stats_sql() -> str:
+    stop = _STOP(STOP_EN)
+    sr = f"CASE WHEN len(ws) = 0 THEN 0.0 ELSE len(list_filter(ws, x -> x IN ({stop}))) * 1.0 / len(ws) END"
+    avg = "CASE WHEN len(ws) = 0 THEN 0.0 ELSE list_aggregate(list_transform(ws, x -> length(x)), 'sum') * 1.0 / len(ws) END"
+    return f"""
+WITH w AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '{TOKEN_PATTERN}'))::BIGINT AS n_tokens,
+         regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       len(ws)::BIGINT AS n_words,
+       len(list_distinct(ws))::BIGINT AS n_uniq_words,
+       ROUND({sr}, 6) AS stop_ratio,
+       ROUND(LEAST(len(ws), 50) / 50.0 * 0.5 + LEAST({sr}, 0.4) / 0.4 * 0.5, 6) AS quality,
+       (len(ws) >= 10 AND {avg} BETWEEN 2.0 AND 12.0) AS keep
+FROM w"""
+
+
+def lang_id_sql() -> str:
+    cnt = lambda ws: f"len(list_filter(ws, x -> x IN ({_STOP(ws)})))"  # noqa: E731
+    c_en, c_de, c_fr, c_es = cnt(STOP_EN), cnt(STOP_DE), cnt(STOP_FR), cnt(STOP_ES)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS cjk,
+         regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+  FROM documents),
+c AS (SELECT doc_id, cjk, {c_en} AS en, {c_de} AS de, {c_fr} AS fr, {c_es} AS es FROM w)
+SELECT doc_id,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM c"""
+
+
+def fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+
+def knn_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {n_queries}),
+s AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id, cosine,
+       rank::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+WHERE rank <= {k}"""
+
+
+def embedding_pairs_sql(tau: float = 0.4) -> str:
+    return f"""
+SELECT a.vec_id::BIGINT AS id_a, b.vec_id::BIGINT AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= {tau}"""
+
+
+def events_window_sql(size_sec: int = 3600) -> str:
+    return f"""
+SELECT user_id::BIGINT AS user_id,
+       (CAST(floor(epoch(ts) / {size_sec}) AS BIGINT) * {size_sec}) AS window_start,
+       count(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""

@@ -1,0 +1,147 @@
+"""End-to-end pipeline glue: testdata dir -> pages -> edges -> LinkGraph.
+
+Graph builds and BSP checkpoints are cached under deterministic /tmp paths
+keyed by (inputs, params, code version): re-running a query resumes instead
+of recomputing — the same mechanism that makes production runs resumable
+(north-rule lineage requirement) also accelerates repeated driver calls.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.extract import ExtractPages, explode_links
+from raylink.graph import GRAPH_ROOT, LinkGraph, build_graph
+from raylink.synth import pages_dataset
+
+# bump when algorithm/build semantics change (invalidates cached graph dirs
+# and checkpoints keyed below)
+CODE_VERSION = "v2"
+
+
+def cache_key(*parts) -> str:
+    return hashlib.md5("|".join(str(p) for p in [CODE_VERSION, *parts]).encode()).hexdigest()[:16]
+
+
+def _ids_from_urls(batch: pa.Table) -> pa.Table:
+    """Synthetic-corpus vid assignment: the url path embeds the doc id
+    (general corpora use hash64(url) — see raylink.util.splitmix64)."""
+    src = [int(u.rsplit("/", 1)[1]) for u in batch.column("src_url").to_pylist()]
+    dst = [int(u.rsplit("/", 1)[1]) for u in batch.column("dst_url").to_pylist()]
+    return pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "dst": pa.array(dst, type=pa.int64()),
+        }
+    )
+
+
+def page_edge_tables(sf_dir: str, concurrency: int = 4, batch_size: int = 512):
+    """pages -> extract (actor pool) -> (extracted_ds, edges_ds, verts_ds, n)."""
+    import ray.data as rd
+
+    pages, n = pages_dataset(sf_dir)
+    extracted = pages.drop_columns(["text"]).map_batches(
+        ExtractPages, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    edges = extracted.map_batches(explode_links, batch_format="pyarrow").map_batches(
+        _ids_from_urls, batch_format="pyarrow"
+    )
+    verts = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+    return extracted, edges, verts, n
+
+
+def page_graph(
+    sf_dir: str,
+    directed: bool = True,
+    num_parts: int = 8,
+    partitioner: str = "mod",
+    concurrency: int = 4,
+) -> LinkGraph:
+    """Build (or reuse the cached) LinkGraph of the synthetic page corpus.
+
+    Default partitioner is 'mod' so subgraph-level results are expressible in
+    the SQL oracle; PageRank/CC/LPA values are partitioning-invariant."""
+    key = cache_key("page_graph", sf_dir, directed, num_parts, partitioner)
+    gdir = os.path.join(GRAPH_ROOT, key)
+    if os.path.exists(os.path.join(gdir, "manifest.json")):
+        return LinkGraph.load(gdir)
+    _, edges, verts, _ = page_edge_tables(sf_dir, concurrency=concurrency)
+    return build_graph(
+        edges,
+        verts,
+        num_parts=num_parts,
+        partitioner=partitioner,
+        directed=directed,
+        graph_dir=gdir,
+    )
+
+
+def distinct_edges(edges_ds):
+    """Exact dedup of (src,dst) via a packed-key groupby (vids < 2**32)."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(np.unique((s << np.int64(32)) | d))})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(k >> np.int64(32)),
+                "dst": pa.array(k & np.int64(0xFFFFFFFF)),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(pack, batch_format="pyarrow")
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+
+
+def degree_table(edges_ds, verts_ds):
+    """(vid, out_degree, in_degree) including zero-degree vertices — one
+    groupby over stacked per-batch partial counts."""
+
+    def stack(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        sv, sc = np.unique(s, return_counts=True)
+        dv, dc = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "vid": pa.array(np.concatenate([sv, dv])),
+                "o": pa.array(np.concatenate([sc, np.zeros(len(dv), np.int64)])),
+                "i": pa.array(np.concatenate([np.zeros(len(sv), np.int64), dc])),
+            }
+        )
+
+    def vzero(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table({"vid": batch.column("vid"), "o": pa.array(z), "i": pa.array(z)})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "out_degree": batch.column("sum(o)"),
+                "in_degree": batch.column("sum(i)"),
+            }
+        )
+
+    stacked = edges_ds.map_batches(stack, batch_format="pyarrow").union(
+        verts_ds.map_batches(vzero, batch_format="pyarrow")
+    )
+    return (
+        stacked.groupby("vid").sum(["o", "i"]).map_batches(finish, batch_format="pyarrow")
+    )

@@ -1,0 +1,316 @@
+"""Named query implementations backing ``__ray_entry__.queries()``.
+
+Each function takes ``sf_dir`` (a testdata scale directory) and returns a Ray
+Dataset / pyarrow Table. Column names and types match the corresponding SQL
+oracle in ``raylink.oracles_sql`` exactly (the driver hash-compares values).
+
+Graph queries run over the synthetic page corpus derived from ``documents``
+(LINK SPEC v1, raylink/synth.py) with the 'mod' partitioner and P=8 so
+subgraph identities are SQL-checkable. BSP checkpoints live under
+deterministic /tmp keys — repeated calls resume instead of recomputing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.oracles_sql import P
+from raylink.pipelines import (
+    cache_key,
+    degree_table,
+    distinct_edges,
+    page_edge_tables,
+    page_graph,
+)
+from raylink.superstep import CKPT_ROOT
+from raylink.util import round_half_away
+
+PR_ITERS = 30
+
+
+def _ckpt(name: str, sf_dir: str, *extra) -> str:
+    return os.path.join(CKPT_ROOT, f"{name}-{cache_key(name, sf_dir, *extra)}")
+
+
+# --------------------------------------------------------------------- graph
+def q_page_text(sf_dir: str):
+    extracted, _, _, _ = page_edge_tables(sf_dir)
+    return extracted.select_columns(["url", "text"])
+
+
+def q_page_edges(sf_dir: str):
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return distinct_edges(edges)
+
+
+def q_pagerank(sf_dir: str):
+    from raylink.algos import pagerank
+
+    g = page_graph(sf_dir, directed=True)
+    _, ranks = pagerank(
+        g=g, iters=PR_ITERS, ckpt_dir=_ckpt("pagerank", sf_dir, PR_ITERS)
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(batch.column("rank").to_numpy(zero_copy_only=False), 8)
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_pagerank_converged(sf_dir: str):
+    """eps-convergence mode (north-rule 1e-6); no SQL oracle (iteration count
+    is data-dependent) — rows-only check, full validation in pytest."""
+    from raylink.algos import pagerank
+
+    g = page_graph(sf_dir, directed=True)
+    _, ranks = pagerank(g=g, eps=1e-6, ckpt_dir=_ckpt("pagerank_eps", sf_dir))
+    return ranks
+
+
+def q_connected_components(sf_dir: str):
+    from raylink.algos import connected_components
+
+    g = page_graph(sf_dir, directed=False)
+    _, comps = connected_components(g=g, ckpt_dir=_ckpt("cc", sf_dir))
+
+    def cast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": batch.column("vid"), "component": batch.column("component")}
+        )
+
+    return comps.map_batches(cast, batch_format="pyarrow")
+
+
+def q_label_propagation(sf_dir: str):
+    from raylink.algos import label_propagation
+
+    g = page_graph(sf_dir, directed=False)
+    _, labels = label_propagation(g=g, ckpt_dir=_ckpt("lpa", sf_dir))
+    return labels
+
+
+def q_triangles(sf_dir: str):
+    from raylink.algos import triangle_count
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    t = triangle_count(edges)
+    return pa.table({"triangles": pa.array([t], type=pa.int64())})
+
+
+def q_degrees(sf_dir: str):
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    return degree_table(distinct_edges(edges), verts)
+
+
+def q_subgraphs(sf_dir: str):
+    from raylink.graph import vertex_table
+
+    g = page_graph(sf_dir, directed=False)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "part": pa.array(
+                    batch.column("part").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "sg": batch.column("sg_minvid"),
+            }
+        )
+
+    return vertex_table(g).map_batches(out, batch_format="pyarrow")
+
+
+def q_meta_graph(sf_dir: str):
+    from raylink.graph import meta_edges
+
+    g = page_graph(sf_dir, directed=False)
+    me = meta_edges(g).map_batches(
+        lambda b: pa.table({"src": b.column("src_sg"), "dst": b.column("dst_sg")}),
+        batch_format="pyarrow",
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"sg_src": batch.column("src"), "sg_dst": batch.column("dst")}
+        )
+
+    return distinct_edges(me).map_batches(rename, batch_format="pyarrow")
+
+
+def q_sssp(sf_dir: str):
+    from raylink.algos import sssp
+
+    g = page_graph(sf_dir, directed=False)
+    _, dists = sssp(g=g, source=0, ckpt_dir=_ckpt("sssp", sf_dir, 0))
+    return dists
+
+
+def q_kcore(sf_dir: str):
+    from raylink.algos import kcore
+
+    g = page_graph(sf_dir, directed=False)
+    _, members = kcore(g=g, k=3, ckpt_dir=_ckpt("kcore", sf_dir, 3))
+    return members
+
+
+def q_graph_stats(sf_dir: str):
+    gd = page_graph(sf_dir, directed=True)
+    gu = page_graph(sf_dir, directed=False)
+    comps = q_connected_components(sf_dir)
+    n_components = comps.map_batches(
+        lambda b: pa.table(
+            {"c": pa.array(np.unique(b.column("component").to_numpy(zero_copy_only=False)))}
+        ),
+        batch_format="pyarrow",
+    ).unique("c")
+    deg = q_degrees(sf_dir).to_pandas()
+    return pa.table(
+        {
+            "n_vertices": pa.array([gd.n_vertices], type=pa.int64()),
+            "n_edges": pa.array([gd.n_edges], type=pa.int64()),
+            "n_components": pa.array([len(n_components)], type=pa.int64()),
+            "n_subgraphs": pa.array([gu.n_subgraphs], type=pa.int64()),
+            "n_isolated": pa.array(
+                [int(((deg["out_degree"] == 0) & (deg["in_degree"] == 0)).sum())],
+                type=pa.int64(),
+            ),
+            "max_out_degree": pa.array([int(deg["out_degree"].max())], type=pa.int64()),
+            "max_in_degree": pa.array([int(deg["in_degree"].max())], type=pa.int64()),
+        }
+    )
+
+
+# ------------------------------------------------------------ documents ops
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def q_dedup_exact(sf_dir: str):
+    from raylink.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_dedup_ngram(sf_dir: str):
+    from raylink.ops.dedup import ngram_pairs
+
+    return ngram_pairs(_docs(sf_dir), n=3, tau=0.5)
+
+
+def q_dedup_minhash(sf_dir: str):
+    from raylink.ops.dedup import minhash_pairs
+
+    return minhash_pairs(_docs(sf_dir), n=3, tau=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from raylink.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def q_token_count(sf_dir: str):
+    from raylink.ops.textstats import TextStats
+
+    stats = _docs(sf_dir).map_batches(
+        TextStats, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+    total = stats.sum("n_tokens")
+    return pa.table({"total_tokens": pa.array([int(total)], type=pa.int64())})
+
+
+def q_text_stats(sf_dir: str):
+    from raylink.ops.textstats import TextStats
+
+    return _docs(sf_dir).map_batches(
+        TextStats, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from raylink.ops.textstats import LangId
+
+    return _docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", batch_size=512, concurrency=2
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from raylink.ops.textstats import fingerprint_batch
+
+    return _docs(sf_dir).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fp_md5"])
+
+
+# ----------------------------------------------------------- embeddings ops
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_knn(sf_dir: str):
+    from raylink.ops.similarity import knn_brute
+
+    return knn_brute(_emb(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_ann_lsh(sf_dir: str):
+    from raylink.ops.similarity import lsh_ann
+
+    return lsh_ann(_emb(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_embedding_pairs(sf_dir: str):
+    from raylink.ops.similarity import embedding_pairs
+
+    return embedding_pairs(_emb(sf_dir), tau=0.4)
+
+
+# ---------------------------------------------------------------- events ops
+def q_events_window(sf_dir: str):
+    import ray.data as rd
+
+    from raylink.ops.windows import tumbling_window
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+    return tumbling_window(ev, size_sec=3600)
+
+
+def q_events_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from raylink.ops.windows import sessionize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+    )
+    return sessionize(ev, gap_sec=1800)
+
+
+# ------------------------------------------------------------ multimodal stub
+def q_media_features(sf_dir: str):
+    import ray.data as rd
+
+    from raylink.ops.multimodal import media_features, synth_media
+
+    n = 200 if "0.001" not in sf_dir else 50
+    return media_features(rd.from_arrow(synth_media(n)), batch_size=64, concurrency=2)

@@ -104,7 +104,7 @@ class Checkpoint:
         return os.path.join(self.ckpt_dir, "state", f"ss={s}", f"part-{p}.parquet")
 
     def msgs_dir(self, s: int) -> str:
-        return os.path.join(self.ckpt_dir, "msgs", f"ss={s}")
+        return os.path.join(self.ckpt_dir, "msgs", f"s{s:05d}")  # no "=" in path: read_parquet would hive-parse it into a column
 
     def metrics_path(self, s: int, p: int) -> str:
         return os.path.join(self.ckpt_dir, "metrics", f"ss={s}", f"part-{p}.parquet")

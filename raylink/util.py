@@ -47,6 +47,15 @@ def make_sgid(part: np.ndarray, local_idx: np.ndarray) -> np.ndarray:
     return (local_idx.astype(np.int64)) | (part.astype(np.int64) << np.int64(32))
 
 
+def round_half_away(x, decimals: int = 6):
+    """Round half away from zero — matches DuckDB/C ROUND() tie-breaking
+    (numpy's np.round is half-even, which diverges on exact binary midpoints
+    like 69/128 = 0.5390625). Used wherever results are compared to SQL."""
+    x = np.asarray(x, dtype=np.float64)
+    p = 10.0**decimals
+    return np.copysign(np.floor(np.abs(x) * p + 0.5) / p, x)
+
+
 def text_hash64(texts) -> np.ndarray:
     """Stable 64-bit content hash of strings (FNV-1a, pure python per row —
     used for exact-dedup keys where no vectorized cryptographic kernel
