@@ -1,0 +1,99 @@
+"""Checkpoint/resume + determinism (FIXTURES.md §5, north-rule requirements):
+- resume after an interrupted run must produce bit-identical results;
+- a fresh re-run over the same input must be bit-identical (float summation
+  order pinned);
+- partition count must not change results.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raylink.synth import expected_edges
+
+N = 99
+
+
+@pytest.fixture()
+def graph_inputs(ray_session):
+    import ray.data as rd
+
+    edges = expected_edges(N)
+    edges_ds = rd.from_arrow(
+        pa.table({"src": pa.array(edges[:, 0]), "dst": pa.array(edges[:, 1])})
+    )
+    verts_ds = rd.from_arrow(pa.table({"vid": pa.array(np.arange(N, dtype=np.int64))}))
+    return edges_ds, verts_ds
+
+
+def _ranks(ds):
+    return ds.to_pandas().sort_values("vid")["rank"].to_numpy()
+
+
+def test_resume_mid_iteration_bit_identical(graph_inputs, tmp_path):
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+
+    edges_ds, verts_ds = graph_inputs
+    g = build_graph(edges_ds, verts_ds, num_parts=4, graph_dir=str(tmp_path / "g"))
+
+    ck_full = str(tmp_path / "full")
+    _, ranks_full = pagerank(g=g, iters=12, ckpt_dir=ck_full)
+    full = _ranks(ranks_full)
+
+    # "interrupted" run: stop after 5 supersteps (driver crash analog),
+    # then resume to completion from the on-disk manifest + checkpoints
+    ck_int = str(tmp_path / "interrupted")
+    res1, _ = pagerank(g=g, iters=12, max_supersteps=5, ckpt_dir=ck_int)
+    assert res1.supersteps_run == 5
+    res2, ranks_resumed = pagerank(g=g, iters=12, ckpt_dir=ck_int)
+    assert res2.supersteps_run == 8  # supersteps 5..12 only
+    resumed = _ranks(ranks_resumed)
+    assert np.array_equal(full, resumed), "resume must be bit-identical"
+
+
+def test_rerun_is_bit_identical(graph_inputs, tmp_path):
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+
+    edges_ds, verts_ds = graph_inputs
+    a = []
+    for run in range(2):
+        g = build_graph(
+            edges_ds, verts_ds, num_parts=4, graph_dir=str(tmp_path / f"g{run}")
+        )
+        _, ranks = pagerank(g=g, iters=10, ckpt_dir=str(tmp_path / f"ck{run}"))
+        a.append(_ranks(ranks))
+    assert np.array_equal(a[0], a[1])
+
+
+def test_partition_count_invariance(graph_inputs, tmp_path):
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+
+    edges_ds, verts_ds = graph_inputs
+    outs = []
+    for np_ in (2, 7):
+        g = build_graph(
+            edges_ds, verts_ds, num_parts=np_, graph_dir=str(tmp_path / f"g{np_}")
+        )
+        _, ranks = pagerank(g=g, iters=10, ckpt_dir=str(tmp_path / f"ck{np_}"))
+        outs.append(_ranks(ranks))
+    # bit-identical across partitionings: per-dst sums are reduced in a
+    # deterministic global order regardless of which partition sent them
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=5e-16)
+
+
+def test_graph_build_resume(graph_inputs, tmp_path):
+    """A completed graph dir is reused, not rebuilt (manifest lineage)."""
+    from raylink.graph import LinkGraph, build_graph
+
+    edges_ds, verts_ds = graph_inputs
+    gdir = str(tmp_path / "g")
+    g1 = build_graph(edges_ds, verts_ds, num_parts=4, graph_dir=gdir)
+    g2 = LinkGraph.load(gdir)
+    assert g2.n_vertices == g1.n_vertices == N
+    assert g2.parts == g1.parts
