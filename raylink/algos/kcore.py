@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp
+from raylink.superstep_tasks import run_bsp_tasks
 from raylink.util import PARTITIONERS
 
 
@@ -75,6 +76,8 @@ def kcore(
     max_supersteps: int = 500,
     ckpt_dir: str | None = None,
     resume: bool = True,
+    ckpt_every: int = 1,
+    engine: str = "dataset",
 ):
     """Returns (BSPResult, Dataset (vid, in_core, deg_remaining))."""
     if g is None:
@@ -82,8 +85,9 @@ def kcore(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
             directed=False,
         )
-    ctx = {"k": int(k), "partitioner": g.partitioner, "num_parts": g.num_parts}
-    res = run_bsp(
+    ctx = {"k": int(k), "partitioner": g.partitioner, "num_parts": g.num_parts, "ckpt_every": ckpt_every}
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
         g, KCore(), ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir,
         resume=resume,
     )

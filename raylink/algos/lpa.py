@@ -18,6 +18,7 @@ import pyarrow as pa
 
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp
+from raylink.superstep_tasks import run_bsp_tasks
 from raylink.util import PARTITIONERS
 
 _I64MAX = np.int64(2**62)
@@ -75,6 +76,8 @@ def label_propagation(
     max_supersteps: int = 500,
     ckpt_dir: str | None = None,
     resume: bool = True,
+    ckpt_every: int = 1,
+    engine: str = "dataset",
 ):
     """Vertex-level min-label LPA on the undirected closure.
     Returns (BSPResult, labels Dataset (vid, label))."""
@@ -83,8 +86,9 @@ def label_propagation(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
             directed=False,
         )
-    ctx = {"partitioner": g.partitioner, "num_parts": g.num_parts}
-    res = run_bsp(
+    ctx = {"partitioner": g.partitioner, "num_parts": g.num_parts, "ckpt_every": ckpt_every}
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
         g, MinLabelLPA(), ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir,
         resume=resume,
     )

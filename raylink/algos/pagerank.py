@@ -26,6 +26,7 @@ import pyarrow as pa
 
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp, sort_msgs
+from raylink.superstep_tasks import run_bsp_tasks
 from raylink.util import PARTITIONERS
 
 
@@ -95,6 +96,8 @@ def pagerank(
     max_supersteps: int = 500,
     ckpt_dir: str | None = None,
     resume: bool = True,
+    ckpt_every: int = 1,
+    engine: str = "dataset",
 ):
     """Run PageRank; returns (BSPResult, ranks Dataset (vid, rank))."""
     if g is None:
@@ -106,10 +109,12 @@ def pagerank(
         "alpha": alpha,
         "eps": eps,
         "iters": iters,
+        "ckpt_every": ckpt_every,
         "partitioner": g.partitioner,
         "num_parts": g.num_parts,
     }
-    res = run_bsp(
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
         g, PageRank(), ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir,
         resume=resume,
     )

@@ -24,6 +24,7 @@ import pyarrow as pa
 
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp
+from raylink.superstep_tasks import run_bsp_tasks
 from raylink.util import PARTITIONERS
 
 INF = np.int64(2**62)
@@ -101,6 +102,8 @@ def sssp(
     max_supersteps: int = 500,
     ckpt_dir: str | None = None,
     resume: bool = True,
+    ckpt_every: int = 1,
+    engine: str = "dataset",
 ):
     """Returns (BSPResult, Dataset (vid, dist)) with dist=-1 if unreachable."""
     if g is None:
@@ -108,8 +111,9 @@ def sssp(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
             directed=directed,
         )
-    ctx = {"source": int(source), "partitioner": g.partitioner, "num_parts": g.num_parts}
-    res = run_bsp(
+    ctx = {"source": int(source), "partitioner": g.partitioner, "num_parts": g.num_parts, "ckpt_every": ckpt_every}
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
         g, SSSP(), ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir, resume=resume
     )
 

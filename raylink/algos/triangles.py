@@ -11,10 +11,11 @@ high-degree hub vertices.
 
   1. canonical distinct undirected edges (min,max) + degree table;
   2. orient each edge low-rank -> high-rank (broadcast degree lookup);
-  3. wedges: per oriented-adjacency group, all rank-ordered neighbour pairs,
-     pre-counted per group;
-  4. close: wedge candidates ∪ oriented edges grouped on a packed (u,v)
-     key; a wedge contributes iff the closing edge exists.
+  3. wedges: hash-bucket by apex vertex (B coarse groups, NOT one group per
+     vertex — per-key map_groups would spawn millions of tiny tasks at crawl
+     scale), vectorized rank-ordered neighbour-pair generation per bucket;
+  4. close: wedge candidates ∪ oriented edges hash-bucketed on the packed
+     (u,v) key; per-bucket sorted-search membership test and count.
 
 Count is orientation-invariant, so it equals the reference's vid-ordered
 count exactly. Assumes vids < 2**31 for key packing (true for crawl-local
@@ -25,6 +26,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from raylink.util import splitmix64
 
 
 def _canon(batch: pa.Table) -> pa.Table:
@@ -41,8 +44,8 @@ def _unpack(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return keys >> np.int64(32), keys & np.int64(0xFFFFFFFF)
 
 
-def triangle_count(edges_ds, wedge_cap: int | None = None):
-    """Global triangle count of the undirected simple graph. Returns int."""
+def triangle_count(edges_ds, num_buckets: int = 32) -> int:
+    """Global triangle count of the undirected simple graph."""
     import ray
     import ray.data as rd
 
@@ -69,61 +72,91 @@ def triangle_count(edges_ds, wedge_cap: int | None = None):
     ref = ray.put((vid_arr[order], deg_arr[order]))
 
     def orient(batch: pa.Table) -> pa.Table:
+        """Orient low-rank -> high-rank; bucket by apex (src) for the wedge
+        stage."""
         vids, degs = ray.get(ref)
         a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
         da = degs[np.searchsorted(vids, a)]
         db = degs[np.searchsorted(vids, b)]
-        # rank(v) = (deg, vid); orient low rank -> high rank
         a_first = (da < db) | ((da == db) & (a < b))
         lo = np.where(a_first, a, b)
         hi = np.where(a_first, b, a)
-        return pa.table({"src": pa.array(lo), "dst": pa.array(hi)})
-
-    oriented = distinct.map_batches(orient, batch_format="pyarrow")
-
-    def wedges(group: pa.Table) -> pa.Table:
-        vids, degs = ray.get(ref)
-        nbr = np.unique(group.column("dst").to_numpy(zero_copy_only=False))
-        if len(nbr) < 2:
-            return pa.table({"key": pa.array([], type=pa.int64()),
-                             "cnt": pa.array([], type=pa.int64()),
-                             "is_edge": pa.array([], type=pa.int64())})
-        d = degs[np.searchsorted(vids, nbr)]
-        rank_order = np.lexsort((nbr, d))
-        nbr = nbr[rank_order]
-        ii, jj = np.triu_indices(len(nbr), k=1)
-        key = (nbr[ii] << np.int64(32)) | nbr[jj]
-        key, cnt = np.unique(key, return_counts=True)
+        bucket = (splitmix64(lo.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
         return pa.table(
-            {
-                "key": pa.array(key),
-                "cnt": pa.array(cnt.astype(np.int64)),
-                "is_edge": pa.array(np.zeros(len(key), dtype=np.int64)),
-            }
+            {"src": pa.array(lo), "dst": pa.array(hi), "bucket": pa.array(bucket)}
         )
 
-    cands = oriented.groupby("src").map_groups(wedges, batch_format="pyarrow")
+    oriented = distinct.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(group: pa.Table) -> pa.Table:
+        """All rank-ordered neighbour pairs, per apex, vectorized over the
+        bucket's adjacency (python loop only over apexes in this bucket)."""
+        vids, degs = ray.get(ref)
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        order_ = np.argsort(src, kind="stable")
+        src, dst = src[order_], dst[order_]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        keys, cnts = [], []
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            nbr = dst[st:en]
+            d = degs[np.searchsorted(vids, nbr)]
+            nbr = nbr[np.lexsort((nbr, d))]  # rank order
+            ii, jj = np.triu_indices(len(nbr), k=1)
+            k = (nbr[ii] << np.int64(32)) | nbr[jj]
+            k, c = np.unique(k, return_counts=True)
+            keys.append(k)
+            cnts.append(c.astype(np.int64))
+        if not keys:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        key = np.concatenate(keys)
+        cnt = np.concatenate(cnts)
+        kb = (splitmix64(key.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        # pre-sum per key within the bucket before the close shuffle
+        t = pa.table({"key": pa.array(key), "cnt": pa.array(cnt), "kb": pa.array(kb)})
+        return t
+
+    cands = oriented.groupby("bucket").map_groups(wedges, batch_format="pyarrow")
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         s = batch.column("src").to_numpy(zero_copy_only=False)
         d = batch.column("dst").to_numpy(zero_copy_only=False)
         key = (s << np.int64(32)) | d
-        n = len(key)
+        kb = (splitmix64(key.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
         return pa.table(
             {
                 "key": pa.array(key),
-                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
-                "is_edge": pa.array(np.ones(n, dtype=np.int64)),
+                "cnt": pa.array(np.full(len(key), -1, dtype=np.int64)),  # marker
+                "kb": pa.array(kb),
             }
         )
 
     both = cands.union(oriented.map_batches(edge_rows, batch_format="pyarrow"))
 
     def close(group: pa.Table) -> pa.Table:
+        """Per key-bucket: sum wedge counts whose closing edge exists."""
+        key = group.column("key").to_numpy(zero_copy_only=False)
         cnt = group.column("cnt").to_numpy(zero_copy_only=False)
-        is_edge = group.column("is_edge").to_numpy(zero_copy_only=False)
-        t = int(cnt.sum()) if is_edge.any() else 0
-        return pa.table({"t": pa.array([t], type=pa.int64())})
+        is_edge = cnt < 0
+        edge_keys = np.unique(key[is_edge])
+        wk, wc = key[~is_edge], cnt[~is_edge]
+        pos = np.searchsorted(edge_keys, wk)
+        hit = (pos < len(edge_keys)) & (
+            edge_keys[np.minimum(pos, max(len(edge_keys) - 1, 0))] == wk
+        ) if len(edge_keys) else np.zeros(len(wk), dtype=bool)
+        return pa.table({"t": pa.array([int(wc[hit].sum())], type=pa.int64())})
 
-    total = both.groupby("key").map_groups(close, batch_format="pyarrow").sum("t")
+    total = both.groupby("kb").map_groups(close, batch_format="pyarrow").sum("t")
     return int(total or 0)

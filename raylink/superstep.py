@@ -239,48 +239,81 @@ def run_bsp(
         tick_cols[name] = pa.nulls(len(g.parts), type=typ)
     ticks = pa.table(tick_cols)
 
+    # superstep fusion: `ckpt_every` (default 1) consecutive supersteps are
+    # chained LAZILY into one Ray Data execution — every groupby in the chain
+    # is an all-to-all barrier, so BSP ordering still holds round by round,
+    # but the fixed per-execution driver overhead is paid once per chain.
+    # The chain ends with a parquet message checkpoint (the resume point);
+    # per-partition state/metrics are still persisted every round by the
+    # runners (idempotent, so mid-chain retries/replays are safe).
+    # With convergence-based halting the check runs at chain boundaries, so
+    # up to ckpt_every-1 extra rounds may execute past the halt condition —
+    # harmless for monotone fixpoint algorithms (PR keeps refining, min-label
+    # stays put); fixed-iteration runs clamp the chain so counts are exact.
+    ckpt_every = max(1, int(ctx.get("ckpt_every", 1)))
+
     history: list[dict] = []
     s_start, msgs_ds, halted = 0, None, False
     man = ck.read_manifest() if resume else None
     if man is not None and man.get("algo") == algo.name:
-        history = man.get("history", [])
-        last = man["last_complete"]
         halted = man.get("halted", False)
-        s_start = last + 1
-        if not halted and man.get("msg_rows", 0) > 0:
-            msgs_ds = rd.read_parquet(ck.msgs_dir(last))
+        if halted:
+            # finished job: final state lives at last_complete
+            s_start = man["last_complete"] + 1
+            history = man.get("history", [])
+        else:
+            last = man["resume_superstep"]
+            history = man.get("history", [])[: last + 1]
+            s_start = last + 1
+            if man.get("msg_rows", 0) > 0:
+                msgs_ds = rd.read_parquet(ck.msgs_dir(last))
 
     t_run0 = time.perf_counter()
     s = s_start
     while not halted and s < max_supersteps:
         t0 = time.perf_counter()
+        k = min(ckpt_every, max_supersteps - s)
+        if ctx.get("iters") is not None:  # exact round count for fixed-iter runs
+            k = max(1, min(k, int(ctx["iters"]) - s + 1))
         in_ds = rd.from_arrow(ticks)
         if msgs_ds is not None:
             in_ds = in_ds.union(msgs_ds)
-        runner = _StepRunner(algo, g, ck, s, ctx)
-        out = in_ds.groupby("dst_part").map_groups(runner, batch_format="pyarrow")
-        mdir = ck.msgs_dir(s)
+        for j in range(k):
+            runner = _StepRunner(algo, g, ck, s + j, ctx)
+            out = in_ds.groupby("dst_part").map_groups(runner, batch_format="pyarrow")
+            if j + 1 < k:
+                in_ds = rd.from_arrow(ticks).union(out)
+        s_end = s + k - 1
+        mdir = ck.msgs_dir(s_end)
         os.makedirs(mdir, exist_ok=True)
-        out.write_parquet(mdir)  # barrier + message checkpoint
-        agg = ck.round_metrics(s, g.parts)
-        agg["superstep"] = s
-        agg["wall_sec"] = time.perf_counter() - t0
-        history.append(agg)
-        halted = algo.halted(agg, s, ctx)
-        msgs_ds = rd.read_parquet(mdir) if agg["msgs_out"] > 0 else None
-        if msgs_ds is None and not halted and agg["n_active"] == 0:
-            halted = True
+        out.write_parquet(mdir)  # executes the whole chain; checkpoint
+        chain_wall = time.perf_counter() - t0
+        last_agg = None
+        for j in range(k):
+            agg = ck.round_metrics(s + j, g.parts)
+            agg["superstep"] = s + j
+            agg["wall_sec"] = chain_wall / k
+            history.append(agg)
+            halted = halted or algo.halted(agg, s + j, ctx)
+            last_agg = agg
+        if last_agg["msgs_out"] > 0:
+            msgs_ds = rd.read_parquet(mdir)
+        else:
+            msgs_ds = None
+            if not halted and last_agg["n_active"] == 0:
+                halted = True
         ck.write_manifest(
             {
                 "algo": algo.name,
                 "graph_dir": g.graph_dir,
-                "last_complete": s,
-                "msg_rows": agg["msgs_out"],
+                "resume_superstep": s_end,
+                "last_complete": s_end,
+                "msg_rows": last_agg["msgs_out"],
                 "halted": halted,
                 "history": history,
             }
         )
-        s += 1
+        s = s_end + 1
 
     return BSPResult(
         graph=g,

@@ -1,0 +1,236 @@
+"""Low-latency BSP fast path: raw Ray tasks instead of Dataset shuffles.
+
+The canonical superstep driver (`raylink.superstep.run_bsp`) expresses each
+round as a Ray Data ``groupby(dst_part).map_groups`` shuffle — the right
+shape when a round moves serious data (the checkpoint IS the barrier, the
+streaming executor handles spill/backpressure). But an iterative algorithm
+on a modest graph runs 30+ rounds whose per-round payload is a few MB; there
+the fixed per-execution driver cost of a Dataset round (~0.5-1 s: plan,
+schedule a sort, collect) dominates and — worse — grows with worker count.
+This is the one place the Dataset API genuinely can't express the semantics
+efficiently (SURVEY.md §1.3 note on raw tasks), so this module provides the
+same BSP contract on raw Ray tasks:
+
+- one task per partition per round, ``num_returns=P+1``: P per-destination
+  message tables routed task-to-task as ObjectRefs (no bytes ever touch the
+  driver — the P x P exchange is the Hama ``peer.send`` analog) plus one
+  metrics head;
+- the driver only ``ray.get``s the tiny metrics heads to decide halting
+  (GLOBAL_HALT analog), giving a round floor of ~tens of ms;
+- state/metrics/messages are persisted through the SAME ``Checkpoint``
+  layout as the Dataset driver (state every round; message parquet every
+  ``ckpt_every`` rounds), so runs are resumable and the two engines are
+  interchangeable mid-job;
+- identical results: same ``Algorithm.step`` kernels, same deterministic
+  reduction order (verified bit-identical in tests).
+
+Use ``engine="tasks"`` for latency-bound rounds (meta-graph CC, converged
+tails, small partitions); ``engine="dataset"`` (default) when rounds move
+more data than fits comfortably in the object store plan.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from raylink.graph import LinkGraph, load_shard
+from raylink.superstep import CKPT_ROOT, Algorithm, BSPResult, Checkpoint
+
+
+def _split_by_part(table: pa.Table, parts: list) -> list:
+    """Split a message table into one table per destination partition."""
+    if table is None or table.num_rows == 0:
+        return [None] * len(parts)
+    dp = table.column("dst_part").to_numpy(zero_copy_only=False)
+    order = np.argsort(dp, kind="stable")
+    sorted_t = table.take(pa.array(order))
+    dps = dp[order]
+    bounds = np.searchsorted(dps, np.asarray(parts, dtype=dps.dtype))
+    bounds_hi = np.searchsorted(dps, np.asarray(parts, dtype=dps.dtype), side="right")
+    out = []
+    for lo, hi in zip(bounds, bounds_hi):
+        out.append(sorted_t.slice(lo, hi - lo) if hi > lo else None)
+    return out
+
+
+def _step_remote(
+    algo: Algorithm,
+    graph_dir: str,
+    ckpt_dir: str,
+    s: int,
+    p: int,
+    parts: list,
+    ctx: dict,
+    *msg_tables,
+):
+    t0 = time.perf_counter()
+    ck = Checkpoint(ckpt_dir)
+    shard = load_shard(graph_dir, p)
+    tables = [t for t in msg_tables if t is not None and t.num_rows > 0]
+    msgs = pa.concat_tables(tables) if tables else algo.empty_msgs()
+    if s == 0:
+        state = algo.init(shard, ctx)
+    else:
+        t = pq.read_table(ck.state_path(s - 1, p))
+        state = {c: t.column(c).to_numpy(zero_copy_only=False) for c in t.column_names}
+    state, msgs_out, n_active, delta_max = algo.step(s, shard, state, msgs, ctx)
+    state_cols = {"vid": pa.array(shard["vids"])}
+    state_cols.update({k: pa.array(v) for k, v in state.items()})
+    ck.write_atomic(pa.table(state_cols), ck.state_path(s, p))
+    ms = (time.perf_counter() - t0) * 1000.0
+    n_out = msgs_out.num_rows if msgs_out is not None else 0
+    metrics = pa.table(
+        {
+            "superstep": pa.array([s], type=pa.int64()),
+            "part": pa.array([p], type=pa.int32()),
+            "n_active": pa.array([int(n_active)], type=pa.int64()),
+            "msgs_in": pa.array([msgs.num_rows], type=pa.int64()),
+            "msgs_out": pa.array([n_out], type=pa.int64()),
+            "delta_max": pa.array([float(delta_max)], type=pa.float64()),
+            "compute_ms": pa.array([ms], type=pa.float64()),
+        }
+    )
+    ck.write_atomic(metrics, ck.metrics_path(s, p))
+    return (
+        {
+            "n_active": int(n_active),
+            "msgs_out": n_out,
+            "delta_max": float(delta_max),
+            "compute_ms": ms,
+            "msgs_in": msgs.num_rows,
+        },
+        *_split_by_part(msgs_out, parts),
+    )
+
+
+def run_bsp_tasks(
+    g: LinkGraph,
+    algo: Algorithm,
+    ctx: dict | None = None,
+    max_supersteps: int = 200,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+) -> BSPResult:
+    import ray
+    import ray.data as rd
+
+    ctx = dict(ctx or {})
+    ctx.setdefault("n_vertices", g.n_vertices)
+    ckpt_every = max(1, int(ctx.get("ckpt_every", 1)))
+    if ckpt_dir is None:
+        ckpt_dir = os.path.join(CKPT_ROOT, f"{algo.name}-{uuid.uuid4().hex[:12]}")
+    ck = Checkpoint(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    parts = list(g.parts)
+    P = len(parts)
+    part_ix = {p: i for i, p in enumerate(parts)}
+
+    step_task = ray.remote(num_returns=P + 1)(_step_remote)
+
+    history: list[dict] = []
+    s_start, halted = 0, False
+    # inbox[i] = list of message-table refs/tables destined to partition i
+    inbox: list[list] = [[] for _ in range(P)]
+    man = ck.read_manifest() if resume else None
+    if man is not None and man.get("algo") == algo.name:
+        halted = man.get("halted", False)
+        if halted:
+            s_start = man["last_complete"] + 1
+            history = man.get("history", [])
+        else:
+            last = man["resume_superstep"]
+            history = man.get("history", [])[: last + 1]
+            s_start = last + 1
+            if man.get("msg_rows", 0) > 0:
+                t = pq.ParquetDataset(ck.msgs_dir(last)).read()
+                for i, tbl in enumerate(_split_by_part(t, parts)):
+                    if tbl is not None:
+                        inbox[i] = [tbl]
+
+    t_run0 = time.perf_counter()
+    s = s_start
+    while not halted and s < max_supersteps:
+        t0 = time.perf_counter()
+        rounds_metrics = []
+        k = min(ckpt_every, max_supersteps - s)
+        if ctx.get("iters") is not None:
+            k = max(1, min(k, int(ctx["iters"]) - s + 1))
+        # run k rounds; only metrics heads are ray.get'd per round
+        for j in range(k):
+            outs = [
+                step_task.remote(
+                    algo, g.graph_dir, ckpt_dir, s + j, p, parts, ctx, *inbox[i]
+                )
+                for i, p in enumerate(parts)
+            ]
+            metrics_refs = [o[0] for o in outs]
+            inbox = [
+                [outs[q][1 + i] for q in range(P)] for i in range(P)
+            ]
+            ms = ray.get(metrics_refs)
+            agg = {
+                "n_active": sum(m["n_active"] for m in ms),
+                "msgs_in": sum(m["msgs_in"] for m in ms),
+                "msgs_out": sum(m["msgs_out"] for m in ms),
+                "delta_max": max(m["delta_max"] for m in ms),
+                "compute_ms": sum(m["compute_ms"] for m in ms),
+                "superstep": s + j,
+            }
+            rounds_metrics.append(agg)
+            if algo.halted(agg, s + j, ctx) or (
+                agg["msgs_out"] == 0 and agg["n_active"] == 0
+            ):
+                halted = True
+                k = j + 1
+                break
+        s_end = s + k - 1
+        chain_wall = time.perf_counter() - t0
+        for agg in rounds_metrics:
+            agg["wall_sec"] = chain_wall / k
+            history.append(agg)
+        last_agg = rounds_metrics[-1]
+        # checkpoint the in-flight messages of the chain's final round
+        mdir = ck.msgs_dir(s_end)
+        os.makedirs(mdir, exist_ok=True)
+        resolved = []
+        for refs in inbox:
+            for r in refs:
+                t = ray.get(r) if isinstance(r, ray.ObjectRef) else r
+                if t is not None and t.num_rows:
+                    resolved.append(t)
+        tables = resolved
+        msg_table = (
+            pa.concat_tables(tables) if tables else algo.empty_msgs()
+        )
+        ck.write_atomic(msg_table, os.path.join(mdir, "messages.parquet"))
+        if last_agg["msgs_out"] == 0:
+            if not halted and last_agg["n_active"] == 0:
+                halted = True
+        ck.write_manifest(
+            {
+                "algo": algo.name,
+                "graph_dir": g.graph_dir,
+                "resume_superstep": s_end,
+                "last_complete": s_end,
+                "msg_rows": last_agg["msgs_out"],
+                "halted": halted,
+                "history": history,
+                "engine": "tasks",
+            }
+        )
+        s = s_end + 1
+
+    return BSPResult(
+        graph=g,
+        ckpt_dir=ckpt_dir,
+        last_superstep=s - 1,
+        supersteps_run=s - s_start,
+        history=history,
+        wall_sec=time.perf_counter() - t_run0,
+    )

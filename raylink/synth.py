@@ -164,3 +164,19 @@ def synth_documents(n: int, seed: int = 42) -> pa.Table:
             "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
         }
     )
+
+
+def synth_edge_arrays(n: int, avg_deg: int = 16, seed: int = 42):
+    """Vectorized deterministic edge generator for shuffle-scale benchmarks:
+    for vertex i, out-edges dst_j = (i*A + j*B + (i % 7)) % n, j = 0..deg_i-1
+    with deg_i = avg_deg - 2 + (i % 5). Pure closed form (no RNG state), so
+    any scale regenerates identically; ~E = n * avg_deg."""
+    A = np.int64(2654435761 % n if n else 1)
+    B = np.int64(40503)
+    ids = np.arange(n, dtype=np.int64)
+    deg = (avg_deg - 2 + (ids % 5)).astype(np.int64)
+    src = np.repeat(ids, deg)
+    j = np.arange(len(src), dtype=np.int64) - np.repeat(np.cumsum(deg) - deg, deg)
+    dst = (src * A + j * B + (src % 7)) % np.int64(n)
+    keep = src != dst
+    return src[keep], dst[keep]

@@ -97,3 +97,61 @@ def test_graph_build_resume(graph_inputs, tmp_path):
     g2 = LinkGraph.load(gdir)
     assert g2.n_vertices == g1.n_vertices == N
     assert g2.parts == g1.parts
+
+
+def test_superstep_fusion_exact_for_fixed_iters(graph_inputs, tmp_path):
+    """ckpt_every>1 fuses rounds into one lazy execution; fixed-iteration
+    runs must stay bit-identical (chain clamped to the iteration budget)."""
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+
+    edges_ds, verts_ds = graph_inputs
+    g = build_graph(edges_ds, verts_ds, num_parts=4, graph_dir=str(tmp_path / "g"))
+    _, r1 = pagerank(g=g, iters=12, ckpt_dir=str(tmp_path / "c1"), ckpt_every=1)
+    res4, r4 = pagerank(g=g, iters=12, ckpt_dir=str(tmp_path / "c4"), ckpt_every=4)
+    a = r1.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = r4.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.array_equal(a, b)
+    assert res4.last_superstep == 12
+
+
+def test_tasks_engine_bit_identical(graph_inputs, tmp_path):
+    """The raw-task BSP fast path must produce bit-identical results to the
+    canonical Dataset-shuffle engine (same kernels, same reduction order)."""
+    from raylink.algos import label_propagation, pagerank
+    from raylink.graph import build_graph
+
+    edges_ds, verts_ds = graph_inputs
+    g = build_graph(edges_ds, verts_ds, num_parts=4, graph_dir=str(tmp_path / "g"))
+    _, r_ds = pagerank(g=g, iters=10, ckpt_dir=str(tmp_path / "d"), engine="dataset")
+    _, r_tk = pagerank(g=g, iters=10, ckpt_dir=str(tmp_path / "t"), engine="tasks",
+                       ckpt_every=4)
+    a = r_ds.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = r_tk.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.array_equal(a, b)
+
+    gu = build_graph(edges_ds, verts_ds, num_parts=4, directed=False,
+                     graph_dir=str(tmp_path / "gu"))
+    _, l_ds = label_propagation(g=gu, ckpt_dir=str(tmp_path / "ld"))
+    _, l_tk = label_propagation(g=gu, ckpt_dir=str(tmp_path / "lt"), engine="tasks")
+    la = l_ds.to_pandas().sort_values("vid")["label"].to_numpy()
+    lb = l_tk.to_pandas().sort_values("vid")["label"].to_numpy()
+    assert np.array_equal(la, lb)
+
+
+def test_tasks_engine_resume(graph_inputs, tmp_path):
+    """Interrupted task-engine run resumes bit-identically from its
+    checkpoint (same Checkpoint layout as the Dataset engine)."""
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+
+    edges_ds, verts_ds = graph_inputs
+    g = build_graph(edges_ds, verts_ds, num_parts=4, graph_dir=str(tmp_path / "g"))
+    _, full = pagerank(g=g, iters=12, ckpt_dir=str(tmp_path / "f"), engine="tasks")
+    res1, _ = pagerank(g=g, iters=12, max_supersteps=5,
+                       ckpt_dir=str(tmp_path / "i"), engine="tasks")
+    res2, resumed = pagerank(g=g, iters=12, ckpt_dir=str(tmp_path / "i"),
+                             engine="tasks")
+    a = full.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = resumed.to_pandas().sort_values("vid")["rank"].to_numpy()
+    assert np.array_equal(a, b)
