@@ -66,7 +66,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subgraphs": q.q_subgraphs,
         "meta_graph": q.q_meta_graph,
         "sssp": q.q_sssp,
+        "sssp_weighted": q.q_sssp_weighted,
         "kcore": q.q_kcore,
+        "coreness": q.q_coreness,
+        "subgraph_rank": q.q_subgraph_rank,
         "graph_stats": q.q_graph_stats,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
@@ -111,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pairs": o.embedding_pairs_sql(tau=0.4),
         "events_window": o.events_window_sql(3600),
         # rows-only (non-SQL-expressible / data-dependent iteration counts):
-        # pagerank_converged, kcore, dedup_minhash, dedup_simhash, ann_lsh,
-        # events_sessionize, media_features
+        # pagerank_converged, kcore, coreness, sssp_weighted, subgraph_rank,
+        # dedup_minhash, dedup_simhash, ann_lsh, events_sessionize,
+        # media_features — each oracle-tested in pytest instead
     }

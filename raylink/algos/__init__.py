@@ -5,5 +5,6 @@ from raylink.algos.pagerank import PageRank, pagerank  # noqa: F401
 from raylink.algos.lpa import MinLabelLPA, label_propagation  # noqa: F401
 from raylink.algos.cc import connected_components  # noqa: F401
 from raylink.algos.sssp import SSSP, sssp  # noqa: F401
-from raylink.algos.kcore import KCore, kcore  # noqa: F401
+from raylink.algos.kcore import KCore, coreness, kcore  # noqa: F401
+from raylink.algos.subgraphrank import SubgraphRank, subgraph_rank  # noqa: F401
 from raylink.algos.triangles import triangle_count  # noqa: F401

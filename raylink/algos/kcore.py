@@ -104,3 +104,44 @@ def kcore(
 
     out = res.state_dataset().map_batches(finish, batch_format="pyarrow")
     return res, out
+
+
+def coreness(
+    edges_ds=None,
+    g: LinkGraph | None = None,
+    vertices_ds=None,
+    k_max: int = 64,
+    num_parts: int = 16,
+    partitioner: str = "hash",
+    engine: str = "tasks",
+    ckpt_root: str | None = None,
+):
+    """Full core decomposition: core(v) = max k with v in the k-core.
+
+    v1 strategy: iterated peeling (one KCore membership run per k, fast-path
+    engine, stops when the k-core empties) — O(k_max) BSP jobs, exact. The
+    reference's single-pass Montresor estimate-refinement (KCore.java:35-146)
+    needs per-edge neighbour-estimate state and is planned as an upgrade.
+    Returns (vid, core) with core=0 for isolated vertices."""
+    import pandas as pd
+
+    if g is None:
+        g = build_graph(
+            edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
+            directed=False,
+        )
+    core: pd.Series | None = None
+    for k in range(1, k_max + 1):
+        ck = None if ckpt_root is None else f"{ckpt_root}/k{k}"
+        _, members = kcore(g=g, k=k, ckpt_dir=ck, engine=engine, resume=ckpt_root is not None)
+        pdf = members.to_pandas().set_index("vid")["in_core"]
+        if core is None:
+            core = pd.Series(0, index=pdf.index, dtype="int64")
+        alive = pdf[pdf].index
+        if len(alive) == 0:
+            break
+        core.loc[alive] = k
+    import pyarrow as pa
+
+    out = core.sort_index()
+    return pa.table({"vid": pa.array(out.index.to_numpy()), "core": pa.array(out.to_numpy())})

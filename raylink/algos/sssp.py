@@ -35,13 +35,18 @@ class SSSP(Algorithm):
     msg_fields = [("dist", pa.int64())]
 
     def init(self, shard: dict, ctx: dict) -> dict:
-        dist = np.full(len(shard["vids"]), INF, dtype=np.int64)
+        if ctx.get("weighted"):
+            dist = np.full(len(shard["vids"]), np.inf, dtype=np.float64)
+        else:
+            dist = np.full(len(shard["vids"]), INF, dtype=np.int64)
         pos = np.searchsorted(shard["vids"], ctx["source"])
         if pos < len(shard["vids"]) and shard["vids"][pos] == ctx["source"]:
             dist[pos] = 0
         return {"dist": dist}
 
     def step(self, s: int, shard: dict, state: dict, msgs: pa.Table, ctx: dict):
+        if ctx.get("weighted"):
+            return self._step_weighted(s, shard, state, msgs, ctx)
         vids, indptr, indices = shard["vids"], shard["indptr"], shard["indices"]
         dist = np.asarray(state["dist"], dtype=np.int64).copy()
         improved = np.zeros(len(vids), dtype=bool)
@@ -90,6 +95,59 @@ class SSSP(Algorithm):
             n_active = len(dsts)
         return {"dist": dist}, out, n_active, 0.0
 
+    def _step_weighted(self, s: int, shard: dict, state: dict, msgs: pa.Table, ctx: dict):
+        """Per-partition weighted Dijkstra from improved roots — the
+        reference's in-subgraph aStar with edge-value weights
+        (SingleSourceShortestPath.java:407-537,476-478)."""
+        import heapq
+
+        vids, indptr, indices = shard["vids"], shard["indptr"], shard["indices"]
+        weights = shard.get("weights")
+        if weights is None:
+            weights = np.ones(len(indices), dtype=np.float64)
+        dist = np.asarray(state["dist"], dtype=np.float64).copy()
+        roots: list[int] = []
+        if s == 0:
+            roots = list(np.flatnonzero(dist == 0.0))
+        elif msgs.num_rows:
+            d = msgs.column("dst").to_numpy(zero_copy_only=False)
+            cand = msgs.column("dist").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vids, d)
+            for i in range(len(pos)):
+                if cand[i] < dist[pos[i]]:
+                    dist[pos[i]] = cand[i]
+                    roots.append(int(pos[i]))
+        remote: dict[int, float] = {}
+        heap = [(float(dist[r]), int(r)) for r in set(roots)]
+        heapq.heapify(heap)
+        while heap:
+            du, u = heapq.heappop(heap)
+            if du > dist[u]:
+                continue
+            for e in range(indptr[u], indptr[u + 1]):
+                v_g = indices[e]
+                nd = du + float(weights[e])
+                pos = np.searchsorted(vids, v_g)
+                if pos < len(vids) and vids[pos] == v_g:
+                    if nd < dist[pos]:
+                        dist[pos] = nd
+                        heapq.heappush(heap, (nd, int(pos)))
+                else:
+                    if nd < remote.get(int(v_g), np.inf):
+                        remote[int(v_g)] = nd
+        out = None
+        if remote:
+            dsts = np.array(sorted(remote), dtype=np.int64)
+            mins = np.array([remote[int(x)] for x in dsts], dtype=np.float64)
+            partfn = PARTITIONERS[ctx["partitioner"]]
+            out = self.make_msgs(partfn(dsts, ctx["num_parts"]), dsts, dist=mins)
+        return {"dist": dist}, out, len(remote), 0.0
+
+
+class WeightedSSSP(SSSP):
+    name = "sssp_weighted"
+    msg_fields = [("dist", pa.float64())]
+
 
 def sssp(
     edges_ds=None,
@@ -104,23 +162,38 @@ def sssp(
     resume: bool = True,
     ckpt_every: int = 1,
     engine: str = "dataset",
+    weighted: bool = False,
 ):
-    """Returns (BSPResult, Dataset (vid, dist)) with dist=-1 if unreachable."""
+    """Returns (BSPResult, Dataset (vid, dist)); dist=-1 if unreachable.
+    ``weighted=True`` uses the edge ``weight`` column (default 1.0 per edge,
+    reference SingleSourceShortestPath.java:476-478) and float distances."""
     if g is None:
         g = build_graph(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
             directed=directed,
         )
-    ctx = {"source": int(source), "partitioner": g.partitioner, "num_parts": g.num_parts, "ckpt_every": ckpt_every}
+    ctx = {"source": int(source), "partitioner": g.partitioner,
+           "num_parts": g.num_parts, "ckpt_every": ckpt_every,
+           "weighted": bool(weighted)}
+    algo = WeightedSSSP() if weighted else SSSP()
     _run = run_bsp_tasks if engine == "tasks" else run_bsp
     res = _run(
-        g, SSSP(), ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir, resume=resume
+        g, algo, ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir, resume=resume
     )
 
-    def finish(batch: pa.Table) -> pa.Table:
-        d = batch.column("dist").to_numpy(zero_copy_only=False).copy()
-        d[d >= INF] = -1
-        return pa.table({"vid": batch.column("vid"), "dist": pa.array(d)})
+    if weighted:
+
+        def finish(batch: pa.Table) -> pa.Table:
+            d = batch.column("dist").to_numpy(zero_copy_only=False).copy()
+            d[~np.isfinite(d)] = -1.0
+            return pa.table({"vid": batch.column("vid"), "dist": pa.array(d)})
+
+    else:
+
+        def finish(batch: pa.Table) -> pa.Table:
+            d = batch.column("dist").to_numpy(zero_copy_only=False).copy()
+            d[d >= INF] = -1
+            return pa.table({"vid": batch.column("vid"), "dist": pa.array(d)})
 
     dists = res.state_dataset().map_batches(finish, batch_format="pyarrow")
     return res, dists

@@ -129,17 +129,30 @@ def _build_shard(group: pa.Table, graph_dir: str, num_parts: int, partitioner: s
     part = int(group.column("part")[0].as_py())
     src = group.column("src").to_numpy(zero_copy_only=False)
     dst = group.column("dst").to_numpy(zero_copy_only=False)
+    has_w = "weight" in group.column_names
+    w = (
+        group.column("weight").to_numpy(zero_copy_only=False)
+        if has_w
+        else None
+    )
     vert_mask = dst == -1
     vids = np.unique(np.concatenate([src[vert_mask], src[~vert_mask]]))
     esrc, edst = src[~vert_mask], dst[~vert_mask]
+    ew = np.nan_to_num(w[~vert_mask], nan=1.0) if has_w else None
     # exact dedup of directed edges (reference: HashSet dedup in
-    # MakeGraphUndirectedReducer.java:22,43-51)
+    # MakeGraphUndirectedReducer.java:22,43-51); ties keep min weight
     if len(esrc):
-        order = np.lexsort((edst, esrc))
+        order = (
+            np.lexsort((ew, edst, esrc)) if has_w else np.lexsort((edst, esrc))
+        )
         esrc, edst = esrc[order], edst[order]
+        if has_w:
+            ew = ew[order]
         keep = np.ones(len(esrc), dtype=bool)
         keep[1:] = (esrc[1:] != esrc[:-1]) | (edst[1:] != edst[:-1])
         esrc, edst = esrc[keep], edst[keep]
+        if has_w:
+            ew = ew[keep]
     # CSR over owned vids
     lsrc = np.searchsorted(vids, esrc)
     indptr = np.zeros(len(vids) + 1, dtype=np.int64)
@@ -158,8 +171,7 @@ def _build_shard(group: pa.Table, graph_dir: str, num_parts: int, partitioner: s
     sg_minvid = vids[roots]  # root == min local index == min vid position
     os.makedirs(graph_dir, exist_ok=True)
     tmp = os.path.join(graph_dir, f".shard_{part}.tmp.npz")
-    np.savez(
-        tmp,
+    arrays = dict(
         part=np.int64(part),
         vids=vids,
         indptr=indptr,
@@ -167,6 +179,9 @@ def _build_shard(group: pa.Table, graph_dir: str, num_parts: int, partitioner: s
         sgid=sgid,
         sg_minvid=sg_minvid,
     )
+    if has_w:
+        arrays["weights"] = ew
+    np.savez(tmp, **arrays)
     os.replace(tmp, os.path.join(graph_dir, f"shard_{part}.npz"))
     # boundary rows: out-edges whose dst is owned elsewhere, tagged with the
     # src's subgraph id (input to meta-graph resolution)
@@ -210,10 +225,16 @@ def _with_part(partitioner: str, num_parts: int, col: str):
 def undirect(edges_ds):
     """Directed edge Dataset -> undirected closure (dedup happens per-shard)."""
 
-    def rev(batch: pa.Table) -> pa.Table:
-        return pa.table({"src": batch.column("dst"), "dst": batch.column("src")})
+    has_weight = "weight" in (edges_ds.columns() or [])
 
-    return edges_ds.select_columns(["src", "dst"]).union(
+    def rev(batch: pa.Table) -> pa.Table:
+        cols = {"src": batch.column("dst"), "dst": batch.column("src")}
+        if "weight" in batch.column_names:
+            cols["weight"] = batch.column("weight")
+        return pa.table(cols)
+
+    ecols = ["src", "dst"] + (["weight"] if has_weight else [])
+    return edges_ds.select_columns(ecols).union(
         edges_ds.map_batches(rev, batch_format="pyarrow")
     )
 
@@ -255,13 +276,17 @@ def build_graph(
         graph_dir = os.path.join(GRAPH_ROOT, uuid.uuid4().hex[:12])
     os.makedirs(graph_dir, exist_ok=True)
 
+    has_weight = "weight" in (edges_ds.columns() or [])
+
     def vert_rows(batch: pa.Table) -> pa.Table:
         v = batch.column("vid")
-        return pa.table(
-            {"src": v, "dst": pa.array(np.full(len(batch), -1, dtype=np.int64))}
-        )
+        cols = {"src": v, "dst": pa.array(np.full(len(batch), -1, dtype=np.int64))}
+        if has_weight:
+            cols["weight"] = pa.array(np.full(len(batch), np.nan))
+        return pa.table(cols)
 
-    combined = edges_ds.select_columns(["src", "dst"]).union(
+    ecols = ["src", "dst"] + (["weight"] if has_weight else [])
+    combined = edges_ds.select_columns(ecols).union(
         vertices_ds.map_batches(vert_rows, batch_format="pyarrow")
     )
     combined = combined.map_batches(

@@ -314,3 +314,49 @@ def q_media_features(sf_dir: str):
 
     n = 200 if "0.001" not in sf_dir else 50
     return media_features(rd.from_arrow(synth_media(n)), batch_size=64, concurrency=2)
+
+
+def q_sssp_weighted(sf_dir: str):
+    """Weighted Dijkstra (edge weight = deterministic function of endpoints);
+    rows-only check, oracle-tested in pytest (test_weighted_sssp)."""
+    import ray.data as rd
+
+    from raylink.algos import sssp
+    from raylink.graph import build_graph
+    from raylink.pipelines import page_edge_tables
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        w = 1.0 + (s * 7 + d * 13) % 5
+        return batch.append_column("weight", pa.array(w.astype(np.float64)))
+
+    eds = edges.map_batches(add_w, batch_format="pyarrow")
+    g = build_graph(eds, verts, num_parts=P, partitioner="mod", directed=False)
+    _, dists = sssp(
+        g=g, source=0, weighted=True, engine="tasks",
+        ckpt_dir=_ckpt("sssp_w", sf_dir, 0),
+    )
+    return dists
+
+
+def q_coreness(sf_dir: str):
+    """Full core decomposition (iterated peeling); rows-only, pytest oracle."""
+    from raylink.algos import coreness
+
+    g = page_graph(sf_dir, directed=False)
+    return coreness(g=g, ckpt_root=_ckpt("coreness", sf_dir))
+
+
+def q_subgraph_rank(sf_dir: str):
+    """Block-PageRank warm start (reference SubgraphRank); converges to the
+    PageRank fixpoint — rows-only, equivalence tested in pytest."""
+    from raylink.algos import subgraph_rank
+
+    g = page_graph(sf_dir, directed=True)
+    _, ranks = subgraph_rank(
+        g=g, eps=1e-6, engine="tasks", ckpt_dir=_ckpt("sgrank", sf_dir)
+    )
+    return ranks

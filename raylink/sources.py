@@ -1,0 +1,123 @@
+"""Graph sources beyond the pages pipeline — parity with the reference's
+reader family (SURVEY.md §2.2).
+
+| reference reader | here |
+|---|---|
+| LongTextAdjacencyListReader ("VID Sink1 Sink2 ...", whitespace) | ``read_adjacency_text`` |
+| PartitionsLongTextAdjacencyListReader ("VID PID Sink1 ...") | ``read_adjacency_text(with_partition=True)`` (partition column surfaced; the engine re-partitions by its own key — explicit partitioning is an offline-pipeline artifact we deliberately replace, SURVEY.md §3.3) |
+| LongTextJSONReader ("[src, pid, value, [[sink, eid, evalue], ...]]") | ``read_edges_json`` (vertex/edge values carried) |
+| FullInfoSplitReader family (pre-partitioned "pid sgid vid (sink sgid pid)+") | not replicated: subgraph discovery is online (build_graph) — loading someone else's partition layout contradicts the engine's one-partitioning-key design |
+| edge list parquet/csv | ``ray.data.read_parquet`` / ``read_csv`` directly |
+
+All parse work is vectorized-per-batch over ``read_text`` lines; outputs are
+the standard ``(src:int64, dst:int64[, weight:float64])`` edge Dataset plus
+an optional vertex Dataset, ready for ``raylink.graph.build_graph``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+
+def _parse_adj_batch(batch: pa.Table, with_partition: bool) -> pa.Table:
+    srcs: list[int] = []
+    dsts: list[int] = []
+    for line in batch.column("text").to_pylist():
+        parts = line.split()
+        if not parts:
+            continue
+        vid = int(parts[0])
+        sinks = parts[2:] if with_partition else parts[1:]
+        for t in sinks:
+            srcs.append(vid)
+            dsts.append(int(t))
+        if not sinks:  # vertex row with no out-edges: keep as sentinel
+            srcs.append(vid)
+            dsts.append(-1)
+    return pa.table(
+        {
+            "src": pa.array(np.asarray(srcs, dtype=np.int64)),
+            "dst": pa.array(np.asarray(dsts, dtype=np.int64)),
+        }
+    )
+
+
+def read_adjacency_text(paths, with_partition: bool = False):
+    """Whitespace adjacency-list text -> (edges_ds, vertices_ds).
+
+    Line format: ``VID Sink1 Sink2 ...`` (reference default reader,
+    hama/.../LongTextAdjacencyListReader.java:88-106), or
+    ``VID PartitionID Sink1 ...`` with ``with_partition=True``
+    (PartitionsLongTextAdjacencyListReader.java:57-59)."""
+    import ray.data as rd
+
+    raw = rd.read_text(paths)
+    parsed = raw.map_batches(
+        lambda b: _parse_adj_batch(b, with_partition), batch_format="pyarrow"
+    )
+    edges = parsed.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b.column("dst"), 0)),
+        batch_format="pyarrow",
+    )
+
+    def verts(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": pa.array(np.unique(batch.column("src").to_numpy(zero_copy_only=False)))}
+        )
+
+    vertices = parsed.map_batches(verts, batch_format="pyarrow").groupby(
+        "vid"
+    ).count().select_columns(["vid"])
+    return edges, vertices
+
+
+def read_edges_json(paths):
+    """JSON-rows reader (reference LongTextJSONReader.java:61-64,98-120):
+    each line ``[srcid, pid, srcvalue, [[sinkid, edgeid, edgevalue], ...]]``.
+    Returns (edges_ds with weight, vertices_ds with value)."""
+    import ray.data as rd
+
+    raw = rd.read_text(paths)
+
+    def edges_fn(batch: pa.Table) -> pa.Table:
+        srcs, dsts, weights = [], [], []
+        for line in batch.column("text").to_pylist():
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            vid = int(rec[0])
+            for sink in rec[3]:
+                srcs.append(vid)
+                dsts.append(int(sink[0]))
+                weights.append(float(sink[2]) if len(sink) > 2 else 1.0)
+        return pa.table(
+            {
+                "src": pa.array(np.asarray(srcs, dtype=np.int64)),
+                "dst": pa.array(np.asarray(dsts, dtype=np.int64)),
+                "weight": pa.array(np.asarray(weights, dtype=np.float64)),
+            }
+        )
+
+    def verts_fn(batch: pa.Table) -> pa.Table:
+        vids, vals = [], []
+        for line in batch.column("text").to_pylist():
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            vids.append(int(rec[0]))
+            vals.append(float(rec[2]))
+        return pa.table(
+            {
+                "vid": pa.array(np.asarray(vids, dtype=np.int64)),
+                "value": pa.array(np.asarray(vals, dtype=np.float64)),
+            }
+        )
+
+    return raw.map_batches(edges_fn, batch_format="pyarrow"), raw.map_batches(
+        verts_fn, batch_format="pyarrow"
+    )

@@ -114,3 +114,80 @@ def test_isolated_tail_vertices(edge_data):
     assert _sorted_state(dists, "dist")[N - 1] == -1
     _, ranks = pagerank(edges_ds, vertices_ds=verts_ds, num_parts=4, iters=5)
     assert abs(_sorted_state(ranks, "rank")[N - 1] - 0.15 / N) < 1e-15
+
+
+def test_weighted_sssp(edge_data, tmp_path):
+    """Weighted Dijkstra vs a dense numpy Bellman-Ford oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.algos import sssp
+    from raylink.graph import build_graph
+
+    edges, _, verts_ds = edge_data
+    # deterministic weights: w(s,d) = 1 + (s*7 + d*13) % 5
+    w = 1.0 + (edges[:, 0] * 7 + edges[:, 1] * 13) % 5
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(edges[:, 0]), "dst": pa.array(edges[:, 1]),
+                  "weight": pa.array(w.astype(np.float64))})
+    )
+    g = build_graph(eds, verts_ds, num_parts=4, directed=False,
+                    graph_dir=str(tmp_path / "gw"))
+    _, dists = sssp(g=g, source=0, weighted=True, engine="tasks",
+                    ckpt_dir=str(tmp_path / "ck"))
+    got = dists.to_pandas().sort_values("vid")["dist"].to_numpy()
+    # oracle: Bellman-Ford over undirected weighted closure (min weight per pair)
+    INFD = np.inf
+    dmat = np.full(N, INFD)
+    dmat[0] = 0.0
+    und = {}
+    for (s, d), wt in zip(edges, w):
+        und[(s, d)] = min(und.get((s, d), INFD), wt)
+        und[(d, s)] = min(und.get((d, s), INFD), wt)
+    for _ in range(N):
+        changed = False
+        for (s, d), wt in und.items():
+            if dmat[s] + wt < dmat[d]:
+                dmat[d] = dmat[s] + wt
+                changed = True
+        if not changed:
+            break
+    dmat_out = np.where(np.isfinite(dmat), dmat, -1.0)
+    np.testing.assert_allclose(got, dmat_out, atol=1e-9)
+
+
+def test_coreness(edge_data, tmp_path):
+    from raylink.algos import coreness
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    g = build_graph(edges_ds, verts_ds, num_parts=4, directed=False,
+                    graph_dir=str(tmp_path / "gc"))
+    out = coreness(g=g).to_pandas().sort_values("vid")["core"].to_numpy()
+    # oracle: peel per k
+    from oracles import kcore_oracle
+
+    exp = np.zeros(N, dtype=np.int64)
+    for k in range(1, 30):
+        alive = kcore_oracle(N, edges, k)
+        if not alive.any():
+            break
+        exp[alive] = k
+    np.testing.assert_array_equal(out, exp)
+
+
+def test_subgraph_rank_converges_to_pagerank(edge_data, tmp_path):
+    from raylink.algos import pagerank, subgraph_rank
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    g = build_graph(edges_ds, verts_ds, num_parts=4, graph_dir=str(tmp_path / "gs"))
+    res_p, rp = pagerank(g=g, eps=1e-9, ckpt_dir=str(tmp_path / "p"), engine="tasks")
+    res_s, rs = subgraph_rank(g=g, eps=1e-9, ckpt_dir=str(tmp_path / "s"), engine="tasks")
+    a = rp.to_pandas().sort_values("vid")["rank"].to_numpy()
+    b = rs.to_pandas().sort_values("vid")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-7)
+    # NOTE: with hash partitioning the local warm start does not necessarily
+    # cut supersteps (the reference assumed locality-preserving METIS
+    # partitions, SURVEY.md §3.3) — correctness of the fixpoint is the gate.
+    assert res_s.supersteps_run > 0
