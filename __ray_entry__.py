@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness": q.q_coreness,
         "subgraph_rank": q.q_subgraph_rank,
         "graph_stats": q.q_graph_stats,
+        "spanning_forest": q.q_spanning_forest,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": o.knn_sql(k=5, n_queries=10),
         "embedding_pairs": o.embedding_pairs_sql(tau=0.4),
         "events_window": o.events_window_sql(3600),
+        "spanning_forest": o.spanning_forest_sql(),
         # rows-only (non-SQL-expressible / data-dependent iteration counts):
         # pagerank_converged, kcore, coreness, sssp_weighted, subgraph_rank,
         # dedup_minhash, dedup_simhash, ann_lsh, events_sessionize,

@@ -7,4 +7,5 @@ from raylink.algos.cc import connected_components  # noqa: F401
 from raylink.algos.sssp import SSSP, sssp  # noqa: F401
 from raylink.algos.kcore import KCore, coreness, kcore  # noqa: F401
 from raylink.algos.subgraphrank import SubgraphRank, subgraph_rank  # noqa: F401
+from raylink.algos.spanning import BFSForest, spanning_forest  # noqa: F401
 from raylink.algos.triangles import triangle_count  # noqa: F401

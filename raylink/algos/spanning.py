@@ -1,0 +1,168 @@
+"""Spanning forest — per-component BFS tree with parent pointers.
+
+The reference's SpanningForest prints a per-subgraph BFS tree then merges
+subgraph trees with min-cid propagation picking one cross-subgraph edge per
+merged component (sample-hama/.../SpanningForest.java:41-115). Here the two
+phases collapse into one multi-source BFS over the whole undirected graph,
+rooted at each component's min vid (obtained from connected_components):
+every non-root vertex ends with exactly one tree edge (parent -> vid), giving
+|V| - #components forest edges.
+
+Determinism: ties are broken by lexicographic (dist, parent), so the forest
+is unique regardless of partitioning or scheduling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.graph import LinkGraph, build_graph
+from raylink.superstep import Algorithm, run_bsp
+from raylink.superstep_tasks import run_bsp_tasks
+from raylink.util import PARTITIONERS
+
+INF = np.int64(2**62)
+
+
+class BFSForest(Algorithm):
+    name = "spanning_forest"
+    msg_fields = [("dist", pa.int64()), ("parent", pa.int64())]
+
+    def init(self, shard: dict, ctx: dict) -> dict:
+        vids = shard["vids"]
+        dist = np.full(len(vids), INF, dtype=np.int64)
+        parent = np.full(len(vids), -1, dtype=np.int64)
+        roots = np.asarray(ctx["roots"], dtype=np.int64)
+        pos = np.searchsorted(vids, roots)
+        ok = (pos < len(vids)) & (vids[np.minimum(pos, len(vids) - 1)] == roots)
+        dist[pos[ok]] = 0
+        return {"dist": dist, "parent": parent}
+
+    def step(self, s: int, shard: dict, state: dict, msgs: pa.Table, ctx: dict):
+        vids, indptr, indices = shard["vids"], shard["indptr"], shard["indices"]
+        dist = np.asarray(state["dist"], dtype=np.int64).copy()
+        parent = np.asarray(state["parent"], dtype=np.int64).copy()
+        improved = np.zeros(len(vids), dtype=bool)
+        if s == 0:
+            improved = dist == 0
+        elif msgs.num_rows:
+            d = msgs.column("dst").to_numpy(zero_copy_only=False)
+            nd = msgs.column("dist").to_numpy(zero_copy_only=False)
+            npar = msgs.column("parent").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vids, d)
+            for i in np.lexsort((npar, nd)):  # deterministic apply order
+                pz = pos[i]
+                if nd[i] < dist[pz] or (
+                    nd[i] == dist[pz] and (parent[pz] < 0 or npar[i] < parent[pz])
+                ):
+                    dist[pz] = nd[i]
+                    parent[pz] = npar[i]
+                    improved[pz] = True
+        # local level-synchronous BFS with parent tracking
+        remote: dict[int, tuple] = {}
+        frontier = np.flatnonzero(improved)
+        deg = np.diff(indptr)
+        while len(frontier):
+            starts, degs = indptr[frontier], deg[frontier]
+            if degs.sum() == 0:  # frontier of isolated/sink-only vertices
+                break
+            idx = np.repeat(starts, degs) + (
+                np.arange(degs.sum()) - np.repeat(np.cumsum(degs) - degs, degs)
+            )
+            nbr = indices[idx]
+            nd = np.repeat(dist[frontier], degs) + 1
+            npar = np.repeat(vids[frontier], degs)
+            # per-nbr deterministic min (dist, parent)
+            order = np.lexsort((npar, nd, nbr))
+            nbr, nd, npar = nbr[order], nd[order], npar[order]
+            first = np.r_[True, nbr[1:] != nbr[:-1]]
+            nbr, nd, npar = nbr[first], nd[first], npar[first]
+            pos = np.searchsorted(vids, nbr)
+            owned = (pos < len(vids)) & (vids[np.minimum(pos, len(vids) - 1)] == nbr)
+            nxt = []
+            for i in np.flatnonzero(owned):
+                pz = pos[i]
+                if nd[i] < dist[pz] or (
+                    nd[i] == dist[pz] and (parent[pz] < 0 or npar[i] < parent[pz])
+                ):
+                    dist[pz] = nd[i]
+                    parent[pz] = npar[i]
+                    nxt.append(pz)
+            for i in np.flatnonzero(~owned):
+                key = int(nbr[i])
+                cand = (int(nd[i]), int(npar[i]))
+                if key not in remote or cand < remote[key]:
+                    remote[key] = cand
+            frontier = np.unique(np.asarray(nxt, dtype=np.int64))
+        out = None
+        if remote:
+            dsts = np.array(sorted(remote), dtype=np.int64)
+            nds = np.array([remote[int(x)][0] for x in dsts], dtype=np.int64)
+            nps = np.array([remote[int(x)][1] for x in dsts], dtype=np.int64)
+            partfn = PARTITIONERS[ctx["partitioner"]]
+            out = self.make_msgs(
+                partfn(dsts, ctx["num_parts"]), dsts, dist=nds, parent=nps
+            )
+        return {"dist": dist, "parent": parent}, out, len(remote), 0.0
+
+
+def spanning_forest(
+    edges_ds=None,
+    g: LinkGraph | None = None,
+    vertices_ds=None,
+    num_parts: int = 16,
+    partitioner: str = "hash",
+    max_supersteps: int = 500,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    engine: str = "tasks",
+):
+    """Returns (BSPResult, Dataset (vid, root, dist, parent)): parent=-1 for
+    roots; tree edges = (parent, vid) rows with parent >= 0."""
+    from raylink.algos.cc import connected_components
+
+    if g is None:
+        g = build_graph(
+            edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
+            directed=False,
+        )
+    _, comps = connected_components(g=g, resume=resume,
+                                    ckpt_dir=None if ckpt_dir is None else ckpt_dir + "-cc")
+    comp_pdf = comps.to_pandas()
+    roots = np.unique(comp_pdf["component"].to_numpy(np.int64))
+    ctx = {
+        "roots": roots, "partitioner": g.partitioner, "num_parts": g.num_parts,
+    }
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(g, BFSForest(), ctx, max_supersteps=max_supersteps,
+               ckpt_dir=ckpt_dir, resume=resume)
+
+    comp_lookup = comp_pdf.sort_values("vid")
+    import ray
+
+    order = np.argsort(comp_lookup["vid"].to_numpy(np.int64))
+    ref = ray.put(
+        (
+            comp_lookup["vid"].to_numpy(np.int64),
+            comp_lookup["component"].to_numpy(np.int64),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        vv, cc = ray.get(ref)
+        vids = batch.column("vid").to_numpy(zero_copy_only=False)
+        root = cc[np.searchsorted(vv, vids)]
+        d = batch.column("dist").to_numpy(zero_copy_only=False).copy()
+        d[d >= INF] = -1
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "root": pa.array(root),
+                "dist": pa.array(d),
+                "parent": batch.column("parent"),
+            }
+        )
+
+    out = res.state_dataset().map_batches(finish, batch_format="pyarrow")
+    return res, out

@@ -67,6 +67,8 @@ class SSSP(Algorithm):
         deg = np.diff(indptr)
         while len(frontier):
             starts, degs = indptr[frontier], deg[frontier]
+            if degs.sum() == 0:  # frontier of isolated/sink-only vertices
+                break
             idx = np.repeat(starts, degs) + (
                 np.arange(degs.sum()) - np.repeat(np.cumsum(degs) - degs, degs)
             )

@@ -318,3 +318,35 @@ SELECT user_id::BIGINT AS user_id,
        count(*)::BIGINT AS n_events,
        ROUND(SUM(value), 6) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+
+def spanning_forest_sql(cap: int = 64) -> str:
+    """BFS forest fixpoint: dist = multi-source BFS from component minima;
+    parent(v) = min vid among neighbours at dist(v)-1 (engine tie-break)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            CC_CTE,
+            f"""bfs AS (
+  SELECT DISTINCT component AS vid, 0 AS d FROM comp
+  UNION
+  SELECT e.dst, x.d + 1 FROM bfs x JOIN und e ON e.src = x.vid WHERE x.d < {cap}
+),
+dist AS (SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid)""",
+            recursive=True,
+        )
+        + """
+SELECT v.vid::BIGINT AS vid,
+       c.component AS root,
+       dd.d::BIGINT AS dist,
+       COALESCE(p.parent, -1)::BIGINT AS parent
+FROM verts v
+JOIN comp c ON c.vid = v.vid
+JOIN dist dd ON dd.vid = v.vid
+LEFT JOIN (
+  SELECT e.dst AS vid, MIN(e.src)::BIGINT AS parent
+  FROM und e JOIN dist a ON a.vid = e.src JOIN dist b ON b.vid = e.dst
+  WHERE a.d = b.d - 1
+  GROUP BY e.dst
+) p ON p.vid = v.vid"""
+    )

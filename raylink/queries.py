@@ -360,3 +360,13 @@ def q_subgraph_rank(sf_dir: str):
         g=g, eps=1e-6, engine="tasks", ckpt_dir=_ckpt("sgrank", sf_dir)
     )
     return ranks
+
+
+def q_spanning_forest(sf_dir: str):
+    """Per-component BFS spanning forest; rows-only, invariant-tested in
+    pytest (test_spanning_forest)."""
+    from raylink.algos import spanning_forest
+
+    g = page_graph(sf_dir, directed=False)
+    _, forest = spanning_forest(g=g, ckpt_dir=_ckpt("forest", sf_dir))
+    return forest

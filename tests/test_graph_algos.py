@@ -191,3 +191,32 @@ def test_subgraph_rank_converges_to_pagerank(edge_data, tmp_path):
     # cut supersteps (the reference assumed locality-preserving METIS
     # partitions, SURVEY.md §3.3) — correctness of the fixpoint is the gate.
     assert res_s.supersteps_run > 0
+
+
+def test_spanning_forest(edge_data, tmp_path):
+    from raylink.algos import spanning_forest
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    g = build_graph(edges_ds, verts_ds, num_parts=4, directed=False,
+                    graph_dir=str(tmp_path / "gf"))
+    _, forest = spanning_forest(g=g, ckpt_dir=str(tmp_path / "ck"))
+    pdf = forest.to_pandas().sort_values("vid").reset_index(drop=True)
+    comps = cc_oracle(N, edges)
+    n_components = len(np.unique(comps))
+    # roots: exactly one per component, parent -1, dist 0
+    roots = pdf[pdf["parent"] < 0]
+    assert len(roots) == n_components
+    assert (roots["dist"] == 0).all()
+    assert set(roots["vid"]) == set(np.unique(comps))
+    # every tree edge connects dist d-1 -> d within the same component
+    tree = pdf[pdf["parent"] >= 0]
+    assert len(tree) == N - n_components
+    dist_of = pdf.set_index("vid")["dist"]
+    for r in tree.itertuples():
+        assert dist_of[r.parent] == r.dist - 1
+        assert comps[r.parent] == comps[r.vid] == r.root
+    # tree edges must be real graph edges (undirected)
+    eset = {(int(a), int(b)) for a, b in edges} | {(int(b), int(a)) for a, b in edges}
+    for r in tree.itertuples():
+        assert (int(r.parent), int(r.vid)) in eset
