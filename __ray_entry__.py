@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_weighted": q.q_sssp_weighted,
         "kcore": q.q_kcore,
         "coreness": q.q_coreness,
+        "coreness_montresor": q.q_coreness_montresor,
         "subgraph_rank": q.q_subgraph_rank,
         "graph_stats": q.q_graph_stats,
         "spanning_forest": q.q_spanning_forest,

@@ -370,3 +370,15 @@ def q_spanning_forest(sf_dir: str):
     g = page_graph(sf_dir, directed=False)
     _, forest = spanning_forest(g=g, ckpt_dir=_ckpt("forest", sf_dir))
     return forest
+
+
+def q_coreness_montresor(sf_dir: str):
+    """Single-pass Montresor core decomposition; rows-only, pytest oracle
+    (test_coreness_montresor, equal to iterated peeling)."""
+    from raylink.algos import coreness_montresor
+
+    g = page_graph(sf_dir, directed=False)
+    _, cores = coreness_montresor(
+        g=g, engine="tasks", ckpt_dir=_ckpt("coreness_m", sf_dir)
+    )
+    return cores

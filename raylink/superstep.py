@@ -156,7 +156,14 @@ class _StepRunner:
 
     def _load_state(self, p: int) -> dict:
         t = pq.read_table(self.ck.state_path(self.s - 1, p))
-        return {c: t.column(c).to_numpy(zero_copy_only=False) for c in t.column_names}
+        state = {c: t.column(c).to_numpy(zero_copy_only=False) for c in t.column_names}
+        aux_path = self.ck.state_path(self.s - 1, p) + ".aux"
+        if os.path.exists(aux_path):
+            ta = pq.read_table(aux_path)
+            state.update(
+                {c: ta.column(c).to_numpy(zero_copy_only=False) for c in ta.column_names}
+            )
+        return state
 
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
@@ -173,9 +180,19 @@ class _StepRunner:
         )
         if msgs_out is None:
             msgs_out = self.algo.empty_msgs()
+        # vid-aligned arrays -> the state table; other lengths (e.g. per-edge
+        # neighbour-estimate state, Montresor k-core) -> an aux sidecar file
+        nv = len(shard["vids"])
         state_cols = {"vid": pa.array(shard["vids"])}
-        state_cols.update({k: pa.array(v) for k, v in state.items()})
+        aux_cols = {}
+        for k, v in state.items():
+            if k != "vid":
+                (state_cols if len(v) == nv else aux_cols)[k] = pa.array(v)
         self.ck.write_atomic(pa.table(state_cols), self.ck.state_path(self.s, p))
+        if aux_cols:
+            self.ck.write_atomic(
+                pa.table(aux_cols), self.ck.state_path(self.s, p) + ".aux"
+            )
         ms = (time.perf_counter() - t0) * 1000.0
         self.ck.write_atomic(
             pa.table(

@@ -79,10 +79,22 @@ def _step_remote(
     else:
         t = pq.read_table(ck.state_path(s - 1, p))
         state = {c: t.column(c).to_numpy(zero_copy_only=False) for c in t.column_names}
+        aux_path = ck.state_path(s - 1, p) + ".aux"
+        if os.path.exists(aux_path):
+            ta = pq.read_table(aux_path)
+            state.update(
+                {c: ta.column(c).to_numpy(zero_copy_only=False) for c in ta.column_names}
+            )
     state, msgs_out, n_active, delta_max = algo.step(s, shard, state, msgs, ctx)
+    nv = len(shard["vids"])
     state_cols = {"vid": pa.array(shard["vids"])}
-    state_cols.update({k: pa.array(v) for k, v in state.items()})
+    aux_cols = {}
+    for k, v in state.items():
+        if k != "vid":
+            (state_cols if len(v) == nv else aux_cols)[k] = pa.array(v)
     ck.write_atomic(pa.table(state_cols), ck.state_path(s, p))
+    if aux_cols:
+        ck.write_atomic(pa.table(aux_cols), ck.state_path(s, p) + ".aux")
     ms = (time.perf_counter() - t0) * 1000.0
     n_out = msgs_out.num_rows if msgs_out is not None else 0
     metrics = pa.table(

@@ -220,3 +220,27 @@ def test_spanning_forest(edge_data, tmp_path):
     eset = {(int(a), int(b)) for a, b in edges} | {(int(b), int(a)) for a, b in edges}
     for r in tree.itertuples():
         assert (int(r.parent), int(r.vid)) in eset
+
+
+def test_coreness_montresor(edge_data, tmp_path):
+    """Single-pass Montresor coreness == iterated-peeling coreness == oracle,
+    on both engines (exercises the edge-aligned aux state checkpointing)."""
+    from oracles import kcore_oracle
+    from raylink.algos import coreness_montresor
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    g = build_graph(edges_ds, verts_ds, num_parts=4, directed=False,
+                    graph_dir=str(tmp_path / "gm"))
+    exp = np.zeros(N, dtype=np.int64)
+    for k in range(1, 30):
+        alive = kcore_oracle(N, edges, k)
+        if not alive.any():
+            break
+        exp[alive] = k
+    for engine in ("tasks", "dataset"):
+        _, cores = coreness_montresor(
+            g=g, engine=engine, ckpt_dir=str(tmp_path / f"ck-{engine}")
+        )
+        got = cores.to_pandas().sort_values("vid")["core"].to_numpy()
+        np.testing.assert_array_equal(got, exp)
