@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subgraph_rank": q.q_subgraph_rank,
         "graph_stats": q.q_graph_stats,
         "spanning_forest": q.q_spanning_forest,
+        "meta_diameter": q.q_meta_diameter,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,

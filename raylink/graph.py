@@ -222,10 +222,12 @@ def _with_part(partitioner: str, num_parts: int, col: str):
     return add_part
 
 
-def undirect(edges_ds):
-    """Directed edge Dataset -> undirected closure (dedup happens per-shard)."""
+def undirect(edges_ds, weighted: bool = False):
+    """Directed edge Dataset -> undirected closure (dedup happens per-shard).
+    ``weighted`` must be passed explicitly: schema auto-detection would force
+    an eager execution of the upstream pipeline (Dataset.columns() blocks)."""
 
-    has_weight = "weight" in (edges_ds.columns() or [])
+    has_weight = weighted
 
     def rev(batch: pa.Table) -> pa.Table:
         cols = {"src": batch.column("dst"), "dst": batch.column("src")}
@@ -260,23 +262,27 @@ def build_graph(
     directed: bool = True,
     graph_dir: str | None = None,
     n_vertices: int | None = None,
+    weighted: bool = False,
 ) -> LinkGraph:
-    """edges (src:int64, dst:int64) [+ vertices (vid:int64)] -> LinkGraph.
+    """edges (src:int64, dst:int64[, weight:float64 iff weighted=True]) [+
+    vertices (vid:int64)] -> LinkGraph.
 
     One all-to-all shuffle (groupby part). Partitioning key part(src) is
     reused by every downstream superstep — pick ONE key, reuse it.
+    ``weighted`` is explicit, not schema-sniffed: Dataset.columns() would
+    eagerly execute the upstream pipeline to fetch the schema.
     """
     import ray.data  # noqa: F401  (ensures ray.data registered)
 
     if not directed:
-        edges_ds = undirect(edges_ds)
+        edges_ds = undirect(edges_ds, weighted=weighted)
     if vertices_ds is None:
         vertices_ds = derive_vertices(edges_ds)
     if graph_dir is None:
         graph_dir = os.path.join(GRAPH_ROOT, uuid.uuid4().hex[:12])
     os.makedirs(graph_dir, exist_ok=True)
 
-    has_weight = "weight" in (edges_ds.columns() or [])
+    has_weight = weighted
 
     def vert_rows(batch: pa.Table) -> pa.Table:
         v = batch.column("vid")
@@ -386,3 +392,33 @@ def vertex_table(g: LinkGraph):
 
     parts = rd.from_arrow(pa.table({"p": pa.array(g.parts, type=pa.int32())}))
     return parts.map_batches(read_part, batch_format="pyarrow", batch_size=1)
+
+
+def meta_diameter(g: LinkGraph, n_seeds: int = 4) -> int:
+    """Meta-graph eccentricity estimate — the reference's GraphStats
+    probe/reply flooding (sample-hama/.../GraphStats.java:118-214), computed
+    as driver-side BFS over the (small) meta-graph: max BFS depth from the
+    min-sg seed of each of the ``n_seeds`` largest components. Returns the
+    max hop count observed (lower bound on the true meta diameter)."""
+    me = meta_edges(g).select_columns(["src_sg", "dst_sg"]).to_pandas()
+    if len(me) == 0:
+        return 0
+    adj: dict[int, set] = {}
+    for s, d in zip(me["src_sg"], me["dst_sg"]):
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    seeds = sorted(adj)[:n_seeds]
+    best = 0
+    for seed in seeds:
+        dist = {seed: 0}
+        frontier = [seed]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        nxt.append(w)
+            frontier = nxt
+        best = max(best, max(dist.values()))
+    return best

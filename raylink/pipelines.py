@@ -72,6 +72,10 @@ def page_graph(
     if os.path.exists(os.path.join(gdir, "manifest.json")):
         return LinkGraph.load(gdir)
     _, edges, verts, _ = page_edge_tables(sf_dir, concurrency=concurrency)
+    # materialize the (small) edge table before build: the undirected closure
+    # references the edge pipeline twice, and two extraction actor pools can
+    # reserve every CPU and starve the upstream read (deadlock at low cpus)
+    edges = edges.materialize()
     return build_graph(
         edges,
         verts,

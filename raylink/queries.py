@@ -333,8 +333,8 @@ def q_sssp_weighted(sf_dir: str):
         w = 1.0 + (s * 7 + d * 13) % 5
         return batch.append_column("weight", pa.array(w.astype(np.float64)))
 
-    eds = edges.map_batches(add_w, batch_format="pyarrow")
-    g = build_graph(eds, verts, num_parts=P, partitioner="mod", directed=False)
+    eds = edges.map_batches(add_w, batch_format="pyarrow").materialize()
+    g = build_graph(eds, verts, num_parts=P, partitioner="mod", directed=False, weighted=True)
     _, dists = sssp(
         g=g, source=0, weighted=True, engine="tasks",
         ckpt_dir=_ckpt("sssp_w", sf_dir, 0),
@@ -382,3 +382,12 @@ def q_coreness_montresor(sf_dir: str):
         g=g, engine="tasks", ckpt_dir=_ckpt("coreness_m", sf_dir)
     )
     return cores
+
+
+def q_meta_diameter(sf_dir: str):
+    """Meta-graph BFS eccentricity (reference GraphStats diameter probing);
+    rows-only (single row)."""
+    from raylink.graph import meta_diameter
+
+    g = page_graph(sf_dir, directed=False)
+    return pa.table({"meta_diameter": pa.array([meta_diameter(g)], type=pa.int64())})

@@ -131,7 +131,7 @@ def test_weighted_sssp(edge_data, tmp_path):
         pa.table({"src": pa.array(edges[:, 0]), "dst": pa.array(edges[:, 1]),
                   "weight": pa.array(w.astype(np.float64))})
     )
-    g = build_graph(eds, verts_ds, num_parts=4, directed=False,
+    g = build_graph(eds, verts_ds, num_parts=4, directed=False, weighted=True,
                     graph_dir=str(tmp_path / "gw"))
     _, dists = sssp(g=g, source=0, weighted=True, engine="tasks",
                     ckpt_dir=str(tmp_path / "ck"))
