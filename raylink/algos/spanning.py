@@ -127,7 +127,7 @@ def spanning_forest(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
             directed=False,
         )
-    _, comps = connected_components(g=g, resume=resume,
+    _, comps = connected_components(g=g, resume=resume, engine=engine,
                                     ckpt_dir=None if ckpt_dir is None else ckpt_dir + "-cc")
     comp_pdf = comps.to_pandas()
     roots = np.unique(comp_pdf["component"].to_numpy(np.int64))

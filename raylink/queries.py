@@ -81,7 +81,8 @@ def q_connected_components(sf_dir: str):
     from raylink.algos import connected_components
 
     g = page_graph(sf_dir, directed=False)
-    _, comps = connected_components(g=g, ckpt_dir=_ckpt("cc", sf_dir))
+    # meta-graph rounds are tiny -> the raw-task exchange fast path
+    _, comps = connected_components(g=g, ckpt_dir=_ckpt("cc", sf_dir), engine="tasks")
 
     def cast(batch: pa.Table) -> pa.Table:
         return pa.table(
