@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_stats": q.q_graph_stats,
         "spanning_forest": q.q_spanning_forest,
         "meta_diameter": q.q_meta_diameter,
+        "graph_kmeans": q.q_graph_kmeans,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,

@@ -6,6 +6,7 @@ from raylink.algos.lpa import MinLabelLPA, label_propagation  # noqa: F401
 from raylink.algos.cc import connected_components  # noqa: F401
 from raylink.algos.sssp import SSSP, sssp  # noqa: F401
 from raylink.algos.kcore import KCore, coreness, kcore  # noqa: F401
+from raylink.algos.kmeans import KMeansCluster, graph_kmeans  # noqa: F401
 from raylink.algos.kcore_montresor import KCoreMontresor, coreness_montresor  # noqa: F401
 from raylink.algos.subgraphrank import SubgraphRank, subgraph_rank  # noqa: F401
 from raylink.algos.spanning import BFSForest, spanning_forest  # noqa: F401

@@ -392,3 +392,18 @@ def q_meta_diameter(sf_dir: str):
 
     g = page_graph(sf_dir, directed=False)
     return pa.table({"meta_diameter": pa.array([meta_diameter(g)], type=pa.int64())})
+
+
+def q_graph_kmeans(sf_dir: str):
+    """GPS-style k-means graph clustering (k=6, 2 iterations, deterministic
+    seeds); rows-only, invariants + crossing oracle in pytest."""
+    from raylink.algos import graph_kmeans
+    from raylink.pipelines import distinct_edges
+
+    g = page_graph(sf_dir, directed=False)
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    labels, _ = graph_kmeans(
+        distinct_edges(edges).materialize(), g=g, k=6, max_iterations=2,
+        ckpt_root=_ckpt("kmeans", sf_dir),
+    )
+    return labels

