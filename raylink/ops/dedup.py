@@ -19,6 +19,12 @@ Shingling/minhash state (hash coefficients) is built once per actor
 (callable classes). Candidate verification joins text back in a second pass;
 at crawl scale the verify stage is pair-partitioned — here candidates are
 small and verified via a broadcast text lookup (documented assumption).
+
+Ordering contract for chained dedup (standard crawl-curation practice): run
+``exact_dedup`` FIRST. Near-dup pair generation is quadratic in the copy
+count of exactly-duplicated texts (every copy pair shares every shingle/
+band), so mass exact duplication must be removed before the n-gram/LSH
+stages; ``max_df`` additionally caps any single shingle's contribution.
 """
 
 from __future__ import annotations
@@ -51,19 +57,33 @@ def exact_dedup(docs_ds):
         h = [hashlib.md5((t or "").encode()).hexdigest() for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"), "h": pa.array(h)})
 
-    def first(group: pa.Table) -> pa.Table:
+    def bucketize(batch: pa.Table) -> pa.Table:
+        # coarse buckets: one shuffle group per bucket, NOT per distinct hash
+        # (a per-key groupby would spawn one task per unique document)
+        h = batch.column("h").to_pylist()
+        b = np.array([int(x[:8], 16) % 64 for x in h], dtype=np.int32)
+        return batch.append_column("b", pa.array(b))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = np.array(group.column("h").to_pylist())
+        order = np.lexsort((ids, hs))
+        ids, hs = ids[order], hs[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        seg = np.cumsum(first) - 1
+        counts = np.bincount(seg)
         return pa.table(
             {
-                "keep_id": pa.array([ids.min()]),
-                "n_dups": pa.array([len(ids)], type=pa.int64()),
+                "keep_id": pa.array(ids[first]),
+                "n_dups": pa.array(counts.astype(np.int64)),
             }
         )
 
     return (
         docs_ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("h")
-        .map_groups(first, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -94,31 +114,48 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
 
     grams = docs_ds.map_batches(_Shingler(n), batch_format="pyarrow")
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
-            return pa.table(
-                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64()),
-                 "c": pa.array([], type=pa.int64())}
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        # gram-hash coarse buckets: all rows of one gram land in one bucket,
+        # but one shuffle group serves many grams (per-gram map_groups would
+        # spawn one task per distinct shingle). Gram identity is its 64-bit
+        # FNV hash — collision probability ~(n_grams^2)/2^65, negligible below
+        # ~1e8 distinct shingles (documented assumption).
+        gh = text_hash64(batch.column("gram").to_pylist())
         return pa.table(
-            {"a": pa.array(ids[ii]), "b": pa.array(ids[jj]),
-             "c": pa.array(np.ones(len(ii), dtype=np.int64))}
+            {
+                "doc_id": batch.column("doc_id"),
+                "gh": pa.array(gh.astype(np.int64)),
+                "b": pa.array((gh % np.uint64(64)).astype(np.int32)),
+            }
         )
 
+    def per_bucket_pairs(group: pa.Table) -> pa.Table:
+        gh = group.column("gh").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, gh))
+        gh, ids = gh[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        ends = np.r_[starts[1:], len(gh)]
+        keys = []
+        for st, en in zip(starts, ends):
+            d = en - st
+            if d < 2 or (max_df is not None and d > max_df):
+                continue
+            docs = np.unique(ids[st:en])
+            if len(docs) < 2:
+                continue
+            ii, jj = np.triu_indices(len(docs), k=1)
+            keys.append((docs[ii] << np.int64(32)) | docs[jj])
+        if not keys:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        key, c = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({"key": pa.array(key), "c": pa.array(c.astype(np.int64))})
+
     inter = (
-        grams.groupby("gram")
-        .map_groups(pairs, batch_format="pyarrow")
-        .map_batches(
-            lambda b: pa.table(
-                {"key": pa.array(
-                    (b.column("a").to_numpy(zero_copy_only=False) << np.int64(32))
-                    | b.column("b").to_numpy(zero_copy_only=False)
-                ), "c": b.column("c")}
-            ),
-            batch_format="pyarrow",
-        )
+        grams.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket_pairs, batch_format="pyarrow")
         .groupby("key")
         .sum("c")
     )
@@ -216,15 +253,34 @@ def minhash_pairs(
 
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
 
+    def coarse(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cb", pa.array((bk % np.uint64(64)).astype(np.int32))
+        )
+
     def cand(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
+        # one shuffle group serves many LSH buckets (segment by bucket value)
+        bk = group.column("bucket").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        keys = []
+        for st, en in zip(starts, ends):
+            docs = np.unique(ids[st:en])
+            if len(docs) < 2:
+                continue
+            ii, jj = np.triu_indices(len(docs), k=1)
+            keys.append((docs[ii] << np.int64(32)) | docs[jj])
+        if not keys:
             return pa.table({"key": pa.array([], type=pa.int64())})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"key": pa.array((ids[ii] << np.int64(32)) | ids[jj])})
+        return pa.table({"key": pa.array(np.unique(np.concatenate(keys)))})
 
     cand_keys = (
-        buckets.groupby("bucket")
+        buckets.map_batches(coarse, batch_format="pyarrow")
+        .groupby("cb")
         .map_groups(cand, batch_format="pyarrow")
         .groupby("key")
         .count()
@@ -325,16 +381,35 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
             }
         )
 
+    def coarse(batch: pa.Table) -> pa.Table:
+        bd = batch.column("band").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cb", pa.array((bd % np.int64(64)).astype(np.int32))
+        )
+
     def cand(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
+        # one shuffle group serves many 16-bit bands (segment by band value)
+        bd = group.column("band").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bd))
+        bd, ids = bd[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, bd[1:] != bd[:-1]])
+        ends = np.r_[starts[1:], len(bd)]
+        keys = []
+        for st, en in zip(starts, ends):
+            docs = np.unique(ids[st:en])
+            if len(docs) < 2:
+                continue
+            ii, jj = np.triu_indices(len(docs), k=1)
+            keys.append((docs[ii] << np.int64(32)) | docs[jj])
+        if not keys:
             return pa.table({"key": pa.array([], type=pa.int64())})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"key": pa.array((ids[ii] << np.int64(32)) | ids[jj])})
+        return pa.table({"key": pa.array(np.unique(np.concatenate(keys)))})
 
     cands = (
         sigs.map_batches(to_bands, batch_format="pyarrow")
-        .groupby("band")
+        .map_batches(coarse, batch_format="pyarrow")
+        .groupby("cb")
         .map_groups(cand, batch_format="pyarrow")
         .groupby("key")
         .count()
