@@ -35,7 +35,7 @@ def entry() -> Any:
 
     sf = "/root/testdata/sf0.001"
     g = page_graph(sf, directed=True)
-    _, ranks = pagerank(g=g, eps=1e-6, ckpt_dir=_ckpt("entry_pagerank", sf))
+    _, ranks = pagerank(g=g, eps=1e-6, engine="tasks", ckpt_dir=_ckpt("entry_pagerank", sf))
 
     def add_url(batch: pa.Table) -> pa.Table:
         vids = batch.column("vid").to_pylist()

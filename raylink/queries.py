@@ -50,8 +50,10 @@ def q_pagerank(sf_dir: str):
     from raylink.algos import pagerank
 
     g = page_graph(sf_dir, directed=True)
+    # tasks engine is bit-identical for fixed iteration counts (tested)
     _, ranks = pagerank(
-        g=g, iters=PR_ITERS, ckpt_dir=_ckpt("pagerank", sf_dir, PR_ITERS)
+        g=g, iters=PR_ITERS, engine="tasks",
+        ckpt_dir=_ckpt("pagerank", sf_dir, PR_ITERS),
     )
 
     def rnd(batch: pa.Table) -> pa.Table:
@@ -73,7 +75,7 @@ def q_pagerank_converged(sf_dir: str):
     from raylink.algos import pagerank
 
     g = page_graph(sf_dir, directed=True)
-    _, ranks = pagerank(g=g, eps=1e-6, ckpt_dir=_ckpt("pagerank_eps", sf_dir))
+    _, ranks = pagerank(g=g, eps=1e-6, engine="tasks", ckpt_dir=_ckpt("pagerank_eps", sf_dir))
     return ranks
 
 
@@ -96,7 +98,7 @@ def q_label_propagation(sf_dir: str):
     from raylink.algos import label_propagation
 
     g = page_graph(sf_dir, directed=False)
-    _, labels = label_propagation(g=g, ckpt_dir=_ckpt("lpa", sf_dir))
+    _, labels = label_propagation(g=g, engine="tasks", ckpt_dir=_ckpt("lpa", sf_dir))
     return labels
 
 
@@ -153,7 +155,7 @@ def q_sssp(sf_dir: str):
     from raylink.algos import sssp
 
     g = page_graph(sf_dir, directed=False)
-    _, dists = sssp(g=g, source=0, ckpt_dir=_ckpt("sssp", sf_dir, 0))
+    _, dists = sssp(g=g, source=0, engine="tasks", ckpt_dir=_ckpt("sssp", sf_dir, 0))
     return dists
 
 
@@ -161,7 +163,7 @@ def q_kcore(sf_dir: str):
     from raylink.algos import kcore
 
     g = page_graph(sf_dir, directed=False)
-    _, members = kcore(g=g, k=3, ckpt_dir=_ckpt("kcore", sf_dir, 3))
+    _, members = kcore(g=g, k=3, engine="tasks", ckpt_dir=_ckpt("kcore", sf_dir, 3))
     return members
 
 
