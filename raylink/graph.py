@@ -40,32 +40,31 @@ GRAPH_ROOT = os.environ.get("RAYLINK_GRAPH_ROOT", "/tmp/raylink/graphs")
 
 # ------------------------------------------------------------------ union-find
 def unionfind_labels(n: int, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorized-ish union-find: n local nodes, edge arrays (a, b) of local
-    indices. Returns per-node root label in [0, n) (min-index root)."""
-    parent = np.arange(n, dtype=np.int64)
+    """Connected-component labels for n local nodes given edge arrays (a, b)
+    of local indices; label = min node index of the component.
 
-    def find(x: int) -> int:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for i in range(len(a)):
-        ra, rb = find(int(a[i])), find(int(b[i]))
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-    # final flatten
-    for x in range(n):
-        find(x)
-    out = parent
-    # roots are min-index of their component because we always attach the
-    # larger root under the smaller one
-    return out
+    Fully vectorized min-label propagation with pointer jumping (Shiloach-
+    Vishkin style): each outer pass pulls both edge endpoints toward the
+    smaller label, then shortcuts label chains; O(log n) outer passes, all
+    numpy — replaces a per-edge python loop that dominated shard build on
+    large partitions."""
+    labels = np.arange(n, dtype=np.int64)
+    if len(a) == 0 or n == 0:
+        return labels
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    while True:
+        before = labels.copy()
+        np.minimum.at(labels, a, labels[b])
+        np.minimum.at(labels, b, labels[a])
+        # pointer jumping: follow label chains to their current minimum
+        while True:
+            nl = labels[labels]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        if np.array_equal(labels, before):
+            return labels
 
 
 @dataclass
