@@ -118,8 +118,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pairs": o.embedding_pairs_sql(tau=0.4),
         "events_window": o.events_window_sql(3600),
         "spanning_forest": o.spanning_forest_sql(),
+        "events_sessionize": o.sessionize_sql(1800),
         # rows-only (non-SQL-expressible / data-dependent iteration counts):
-        # pagerank_converged, kcore, coreness, sssp_weighted, subgraph_rank,
-        # dedup_minhash, dedup_simhash, ann_lsh, events_sessionize,
-        # media_features — each oracle-tested in pytest instead
+        # pagerank_converged, kcore, coreness, coreness_montresor,
+        # sssp_weighted, subgraph_rank, graph_kmeans, meta_diameter,
+        # dedup_minhash, dedup_simhash, ann_lsh, media_features —
+        # each oracle-tested in pytest instead
     }

@@ -350,3 +350,27 @@ LEFT JOIN (
   GROUP BY e.dst
 ) p ON p.vid = v.vid"""
     )
+
+
+def sessionize_sql(gap_sec: int = 1800) -> str:
+    """Session windows via lag/cumsum window functions (gap > gap_sec starts
+    a new session) — mirrors ops.windows.sessionize exactly."""
+    return f"""
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, value FROM events),
+x AS (
+  SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                   OR ep - lag(ep) OVER w > {gap_sec}
+                 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)
+),
+y AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ep
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id::BIGINT AS user_id,
+       MIN(ep) AS session_start,
+       count(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       (MAX(ep) - MIN(ep))::BIGINT AS duration_sec
+FROM y GROUP BY user_id, sid"""
