@@ -119,8 +119,9 @@ def oracle_sql() -> dict[str, str]:
         "events_window": o.events_window_sql(3600),
         "spanning_forest": o.spanning_forest_sql(),
         "events_sessionize": o.sessionize_sql(1800),
+        "kcore": o.kcore_sql(k=3),
         # rows-only (non-SQL-expressible / data-dependent iteration counts):
-        # pagerank_converged, kcore, coreness, coreness_montresor,
+        # pagerank_converged, coreness, coreness_montresor,
         # sssp_weighted, subgraph_rank, graph_kmeans, meta_diameter,
         # dedup_minhash, dedup_simhash, ann_lsh, media_features —
         # each oracle-tested in pytest instead

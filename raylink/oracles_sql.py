@@ -374,3 +374,24 @@ SELECT user_id::BIGINT AS user_id,
        ROUND(SUM(value), 6) AS sum_value,
        (MAX(ep) - MIN(ep))::BIGINT AS duration_sec
 FROM y GROUP BY user_id, sid"""
+
+
+def kcore_sql(k: int = 3, rounds: int = 60) -> str:
+    """Fixed-k core membership by unrolled peeling: each round keeps vertices
+    with >= k surviving neighbours; `rounds` must exceed the true peeling
+    depth (fixpoint is reached early and further rounds are no-ops)."""
+    ctes = [GRAPH_CTES, "a0 AS MATERIALIZED (SELECT vid FROM verts)"]
+    for t in range(rounds):
+        ctes.append(
+            f"""a{t + 1} AS MATERIALIZED (
+  SELECT e.src AS vid FROM und e
+  JOIN a{t} x ON x.vid = e.src JOIN a{t} y ON y.vid = e.dst
+  GROUP BY e.src HAVING count(*) >= {k})"""
+        )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT v.vid::BIGINT AS vid,
+       (v.vid IN (SELECT vid FROM a{rounds})) AS in_core
+FROM verts v"""
+    )

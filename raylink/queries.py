@@ -164,7 +164,7 @@ def q_kcore(sf_dir: str):
 
     g = page_graph(sf_dir, directed=False)
     _, members = kcore(g=g, k=3, engine="tasks", ckpt_dir=_ckpt("kcore", sf_dir, 3))
-    return members
+    return members.select_columns(["vid", "in_core"])
 
 
 def q_graph_stats(sf_dir: str):
