@@ -120,9 +120,12 @@ def oracle_sql() -> dict[str, str]:
         "spanning_forest": o.spanning_forest_sql(),
         "events_sessionize": o.sessionize_sql(1800),
         "kcore": o.kcore_sql(k=3),
-        # rows-only (non-SQL-expressible / data-dependent iteration counts):
-        # pagerank_converged, coreness, coreness_montresor,
-        # sssp_weighted, subgraph_rank, graph_kmeans, meta_diameter,
-        # dedup_minhash, dedup_simhash, ann_lsh, media_features —
-        # each oracle-tested in pytest instead
+        "sssp_weighted": o.sssp_weighted_sql(source=0),
+        "coreness": o.coreness_sql(k_max=6),
+        "coreness_montresor": o.coreness_sql(k_max=6),
+        "meta_diameter": o.meta_diameter_sql(),
+        # rows-only (non-SQL-expressible / data-dependent values):
+        # pagerank_converged (iteration count data-dependent),
+        # subgraph_rank, graph_kmeans, dedup_minhash,
+        # dedup_simhash, ann_lsh, media_features — oracle-tested in pytest
     }

@@ -395,3 +395,88 @@ SELECT v.vid::BIGINT AS vid,
        (v.vid IN (SELECT vid FROM a{rounds})) AS in_core
 FROM verts v"""
     )
+
+
+def sssp_weighted_sql(source: int = 0, rounds: int = 80) -> str:
+    """Weighted shortest paths by unrolled Bellman-Ford relaxation over the
+    undirected closure with the deterministic weight w = 1 + (src*7+dst*13)%5
+    (mirrors queries.q_sssp_weighted). Weights are small integers, so float64
+    distance sums are exact; `rounds` must exceed the max shortest-path hop
+    count."""
+    ctes = [
+        GRAPH_CTES,
+        """wdir AS (SELECT src, dst, CAST(1 + (src*7 + dst*13) % 5 AS DOUBLE) AS w FROM edges),
+wund AS MATERIALIZED (
+  -- reverse edges carry the ORIGINAL direction's weight (engine undirect());
+  -- per-pair dedup keeps the min weight (engine shard build)
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT src, dst, w FROM wdir UNION ALL SELECT dst AS src, src AS dst, w FROM wdir
+  ) GROUP BY src, dst)""",
+        f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS vid, CAST(0 AS DOUBLE) AS d)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"""d{t + 1} AS MATERIALIZED (
+  SELECT vid, MIN(d) AS d FROM (
+    SELECT vid, d FROM d{t}
+    UNION ALL
+    SELECT e.dst, x.d + e.w FROM d{t} x JOIN wund e ON e.src = x.vid
+  ) GROUP BY vid)"""
+        )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT v.vid::BIGINT AS vid, COALESCE(x.d, -1.0) AS dist
+FROM verts v LEFT JOIN d{rounds} x ON x.vid = v.vid"""
+    )
+
+
+def coreness_sql(k_max: int = 6, rounds: int = 40) -> str:
+    """Full core decomposition: core(v) = sum over k of [v in k-core], each
+    k-core computed by unrolled peeling (k-core membership is monotone in k).
+    k_max must exceed the graph's max core number; rounds the peeling depth."""
+    ctes = [GRAPH_CTES]
+    finals = []
+    for k in range(1, k_max + 1):
+        ctes.append(f"c{k}_0 AS MATERIALIZED (SELECT vid FROM verts)")
+        for t in range(rounds):
+            ctes.append(
+                f"""c{k}_{t + 1} AS MATERIALIZED (
+  SELECT e.src AS vid FROM und e
+  JOIN c{k}_{t} x ON x.vid = e.src JOIN c{k}_{t} y ON y.vid = e.dst
+  GROUP BY e.src HAVING count(*) >= {k})"""
+            )
+        finals.append(f"(CASE WHEN v.vid IN (SELECT vid FROM c{k}_{rounds}) THEN 1 ELSE 0 END)")
+    return (
+        _with(*ctes)
+        + f"""
+SELECT v.vid::BIGINT AS vid, ({' + '.join(finals)})::BIGINT AS core
+FROM verts v"""
+    )
+
+
+def meta_diameter_sql(n_seeds: int = 4, cap: int = 64) -> str:
+    """Meta-graph BFS eccentricity from the n_seeds smallest subgraph ids
+    (mirrors graph.meta_diameter): max over seeds of max min-hop distance."""
+    return (
+        _with(
+            GRAPH_CTES,
+            SG_CTE,
+            f"""mg AS (
+  SELECT DISTINCT a.sg AS s, b.sg AS d
+  FROM und e JOIN sgmap a ON a.vid = e.src JOIN sgmap b ON b.vid = e.dst
+  WHERE e.src % {P} <> e.dst % {P}
+),
+seeds AS (SELECT DISTINCT s AS vid FROM mg ORDER BY s LIMIT {n_seeds}),
+bfs AS (
+  SELECT vid, vid AS root, 0 AS dd FROM seeds
+  UNION
+  SELECT e.d, x.root, x.dd + 1 FROM bfs x JOIN mg e ON e.s = x.vid
+  WHERE x.dd < {cap}
+)""",
+            recursive=True,
+        )
+        + """
+SELECT COALESCE(MAX(md), 0)::BIGINT AS meta_diameter
+FROM (SELECT root, vid, MIN(dd) AS md FROM bfs GROUP BY root, vid)"""
+    )
