@@ -100,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "page_text": o.page_text_sql(),
         "page_edges": o.page_edges_sql(),
         "pagerank": o.pagerank_sql(iters=30),
+        "pagerank_converged": o.pagerank_sql(iters=27),
         "connected_components": o.cc_sql(),
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),
@@ -124,8 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "coreness": o.coreness_sql(k_max=6),
         "coreness_montresor": o.coreness_sql(k_max=6),
         "meta_diameter": o.meta_diameter_sql(),
-        # rows-only (non-SQL-expressible / data-dependent values):
-        # pagerank_converged (iteration count data-dependent),
-        # subgraph_rank, graph_kmeans, dedup_minhash,
-        # dedup_simhash, ann_lsh, media_features — oracle-tested in pytest
+        # rows-only (hash-family- or construction-dependent values):
+        # subgraph_rank, graph_kmeans, dedup_minhash, dedup_simhash,
+        # ann_lsh, media_features — each oracle-tested in pytest
     }

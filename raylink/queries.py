@@ -70,13 +70,26 @@ def q_pagerank(sf_dir: str):
 
 
 def q_pagerank_converged(sf_dir: str):
-    """eps-convergence mode (north-rule 1e-6); no SQL oracle (iteration count
-    is data-dependent) — rows-only check, full validation in pytest."""
+    """eps-convergence mode (north-rule 1e-6). The halt round is a
+    deterministic function of the input (tasks engine halts exactly at the
+    first round with max|delta| <= eps); on the driver's sf0.01 corpus that
+    is 27 update rounds, so the oracle is the 27-iteration unrolled SQL."""
     from raylink.algos import pagerank
 
     g = page_graph(sf_dir, directed=True)
     _, ranks = pagerank(g=g, eps=1e-6, engine="tasks", ckpt_dir=_ckpt("pagerank_eps", sf_dir))
-    return ranks
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(batch.column("rank").to_numpy(zero_copy_only=False), 8)
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
 def q_connected_components(sf_dir: str):
