@@ -1,0 +1,174 @@
+"""Job launcher CLI — the reference's properties-file DefaultJob analog.
+
+GoFFish jobs are launched by a properties-driven runner choosing reader,
+algorithm and parameters via config (job/DefaultJob.java:49-117,
+Docker/.../properties/PageRank.properties, CLI Docker/.../goffish:46-52).
+Here the same pluggability is a subcommand CLI designed for `ray job submit`:
+
+  python -m raylink.cli pagerank --edges edges.parquet --out /tmp/pr \\
+      --eps 1e-6 --num-parts 32 --engine tasks
+  python -m raylink.cli cc --edges graph.txt --format adjacency --out /tmp/cc
+  python -m raylink.cli triangles --edges edges.parquet
+
+The CLI owns its Ray session (guarded init); results are written with the
+resumable partitioned sink. Re-running a finished job resumes/skips.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load_edges(args):
+    import ray.data as rd
+
+    if args.format == "adjacency":
+        from raylink.sources import read_adjacency_text
+
+        return read_adjacency_text(args.edges, with_partition=args.with_partition)
+    if args.format == "json":
+        from raylink.sources import read_edges_json
+
+        return read_edges_json(args.edges)
+    edges = rd.read_parquet(args.edges)
+    verts = rd.read_parquet(args.vertices) if args.vertices else None
+    return edges, verts
+
+
+def _build(args, directed: bool):
+    from raylink.graph import build_graph
+
+    edges, verts = _load_edges(args)
+    if args.format != "parquet":
+        edges = edges.materialize()
+    return build_graph(
+        edges,
+        verts,
+        num_parts=args.num_parts,
+        partitioner=args.partitioner,
+        directed=directed,
+        graph_dir=args.graph_dir,
+        weighted=args.weighted,
+    ), edges
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="raylink", description=__doc__)
+    p.add_argument("algorithm", choices=[
+        "pagerank", "subgraphrank", "cc", "lpa", "sssp", "kcore", "coreness",
+        "triangles", "forest", "kmeans",
+    ])
+    p.add_argument("--edges", required=True, help="parquet glob / text / jsonl path")
+    p.add_argument("--vertices", help="optional vertex parquet (vid)")
+    p.add_argument("--format", choices=["parquet", "adjacency", "json"], default="parquet")
+    p.add_argument("--with-partition", action="store_true")
+    p.add_argument("--out", help="output directory (partitioned parquet)")
+    p.add_argument("--num-parts", type=int, default=16)
+    p.add_argument("--partitioner", choices=["hash", "mod"], default="hash")
+    p.add_argument("--engine", choices=["dataset", "tasks"], default="dataset")
+    p.add_argument("--eps", type=float, default=1e-6)
+    p.add_argument("--iters", type=int)
+    p.add_argument("--source", type=int, default=0)
+    p.add_argument("--k", type=int, default=3)
+    p.add_argument("--weighted", action="store_true")
+    p.add_argument("--ckpt-dir", dest="ckpt_dir")
+    p.add_argument("--ckpt-every", type=int, default=1)
+    p.add_argument("--graph-dir", dest="graph_dir")
+    p.add_argument("--num-cpus", type=int)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    t0 = time.perf_counter()
+    summary: dict = {"algorithm": args.algorithm}
+    common = dict(ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every, engine=args.engine)
+
+    if args.algorithm == "triangles":
+        from raylink.algos import triangle_count
+
+        edges, _ = _load_edges(args)
+        summary["triangles"] = triangle_count(edges)
+        result = None
+    elif args.algorithm in ("pagerank", "subgraphrank"):
+        from raylink.algos import pagerank, subgraph_rank
+
+        fn = pagerank if args.algorithm == "pagerank" else subgraph_rank
+        g, _ = _build(args, directed=True)
+        kw = dict(common)
+        if args.algorithm == "pagerank":
+            kw.update(eps=args.eps, iters=args.iters)
+        else:
+            kw.update(eps=args.eps)
+            kw.pop("ckpt_every", None)
+        res, result = fn(g=g, **kw)
+        summary.update(supersteps=res.supersteps_run, wall_sec=round(res.wall_sec, 2))
+    elif args.algorithm == "kmeans":
+        from raylink.algos import graph_kmeans
+
+        g, edges = _build(args, directed=False)
+        result, history = graph_kmeans(edges.materialize(), g=g, k=args.k,
+                                       engine=args.engine)
+        summary["history"] = history
+    else:
+        g, _ = _build(args, directed=False)
+        if args.algorithm == "cc":
+            from raylink.algos import connected_components
+
+            res, result = connected_components(g=g, **common)
+        elif args.algorithm == "lpa":
+            from raylink.algos import label_propagation
+
+            res, result = label_propagation(g=g, **common)
+        elif args.algorithm == "sssp":
+            from raylink.algos import sssp
+
+            res, result = sssp(g=g, source=args.source, weighted=args.weighted, **common)
+        elif args.algorithm == "kcore":
+            from raylink.algos import kcore
+
+            res, result = kcore(g=g, k=args.k, **common)
+        elif args.algorithm == "coreness":
+            from raylink.algos import coreness_montresor
+
+            kw = dict(common)
+            kw.pop("ckpt_every", None)
+            res, result = coreness_montresor(g=g, **kw)
+        elif args.algorithm == "forest":
+            from raylink.algos import spanning_forest
+
+            res, result = spanning_forest(g=g, engine=args.engine,
+                                          ckpt_dir=args.ckpt_dir)
+        summary.update(supersteps=res.supersteps_run, wall_sec=round(res.wall_sec, 2))
+
+    if result is not None and args.out:
+        from raylink.sink import write_partitioned
+
+        man = write_partitioned(result, args.out, key="vid", num_parts=args.num_parts,
+                                partitioner=args.partitioner)
+        summary["out"] = args.out
+        summary["out_partitions"] = len(man["completed"])
+    elif result is not None:
+        summary["rows"] = result.count()
+    summary["total_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

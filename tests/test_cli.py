@@ -1,0 +1,40 @@
+"""CLI job launcher smoke: adjacency input -> BSP job -> resumable
+partitioned output, in a subprocess that owns its own Ray session."""
+
+import glob
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from oracles import cc_oracle
+from raylink.synth import expected_edges
+
+N = 99
+
+
+def test_cli_cc_roundtrip(tmp_path):
+    edges = expected_edges(N)
+    adj = {i: [] for i in range(N)}
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+    gfile = tmp_path / "g.txt"
+    with open(gfile, "w") as f:
+        for i in range(N):
+            f.write(" ".join([str(i)] + [str(t) for t in adj[i]]) + "\n")
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "raylink.cli", "cc", "--edges", str(gfile),
+         "--format", "adjacency", "--out", str(out), "--num-parts", "4",
+         "--engine", "tasks", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["out_partitions"] == 4
+    parts = sorted(glob.glob(str(out / "part=*" / "data.parquet")))
+    df = pd.concat([pq.read_table(p).to_pandas() for p in parts]).sort_values("vid")
+    np.testing.assert_array_equal(df["component"].to_numpy(), cc_oracle(N, edges))
