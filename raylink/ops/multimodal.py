@@ -106,5 +106,5 @@ def media_features(media_ds, batch_size: int = 64, concurrency: int = 4):
         DecodeMedia,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

@@ -45,9 +45,11 @@ def page_edge_tables(sf_dir: str, concurrency: int = 4, batch_size: int = 512):
     import ray.data as rd
 
     pages, n = pages_dataset(sf_dir)
+    # autoscaling pool (min 1): a fixed pool of `concurrency` actors can
+    # reserve every CPU on small clusters and starve the upstream read
     extracted = pages.drop_columns(["text"]).map_batches(
         ExtractPages, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
     edges = extracted.map_batches(explode_links, batch_format="pyarrow").map_batches(
         _ids_from_urls, batch_format="pyarrow"

@@ -244,7 +244,7 @@ def q_token_count(sf_dir: str):
     from raylink.ops.textstats import TextStats
 
     stats = _docs(sf_dir).map_batches(
-        TextStats, batch_format="pyarrow", batch_size=512, concurrency=2
+        TextStats, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
     )
     total = stats.sum("n_tokens")
     return pa.table({"total_tokens": pa.array([int(total)], type=pa.int64())})
@@ -254,7 +254,7 @@ def q_text_stats(sf_dir: str):
     from raylink.ops.textstats import TextStats
 
     return _docs(sf_dir).map_batches(
-        TextStats, batch_format="pyarrow", batch_size=512, concurrency=2
+        TextStats, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
     )
 
 
@@ -262,7 +262,7 @@ def q_lang_id(sf_dir: str):
     from raylink.ops.textstats import LangId
 
     return _docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", batch_size=512, concurrency=2
+        LangId, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
     )
 
 
