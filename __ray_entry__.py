@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanning_forest": q.q_spanning_forest,
         "meta_diameter": q.q_meta_diameter,
         "graph_kmeans": q.q_graph_kmeans,
+        "cooccur_pagerank": q.q_cooccur_pagerank,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "page_edges": o.page_edges_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "pagerank_converged": o.pagerank_sql(iters=27),
+        "cooccur_pagerank": o.cooccur_pagerank_sql(iters=10),
         "connected_components": o.cc_sql(),
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),

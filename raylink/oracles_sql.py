@@ -480,3 +480,30 @@ bfs AS (
 SELECT COALESCE(MAX(md), 0)::BIGINT AS meta_diameter
 FROM (SELECT root, vid, MIN(dd) AS md FROM bfs GROUP BY root, vid)"""
     )
+
+
+def cooccur_pagerank_sql(iters: int = 10) -> str:
+    """PageRank over the lineitem part-co-occurrence graph (vertex set =
+    part table; same update rule/constants as pagerank_sql)."""
+    ctes = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+)""",
+        "verts AS (SELECT p_partkey AS vid FROM part)",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM part)",
+        "deg AS (SELECT src AS vid, count(*)::BIGINT AS outdeg FROM edges GROUP BY src)",
+        "pr0 AS (SELECT vid, 1.0 / nn.n AS rank FROM verts, nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pr{t} AS MATERIALIZED (
+  SELECT v.vid, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.ms, 0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.rank / d.outdeg) AS ms
+    FROM pr{t - 1} p JOIN deg d ON d.vid = p.vid JOIN edges e ON e.src = p.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid)"""
+        )
+    return _with(*ctes) + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, 8) AS rank FROM pr{iters}"

@@ -422,3 +422,77 @@ def q_graph_kmeans(sf_dir: str):
         ckpt_root=_ckpt("kmeans", sf_dir),
     )
     return labels
+
+
+def q_cooccur_pagerank(sf_dir: str):
+    """Graph-from-relational-data: parts co-occurring in an order form an
+    edge; PageRank (10 fixed rounds, r8) over that graph. Demonstrates
+    deriving the link graph from warehouse tables instead of crawl HTML."""
+    import ray.data as rd
+
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+    from raylink.pipelines import distinct_edges
+    from raylink.util import splitmix64
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "b",
+            pa.array((splitmix64(ok.astype(np.uint64)) % np.uint64(64)).astype(np.int32)),
+        )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        # coarse bucket serves many orders; per-order pair generation
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        ends = np.r_[starts[1:], len(ok)]
+        srcs, dsts = [], []
+        for st, en in zip(starts, ends):
+            ps = np.unique(pk[st:en])
+            if len(ps) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ps), k=1)
+            srcs.append(np.concatenate([ps[ii], ps[jj]]))
+            dsts.append(np.concatenate([ps[jj], ps[ii]]))
+        if not srcs:
+            return pa.table({"src": pa.array([], type=pa.int64()),
+                             "dst": pa.array([], type=pa.int64())})
+        return pa.table(
+            {"src": pa.array(np.concatenate(srcs)), "dst": pa.array(np.concatenate(dsts))}
+        )
+
+    edges = distinct_edges(
+        li.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(pairs, batch_format="pyarrow")
+    ).materialize()
+    parts_tbl = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    verts = parts_tbl.map_batches(
+        lambda b: pa.table({"vid": b.column("p_partkey")}), batch_format="pyarrow"
+    )
+    g = build_graph(
+        edges, verts, num_parts=P, partitioner="mod", directed=True,
+        graph_dir=None,
+    )
+    _, ranks = pagerank(g=g, iters=10, engine="tasks",
+                        ckpt_dir=_ckpt("cooccur_pr", sf_dir))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(batch.column("rank").to_numpy(zero_copy_only=False), 8)
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
