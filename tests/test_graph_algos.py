@@ -278,3 +278,24 @@ def test_graph_kmeans(edge_data, tmp_path):
     assert min(h["crossings"] for h in history) == cross
     # cluster of a labeled vertex equals cluster of its BFS-nearest seed set
     assert (pdf[pdf["dist"] == 0]["cluster"] == pdf[pdf["dist"] == 0]["vid"]).all()
+
+
+def test_derive_vertices_fallback(edge_data, tmp_path):
+    """build_graph without an explicit vertex Dataset derives the universe
+    from edge endpoints (vertices with no edges are then absent, by design)."""
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+
+    edges, edges_ds, _ = edge_data
+    g = build_graph(edges_ds, None, num_parts=4, graph_dir=str(tmp_path / "g"))
+    present = np.unique(edges.flatten())
+    assert g.n_vertices == len(present)
+    _, ranks = pagerank(g=g, iters=5, ckpt_dir=str(tmp_path / "ck"), engine="tasks")
+    pdf = ranks.to_pandas().sort_values("vid")
+    # oracle over the full vertex set, restricted to present vertices: the
+    # update rule only references in-edge sums and global N = |present|
+    exp = pr_oracle(len(present), 
+                    np.stack([np.searchsorted(present, edges[:, 0]),
+                              np.searchsorted(present, edges[:, 1])], axis=1),
+                    iters=5)
+    np.testing.assert_allclose(pdf["rank"].to_numpy(), exp, atol=1e-12)
