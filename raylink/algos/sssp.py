@@ -172,7 +172,7 @@ def sssp(
     if g is None:
         g = build_graph(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
-            directed=directed,
+            directed=directed, weighted=weighted,
         )
     ctx = {"source": int(source), "partitioner": g.partitioner,
            "num_parts": g.num_parts, "ckpt_every": ckpt_every,

@@ -337,7 +337,18 @@ def meta_edges(g: LinkGraph):
     def resolve(group: pa.Table) -> pa.Table:
         p = int(group.column("part")[0].as_py())
         sh = load_shard(gd, p)
-        pos = np.searchsorted(sh["vids"], group.column("dst").to_numpy(zero_copy_only=False))
+        dst_v = group.column("dst").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sh["vids"], dst_v)
+        ok = (pos < len(sh["vids"])) & (
+            sh["vids"][np.minimum(pos, len(sh["vids"]) - 1)] == dst_v
+        )
+        if not ok.all():
+            missing = np.unique(dst_v[~ok])[:5]
+            raise ValueError(
+                f"meta_edges: edge endpoints {missing.tolist()} are not in the "
+                f"vertex set of partition {p} — pass a vertices_ds covering "
+                "every edge endpoint to build_graph"
+            )
         dst_sgid = sh["sgid"][pos]
         sg_ids = np.unique(sh["sgid"])
         dst_sg = sh["sg_minvid"][np.searchsorted(sg_ids, dst_sgid)]
@@ -396,9 +407,11 @@ def vertex_table(g: LinkGraph):
 def meta_diameter(g: LinkGraph, n_seeds: int = 4) -> int:
     """Meta-graph eccentricity estimate — the reference's GraphStats
     probe/reply flooding (sample-hama/.../GraphStats.java:118-214), computed
-    as driver-side BFS over the (small) meta-graph: max BFS depth from the
-    min-sg seed of each of the ``n_seeds`` largest components. Returns the
-    max hop count observed (lower bound on the true meta diameter)."""
+    as driver-side BFS over the (small) meta-graph: max BFS depth from each
+    of the ``n_seeds`` smallest subgraph ids (a deterministic, SQL-mirrorable
+    seed choice). Returns the max hop count observed (a lower bound on the
+    true meta diameter; seeds sharing a component weaken the estimate but
+    keep the oracle expressible)."""
     me = meta_edges(g).select_columns(["src_sg", "dst_sg"]).to_pandas()
     if len(me) == 0:
         return 0

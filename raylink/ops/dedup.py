@@ -20,6 +20,10 @@ Shingling/minhash state (hash coefficients) is built once per actor
 at crawl scale the verify stage is pair-partitioned — here candidates are
 small and verified via a broadcast text lookup (documented assumption).
 
+Pair keys are bit-packed ``(a << 32) | b`` throughout, so doc ids MUST be in
+``[0, 2**32)`` (same contract as ``raylink.algos.triangles``); the bucket
+stages assert it once per group.
+
 Ordering contract for chained dedup (standard crawl-curation practice): run
 ``exact_dedup`` FIRST. Near-dup pair generation is quadratic in the copy
 count of exactly-duplicated texts (every copy pair shares every shingle/
@@ -40,6 +44,15 @@ from raylink.util import round_half_away, text_hash64
 WORD_RE = re.compile(r"[a-z0-9]+")
 
 MERSENNE = (1 << 61) - 1
+
+
+def _assert_packable(ids: np.ndarray) -> None:
+    """Pair keys are (a<<32)|b — enforce the doc_id < 2**32 contract."""
+    if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= 1 << 32):
+        raise ValueError(
+            "dedup pair generation packs doc ids as (a<<32)|b; "
+            "doc_id must be in [0, 2**32)"
+        )
 
 
 def _grams_of(text: str, n: int) -> set:
@@ -132,6 +145,7 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
     def per_bucket_pairs(group: pa.Table) -> pa.Table:
         gh = group.column("gh").to_numpy(zero_copy_only=False)
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        _assert_packable(ids)
         order = np.lexsort((ids, gh))
         gh, ids = gh[order], ids[order]
         starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
@@ -263,6 +277,7 @@ def minhash_pairs(
         # one shuffle group serves many LSH buckets (segment by bucket value)
         bk = group.column("bucket").to_numpy(zero_copy_only=False)
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        _assert_packable(ids)
         order = np.lexsort((ids, bk))
         bk, ids = bk[order], ids[order]
         starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
@@ -391,6 +406,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         # one shuffle group serves many 16-bit bands (segment by band value)
         bd = group.column("band").to_numpy(zero_copy_only=False)
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        _assert_packable(ids)
         order = np.lexsort((ids, bd))
         bd, ids = bd[order], ids[order]
         starts = np.flatnonzero(np.r_[True, bd[1:] != bd[:-1]])

@@ -168,7 +168,6 @@ class _StepRunner:
     def __call__(self, group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         p = int(group.column("dst_part")[0].as_py())
-        mask = pa.compute.greater_equal(group.column("dst"), pa.scalar(-0))
         msgs = group.filter(pa.compute.greater_equal(group.column("dst"), 0))
         shard = load_shard(self.g.graph_dir, p)
         if self.s == 0:

@@ -155,6 +155,14 @@ def test_weighted_sssp(edge_data, tmp_path):
     dmat_out = np.where(np.isfinite(dmat), dmat, -1.0)
     np.testing.assert_allclose(got, dmat_out, atol=1e-9)
 
+    # the convenience path (edges_ds + weighted=True, no prebuilt g) must
+    # carry the weight column into the graph build (regression: ADVICE r1)
+    _, dists2 = sssp(eds, vertices_ds=verts_ds, source=0, num_parts=4,
+                     directed=False, weighted=True,
+                     ckpt_dir=str(tmp_path / "ck2"))
+    got2 = dists2.to_pandas().sort_values("vid")["dist"].to_numpy()
+    np.testing.assert_allclose(got2, dmat_out, atol=1e-9)
+
 
 def test_coreness(edge_data, tmp_path):
     from raylink.algos import coreness
