@@ -24,17 +24,19 @@ giving up task-level elasticity.
 
 from __future__ import annotations
 
-import json
 import os
 import uuid
 from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
+from raylink import storage
 from raylink.util import PARTITIONERS, make_sgid
 
+# May be a URI (s3://bucket/graphs, file:///mnt/shared/graphs): all shard /
+# boundary / manifest IO goes through raylink.storage (pyarrow.fs), so a
+# multi-node cluster only needs RAYLINK_GRAPH_ROOT pointed at shared storage.
 GRAPH_ROOT = os.environ.get("RAYLINK_GRAPH_ROOT", "/tmp/raylink/graphs")
 
 
@@ -77,12 +79,15 @@ class LinkGraph:
     n_edges: int = 0
     n_subgraphs: int = 0
     parts: list = field(default_factory=list)
+    # optional explicit pyarrow.fs.FileSystem (pickles into Ray tasks); when
+    # None the filesystem is resolved per-process from the graph_dir URI
+    filesystem: object = None
 
     def part_of(self, vids: np.ndarray) -> np.ndarray:
         return PARTITIONERS[self.partitioner](vids, self.num_parts)
 
     def shard_path(self, p: int) -> str:
-        return os.path.join(self.graph_dir, f"shard_{p}.npz")
+        return storage.join(self.graph_dir, f"shard_{p}.npz")
 
     def save_manifest(self) -> None:
         man = {
@@ -94,37 +99,44 @@ class LinkGraph:
             "n_subgraphs": self.n_subgraphs,
             "parts": list(self.parts),
         }
-        tmp = os.path.join(self.graph_dir, ".manifest.tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, os.path.join(self.graph_dir, "manifest.json"))
+        storage.write_json_atomic(
+            man, storage.join(self.graph_dir, "manifest.json"), self.filesystem
+        )
 
     @classmethod
-    def load(cls, graph_dir: str) -> "LinkGraph":
-        with open(os.path.join(graph_dir, "manifest.json")) as f:
-            man = json.load(f)
-        return cls(graph_dir=graph_dir, **man)
+    def load(cls, graph_dir: str, filesystem=None) -> "LinkGraph":
+        man = storage.read_json(
+            storage.join(graph_dir, "manifest.json"), filesystem
+        )
+        if man is None:
+            raise FileNotFoundError(f"no graph manifest under {graph_dir}")
+        return cls(graph_dir=graph_dir, filesystem=filesystem, **man)
 
 
 _SHARD_CACHE: dict[str, dict] = {}
 
 
-def load_shard(graph_dir: str, p: int) -> dict:
-    """Per-worker-process cached shard load (graph resident across tasks)."""
+def load_shard(graph_dir: str, p: int, filesystem=None) -> dict:
+    """Per-worker-process cached shard load (graph resident across tasks).
+    Cache key is the path string — one graph_dir maps to one filesystem."""
     key = f"{graph_dir}/{p}"
     sh = _SHARD_CACHE.get(key)
     if sh is None:
-        with np.load(os.path.join(graph_dir, f"shard_{p}.npz")) as z:
-            sh = {k: z[k] for k in z.files}
-        if len(_SHARD_CACHE) > 64:
-            _SHARD_CACHE.clear()
+        sh = storage.load_npz(
+            storage.join(graph_dir, f"shard_{p}.npz"), filesystem
+        )
+        while len(_SHARD_CACHE) > 64:  # bounded; evict oldest entries only
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
         _SHARD_CACHE[key] = sh
     return sh
 
 
-def _build_shard(group: pa.Table, graph_dir: str, num_parts: int, partitioner: str) -> pa.Table:
+def _build_shard(
+    group: pa.Table, graph_dir: str, num_parts: int, partitioner: str,
+    filesystem=None,
+) -> pa.Table:
     """map_groups body: one partition's edge+vertex rows -> shard npz +
-    boundary parquet + one report row."""
+    boundary parquet + one report row. All writes via raylink.storage."""
     part = int(group.column("part")[0].as_py())
     src = group.column("src").to_numpy(zero_copy_only=False)
     dst = group.column("dst").to_numpy(zero_copy_only=False)
@@ -168,8 +180,6 @@ def _build_shard(group: pa.Table, graph_dir: str, num_parts: int, partitioner: s
     roots, inv = np.unique(labels, return_inverse=True)
     sgid = make_sgid(np.full(len(vids), part, dtype=np.int64), inv)
     sg_minvid = vids[roots]  # root == min local index == min vid position
-    os.makedirs(graph_dir, exist_ok=True)
-    tmp = os.path.join(graph_dir, f".shard_{part}.tmp.npz")
     arrays = dict(
         part=np.int64(part),
         vids=vids,
@@ -180,17 +190,16 @@ def _build_shard(group: pa.Table, graph_dir: str, num_parts: int, partitioner: s
     )
     if has_w:
         arrays["weights"] = ew
-    np.savez(tmp, **arrays)
-    os.replace(tmp, os.path.join(graph_dir, f"shard_{part}.npz"))
+    storage.save_npz_atomic(
+        storage.join(graph_dir, f"shard_{part}.npz"), arrays, filesystem
+    )
     # boundary rows: out-edges whose dst is owned elsewhere, tagged with the
     # src's subgraph id (input to meta-graph resolution)
     bl = lsrc[~dst_owned]
     bsrc_sgid = sgid[bl]
     bsrc_sg = sg_minvid[inv[bl]]  # subgraph identity = its min vid (globally unique)
     bdst = edst[~dst_owned]
-    bdir = os.path.join(graph_dir, "boundary")
-    os.makedirs(bdir, exist_ok=True)
-    pq.write_table(
+    storage.write_table_atomic(
         pa.table(
             {
                 "src_sgid": pa.array(bsrc_sgid),
@@ -198,7 +207,8 @@ def _build_shard(group: pa.Table, graph_dir: str, num_parts: int, partitioner: s
                 "dst": pa.array(bdst),
             }
         ),
-        os.path.join(bdir, f"part-{part}.parquet"),
+        storage.join(graph_dir, "boundary", f"part-{part}.parquet"),
+        filesystem,
     )
     return pa.table(
         {
@@ -262,6 +272,7 @@ def build_graph(
     graph_dir: str | None = None,
     n_vertices: int | None = None,
     weighted: bool = False,
+    filesystem=None,
 ) -> LinkGraph:
     """edges (src:int64, dst:int64[, weight:float64 iff weighted=True]) [+
     vertices (vid:int64)] -> LinkGraph.
@@ -270,6 +281,8 @@ def build_graph(
     reused by every downstream superstep — pick ONE key, reuse it.
     ``weighted`` is explicit, not schema-sniffed: Dataset.columns() would
     eagerly execute the upstream pipeline to fetch the schema.
+    ``graph_dir`` may be a URI; ``filesystem`` an explicit pyarrow.fs
+    FileSystem (pickled into the shard-build tasks).
     """
     import ray.data  # noqa: F401  (ensures ray.data registered)
 
@@ -278,8 +291,8 @@ def build_graph(
     if vertices_ds is None:
         vertices_ds = derive_vertices(edges_ds)
     if graph_dir is None:
-        graph_dir = os.path.join(GRAPH_ROOT, uuid.uuid4().hex[:12])
-    os.makedirs(graph_dir, exist_ok=True)
+        graph_dir = storage.join(GRAPH_ROOT, uuid.uuid4().hex[:12])
+    storage.makedirs(graph_dir, filesystem)
 
     has_weight = weighted
 
@@ -300,7 +313,7 @@ def build_graph(
     report = (
         combined.groupby("part")
         .map_groups(
-            lambda g: _build_shard(g, graph_dir, num_parts, partitioner),
+            lambda g: _build_shard(g, graph_dir, num_parts, partitioner, filesystem),
             batch_format="pyarrow",
         )
         .to_pandas()
@@ -314,6 +327,7 @@ def build_graph(
         n_edges=int(report["n_edges"].sum()),
         n_subgraphs=int(report["n_subgraphs"].sum()),
         parts=sorted(int(p) for p in report["part"]),
+        filesystem=filesystem,
     )
     g.save_manifest()
     return g
@@ -328,15 +342,16 @@ def meta_edges(g: LinkGraph):
     partition, sgid looked up in that partition's shard."""
     import ray.data as rd
 
-    bdir = os.path.join(g.graph_dir, "boundary")
-    files = [os.path.join(bdir, f) for f in sorted(os.listdir(bdir))]
-    b = rd.read_parquet(files)
+    bdir = storage.join(g.graph_dir, "boundary")
+    files = [storage.join(bdir, f) for f in storage.listdir(bdir, g.filesystem)]
+    files, bfs = storage.for_ray(files, g.filesystem)
+    b = rd.read_parquet(files, filesystem=bfs)
     b = b.map_batches(_with_part(g.partitioner, g.num_parts, "dst"), batch_format="pyarrow")
-    gd = g.graph_dir
+    gd, gfs = g.graph_dir, g.filesystem
 
     def resolve(group: pa.Table) -> pa.Table:
         p = int(group.column("part")[0].as_py())
-        sh = load_shard(gd, p)
+        sh = load_shard(gd, p, gfs)
         dst_v = group.column("dst").to_numpy(zero_copy_only=False)
         pos = np.searchsorted(sh["vids"], dst_v)
         ok = (pos < len(sh["vids"])) & (
@@ -374,12 +389,12 @@ def vertex_table(g: LinkGraph):
     """Dataset (vid, part, sgid, sg_minvid, out_degree) read from shards."""
     import ray.data as rd
 
-    gd = g.graph_dir
+    gd, gfs = g.graph_dir, g.filesystem
 
     def read_part(batch: pa.Table) -> pa.Table:
         out = []
         for p in batch.column("p").to_pylist():
-            sh = load_shard(gd, int(p))
+            sh = load_shard(gd, int(p), gfs)
             deg = np.diff(sh["indptr"])
             out.append(
                 pa.table(

@@ -69,9 +69,11 @@ def page_graph(
 
     Default partitioner is 'mod' so subgraph-level results are expressible in
     the SQL oracle; PageRank/CC/LPA values are partitioning-invariant."""
+    from raylink import storage
+
     key = cache_key("page_graph", sf_dir, directed, num_parts, partitioner)
-    gdir = os.path.join(GRAPH_ROOT, key)
-    if os.path.exists(os.path.join(gdir, "manifest.json")):
+    gdir = storage.join(GRAPH_ROOT, key)
+    if storage.exists(storage.join(gdir, "manifest.json")):
         return LinkGraph.load(gdir)
     _, edges, verts, _ = page_edge_tables(sf_dir, concurrency=concurrency)
     # materialize the (small) edge table before build: the undirected closure

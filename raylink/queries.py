@@ -32,7 +32,9 @@ PR_ITERS = 30
 
 
 def _ckpt(name: str, sf_dir: str, *extra) -> str:
-    return os.path.join(CKPT_ROOT, f"{name}-{cache_key(name, sf_dir, *extra)}")
+    from raylink import storage
+
+    return storage.join(CKPT_ROOT, f"{name}-{cache_key(name, sf_dir, *extra)}")
 
 
 # --------------------------------------------------------------------- graph

@@ -34,7 +34,6 @@ materialized before round t+1 starts.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import uuid
@@ -42,10 +41,13 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
+from raylink import storage
 from raylink.graph import LinkGraph, load_shard
 
+# May be a URI (s3://bucket/ckpt): all state/metrics/message/manifest IO goes
+# through raylink.storage (pyarrow.fs), so multi-node resume only needs this
+# root pointed at shared storage.
 CKPT_ROOT = os.environ.get("RAYLINK_CKPT_ROOT", "/tmp/raylink/ckpt")
 
 MSG_BASE_FIELDS = [("dst_part", pa.int32()), ("dst", pa.int64())]
@@ -98,44 +100,43 @@ def sort_msgs(msgs: pa.Table, keys: list[str]) -> pa.Table:
 # --------------------------------------------------------------- checkpointing
 @dataclass
 class Checkpoint:
+    """All IO via raylink.storage: ``ckpt_dir`` may be a URI, ``filesystem``
+    an explicit pyarrow.fs FileSystem (pickles into Ray tasks)."""
+
     ckpt_dir: str
+    filesystem: object = None
 
     def state_path(self, s: int, p: int) -> str:
-        return os.path.join(self.ckpt_dir, "state", f"ss={s}", f"part-{p}.parquet")
+        return storage.join(self.ckpt_dir, "state", f"ss={s}", f"part-{p}.parquet")
 
     def msgs_dir(self, s: int) -> str:
-        return os.path.join(self.ckpt_dir, "msgs", f"s{s:05d}")  # no "=" in path: read_parquet would hive-parse it into a column
+        return storage.join(self.ckpt_dir, "msgs", f"s{s:05d}")  # no "=" in path: read_parquet would hive-parse it into a column
 
     def metrics_path(self, s: int, p: int) -> str:
-        return os.path.join(self.ckpt_dir, "metrics", f"ss={s}", f"part-{p}.parquet")
+        return storage.join(self.ckpt_dir, "metrics", f"ss={s}", f"part-{p}.parquet")
 
     def write_atomic(self, table: pa.Table, path: str) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp-{uuid.uuid4().hex[:6]}"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        storage.write_table_atomic(table, path, self.filesystem)
+
+    def read_table(self, path: str) -> pa.Table:
+        return storage.read_table(path, self.filesystem)
+
+    def exists(self, path: str) -> bool:
+        return storage.exists(path, self.filesystem)
 
     def manifest_path(self) -> str:
-        return os.path.join(self.ckpt_dir, "manifest.json")
+        return storage.join(self.ckpt_dir, "manifest.json")
 
     def read_manifest(self) -> dict | None:
-        try:
-            with open(self.manifest_path()) as f:
-                return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            return None
+        return storage.read_json(self.manifest_path(), self.filesystem)
 
     def write_manifest(self, man: dict) -> None:
-        tmp = self.manifest_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f)
-        os.replace(tmp, self.manifest_path())
+        storage.write_json_atomic(man, self.manifest_path(), self.filesystem)
 
     def round_metrics(self, s: int, parts: list[int]) -> dict:
         rows = []
-        base = os.path.join(self.ckpt_dir, "metrics", f"ss={s}")
         for p in parts:
-            rows.append(pq.read_table(os.path.join(base, f"part-{p}.parquet")))
+            rows.append(self.read_table(self.metrics_path(s, p)))
         t = pa.concat_tables(rows)
         return {
             "n_active": int(pa.compute.sum(t.column("n_active")).as_py() or 0),
@@ -155,11 +156,11 @@ class _StepRunner:
         self.__name__ = f"{algo.name}_ss{s}"  # for Ray Data progress display
 
     def _load_state(self, p: int) -> dict:
-        t = pq.read_table(self.ck.state_path(self.s - 1, p))
+        t = self.ck.read_table(self.ck.state_path(self.s - 1, p))
         state = {c: t.column(c).to_numpy(zero_copy_only=False) for c in t.column_names}
         aux_path = self.ck.state_path(self.s - 1, p) + ".aux"
-        if os.path.exists(aux_path):
-            ta = pq.read_table(aux_path)
+        if self.ck.exists(aux_path):
+            ta = self.ck.read_table(aux_path)
             state.update(
                 {c: ta.column(c).to_numpy(zero_copy_only=False) for c in ta.column_names}
             )
@@ -169,7 +170,7 @@ class _StepRunner:
         t0 = time.perf_counter()
         p = int(group.column("dst_part")[0].as_py())
         msgs = group.filter(pa.compute.greater_equal(group.column("dst"), 0))
-        shard = load_shard(self.g.graph_dir, p)
+        shard = load_shard(self.g.graph_dir, p, self.g.filesystem)
         if self.s == 0:
             state = self.algo.init(shard, self.ctx)
         else:
@@ -222,11 +223,12 @@ class BSPResult:
     def state_dataset(self):
         import ray.data as rd
 
-        ck = Checkpoint(self.ckpt_dir)
+        ck = Checkpoint(self.ckpt_dir, self.graph.filesystem)
         paths = [
             ck.state_path(self.last_superstep, p) for p in self.graph.parts
         ]
-        return rd.read_parquet(paths)
+        paths, fs = storage.for_ray(paths, self.graph.filesystem)
+        return rd.read_parquet(paths, filesystem=fs)
 
 
 def run_bsp(
@@ -242,9 +244,10 @@ def run_bsp(
     ctx = dict(ctx or {})
     ctx.setdefault("n_vertices", g.n_vertices)
     if ckpt_dir is None:
-        ckpt_dir = os.path.join(CKPT_ROOT, f"{algo.name}-{uuid.uuid4().hex[:12]}")
-    ck = Checkpoint(ckpt_dir)
-    os.makedirs(ckpt_dir, exist_ok=True)
+        ckpt_dir = storage.join(CKPT_ROOT, f"{algo.name}-{uuid.uuid4().hex[:12]}")
+    # checkpoints share the graph's filesystem (URIs resolve per-process)
+    ck = Checkpoint(ckpt_dir, g.filesystem)
+    storage.makedirs(ckpt_dir, g.filesystem)
 
     # tick rows: one per partition, dst=-1 (ensures every partition computes)
     tick_cols = {
@@ -282,7 +285,8 @@ def run_bsp(
             history = man.get("history", [])[: last + 1]
             s_start = last + 1
             if man.get("msg_rows", 0) > 0:
-                msgs_ds = rd.read_parquet(ck.msgs_dir(last))
+                mp, mfs = storage.for_ray(ck.msgs_dir(last), ck.filesystem)
+                msgs_ds = rd.read_parquet(mp, filesystem=mfs)
 
     t_run0 = time.perf_counter()
     s = s_start
@@ -301,8 +305,10 @@ def run_bsp(
                 in_ds = rd.from_arrow(ticks).union(out)
         s_end = s + k - 1
         mdir = ck.msgs_dir(s_end)
-        os.makedirs(mdir, exist_ok=True)
-        out.write_parquet(mdir)  # executes the whole chain; checkpoint
+        storage.makedirs(mdir, ck.filesystem)
+        mp, mfs = storage.for_ray(mdir, ck.filesystem)
+        # executes the whole chain; the write IS the checkpoint/barrier
+        out.write_parquet(mp, filesystem=mfs)
         chain_wall = time.perf_counter() - t0
         last_agg = None
         for j in range(k):
@@ -313,7 +319,7 @@ def run_bsp(
             halted = halted or algo.halted(agg, s + j, ctx)
             last_agg = agg
         if last_agg["msgs_out"] > 0:
-            msgs_ds = rd.read_parquet(mdir)
+            msgs_ds = rd.read_parquet(mp, filesystem=mfs)
         else:
             msgs_ds = None
             if not halted and last_agg["n_active"] == 0:

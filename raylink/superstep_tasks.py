@@ -31,14 +31,13 @@ more data than fits comfortably in the object store plan.
 
 from __future__ import annotations
 
-import os
 import time
 import uuid
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
+from raylink import storage
 from raylink.graph import LinkGraph, load_shard
 from raylink.superstep import CKPT_ROOT, Algorithm, BSPResult, Checkpoint
 
@@ -67,21 +66,22 @@ def _step_remote(
     p: int,
     parts: list,
     ctx: dict,
+    filesystem,
     *msg_tables,
 ):
     t0 = time.perf_counter()
-    ck = Checkpoint(ckpt_dir)
-    shard = load_shard(graph_dir, p)
+    ck = Checkpoint(ckpt_dir, filesystem)
+    shard = load_shard(graph_dir, p, filesystem)
     tables = [t for t in msg_tables if t is not None and t.num_rows > 0]
     msgs = pa.concat_tables(tables) if tables else algo.empty_msgs()
     if s == 0:
         state = algo.init(shard, ctx)
     else:
-        t = pq.read_table(ck.state_path(s - 1, p))
+        t = ck.read_table(ck.state_path(s - 1, p))
         state = {c: t.column(c).to_numpy(zero_copy_only=False) for c in t.column_names}
         aux_path = ck.state_path(s - 1, p) + ".aux"
-        if os.path.exists(aux_path):
-            ta = pq.read_table(aux_path)
+        if ck.exists(aux_path):
+            ta = ck.read_table(aux_path)
             state.update(
                 {c: ta.column(c).to_numpy(zero_copy_only=False) for c in ta.column_names}
             )
@@ -136,9 +136,9 @@ def run_bsp_tasks(
     ctx.setdefault("n_vertices", g.n_vertices)
     ckpt_every = max(1, int(ctx.get("ckpt_every", 1)))
     if ckpt_dir is None:
-        ckpt_dir = os.path.join(CKPT_ROOT, f"{algo.name}-{uuid.uuid4().hex[:12]}")
-    ck = Checkpoint(ckpt_dir)
-    os.makedirs(ckpt_dir, exist_ok=True)
+        ckpt_dir = storage.join(CKPT_ROOT, f"{algo.name}-{uuid.uuid4().hex[:12]}")
+    ck = Checkpoint(ckpt_dir, g.filesystem)
+    storage.makedirs(ckpt_dir, g.filesystem)
     parts = list(g.parts)
     P = len(parts)
     part_ix = {p: i for i, p in enumerate(parts)}
@@ -160,7 +160,7 @@ def run_bsp_tasks(
             history = man.get("history", [])[: last + 1]
             s_start = last + 1
             if man.get("msg_rows", 0) > 0:
-                t = pq.ParquetDataset(ck.msgs_dir(last)).read()
+                t = storage.read_table_dir(ck.msgs_dir(last), ck.filesystem)
                 for i, tbl in enumerate(_split_by_part(t, parts)):
                     if tbl is not None:
                         inbox[i] = [tbl]
@@ -177,7 +177,8 @@ def run_bsp_tasks(
         for j in range(k):
             outs = [
                 step_task.remote(
-                    algo, g.graph_dir, ckpt_dir, s + j, p, parts, ctx, *inbox[i]
+                    algo, g.graph_dir, ckpt_dir, s + j, p, parts, ctx,
+                    g.filesystem, *inbox[i]
                 )
                 for i, p in enumerate(parts)
             ]
@@ -209,7 +210,7 @@ def run_bsp_tasks(
         last_agg = rounds_metrics[-1]
         # checkpoint the in-flight messages of the chain's final round
         mdir = ck.msgs_dir(s_end)
-        os.makedirs(mdir, exist_ok=True)
+        storage.makedirs(mdir, ck.filesystem)
         resolved = []
         for refs in inbox:
             for r in refs:
@@ -220,7 +221,7 @@ def run_bsp_tasks(
         msg_table = (
             pa.concat_tables(tables) if tables else algo.empty_msgs()
         )
-        ck.write_atomic(msg_table, os.path.join(mdir, "messages.parquet"))
+        ck.write_atomic(msg_table, storage.join(mdir, "messages.parquet"))
         if last_agg["msgs_out"] == 0:
             if not halted and last_agg["n_active"] == 0:
                 halted = True
