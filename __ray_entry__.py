@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q.q_knn,
         "ann_lsh": q.q_ann_lsh,
         "embedding_pairs": q.q_embedding_pairs,
+        "embedding_pairs_lsh": q.q_embedding_pairs_lsh,
         "events_window": q.q_events_window,
         "events_sessionize": q.q_events_sessionize,
         "media_features": q.q_media_features,

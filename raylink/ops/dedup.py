@@ -16,9 +16,11 @@ embedding-cosine near-dup), expressed as Ray Data pipelines:
 - ``embedding_pairs`` / in ``similarity.py``: cosine near-dup.
 
 Shingling/minhash state (hash coefficients) is built once per actor
-(callable classes). Candidate verification joins text back in a second pass;
-at crawl scale the verify stage is pair-partitioned — here candidates are
-small and verified via a broadcast text lookup (documented assumption).
+(callable classes). Candidate verification is fully distributed: per-doc
+values (signatures / gram sets / set sizes) are joined onto the candidate
+pair keys by ``_pair_attach`` — two coarse-bucket shuffles (by doc id, then
+by pair key), no dataset-sized driver materialization anywhere — and each
+pair is verified vectorized inside ``map_batches``.
 
 Pair keys are bit-packed ``(a << 32) | b`` throughout, so doc ids MUST be in
 ``[0, 2**32)`` (same contract as ``raylink.algos.triangles``); the bucket
@@ -60,6 +62,126 @@ def _grams_of(text: str, n: int) -> set:
     if len(ws) < n:
         return set()
     return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+# ------------------------------------------------- distributed pair-value join
+def _pair_attach(cand_ds, values_ds, value_fields: dict, carry_fields: dict | None = None,
+                 num_buckets: int = 64):
+    """Join per-doc value columns onto packed candidate pair keys, fully
+    distributed (the crawl-scale verify path — replaces any broadcast/driver
+    lookup of a dataset-sized side).
+
+    - ``cand_ds``: Dataset with ``key`` = (a<<32)|b (a<b) plus optional
+      ``carry_fields`` columns to pass through (e.g. intersection counts).
+    - ``values_ds``: Dataset (doc_id, **value_fields) — ONE row per doc.
+    - Returns Dataset (key, <v>_a, <v>_b, ..., *carry).
+
+    Shape: two coarse-bucket shuffles. (1) candidate keys explode into one
+    row per (pair, side) bucketed by hash(doc_id); value rows flow into the
+    same buckets; a vectorized searchsorted lookup inside each bucket group
+    attaches the doc's values. (2) attached rows re-bucket by hash(key); each
+    group pairs up side 0/1 rows per key. One shuffle group serves many docs/
+    keys, so group count stays at ``num_buckets`` regardless of corpus size.
+    """
+    from raylink.util import splitmix64
+
+    names = list(value_fields)
+    carry = dict(carry_fields or {})
+    B = np.uint64(num_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        a = key >> np.int64(32)
+        b = key & np.int64(0xFFFFFFFF)
+        doc = np.concatenate([a, b])
+        side = np.concatenate(
+            [np.zeros(len(key), np.int8), np.ones(len(key), np.int8)]
+        )
+        cols = {
+            "b": pa.array((splitmix64(doc.astype(np.uint64)) % B).astype(np.int32)),
+            "doc_id": pa.array(doc),
+            "key": pa.array(np.concatenate([key, key])),
+            "side": pa.array(side),
+        }
+        for nm, typ in value_fields.items():
+            cols[nm] = pa.nulls(len(doc), type=typ)
+        for nm in carry:
+            c = batch.column(nm)
+            cols[nm] = pa.concat_arrays([c.combine_chunks(), c.combine_chunks()]) \
+                if isinstance(c, pa.ChunkedArray) else pa.concat_arrays([c, c])
+        return pa.table(cols)
+
+    def val_rows(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(doc)
+        cols = {
+            "b": pa.array((splitmix64(doc.astype(np.uint64)) % B).astype(np.int32)),
+            "doc_id": batch.column("doc_id"),
+            "key": pa.array(np.full(n, -1, dtype=np.int64)),
+            "side": pa.array(np.full(n, -1, dtype=np.int8)),
+        }
+        for nm in names:
+            cols[nm] = batch.column(nm)
+        for nm, typ in carry.items():
+            cols[nm] = pa.nulls(n, type=typ)
+        return pa.table(cols)
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        is_val = side < 0
+        vrows = group.filter(pa.array(is_val))
+        crows = group.filter(pa.array(~is_val))
+        key = crows.column("key").to_numpy(zero_copy_only=False)
+        cols = {
+            "kb": pa.array(
+                (splitmix64(key.astype(np.uint64)) % B).astype(np.int32)
+            ),
+            "key": crows.column("key"),
+            "side": crows.column("side"),
+        }
+        if crows.num_rows:
+            vdoc = vrows.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.argsort(vdoc)
+            cdoc = crows.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vdoc[order], cdoc)
+            if len(vdoc) == 0 or not (vdoc[order][np.minimum(pos, len(vdoc) - 1)] == cdoc).all():
+                raise ValueError("_pair_attach: candidate doc missing a value row")
+            taken = vrows.take(pa.array(order[pos]))
+            for nm in names:
+                cols[nm] = taken.column(nm)
+        else:
+            for nm, typ in value_fields.items():
+                cols[nm] = pa.nulls(0, type=typ)
+        for nm in carry:
+            cols[nm] = crows.column(nm)
+        return pa.table(cols)
+
+    def pairup(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        t = group.take(pa.array(order))
+        k = key[order]
+        if len(k) % 2 or not np.array_equal(k[0::2], k[1::2]):
+            raise ValueError("_pair_attach: unpaired candidate key in bucket")
+        ev = t.take(pa.array(np.arange(0, len(k), 2)))
+        od = t.take(pa.array(np.arange(1, len(k), 2)))
+        cols = {"key": pa.array(k[0::2])}
+        for nm in names:
+            cols[f"{nm}_a"] = ev.column(nm)
+            cols[f"{nm}_b"] = od.column(nm)
+        for nm in carry:
+            cols[nm] = ev.column(nm)
+        return pa.table(cols)
+
+    exploded = cand_ds.map_batches(explode, batch_format="pyarrow")
+    vals = values_ds.map_batches(val_rows, batch_format="pyarrow")
+    attached = (
+        exploded.union(vals)
+        .groupby("b")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    return attached.groupby("kb").map_groups(pairup, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ exact
@@ -123,8 +245,6 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
 
     max_df: drop grams appearing in more than max_df docs (DF cut; must be
     mirrored in any oracle)."""
-    import ray
-
     grams = docs_ds.map_batches(_Shingler(n), batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -172,23 +292,27 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
         .map_groups(per_bucket_pairs, batch_format="pyarrow")
         .groupby("key")
         .sum("c")
+        .map_batches(
+            lambda b: pa.table({"key": b.column("key"), "c": b.column("sum(c)")}),
+            batch_format="pyarrow",
+        )
     )
-    # |gram set| per doc -> broadcast (small; scale path: hash join on doc id)
-    sizes = (
-        grams.groupby("doc_id").count().to_pandas()
+    # |gram set| per doc, attached to each pair by the distributed pair join
+    # (no driver-side size table, no broadcast)
+    sizes = grams.groupby("doc_id").count().map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"), "sz": b.column("count()")}),
+        batch_format="pyarrow",
     )
-    vid = sizes["doc_id"].to_numpy(np.int64)
-    cnt = sizes["count()"].to_numpy(np.int64)
-    order = np.argsort(vid)
-    ref = ray.put((vid[order], cnt[order]))
+    paired = _pair_attach(
+        inter, sizes, {"sz": pa.int64()}, carry_fields={"c": pa.int64()}
+    )
 
     def jac(batch: pa.Table) -> pa.Table:
-        vids, cnts = ray.get(ref)
         key = batch.column("key").to_numpy(zero_copy_only=False)
         a, b = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
-        c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
-        na = cnts[np.searchsorted(vids, a)]
-        nb = cnts[np.searchsorted(vids, b)]
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        na = batch.column("sz_a").to_numpy(zero_copy_only=False)
+        nb = batch.column("sz_b").to_numpy(zero_copy_only=False)
         j = round_half_away(c / (na + nb - c), 6)
         keep = j >= tau
         return pa.table(
@@ -199,10 +323,36 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
             }
         )
 
-    return inter.map_batches(jac, batch_format="pyarrow")
+    return paired.map_batches(jac, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ minhash
+class _GramSetHasher:
+    """Per-doc sorted unique 64-bit gram hashes (the exact-verify payload):
+    (doc_id, grams: list<uint64>). Docs with no grams get an empty list so
+    every doc has a value row for ``_pair_attach``."""
+
+    def __init__(self, n: int):
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        sets = [
+            np.sort(text_hash64(sorted(_grams_of(t, self.n))))
+            if t
+            else np.array([], dtype=np.uint64)
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "grams": pa.array(
+                    [s.tolist() for s in sets], type=pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+
 class MinHasher:
     """Per-actor state: seeded xor-mix hash family (one seed per
     permutation); sig_i = min over grams of splitmix64(gram_hash ^ seed_i) —
@@ -240,9 +390,6 @@ def minhash_pairs(
 ):
     """MinHash-LSH near-dup -> Dataset (doc_a, doc_b, jaccard r6), exact
     Jaccard verified >= tau. b=32 x r=4 => P(catch | j=0.9) ~ 1-1e-15."""
-    import ray
-    import ray.data as rd
-
     hasher = MinHasher(n=n, perms=bands * rows, seed=seed)
     sigs = docs_ds.map_batches(hasher, batch_format="pyarrow")
 
@@ -300,50 +447,43 @@ def minhash_pairs(
         .groupby("key")
         .count()
         .select_columns(["key"])
-        .to_pandas()["key"]
-        .to_numpy(np.int64)
     )
-    if len(cand_keys) == 0:
-        return rd.from_arrow(
-            pa.table(
-                {"doc_a": pa.array([], type=pa.int64()),
-                 "doc_b": pa.array([], type=pa.int64()),
-                 "jaccard": pa.array([], type=pa.float64())}
-            )
+    # exact-Jaccard verify, distributed: per-doc sorted gram-hash sets are
+    # joined onto the pair keys (two bucket shuffles, no driver loop), then
+    # each pair intersects two sorted uint64 arrays inside map_batches.
+    # Gram identity = its 64-bit FNV hash (same negligible-collision
+    # assumption as candidate generation, documented at add_bucket).
+    gram_sets = docs_ds.map_batches(_GramSetHasher(n), batch_format="pyarrow")
+    paired = _pair_attach(cand_keys, gram_sets, {"grams": pa.list_(pa.uint64())})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        ga = batch.column("grams_a").combine_chunks()
+        gb = batch.column("grams_b").combine_chunks()
+        fa = ga.flatten().to_numpy(zero_copy_only=False)
+        fb = gb.flatten().to_numpy(zero_copy_only=False)
+        oa = ga.offsets.to_numpy(zero_copy_only=False)
+        ob = gb.offsets.to_numpy(zero_copy_only=False)
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(key)):
+            sa = fa[oa[i] : oa[i + 1]]
+            sb = fb[ob[i] : ob[i + 1]]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            u = len(sa) + len(sb) - inter
+            j = inter / u if u else 0.0
+            if j >= tau:
+                out_a.append(int(key[i] >> np.int64(32)))
+                out_b.append(int(key[i] & np.int64(0xFFFFFFFF)))
+                out_j.append(float(round_half_away(j, 6)))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
         )
-    # exact verify (candidate set is small by construction; broadcast texts of
-    # involved docs — scale path: pair-partitioned join)
-    involved = np.unique(
-        np.concatenate([cand_keys >> np.int64(32), cand_keys & np.int64(0xFFFFFFFF)])
-    )
-    inv_set = set(involved.tolist())
-    texts_pdf = (
-        docs_ds.map_batches(
-            lambda b: b.filter(
-                pa.array([i in inv_set for i in b.column("doc_id").to_pylist()])
-            ),
-            batch_format="pyarrow",
-        )
-        .select_columns(["doc_id", "text"])
-        .to_pandas()
-    )
-    gset = {r.doc_id: _grams_of(r.text, n) for r in texts_pdf.itertuples()}
-    rows_out = []
-    for key in cand_keys:
-        a, b = int(key >> np.int64(32)), int(key & np.int64(0xFFFFFFFF))
-        ga, gb = gset.get(a, set()), gset.get(b, set())
-        u = len(ga | gb)
-        j = len(ga & gb) / u if u else 0.0
-        if j >= tau:
-            rows_out.append((a, b, float(round_half_away(j, 6))))
-    t = pa.table(
-        {
-            "doc_a": pa.array([r[0] for r in rows_out], type=pa.int64()),
-            "doc_b": pa.array([r[1] for r in rows_out], type=pa.int64()),
-            "jaccard": pa.array([r[2] for r in rows_out], type=pa.float64()),
-        }
-    )
-    return rd.from_arrow(t)
+
+    return paired.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ simhash
@@ -377,8 +517,6 @@ class SimHasher:
 def simhash_pairs(docs_ds, max_hamming: int = 3):
     """SimHash near-dup: 4x16-bit bands (catches all pairs with hamming <= 3
     by pigeonhole) + exact hamming verify -> (doc_a, doc_b, hamming)."""
-    import ray.data as rd
-
     sigs = docs_ds.map_batches(SimHasher(), batch_format="pyarrow").materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -431,15 +569,21 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         .count()
         .select_columns(["key"])
     )
-    sig_pdf = sigs.to_pandas()
-    lookup = dict(zip(sig_pdf["doc_id"], sig_pdf["simhash"].astype(np.uint64)))
+    # distributed verify: signatures joined onto pair keys (two bucket
+    # shuffles), hamming = vectorized xor + popcount per batch — no full
+    # signature table on the driver.
+    paired = _pair_attach(cands, sigs, {"simhash": pa.int64()})
 
     def verify(batch: pa.Table) -> pa.Table:
         key = batch.column("key").to_numpy(zero_copy_only=False)
         a, b = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
-        ham = np.array(
-            [bin(int(lookup[x]) ^ int(lookup[y])).count("1") for x, y in zip(a, b)],
-            dtype=np.int64,
+        sa = batch.column("simhash_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sb = batch.column("simhash_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = np.ascontiguousarray(sa ^ sb)
+        ham = (
+            np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1).astype(np.int64)
+            if len(x)
+            else np.array([], dtype=np.int64)
         )
         keep = ham <= max_hamming
         return pa.table(
@@ -450,4 +594,4 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
             }
         )
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    return paired.map_batches(verify, batch_format="pyarrow")

@@ -201,29 +201,192 @@ def lsh_ann(emb_ds, query_ids: list[int], k: int = 5, n_tables: int = 8, bits: i
     )
 
 
-def embedding_pairs(emb_ds, tau: float = 0.9):
-    """All pairs with cosine >= tau -> (id_a, id_b, cosine r6), a < b."""
-    import ray
+def embedding_pairs(emb_ds, tau: float = 0.9, num_blocks: int = 8):
+    """All pairs with cosine >= tau -> (id_a, id_b, cosine r6), a < b.
 
-    full = emb_ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = full["vec_id"].to_numpy(np.int64)
-    m = _normalize(np.array(full["embedding"].tolist(), dtype=np.float64))
-    order = np.argsort(ids)
-    ref = ray.put((ids[order], m[order]))
+    EXACT, via a distributed block-pair join: vectors hash into
+    ``num_blocks`` blocks; each vector is replicated to the ``num_blocks``
+    block-pair groups containing its block, and every unordered vector pair
+    meets in exactly ONE group, where cosines are one vectorized matmul.
+    Shuffle volume O(N * num_blocks) rows, driver holds nothing; compute is
+    inherently O(N^2) because the result is exact — for approximate near-dup
+    at crawl scale use ``embedding_pairs_lsh`` (sketch-bucketed candidates,
+    subquadratic, recall < 1 by design)."""
+    from raylink.util import splitmix64
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_m = ray.get(ref)
-        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        bm = _normalize(_mat(batch))
-        sims = round_half_away(bm @ all_m.T, 6)
-        keep = (sims >= tau) & (bids[:, None] < all_ids[None, :])
+    K = num_blocks
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        blk = (splitmix64(ids.astype(np.uint64)) % np.uint64(K)).astype(np.int64)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        out = []
+        for j in range(K):
+            lo = np.minimum(blk, j)
+            hi = np.maximum(blk, j)
+            out.append(
+                pa.table(
+                    {
+                        "pb": pa.array(lo * K + hi),
+                        "vec_id": pa.array(ids),
+                        "embedding": emb,
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    def cross(group: pa.Table) -> pa.Table:
+        pb = int(group.column("pb")[0].as_py())
+        bi, bj = pb // K, pb % K
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        # each vector reaches this group exactly once by construction;
+        # dedup by vec_id is cheap insurance against upstream re-execution
+        uniq, first = np.unique(ids, return_index=True)
+        g = group.take(pa.array(first))
+        ids = uniq
+        m = _normalize(_mat(g))
+        blk = (splitmix64(ids.astype(np.uint64)) % np.uint64(K)).astype(np.int64)
+        empty = pa.table(
+            {"id_a": pa.array([], type=pa.int64()),
+             "id_b": pa.array([], type=pa.int64()),
+             "cosine": pa.array([], type=pa.float64())}
+        )
+        if bi == bj:
+            sel = blk == bi
+            ids_i, m_i = ids[sel], m[sel]
+            if len(ids_i) < 2:
+                return empty
+            sims = round_half_away(m_i @ m_i.T, 6)
+            keep = (sims >= tau) & (ids_i[:, None] < ids_i[None, :])
+            ii, jj = np.nonzero(keep)
+            return pa.table(
+                {"id_a": pa.array(ids_i[ii]), "id_b": pa.array(ids_i[jj]),
+                 "cosine": pa.array(sims[ii, jj])}
+            )
+        sel_i, sel_j = blk == bi, blk == bj
+        if not sel_i.any() or not sel_j.any():
+            return empty
+        ids_i, ids_j = ids[sel_i], ids[sel_j]
+        sims = round_half_away(m[sel_i] @ m[sel_j].T, 6)
+        keep = sims >= tau
         ii, jj = np.nonzero(keep)
+        a = np.minimum(ids_i[ii], ids_j[jj])
+        b = np.maximum(ids_i[ii], ids_j[jj])
+        return pa.table(
+            {"id_a": pa.array(a), "id_b": pa.array(b),
+             "cosine": pa.array(sims[ii, jj])}
+        )
+
+    return (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(cross, batch_format="pyarrow")
+    )
+
+
+def embedding_pairs_lsh(
+    emb_ds, tau: float = 0.9, n_tables: int = 16, bits: int = 8, seed: int = 11,
+    num_buckets: int = 64,
+):
+    """Approximate cosine near-dup: sign-sketch LSH candidates + exact
+    per-pair verify — the subquadratic crawl-scale path.
+
+    Candidates = vector pairs sharing a sketch bucket in ANY of ``n_tables``
+    random-hyperplane tables (generated by the same coarse-bucket groupby
+    used in the minhash/simhash ops); each candidate is verified exactly by
+    joining both embeddings onto the pair key (``_pair_attach``) and taking
+    the true cosine. Recall: a pair at cosine c collides per table with
+    p = (1 - arccos(c)/pi)^bits; catch prob = 1-(1-p)^n_tables (e.g. c=0.9
+    -> p~0.51, 16 tables -> ~1-1e-5; c=0.5 -> ~0.27 — by design, low-sim
+    pairs are sacrificed). Exactness of the *reported* pairs is guaranteed;
+    completeness is not (use ``embedding_pairs`` for exact recall)."""
+    from raylink.ops.dedup import _pair_attach
+    from raylink.util import splitmix64
+
+    sk_holder = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _normalize(_mat(batch))
+        sk = sk_holder.get("sk")
+        if sk is None:
+            sk = sk_holder["sk"] = _SignSketch(m.shape[1], n_tables, bits, seed)
+        vb = sk.buckets(m)  # (T, n)
         return pa.table(
             {
-                "id_a": pa.array(bids[ii]),
-                "id_b": pa.array(all_ids[jj]),
-                "cosine": pa.array(sims[ii, jj]),
+                "doc_id": pa.array(np.tile(ids, n_tables)),
+                "bucket": pa.array(vb.reshape(-1)),
             }
         )
 
-    return emb_ds.map_batches(pairs, batch_format="pyarrow")
+    def coarse(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cb",
+            pa.array(
+                (splitmix64(bk.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
+            ),
+        )
+
+    def cand(group: pa.Table) -> pa.Table:
+        bk = group.column("bucket").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        keys = []
+        for st, en in zip(starts, ends):
+            docs = np.unique(ids[st:en])
+            if len(docs) < 2:
+                continue
+            ii, jj = np.triu_indices(len(docs), k=1)
+            keys.append((docs[ii] << np.int64(32)) | docs[jj])
+        if not keys:
+            return pa.table({"key": pa.array([], type=pa.int64())})
+        return pa.table({"key": pa.array(np.unique(np.concatenate(keys)))})
+
+    cands = (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .map_batches(coarse, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(cand, batch_format="pyarrow")
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+    )
+    values = emb_ds.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("vec_id"), "embedding": b.column("embedding")}
+        ),
+        batch_format="pyarrow",
+    )
+    paired = _pair_attach(
+        cands, values, {"embedding": pa.list_(pa.float32())}
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        if len(key) == 0:
+            return pa.table(
+                {"id_a": pa.array([], type=pa.int64()),
+                 "id_b": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        ma = _normalize(_mat(batch, "embedding_a"))
+        mb = _normalize(_mat(batch, "embedding_b"))
+        sims = round_half_away(np.einsum("ij,ij->i", ma, mb), 6)
+        keep = sims >= tau
+        return pa.table(
+            {
+                "id_a": pa.array((key >> np.int64(32))[keep]),
+                "id_b": pa.array((key & np.int64(0xFFFFFFFF))[keep]),
+                "cosine": pa.array(sims[keep]),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pyarrow")

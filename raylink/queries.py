@@ -301,6 +301,17 @@ def q_embedding_pairs(sf_dir: str):
     return embedding_pairs(_emb(sf_dir), tau=0.4)
 
 
+def q_embedding_pairs_lsh(sf_dir: str):
+    """Sketch-bucketed cosine near-dup (subquadratic scale path); rows-only —
+    recall is probabilistic by design (the sf embeddings top out near cosine
+    0.5, where theory gives ~0.8 catch at these parameters); verified >= 0.8
+    vs the exact join on clustered vectors in pytest
+    (test_embedding_pairs_lsh_recall)."""
+    from raylink.ops.similarity import embedding_pairs_lsh
+
+    return embedding_pairs_lsh(_emb(sf_dir), tau=0.4, n_tables=24, bits=6)
+
+
 # ---------------------------------------------------------------- events ops
 def q_events_window(sf_dir: str):
     import ray.data as rd

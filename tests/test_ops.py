@@ -186,6 +186,28 @@ def test_embedding_pairs(ray_session):
     assert len(exp) > 0
 
 
+def test_embedding_pairs_lsh_recall(ray_session):
+    """LSH-bucketed near-dup: reported pairs exact (subset of brute force),
+    recall high at high tau (clustered vectors sit at cosine ~0.97+)."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import embedding_pairs_lsh
+
+    tbl = _emb_table(n=120)
+    ds = rd.from_arrow(tbl)
+    pdf = embedding_pairs_lsh(ds, tau=0.95, n_tables=16, bits=6).to_pandas()
+    exact = embedding_pairs(ds, tau=0.95).to_pandas()
+    got = set(zip(pdf["id_a"], pdf["id_b"]))
+    exp = set(zip(exact["id_a"], exact["id_b"]))
+    assert got <= exp, "LSH reported a pair below tau (verify broken)"
+    assert len(exp) > 0 and len(got) / len(exp) >= 0.8, (
+        f"LSH pair recall too low: {len(got)}/{len(exp)}"
+    )
+    # cosine values must match the exact path bit-for-bit at r6
+    merged = pdf.merge(exact, on=["id_a", "id_b"], suffixes=("_l", "_e"))
+    assert (merged["cosine_l"] == merged["cosine_e"]).all()
+
+
 def _events_table():
     rng = np.random.default_rng(3)
     n = 500
