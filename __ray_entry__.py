@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_edges": q.q_page_edges,
         "pagerank": q.q_pagerank,
         "pagerank_converged": q.q_pagerank_converged,
+        "seeded_pagerank": q.q_seeded_pagerank,
         "connected_components": q.q_connected_components,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangles,
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "page_edges": o.page_edges_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "pagerank_converged": o.pagerank_sql(iters=27),
+        "seeded_pagerank": o.seeded_pagerank_sql(iters=30),
         "cooccur_pagerank": o.cooccur_pagerank_sql(iters=10),
         "connected_components": o.cc_sql(),
         "label_propagation": o.lpa_sql(),

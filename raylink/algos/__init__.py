@@ -1,7 +1,12 @@
 """Algorithm library — Ray-Data-native re-expression of the reference's
 sample-hama workload (SURVEY.md §2.4)."""
 
-from raylink.algos.pagerank import PageRank, pagerank  # noqa: F401
+from raylink.algos.pagerank import (  # noqa: F401
+    PageRank,
+    SeededPageRank,
+    pagerank,
+    seeded_pagerank,
+)
 from raylink.algos.lpa import MinLabelLPA, label_propagation  # noqa: F401
 from raylink.algos.cc import connected_components  # noqa: F401
 from raylink.algos.sssp import SSSP, sssp  # noqa: F401

@@ -34,6 +34,11 @@ class PageRank(Algorithm):
     name = "pagerank"
     msg_fields = [("val", pa.float64())]
 
+    def _teleport(self, shard: dict, ctx: dict):
+        """Per-vertex teleport mass (scalar or vid-aligned array); the base
+        rule is uniform (1-alpha)/N. Hook for personalization."""
+        return (1.0 - ctx.get("alpha", 0.85)) / ctx["n_vertices"]
+
     def init(self, shard: dict, ctx: dict) -> dict:
         n_local = len(shard["vids"])
         rank0 = 1.0 / ctx["n_vertices"]
@@ -42,7 +47,6 @@ class PageRank(Algorithm):
     def step(self, s: int, shard: dict, state: dict, msgs: pa.Table, ctx: dict):
         vids, indptr, indices = shard["vids"], shard["indptr"], shard["indices"]
         alpha = ctx.get("alpha", 0.85)
-        n = ctx["n_vertices"]
         eps = ctx.get("eps", 1e-6)
         rank = np.asarray(state["rank"], dtype=np.float64)
         delta_max = 0.0
@@ -53,7 +57,7 @@ class PageRank(Algorithm):
             if msgs.num_rows:
                 pos = np.searchsorted(vids, msgs.column("dst").to_numpy(zero_copy_only=False))
                 np.add.at(inmass, pos, msgs.column("val").to_numpy(zero_copy_only=False))
-            new_rank = alpha * inmass + (1.0 - alpha) / n
+            new_rank = alpha * inmass + self._teleport(shard, ctx)
             delta_max = float(np.max(np.abs(new_rank - rank))) if len(vids) else 0.0
             rank = new_rank
             n_active = int(np.sum(np.abs(new_rank - state["rank"]) > eps))
@@ -82,6 +86,85 @@ class PageRank(Algorithm):
         if iters is not None:
             return s >= iters
         return s > 0 and agg["delta_max"] <= ctx.get("eps", 1e-6)
+
+
+class SeededPageRank(PageRank):
+    """Personalized/value-seeded PageRank: teleport mass proportional to a
+    per-vertex seed value stored in the shard (``v_<seed_col>``, persisted by
+    ``build_graph(vertex_cols=[...])``) — exercises the reference's vertex
+    values end-to-end (IVertex.java:28-43 carried into compute()).
+
+    rank0 = s(v)/S; rank = alpha*sum(in) + (1-alpha)*s(v)/S with
+    S = ctx['seed_total'] (global seed sum, computed once by the caller)."""
+
+    name = "seeded_pagerank"
+
+    def _seed(self, shard: dict, ctx: dict) -> np.ndarray:
+        col = "v_" + ctx.get("seed_col", "seed")
+        if col not in shard:
+            raise KeyError(
+                f"shard has no vertex value array '{col}' — build the graph "
+                f"with build_graph(vertex_cols=['{ctx.get('seed_col', 'seed')}'])"
+            )
+        return shard[col]
+
+    def _teleport(self, shard: dict, ctx: dict):
+        alpha = ctx.get("alpha", 0.85)
+        return (1.0 - alpha) * self._seed(shard, ctx) / ctx["seed_total"]
+
+    def init(self, shard: dict, ctx: dict) -> dict:
+        return {"rank": self._seed(shard, ctx) / ctx["seed_total"]}
+
+
+def seeded_pagerank(
+    edges_ds=None,
+    g: LinkGraph | None = None,
+    vertices_ds=None,
+    seed_col: str = "seed",
+    seed_total: float | None = None,
+    num_parts: int = 16,
+    partitioner: str = "hash",
+    alpha: float = 0.85,
+    eps: float = 1e-6,
+    iters: int | None = None,
+    max_supersteps: int = 500,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    ckpt_every: int = 1,
+    engine: str = "dataset",
+):
+    """Personalized PageRank seeded by a vertex value column.
+
+    ``vertices_ds`` must carry (vid, <seed_col>); ``seed_total`` (the global
+    seed sum) is computed with one tiny aggregate when not given."""
+    if g is None:
+        if vertices_ds is None:
+            raise ValueError("seeded_pagerank needs vertices_ds with the seed column")
+        if seed_total is None:
+            seed_total = float(vertices_ds.sum(seed_col))
+        g = build_graph(
+            edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
+            directed=True, vertex_cols=[seed_col],
+        )
+    if seed_total is None:
+        raise ValueError("seed_total required when passing a prebuilt graph")
+    ctx = {
+        "alpha": alpha,
+        "eps": eps,
+        "iters": iters,
+        "ckpt_every": ckpt_every,
+        "partitioner": g.partitioner,
+        "num_parts": g.num_parts,
+        "seed_col": seed_col,
+        "seed_total": float(seed_total),
+    }
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
+        g, SeededPageRank(), ctx, max_supersteps=max_supersteps,
+        ckpt_dir=ckpt_dir, resume=resume,
+    )
+    ranks = res.state_dataset().select_columns(["vid", "rank"])
+    return res, ranks
 
 
 def pagerank(

@@ -133,10 +133,15 @@ def load_shard(graph_dir: str, p: int, filesystem=None) -> dict:
 
 def _build_shard(
     group: pa.Table, graph_dir: str, num_parts: int, partitioner: str,
-    filesystem=None,
+    filesystem=None, vertex_cols: list | None = None,
 ) -> pa.Table:
     """map_groups body: one partition's edge+vertex rows -> shard npz +
-    boundary parquet + one report row. All writes via raylink.storage."""
+    boundary parquet + one report row. All writes via raylink.storage.
+
+    ``vertex_cols``: numeric per-vertex value columns carried on the vertex
+    rows (dst == -1); persisted in the shard as ``v_<col>`` float64 arrays
+    aligned to ``vids`` — the reference's typed vertex values
+    (goffish-api/.../IVertex.java:28-43) in columnar form."""
     part = int(group.column("part")[0].as_py())
     src = group.column("src").to_numpy(zero_copy_only=False)
     dst = group.column("dst").to_numpy(zero_copy_only=False)
@@ -190,6 +195,13 @@ def _build_shard(
     )
     if has_w:
         arrays["weights"] = ew
+    for col in vertex_cols or []:
+        vals = np.zeros(len(vids), dtype=np.float64)  # default 0.0
+        vsrc = src[vert_mask]
+        vval = group.column(col).to_numpy(zero_copy_only=False)[vert_mask]
+        pos = np.searchsorted(vids, vsrc)
+        vals[pos] = vval.astype(np.float64)
+        arrays[f"v_{col}"] = vals
     storage.save_npz_atomic(
         storage.join(graph_dir, f"shard_{part}.npz"), arrays, filesystem
     )
@@ -273,6 +285,7 @@ def build_graph(
     n_vertices: int | None = None,
     weighted: bool = False,
     filesystem=None,
+    vertex_cols: list | None = None,
 ) -> LinkGraph:
     """edges (src:int64, dst:int64[, weight:float64 iff weighted=True]) [+
     vertices (vid:int64)] -> LinkGraph.
@@ -283,9 +296,16 @@ def build_graph(
     eagerly execute the upstream pipeline to fetch the schema.
     ``graph_dir`` may be a URI; ``filesystem`` an explicit pyarrow.fs
     FileSystem (pickled into the shard-build tasks).
+    ``vertex_cols`` names numeric value columns on ``vertices_ds`` to persist
+    per-shard (available to algorithms as ``shard['v_<col>']``) — the
+    reference's vertex values (IVertex.java:28-43, loaded by
+    LongTextJSONReader.java:98-120).
     """
     import ray.data  # noqa: F401  (ensures ray.data registered)
 
+    vertex_cols = list(vertex_cols or [])
+    if vertex_cols and vertices_ds is None:
+        raise ValueError("vertex_cols requires an explicit vertices_ds")
     if not directed:
         edges_ds = undirect(edges_ds, weighted=weighted)
     if vertices_ds is None:
@@ -301,10 +321,23 @@ def build_graph(
         cols = {"src": v, "dst": pa.array(np.full(len(batch), -1, dtype=np.int64))}
         if has_weight:
             cols["weight"] = pa.array(np.full(len(batch), np.nan))
+        for c in vertex_cols:
+            cols[c] = pa.compute.cast(batch.column(c), pa.float64())
+        return pa.table(cols)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        # edge rows carry typed nulls for the vertex value columns so both
+        # union branches share one schema
+        cols = {c: batch.column(c) for c in batch.column_names}
+        for c in vertex_cols:
+            cols[c] = pa.nulls(len(batch), type=pa.float64())
         return pa.table(cols)
 
     ecols = ["src", "dst"] + (["weight"] if has_weight else [])
-    combined = edges_ds.select_columns(ecols).union(
+    eds = edges_ds.select_columns(ecols)
+    if vertex_cols:
+        eds = eds.map_batches(edge_rows, batch_format="pyarrow")
+    combined = eds.union(
         vertices_ds.map_batches(vert_rows, batch_format="pyarrow")
     )
     combined = combined.map_batches(
@@ -313,7 +346,9 @@ def build_graph(
     report = (
         combined.groupby("part")
         .map_groups(
-            lambda g: _build_shard(g, graph_dir, num_parts, partitioner, filesystem),
+            lambda g: _build_shard(
+                g, graph_dir, num_parts, partitioner, filesystem, vertex_cols
+            ),
             batch_format="pyarrow",
         )
         .to_pandas()

@@ -113,6 +113,29 @@ def pagerank_sql(iters: int = 30) -> str:
     return _with(*ctes) + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, 8) AS rank FROM pr{iters}"
 
 
+def seeded_pagerank_sql(iters: int = 30) -> str:
+    """Personalized PageRank: teleport proportional to seed s(v)=1+(v%7)
+    (mirrors queries.q_seeded_pagerank / algos.SeededPageRank)."""
+    ctes = [
+        GRAPH_CTES,
+        "deg AS (SELECT src AS vid, count(*)::BIGINT AS outdeg FROM edges GROUP BY src)",
+        "sd AS (SELECT vid, CAST(1 + vid % 7 AS DOUBLE) AS s FROM verts)",
+        "st AS (SELECT SUM(s) AS tot FROM sd)",
+        "pr0 AS (SELECT vid, s / (SELECT tot FROM st) AS rank FROM sd)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pr{t} AS MATERIALIZED (
+  SELECT sd.vid, 0.15 * sd.s / (SELECT tot FROM st) + 0.85 * COALESCE(x.ms, 0) AS rank
+  FROM sd LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.rank / d.outdeg) AS ms
+    FROM pr{t - 1} p JOIN deg d ON d.vid = p.vid JOIN edges e ON e.src = p.vid
+    GROUP BY e.dst
+  ) x ON x.vid = sd.vid)"""
+        )
+    return _with(*ctes) + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, 8) AS rank FROM pr{iters}"
+
+
 def cc_sql() -> str:
     return (
         _with(GRAPH_CTES, CC_CTE, recursive=True)

@@ -94,6 +94,61 @@ def q_pagerank_converged(sf_dir: str):
     return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_seeded_pagerank(sf_dir: str):
+    """Personalized PageRank with teleport proportional to a per-vertex seed
+    value 1 + (vid % 7) stored in the shards via build_graph(vertex_cols) —
+    exercises vertex-property plumbing end-to-end; exact SQL oracle
+    (unrolled iterations with the same seed formula)."""
+    import ray.data as rd
+
+    from raylink.algos import seeded_pagerank
+    from raylink.graph import build_graph
+    from raylink.oracles_sql import P
+
+    _, edges, verts, n = page_edge_tables(sf_dir)
+
+    def add_seed(batch: pa.Table) -> pa.Table:
+        v = batch.column("vid").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "seed", pa.array((1.0 + (v % 7)).astype(np.float64))
+        )
+
+    verts_s = verts.map_batches(add_seed, batch_format="pyarrow")
+    key = cache_key("seeded_pr_graph", sf_dir)
+    from raylink import storage
+    from raylink.pipelines import GRAPH_ROOT
+
+    gdir = storage.join(GRAPH_ROOT, key)
+    if storage.exists(storage.join(gdir, "manifest.json")):
+        from raylink.graph import LinkGraph
+
+        g = LinkGraph.load(gdir)
+    else:
+        g = build_graph(
+            edges.materialize(), verts_s, num_parts=P, partitioner="mod",
+            directed=True, vertex_cols=["seed"], graph_dir=gdir,
+        )
+    # seed_total has a closed form: sum over vids of 1 + (vid % 7)
+    v = np.arange(n, dtype=np.int64)
+    seed_total = float(np.sum(1.0 + (v % 7)))
+    _, ranks = seeded_pagerank(
+        g=g, seed_total=seed_total, iters=PR_ITERS, engine="tasks",
+        ckpt_dir=_ckpt("seeded_pr", sf_dir, PR_ITERS),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(batch.column("rank").to_numpy(zero_copy_only=False), 8)
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_connected_components(sf_dir: str):
     from raylink.algos import connected_components
 
