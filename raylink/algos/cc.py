@@ -11,11 +11,11 @@ Pipeline:
   3. MinLabelLPA over the meta-graph, vertex id == subgraph's min vid
      (globally unique; the final label is therefore the component's min vid,
      partitioning-invariant and SQL-checkable)
-  4. broadcast the tiny (sg -> component) map via ``ray.put`` and join it
-     back onto the vertex table with ``map_batches`` (broadcast join — the
-     meta-graph is orders of magnitude smaller than the graph; a
-     hash-partitioned join is the documented fallback for pathological
-     partition counts).
+  4. join the (sg -> component) map back onto the vertex table via the
+     thresholded ``attach_lookup``: broadcast while the meta-graph is small
+     (the usual case), automatic switch to the distributed hash join when a
+     fragmented crawl produces a dataset-sized subgraph count
+     (``g.n_subgraphs`` is known from the manifest, so the choice is free).
 """
 
 from __future__ import annotations
@@ -40,12 +40,14 @@ def connected_components(
     resume: bool = True,
     ckpt_every: int = 1,
     engine: str = "dataset",
+    broadcast_threshold: int | None = None,
 ):
     """Returns (BSPResult of the meta-graph LPA, Dataset (vid, component))
     where component = min vid of the vertex's weakly connected component."""
-    import ray
-    import ray.data as rd
+    from raylink.join import BROADCAST_THRESHOLD, attach_lookup
 
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
     if g is None:
         g = build_graph(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
@@ -79,17 +81,21 @@ def connected_components(
         ckpt_dir=ckpt_dir,
         resume=resume,
     )
-    meta_pdf = res.state_dataset().select_columns(["vid", "label"]).to_pandas()
-    sg_arr = meta_pdf["vid"].to_numpy(dtype=np.int64)
-    lab_arr = meta_pdf["label"].to_numpy(dtype=np.int64)
-    order = np.argsort(sg_arr)
-    ref = ray.put((sg_arr[order], lab_arr[order]))
-
-    def attach(batch: pa.Table) -> pa.Table:
-        sgs, labs = ray.get(ref)
-        mine = batch.column("sg_minvid").to_numpy(zero_copy_only=False)
-        comp = labs[np.searchsorted(sgs, mine)]
-        return pa.table({"vid": batch.column("vid"), "component": pa.array(comp)})
-
-    comps = vertex_table(g).map_batches(attach, batch_format="pyarrow")
+    labels_ds = res.state_dataset().map_batches(
+        lambda b: pa.table({"sg_minvid": b.column("vid"), "component": b.column("label")}),
+        batch_format="pyarrow",
+    )
+    verts = vertex_table(g).map_batches(
+        lambda b: pa.table({"sg_minvid": b.column("sg_minvid"), "vid": b.column("vid")}),
+        batch_format="pyarrow",
+    )
+    joined = attach_lookup(
+        verts, labels_ds, on="sg_minvid",
+        left_cols={"vid": pa.int64()}, value_cols={"component": pa.int64()},
+        n_lookup_rows=g.n_subgraphs, broadcast_threshold=broadcast_threshold,
+    )
+    comps = joined.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"), "component": b.column("component")}),
+        batch_format="pyarrow",
+    )
     return res, comps

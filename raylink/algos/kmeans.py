@@ -131,27 +131,72 @@ def _pick_seeds(g: LinkGraph, k: int, salt: int) -> np.ndarray:
     return np.sort(pdf["vid"].to_numpy(np.int64)[order])
 
 
-def crossing_count(edges_ds, labels_pdf) -> int:
-    """Edges whose endpoints carry different cluster labels (broadcast label
-    lookup; labels of -1 never match)."""
-    import ray
+def crossing_count(
+    edges_ds,
+    labels_ds,
+    n_vertices: int,
+    broadcast_threshold: int | None = None,
+    force: str | None = None,
+) -> int:
+    """Edges whose endpoints carry different cluster labels.
 
-    vv = labels_pdf["vid"].to_numpy(np.int64)
-    cc = labels_pdf["cluster"].to_numpy(np.int64)
-    order = np.argsort(vv)
-    ref = ray.put((vv[order], cc[order]))
+    Thresholded like every lookup in the engine: label table broadcast below
+    ``broadcast_threshold`` vertices (one streaming pass over the edges),
+    else two distributed hash joins (src label, then dst label) with nothing
+    on the driver. ``force`` pins a path for testing; both produce the same
+    count."""
+    from raylink.join import BROADCAST_THRESHOLD, hash_join
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
+    use_broadcast = force == "broadcast" or (
+        force is None and n_vertices <= broadcast_threshold
+    )
+    if use_broadcast:
+        import ray
+
+        labels_pdf = labels_ds.select_columns(["vid", "cluster"]).to_pandas()
+        vv = labels_pdf["vid"].to_numpy(np.int64)
+        cc = labels_pdf["cluster"].to_numpy(np.int64)
+        order = np.argsort(vv)
+        ref = ray.put((vv[order], cc[order]))
+
+        def count(batch: pa.Table) -> pa.Table:
+            v, c = ray.get(ref)
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            cs = c[np.searchsorted(v, s)]
+            cd = c[np.searchsorted(v, d)]
+            return pa.table(
+                {"x": pa.array([int(np.sum(cs != cd))], type=pa.int64())}
+            )
+
+        return int(edges_ds.map_batches(count, batch_format="pyarrow").sum("x") or 0)
+
+    src_lab = labels_ds.map_batches(
+        lambda b: pa.table({"src": b.column("vid"), "cs": b.column("cluster")}),
+        batch_format="pyarrow",
+    )
+    dst_lab = labels_ds.map_batches(
+        lambda b: pa.table({"dst": b.column("vid"), "cd": b.column("cluster")}),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(
+        edges_ds, src_lab, on="src",
+        left_cols={"dst": pa.int64()}, right_cols={"cs": pa.int64()},
+    )
+    j2 = hash_join(
+        j1, dst_lab, on="dst",
+        left_cols={"src": pa.int64(), "cs": pa.int64()},
+        right_cols={"cd": pa.int64()},
+    )
 
     def count(batch: pa.Table) -> pa.Table:
-        v, c = ray.get(ref)
-        s = batch.column("src").to_numpy(zero_copy_only=False)
-        d = batch.column("dst").to_numpy(zero_copy_only=False)
-        cs = c[np.searchsorted(v, s)]
-        cd = c[np.searchsorted(v, d)]
-        return pa.table(
-            {"x": pa.array([int(np.sum(cs != cd))], type=pa.int64())}
-        )
+        cs = batch.column("cs").to_numpy(zero_copy_only=False)
+        cd = batch.column("cd").to_numpy(zero_copy_only=False)
+        return pa.table({"x": pa.array([int(np.sum(cs != cd))], type=pa.int64())})
 
-    return int(edges_ds.map_batches(count, batch_format="pyarrow").sum("x") or 0)
+    return int(j2.map_batches(count, batch_format="pyarrow").sum("x") or 0)
 
 
 def graph_kmeans(
@@ -186,8 +231,7 @@ def graph_kmeans(
         ck = None if ckpt_root is None else f"{ckpt_root}/iter{it}"
         res = _run(g, KMeansCluster(), ctx, ckpt_dir=ck, resume=ck is not None)
         labels = res.state_dataset().select_columns(["vid", "cluster", "dist"])
-        pdf = labels.to_pandas()
-        crossings = crossing_count(edges_ds, pdf)
+        crossings = crossing_count(edges_ds, labels, g.n_vertices)
         history.append(
             {"iteration": it, "seeds": seeds.tolist(), "crossings": crossings}
         )

@@ -10,7 +10,8 @@ out-degree ~O(sqrt(E)) and keeps the wedge stage from exploding on
 high-degree hub vertices.
 
   1. canonical distinct undirected edges (min,max) + degree table;
-  2. orient each edge low-rank -> high-rank (broadcast degree lookup);
+  2. orient each edge low-rank -> high-rank (degree attach: broadcast below
+     a vertex-count threshold, distributed pair_attach join above it);
   3. wedges: hash-bucket by apex vertex (B coarse groups, NOT one group per
      vertex — per-key map_groups would spawn millions of tiny tasks at crawl
      scale), vectorized rank-ordered neighbour-pair generation per bucket;
@@ -44,60 +45,105 @@ def _unpack(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return keys >> np.int64(32), keys & np.int64(0xFFFFFFFF)
 
 
-def triangle_count(edges_ds, num_buckets: int = 32) -> int:
-    """Global triangle count of the undirected simple graph."""
+def triangle_count(
+    edges_ds,
+    num_buckets: int = 32,
+    broadcast_threshold: int | None = None,
+    force: str | None = None,
+) -> int:
+    """Global triangle count of the undirected simple graph.
+
+    The degree attach for orientation is thresholded: below
+    ``broadcast_threshold`` distinct vertices the degree table is broadcast
+    (``ray.put`` once, searchsorted per batch); above it the degrees are
+    joined onto both edge endpoints with the distributed ``pair_attach``
+    (two bucket shuffles, nothing on the driver) — at a 10^12-vertex crawl
+    the broadcast would be a driver OOM. ``force`` pins a path for testing
+    ('broadcast' | 'shuffle'); both produce identical counts (orientation is
+    the same (degree, vid) rank either way)."""
     import ray
-    import ray.data as rd
+
+    from raylink.join import BROADCAST_THRESHOLD, pair_attach
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
 
     edges = edges_ds.map_batches(_canon, batch_format="pyarrow")
     # distinct canonical edges (hash-partitioned exact dedup on the packed key)
     distinct = edges.groupby("key").count().select_columns(["key"]).materialize()
 
-    # degree table -> driver -> broadcast (small relative to E; at crawl scale
-    # replace with a hash join of a degree Dataset — documented fallback)
     def endpoints(batch: pa.Table) -> pa.Table:
         a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
         v, c = np.unique(np.concatenate([a, b]), return_counts=True)
         return pa.table({"vid": pa.array(v), "c": pa.array(c)})
 
-    deg_pdf = (
+    deg_ds = (
         distinct.map_batches(endpoints, batch_format="pyarrow")
         .groupby("vid")
         .sum("c")
-        .to_pandas()
+        .map_batches(
+            lambda b: pa.table({"vid": b.column("vid"), "deg": b.column("sum(c)")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
-    vid_arr = deg_pdf["vid"].to_numpy(dtype=np.int64)
-    deg_arr = deg_pdf["sum(c)"].to_numpy(dtype=np.int64)
-    order = np.argsort(vid_arr)
-    ref = ray.put((vid_arr[order], deg_arr[order]))
+    n_verts = deg_ds.count()
+    use_broadcast = force == "broadcast" or (
+        force is None and n_verts <= broadcast_threshold
+    )
 
-    def orient(batch: pa.Table) -> pa.Table:
-        """Orient low-rank -> high-rank; bucket by apex (src) for the wedge
-        stage."""
-        vids, degs = ray.get(ref)
-        a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
-        da = degs[np.searchsorted(vids, a)]
-        db = degs[np.searchsorted(vids, b)]
+    def orient_arrays(a, b, da, db):
+        """(degree, vid)-rank orientation; returns (lo, hi, deg(hi))."""
         a_first = (da < db) | ((da == db) & (a < b))
         lo = np.where(a_first, a, b)
         hi = np.where(a_first, b, a)
+        dhi = np.where(a_first, db, da)
         bucket = (splitmix64(lo.astype(np.uint64)) % np.uint64(num_buckets)).astype(
             np.int32
         )
         return pa.table(
-            {"src": pa.array(lo), "dst": pa.array(hi), "bucket": pa.array(bucket)}
+            {"src": pa.array(lo), "dst": pa.array(hi), "ddst": pa.array(dhi),
+             "bucket": pa.array(bucket)}
         )
 
-    oriented = distinct.map_batches(orient, batch_format="pyarrow").materialize()
+    if use_broadcast:
+        deg_pdf = deg_ds.to_pandas()
+        vid_arr = deg_pdf["vid"].to_numpy(dtype=np.int64)
+        deg_arr = deg_pdf["deg"].to_numpy(dtype=np.int64)
+        order = np.argsort(vid_arr)
+        ref = ray.put((vid_arr[order], deg_arr[order]))
+
+        def orient(batch: pa.Table) -> pa.Table:
+            vids, degs = ray.get(ref)
+            a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+            da = degs[np.searchsorted(vids, a)]
+            db = degs[np.searchsorted(vids, b)]
+            return orient_arrays(a, b, da, db)
+
+        oriented = distinct.map_batches(orient, batch_format="pyarrow").materialize()
+    else:
+        paired = pair_attach(
+            distinct, deg_ds, {"deg": pa.int64()}, id_col="vid",
+            num_buckets=num_buckets,
+        )
+
+        def orient(batch: pa.Table) -> pa.Table:
+            a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+            da = batch.column("deg_a").to_numpy(zero_copy_only=False)
+            db = batch.column("deg_b").to_numpy(zero_copy_only=False)
+            return orient_arrays(a, b, da, db)
+
+        oriented = paired.map_batches(orient, batch_format="pyarrow").materialize()
 
     def wedges(group: pa.Table) -> pa.Table:
         """All rank-ordered neighbour pairs, per apex, vectorized over the
-        bucket's adjacency (python loop only over apexes in this bucket)."""
-        vids, degs = ray.get(ref)
+        bucket's adjacency (python loop only over apexes in this bucket);
+        neighbour rank uses the carried deg(dst) — no lookup."""
         src = group.column("src").to_numpy(zero_copy_only=False)
         dst = group.column("dst").to_numpy(zero_copy_only=False)
+        ddst = group.column("ddst").to_numpy(zero_copy_only=False)
         order_ = np.argsort(src, kind="stable")
-        src, dst = src[order_], dst[order_]
+        src, dst, ddst = src[order_], dst[order_], ddst[order_]
         starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
         ends = np.r_[starts[1:], len(src)]
         keys, cnts = [], []
@@ -105,7 +151,7 @@ def triangle_count(edges_ds, num_buckets: int = 32) -> int:
             if en - st < 2:
                 continue
             nbr = dst[st:en]
-            d = degs[np.searchsorted(vids, nbr)]
+            d = ddst[st:en]
             nbr = nbr[np.lexsort((nbr, d))]  # rank order
             ii, jj = np.triu_indices(len(nbr), k=1)
             k = (nbr[ii] << np.int64(32)) | nbr[jj]

@@ -1,0 +1,275 @@
+"""Distributed joins: the large x large hash join and the thresholded
+broadcast-or-shuffle lookup.
+
+Every join in the engine is one of three shapes, picked by data size:
+
+- **broadcast lookup** — the small side fits comfortably in a worker heap:
+  ``ray.put`` the sorted arrays once, ``searchsorted`` per batch. O(1)
+  shuffles; wrong when the small side is dataset-sized.
+- **hash join** (``hash_join``) — both sides dataset-sized: bucket both by
+  ``splitmix64(key) % B``, union, one ``groupby(bucket)`` shuffle, vectorized
+  searchsorted lookup per bucket group. One shuffle group serves many keys,
+  so group count stays at ``num_buckets`` regardless of row count.
+- **pair attach** (``pair_attach``) — join per-entity values onto packed
+  ``(a<<32)|b`` pair keys (dedup verify, degree orientation): two bucket
+  shuffles, documented in the function.
+
+``attach_lookup`` picks broadcast vs hash join from an explicit row count —
+the caller always knows it (graph manifests carry n_vertices/n_subgraphs) —
+so no code path silently materializes a dataset-sized table on the driver.
+
+Schemas are passed explicitly as name->pyarrow-type dicts everywhere:
+``Dataset.schema()`` would eagerly execute the upstream pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.util import splitmix64
+
+# lookups above this many rows switch from ray.put broadcast to a hash join
+BROADCAST_THRESHOLD = 2_000_000
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on: str,
+    left_cols: dict,
+    right_cols: dict,
+    num_buckets: int = 64,
+    strict: bool = True,
+):
+    """Distributed hash equi-join on an int64 key.
+
+    - ``left_cols`` / ``right_cols``: explicit name->pyarrow-type column
+      dicts, EXCLUDING ``on``; names must be disjoint.
+    - left keys may repeat; right keys must be unique (a lookup relation).
+    - ``strict=True`` raises if a left key has no right match (the engine's
+      joins are referential: labels/degrees exist for every vertex);
+      ``strict=False`` drops unmatched left rows (inner join).
+
+    Returns Dataset (``on``, *left_cols, *right_cols).
+    """
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"hash_join column collision: {sorted(overlap)}")
+    B = np.uint64(num_buckets)
+
+    def tag(is_left: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column(on).to_numpy(zero_copy_only=False)
+            n = len(key)
+            cols = {
+                "b": pa.array((splitmix64(key.astype(np.uint64)) % B).astype(np.int32)),
+                on: batch.column(on),
+                "_s": pa.array(
+                    np.zeros(n, np.int8) if is_left else np.ones(n, np.int8)
+                ),
+            }
+            for nm, typ in left_cols.items():
+                cols[nm] = batch.column(nm) if is_left else pa.nulls(n, type=typ)
+            for nm, typ in right_cols.items():
+                cols[nm] = pa.nulls(n, type=typ) if is_left else batch.column(nm)
+            return pa.table(cols)
+
+        return fn
+
+    def join_group(group: pa.Table) -> pa.Table:
+        s = group.column("_s").to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(s == 0))
+        right = group.filter(pa.array(s == 1))
+        lkey = left.column(on).to_numpy(zero_copy_only=False)
+        rkey = right.column(on).to_numpy(zero_copy_only=False)
+        order = np.argsort(rkey)
+        rs = rkey[order]
+        pos = np.searchsorted(rs, lkey)
+        ok = (pos < len(rs)) & (rs[np.minimum(pos, max(len(rs) - 1, 0))] == lkey) \
+            if len(rs) else np.zeros(len(lkey), dtype=bool)
+        if strict and not ok.all():
+            missing = np.unique(lkey[~ok])[:5]
+            raise ValueError(f"hash_join: no right row for keys {missing.tolist()}")
+        lsel = left.filter(pa.array(ok))
+        taken = right.take(pa.array(order[pos[ok]]))
+        cols = {on: lsel.column(on)}
+        for nm in left_cols:
+            cols[nm] = lsel.column(nm)
+        for nm in right_cols:
+            cols[nm] = taken.column(nm)
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag(True), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(False), batch_format="pyarrow")
+    )
+    return both.groupby("b").map_groups(join_group, batch_format="pyarrow")
+
+
+def attach_lookup(
+    ds,
+    lookup_ds,
+    on: str,
+    left_cols: dict,
+    value_cols: dict,
+    n_lookup_rows: int,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+    num_buckets: int = 64,
+):
+    """Attach ``value_cols`` from a unique-keyed lookup relation onto ``ds``.
+
+    Picks the join shape from ``n_lookup_rows`` (callers know it from graph
+    manifests / aggregates): small -> ``ray.put`` broadcast + per-batch
+    searchsorted (one pass, zero shuffles); large -> ``hash_join`` (one
+    shuffle, nothing driver-side). Both paths produce identical rows (tested).
+    """
+    if n_lookup_rows <= broadcast_threshold:
+        import ray
+
+        pdf = lookup_ds.to_pandas()
+        key = pdf[on].to_numpy(np.int64)
+        order = np.argsort(key)
+        vals = {nm: pdf[nm].to_numpy()[order] for nm in value_cols}
+        ref = ray.put((key[order], vals))
+
+        def attach(batch: pa.Table) -> pa.Table:
+            k_sorted, v = ray.get(ref)
+            bkey = batch.column(on).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(k_sorted, bkey)
+            ok = (pos < len(k_sorted)) & (
+                k_sorted[np.minimum(pos, max(len(k_sorted) - 1, 0))] == bkey
+            )
+            if not ok.all():
+                missing = np.unique(bkey[~ok])[:5]
+                raise ValueError(f"attach_lookup: no lookup row for {missing.tolist()}")
+            cols = {on: batch.column(on)}
+            for nm in left_cols:
+                cols[nm] = batch.column(nm)
+            for nm in value_cols:
+                cols[nm] = pa.array(v[nm][pos])
+            return pa.table(cols)
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+    return hash_join(
+        ds, lookup_ds, on, left_cols, value_cols, num_buckets=num_buckets
+    )
+
+
+def pair_attach(cand_ds, values_ds, value_fields: dict,
+                carry_fields: dict | None = None, num_buckets: int = 64,
+                id_col: str = "doc_id"):
+    """Join per-entity value columns onto packed candidate pair keys, fully
+    distributed (the crawl-scale verify path — replaces any broadcast/driver
+    lookup of a dataset-sized side).
+
+    - ``cand_ds``: Dataset with ``key`` = (a<<32)|b (a<b, ids < 2**32) plus
+      optional ``carry_fields`` columns passed through (e.g. counts). Keys
+      must be unique (dedupe upstream with a groupby).
+    - ``values_ds``: Dataset (``id_col``, **value_fields) — ONE row per id.
+    - Returns Dataset (key, <v>_a, <v>_b, ..., *carry).
+
+    Shape: two coarse-bucket shuffles. (1) candidate keys explode into one
+    row per (pair, side) bucketed by hash(id); value rows flow into the same
+    buckets; a vectorized searchsorted lookup inside each bucket group
+    attaches the id's values. (2) attached rows re-bucket by hash(key); each
+    group pairs up side 0/1 rows per key. One shuffle group serves many ids/
+    keys, so group count stays at ``num_buckets`` regardless of input size.
+    """
+    names = list(value_fields)
+    carry = dict(carry_fields or {})
+    B = np.uint64(num_buckets)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        a = key >> np.int64(32)
+        b = key & np.int64(0xFFFFFFFF)
+        ent = np.concatenate([a, b])
+        side = np.concatenate(
+            [np.zeros(len(key), np.int8), np.ones(len(key), np.int8)]
+        )
+        cols = {
+            "b": pa.array((splitmix64(ent.astype(np.uint64)) % B).astype(np.int32)),
+            id_col: pa.array(ent),
+            "key": pa.array(np.concatenate([key, key])),
+            "side": pa.array(side),
+        }
+        for nm, typ in value_fields.items():
+            cols[nm] = pa.nulls(len(ent), type=typ)
+        for nm in carry:
+            c = batch.column(nm)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            cols[nm] = pa.concat_arrays([c, c])
+        return pa.table(cols)
+
+    def val_rows(batch: pa.Table) -> pa.Table:
+        ent = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ent)
+        cols = {
+            "b": pa.array((splitmix64(ent.astype(np.uint64)) % B).astype(np.int32)),
+            id_col: batch.column(id_col),
+            "key": pa.array(np.full(n, -1, dtype=np.int64)),
+            "side": pa.array(np.full(n, -1, dtype=np.int8)),
+        }
+        for nm in names:
+            cols[nm] = batch.column(nm)
+        for nm, typ in carry.items():
+            cols[nm] = pa.nulls(n, type=typ)
+        return pa.table(cols)
+
+    def attach(group: pa.Table) -> pa.Table:
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        is_val = side < 0
+        vrows = group.filter(pa.array(is_val))
+        crows = group.filter(pa.array(~is_val))
+        key = crows.column("key").to_numpy(zero_copy_only=False)
+        cols = {
+            "kb": pa.array(
+                (splitmix64(key.astype(np.uint64)) % B).astype(np.int32)
+            ),
+            "key": crows.column("key"),
+            "side": crows.column("side"),
+        }
+        if crows.num_rows:
+            vent = vrows.column(id_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(vent)
+            cent = crows.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vent[order], cent)
+            if len(vent) == 0 or not (vent[order][np.minimum(pos, len(vent) - 1)] == cent).all():
+                raise ValueError("pair_attach: candidate id missing a value row")
+            taken = vrows.take(pa.array(order[pos]))
+            for nm in names:
+                cols[nm] = taken.column(nm)
+        else:
+            for nm, typ in value_fields.items():
+                cols[nm] = pa.nulls(0, type=typ)
+        for nm in carry:
+            cols[nm] = crows.column(nm)
+        return pa.table(cols)
+
+    def pairup(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        side = group.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, key))
+        t = group.take(pa.array(order))
+        k = key[order]
+        if len(k) % 2 or not np.array_equal(k[0::2], k[1::2]):
+            raise ValueError("pair_attach: unpaired candidate key in bucket")
+        ev = t.take(pa.array(np.arange(0, len(k), 2)))
+        od = t.take(pa.array(np.arange(1, len(k), 2)))
+        cols = {"key": pa.array(k[0::2])}
+        for nm in names:
+            cols[f"{nm}_a"] = ev.column(nm)
+            cols[f"{nm}_b"] = od.column(nm)
+        for nm in carry:
+            cols[nm] = ev.column(nm)
+        return pa.table(cols)
+
+    exploded = cand_ds.map_batches(explode, batch_format="pyarrow")
+    vals = values_ds.map_batches(val_rows, batch_format="pyarrow")
+    attached = (
+        exploded.union(vals)
+        .groupby("b")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+    return attached.groupby("kb").map_groups(pairup, batch_format="pyarrow")

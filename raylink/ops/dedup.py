@@ -64,124 +64,9 @@ def _grams_of(text: str, n: int) -> set:
     return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
 
 
-# ------------------------------------------------- distributed pair-value join
-def _pair_attach(cand_ds, values_ds, value_fields: dict, carry_fields: dict | None = None,
-                 num_buckets: int = 64):
-    """Join per-doc value columns onto packed candidate pair keys, fully
-    distributed (the crawl-scale verify path — replaces any broadcast/driver
-    lookup of a dataset-sized side).
-
-    - ``cand_ds``: Dataset with ``key`` = (a<<32)|b (a<b) plus optional
-      ``carry_fields`` columns to pass through (e.g. intersection counts).
-    - ``values_ds``: Dataset (doc_id, **value_fields) — ONE row per doc.
-    - Returns Dataset (key, <v>_a, <v>_b, ..., *carry).
-
-    Shape: two coarse-bucket shuffles. (1) candidate keys explode into one
-    row per (pair, side) bucketed by hash(doc_id); value rows flow into the
-    same buckets; a vectorized searchsorted lookup inside each bucket group
-    attaches the doc's values. (2) attached rows re-bucket by hash(key); each
-    group pairs up side 0/1 rows per key. One shuffle group serves many docs/
-    keys, so group count stays at ``num_buckets`` regardless of corpus size.
-    """
-    from raylink.util import splitmix64
-
-    names = list(value_fields)
-    carry = dict(carry_fields or {})
-    B = np.uint64(num_buckets)
-
-    def explode(batch: pa.Table) -> pa.Table:
-        key = batch.column("key").to_numpy(zero_copy_only=False)
-        a = key >> np.int64(32)
-        b = key & np.int64(0xFFFFFFFF)
-        doc = np.concatenate([a, b])
-        side = np.concatenate(
-            [np.zeros(len(key), np.int8), np.ones(len(key), np.int8)]
-        )
-        cols = {
-            "b": pa.array((splitmix64(doc.astype(np.uint64)) % B).astype(np.int32)),
-            "doc_id": pa.array(doc),
-            "key": pa.array(np.concatenate([key, key])),
-            "side": pa.array(side),
-        }
-        for nm, typ in value_fields.items():
-            cols[nm] = pa.nulls(len(doc), type=typ)
-        for nm in carry:
-            c = batch.column(nm)
-            cols[nm] = pa.concat_arrays([c.combine_chunks(), c.combine_chunks()]) \
-                if isinstance(c, pa.ChunkedArray) else pa.concat_arrays([c, c])
-        return pa.table(cols)
-
-    def val_rows(batch: pa.Table) -> pa.Table:
-        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        n = len(doc)
-        cols = {
-            "b": pa.array((splitmix64(doc.astype(np.uint64)) % B).astype(np.int32)),
-            "doc_id": batch.column("doc_id"),
-            "key": pa.array(np.full(n, -1, dtype=np.int64)),
-            "side": pa.array(np.full(n, -1, dtype=np.int8)),
-        }
-        for nm in names:
-            cols[nm] = batch.column(nm)
-        for nm, typ in carry.items():
-            cols[nm] = pa.nulls(n, type=typ)
-        return pa.table(cols)
-
-    def attach(group: pa.Table) -> pa.Table:
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        is_val = side < 0
-        vrows = group.filter(pa.array(is_val))
-        crows = group.filter(pa.array(~is_val))
-        key = crows.column("key").to_numpy(zero_copy_only=False)
-        cols = {
-            "kb": pa.array(
-                (splitmix64(key.astype(np.uint64)) % B).astype(np.int32)
-            ),
-            "key": crows.column("key"),
-            "side": crows.column("side"),
-        }
-        if crows.num_rows:
-            vdoc = vrows.column("doc_id").to_numpy(zero_copy_only=False)
-            order = np.argsort(vdoc)
-            cdoc = crows.column("doc_id").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(vdoc[order], cdoc)
-            if len(vdoc) == 0 or not (vdoc[order][np.minimum(pos, len(vdoc) - 1)] == cdoc).all():
-                raise ValueError("_pair_attach: candidate doc missing a value row")
-            taken = vrows.take(pa.array(order[pos]))
-            for nm in names:
-                cols[nm] = taken.column(nm)
-        else:
-            for nm, typ in value_fields.items():
-                cols[nm] = pa.nulls(0, type=typ)
-        for nm in carry:
-            cols[nm] = crows.column(nm)
-        return pa.table(cols)
-
-    def pairup(group: pa.Table) -> pa.Table:
-        key = group.column("key").to_numpy(zero_copy_only=False)
-        side = group.column("side").to_numpy(zero_copy_only=False)
-        order = np.lexsort((side, key))
-        t = group.take(pa.array(order))
-        k = key[order]
-        if len(k) % 2 or not np.array_equal(k[0::2], k[1::2]):
-            raise ValueError("_pair_attach: unpaired candidate key in bucket")
-        ev = t.take(pa.array(np.arange(0, len(k), 2)))
-        od = t.take(pa.array(np.arange(1, len(k), 2)))
-        cols = {"key": pa.array(k[0::2])}
-        for nm in names:
-            cols[f"{nm}_a"] = ev.column(nm)
-            cols[f"{nm}_b"] = od.column(nm)
-        for nm in carry:
-            cols[nm] = ev.column(nm)
-        return pa.table(cols)
-
-    exploded = cand_ds.map_batches(explode, batch_format="pyarrow")
-    vals = values_ds.map_batches(val_rows, batch_format="pyarrow")
-    attached = (
-        exploded.union(vals)
-        .groupby("b")
-        .map_groups(attach, batch_format="pyarrow")
-    )
-    return attached.groupby("kb").map_groups(pairup, batch_format="pyarrow")
+# distributed pair-value join lives in raylink.join (shared with the
+# similarity ops and the graph-side degree/label attaches)
+from raylink.join import pair_attach as _pair_attach  # noqa: E402
 
 
 # ------------------------------------------------------------------ exact

@@ -1,0 +1,120 @@
+"""raylink.join: the large x large hash join, the thresholded lookup, and
+the forced shuffle paths of triangles / CC / kmeans-crossing — each shuffle
+path must produce exactly what the broadcast path produces."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from oracles import cc_oracle, triangle_oracle
+from raylink.synth import expected_edges
+
+N = 121
+
+
+@pytest.fixture(scope="module")
+def edge_data(ray_session):
+    import ray.data as rd
+
+    edges = expected_edges(N)
+    edges_ds = rd.from_arrow(
+        pa.table({"src": pa.array(edges[:, 0]), "dst": pa.array(edges[:, 1])})
+    ).materialize()
+    verts_ds = rd.from_arrow(pa.table({"vid": pa.array(np.arange(N, dtype=np.int64))}))
+    return edges, edges_ds, verts_ds
+
+
+def test_hash_join_basic(ray_session):
+    import ray.data as rd
+
+    from raylink.join import hash_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 3, 7], type=pa.int64()),
+                  "x": pa.array([10, 20, 21, 30, 70], type=pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 7, 9], type=pa.int64()),
+                  "y": pa.array([-1, -2, -3, -7, -9], type=pa.int64())})
+    )
+    out = hash_join(left, right, on="k", left_cols={"x": pa.int64()},
+                    right_cols={"y": pa.int64()}).to_pandas().sort_values(["k", "x"])
+    assert list(out["k"]) == [1, 2, 2, 3, 7]  # duplicate left keys preserved
+    assert list(out["y"]) == [-1, -2, -2, -3, -7]
+
+
+def test_hash_join_strict_raises(ray_session):
+    import ray.data as rd
+
+    from raylink.join import hash_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 5], type=pa.int64()),
+                                   "x": pa.array([0, 0], type=pa.int64())}))
+    right = rd.from_arrow(pa.table({"k": pa.array([1], type=pa.int64()),
+                                    "y": pa.array([9], type=pa.int64())}))
+    with pytest.raises(Exception, match="no right row"):
+        hash_join(left, right, on="k", left_cols={"x": pa.int64()},
+                  right_cols={"y": pa.int64()}).materialize()
+    # non-strict: inner join drops the unmatched key
+    out = hash_join(left, right, on="k", left_cols={"x": pa.int64()},
+                    right_cols={"y": pa.int64()}, strict=False).to_pandas()
+    assert list(out["k"]) == [1]
+
+
+def test_attach_lookup_paths_agree(ray_session):
+    import ray.data as rd
+
+    from raylink.join import attach_lookup
+
+    rng = np.random.default_rng(0)
+    keys = rng.permutation(200).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys),
+                                 "x": pa.array(keys * 3)})).materialize()
+    lk = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(200, dtype=np.int64)),
+                  "v": pa.array(np.arange(200, dtype=np.int64) * 7)})
+    ).materialize()
+    kw = dict(on="k", left_cols={"x": pa.int64()}, value_cols={"v": pa.int64()},
+              n_lookup_rows=200)
+    a = attach_lookup(ds, lk, broadcast_threshold=10**6, **kw).to_pandas().sort_values("k").reset_index(drop=True)
+    b = attach_lookup(ds, lk, broadcast_threshold=0, **kw).to_pandas().sort_values("k").reset_index(drop=True)
+    assert (a == b).all().all()
+    assert (a["v"] == a["k"] * 7).all()
+
+
+def test_triangles_shuffle_path(edge_data):
+    from raylink.algos import triangle_count
+
+    edges, edges_ds, _ = edge_data
+    exp = triangle_oracle(N, edges)
+    got_b = triangle_count(edges_ds, force="broadcast")
+    got_s = triangle_count(edges_ds, force="shuffle")
+    assert got_b == got_s == exp
+
+
+def test_cc_shuffle_attach(edge_data, tmp_path):
+    from raylink.algos import connected_components
+
+    edges, edges_ds, verts_ds = edge_data
+    _, comps = connected_components(
+        edges_ds, vertices_ds=verts_ds, num_parts=4,
+        ckpt_dir=str(tmp_path / "ck"), broadcast_threshold=0,  # force hash join
+    )
+    pdf = comps.to_pandas().sort_values("vid")
+    np.testing.assert_array_equal(pdf["component"].to_numpy(), cc_oracle(N, edges))
+
+
+def test_crossing_count_paths_agree(edge_data, tmp_path):
+    import ray.data as rd
+
+    from raylink.algos.kmeans import crossing_count
+
+    edges, edges_ds, _ = edge_data
+    labels = rd.from_arrow(
+        pa.table({"vid": pa.array(np.arange(N, dtype=np.int64)),
+                  "cluster": pa.array((np.arange(N) % 3).astype(np.int64))})
+    ).materialize()
+    b = crossing_count(edges_ds, labels, N, force="broadcast")
+    s = crossing_count(edges_ds, labels, N, force="shuffle")
+    exp = int(np.sum((edges[:, 0] % 3) != (edges[:, 1] % 3)))
+    assert b == s == exp
