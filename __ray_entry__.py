@@ -130,7 +130,9 @@ def oracle_sql() -> dict[str, str]:
         "coreness": o.coreness_sql(k_max=6),
         "coreness_montresor": o.coreness_sql(k_max=6),
         "meta_diameter": o.meta_diameter_sql(),
-        # rows-only (hash-family- or construction-dependent values):
-        # subgraph_rank, graph_kmeans, dedup_minhash, dedup_simhash,
-        # ann_lsh, media_features — each oracle-tested in pytest
+        "media_features": o.media_features_sql(),
+        "subgraph_rank": o.subgraph_rank_sql(),
+        # rows-only (hash-family- or probabilistic-recall values):
+        # graph_kmeans, dedup_minhash, dedup_simhash, ann_lsh,
+        # embedding_pairs_lsh — each oracle-tested in pytest
     }

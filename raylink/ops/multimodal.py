@@ -55,8 +55,9 @@ class DecodeMedia:
     deterministic so the plumbing (schema, actor signature, output layout,
     small-batch sizing for wide binary rows) is fully testable.
 
-    Output: media_id, width, height, n_bytes, features: list<float32>[8]
-    (byte-value histogram, L1-normalized).
+    Output: media_id, width, height, n_bytes, features: list<float64>[8]
+    (byte-value histogram, L1-normalized; float64 so the SQL oracle's exact
+    rational c/total matches after rounding).
     """
 
     N_BINS = 8
@@ -85,7 +86,7 @@ class DecodeMedia:
             ws.append(w)
             hs.append(h)
             nb.append(len(px))
-            feats.append((hist / total).astype(np.float32))
+            feats.append(hist / total)
         return pa.table(
             {
                 "media_id": ids,
@@ -93,10 +94,39 @@ class DecodeMedia:
                 "height": pa.array(hs, type=pa.int32()),
                 "n_bytes": pa.array(nb, type=pa.int64()),
                 "features": pa.array(
-                    [f.tolist() for f in feats], type=pa.list_(pa.float32())
+                    [f.tolist() for f in feats], type=pa.list_(pa.float64())
                 ),
             }
         )
+
+
+def media_from_documents(docs_ds):
+    """Wrap each document's ASCII text bytes as an RLNKIMG1 blob (w = byte
+    length, h = 1): a deterministic, real-table-derived media corpus whose
+    decoded features are SQL-expressible — the oracle recomputes the byte
+    histogram with ord(substr(text, i, 1)). The PRNG ``synth_media`` remains
+    for plumbing tests with arbitrary payloads."""
+    import struct as _struct
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        blobs, ws = [], []
+        for t in batch.column("text").to_pylist():
+            bs = (t or "").encode("utf-8")
+            w = min(len(bs), 0xFFFF)
+            blobs.append(MAGIC + _struct.pack("<HH", w, 1) + bs)
+            ws.append(w)
+        return pa.table(
+            {
+                "media_id": ids,
+                "media": pa.array(blobs, type=pa.binary()),
+                "mime": pa.array(["image/x-rlnk"] * len(blobs)),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(np.ones(len(blobs), dtype=np.int32)),
+            }
+        )
+
+    return docs_ds.map_batches(wrap, batch_format="pyarrow")
 
 
 def media_features(media_ds, batch_size: int = 64, concurrency: int = 4):

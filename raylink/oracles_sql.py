@@ -94,7 +94,7 @@ def page_edges_sql() -> str:
     return _with(GRAPH_CTES) + "\nSELECT src::BIGINT AS src, dst::BIGINT AS dst FROM edges"
 
 
-def pagerank_sql(iters: int = 30) -> str:
+def pagerank_sql(iters: int = 30, decimals: int = 8) -> str:
     ctes = [
         GRAPH_CTES,
         "deg AS (SELECT src AS vid, count(*)::BIGINT AS outdeg FROM edges GROUP BY src)",
@@ -110,7 +110,21 @@ def pagerank_sql(iters: int = 30) -> str:
     GROUP BY e.dst
   ) s ON s.vid = v.vid)"""
         )
-    return _with(*ctes) + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, 8) AS rank FROM pr{iters}"
+    return (
+        _with(*ctes)
+        + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, {decimals}) AS rank FROM pr{iters}"
+    )
+
+
+def subgraph_rank_sql(iters: int = 60) -> str:
+    """SubgraphRank converges to the plain-PageRank fixpoint (same global
+    update operator, warm start only changes the trajectory). Oracle = the
+    unrolled PR iteration run deep (T=60 puts SQL within ~1e-11 of the
+    fixpoint), compared at ROUND(..., 6); the engine runs eps=1e-10, so both
+    sides sit within ~1e-9 of the shared fixpoint — empirically identical at
+    r6 on the driver corpus (documented tolerance argument, verified for
+    sf0.01)."""
+    return pagerank_sql(iters=iters, decimals=6)
 
 
 def seeded_pagerank_sql(iters: int = 30) -> str:
@@ -503,6 +517,29 @@ bfs AS (
 SELECT COALESCE(MAX(md), 0)::BIGINT AS meta_diameter
 FROM (SELECT root, vid, MIN(dd) AS md FROM bfs GROUP BY root, vid)"""
     )
+
+
+def media_features_sql(n_bins: int = 8) -> str:
+    """Byte-histogram features of the document-derived RLNKIMG1 media corpus
+    (mirrors queries.q_media_features / ops.multimodal.DecodeMedia): the
+    synthetic text is ASCII, so ord(char) == byte value."""
+    fs = ",\n       ".join(
+        f"ROUND(COALESCE(SUM(CASE WHEN CAST(floor(v / 32) AS INT) = {k} THEN 1 END), 0)"
+        f" * 1.0 / GREATEST(count(v), 1), 6) AS f{k}"
+        for k in range(n_bins)
+    )
+    return f"""
+WITH ch AS (
+  SELECT doc_id, ord(substr(text, i, 1)) AS v
+  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+)
+SELECT d.doc_id AS media_id,
+       LEAST(strlen(d.text), 65535)::INTEGER AS width,
+       1::INTEGER AS height,
+       strlen(d.text)::BIGINT AS n_bytes,
+       {fs}
+FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id
+GROUP BY d.doc_id, d.text"""
 
 
 def cooccur_pagerank_sql(iters: int = 10) -> str:

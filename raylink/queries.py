@@ -392,12 +392,34 @@ def q_events_sessionize(sf_dir: str):
 
 # ------------------------------------------------------------ multimodal stub
 def q_media_features(sf_dir: str):
-    import ray.data as rd
+    """Decode features over a deterministic media corpus derived from the
+    documents table (text bytes wrapped as RLNKIMG1 blobs) — the byte
+    histogram is recomputed by the SQL oracle, so this is hash-exact. The
+    PRNG synth_media plumbing path stays covered in pytest."""
+    from raylink.ops.multimodal import media_features, media_from_documents
 
-    from raylink.ops.multimodal import media_features, synth_media
+    feats = media_features(
+        media_from_documents(_docs(sf_dir)), batch_size=64, concurrency=2
+    )
 
-    n = 200 if "0.001" not in sf_dir else 50
-    return media_features(rd.from_arrow(synth_media(n)), batch_size=64, concurrency=2)
+    def flatten(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        m = (
+            np.array(batch.column("features").to_pylist(), dtype=np.float64)
+            if n
+            else np.zeros((0, 8))
+        )
+        cols = {
+            "media_id": batch.column("media_id"),
+            "width": batch.column("width"),
+            "height": batch.column("height"),
+            "n_bytes": batch.column("n_bytes"),
+        }
+        for k in range(8):
+            cols[f"f{k}"] = pa.array(round_half_away(m[:, k], 6))
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
 
 
 def q_sssp_weighted(sf_dir: str):
@@ -436,14 +458,27 @@ def q_coreness(sf_dir: str):
 
 def q_subgraph_rank(sf_dir: str):
     """Block-PageRank warm start (reference SubgraphRank); converges to the
-    PageRank fixpoint — rows-only, equivalence tested in pytest."""
+    PageRank fixpoint, so the oracle is the deep-unrolled PR SQL compared at
+    r6 (tolerance argument in oracles_sql.subgraph_rank_sql). eps=1e-10
+    puts the engine within ~1e-9 of the fixpoint."""
     from raylink.algos import subgraph_rank
 
     g = page_graph(sf_dir, directed=True)
     _, ranks = subgraph_rank(
-        g=g, eps=1e-6, engine="tasks", ckpt_dir=_ckpt("sgrank", sf_dir)
+        g=g, eps=1e-10, engine="tasks", ckpt_dir=_ckpt("sgrank10", sf_dir)
     )
-    return ranks
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(batch.column("rank").to_numpy(zero_copy_only=False), 6)
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
 def q_spanning_forest(sf_dir: str):
