@@ -100,13 +100,26 @@ class SSSP(Algorithm):
     def _step_weighted(self, s: int, shard: dict, state: dict, msgs: pa.Table, ctx: dict):
         """Per-partition weighted Dijkstra from improved roots — the
         reference's in-subgraph aStar with edge-value weights
-        (SingleSourceShortestPath.java:407-537,476-478)."""
+        (SingleSourceShortestPath.java:407-537,476-478).
+
+        The owned/remote resolution of every CSR edge target is localized
+        ONCE per shard (cached on the shard dict, which is itself cached per
+        worker) — the Dijkstra inner loop then does plain array indexing
+        instead of a searchsorted per relaxed edge."""
         import heapq
 
         vids, indptr, indices = shard["vids"], shard["indptr"], shard["indices"]
         weights = shard.get("weights")
         if weights is None:
             weights = np.ones(len(indices), dtype=np.float64)
+        if "_edge_pos" not in shard:
+            pos_all = np.searchsorted(vids, indices)
+            owned_all = (pos_all < len(vids)) & (
+                vids[np.minimum(pos_all, len(vids) - 1)] == indices
+            )
+            shard["_edge_pos"] = pos_all
+            shard["_edge_owned"] = owned_all
+        edge_pos, edge_owned = shard["_edge_pos"], shard["_edge_owned"]
         dist = np.asarray(state["dist"], dtype=np.float64).copy()
         roots: list[int] = []
         if s == 0:
@@ -127,16 +140,16 @@ class SSSP(Algorithm):
             if du > dist[u]:
                 continue
             for e in range(indptr[u], indptr[u + 1]):
-                v_g = indices[e]
                 nd = du + float(weights[e])
-                pos = np.searchsorted(vids, v_g)
-                if pos < len(vids) and vids[pos] == v_g:
+                if edge_owned[e]:
+                    pos = edge_pos[e]
                     if nd < dist[pos]:
                         dist[pos] = nd
                         heapq.heappush(heap, (nd, int(pos)))
                 else:
-                    if nd < remote.get(int(v_g), np.inf):
-                        remote[int(v_g)] = nd
+                    v_g = int(indices[e])
+                    if nd < remote.get(v_g, np.inf):
+                        remote[v_g] = nd
         out = None
         if remote:
             dsts = np.array(sorted(remote), dtype=np.int64)

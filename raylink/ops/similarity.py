@@ -41,13 +41,12 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def knn_brute(emb_ds, query_ids: list[int], k: int = 5):
     """-> Dataset (query_id, neighbor_id, cosine r6, rank 1..k), self
     excluded."""
+    import pyarrow.compute as pc
     import ray
 
-    qset = set(int(q) for q in query_ids)
+    qlist = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
     q_pdf = emb_ds.map_batches(
-        lambda b: b.filter(
-            pa.array([int(v) in qset for v in b.column("vec_id").to_pylist()])
-        ),
+        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=qlist)),
         batch_format="pyarrow",
     ).to_pandas()
     q_ids = q_pdf["vec_id"].to_numpy(np.int64)
@@ -130,13 +129,12 @@ def lsh_ann(emb_ds, query_ids: list[int], k: int = 5, n_tables: int = 8, bits: i
             seed: int = 11):
     """Approximate top-k: candidates = vectors sharing any sign-sketch bucket
     with the query across n_tables tables; exact cosine within buckets."""
+    import pyarrow.compute as pc
     import ray
 
-    qset = set(int(q) for q in query_ids)
+    qlist = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
     q_pdf = emb_ds.map_batches(
-        lambda b: b.filter(
-            pa.array([int(v) in qset for v in b.column("vec_id").to_pylist()])
-        ),
+        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=qlist)),
         batch_format="pyarrow",
     ).to_pandas()
     q_ids = q_pdf["vec_id"].to_numpy(np.int64)

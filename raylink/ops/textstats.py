@@ -121,20 +121,43 @@ class LangId:
         )
 
 
+def rolling_hash(texts) -> np.ndarray:
+    """Vectorized Horner rolling hash h = (h*257 + byte) mod 2^61-1.
+
+    Position-parallel across the batch: one loop over byte POSITIONS (max
+    doc length) with numpy ops across all docs, instead of a python loop
+    over every byte of every doc (~100x less interpreter time on uniform
+    corpora). Mersenne-prime reduction keeps everything in uint64:
+    with x = a*2^53 + c, x*257 ≡ a + (c<<8) + x (mod 2^61-1) since
+    2^61 ≡ 1; the sum is < 2^62, so two conditional subtracts finish the
+    reduction."""
+    MOD = np.uint64((1 << 61) - 1)
+    M53 = np.uint64((1 << 53) - 1)
+    bufs = [np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8) for t in texts]
+    n = len(bufs)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    L = int(lens.max()) if n else 0
+    mat = np.zeros((n, L), dtype=np.uint64)
+    for i, b in enumerate(bufs):
+        mat[i, : len(b)] = b
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(L):
+        active = np.flatnonzero(lens > j)
+        x = h[active]
+        x = (x >> np.uint64(53)) + ((x & M53) << np.uint64(8)) + x  # x*257 pre-reduction
+        x += mat[active, j]
+        x = np.where(x >= MOD, x - MOD, x)
+        x = np.where(x >= MOD, x - MOD, x)
+        h[active] = x
+    return h.astype(np.int64)
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Content fingerprints: md5 hex (SQL-checkable) + 64-bit rolling
     polynomial hash mod 2^61-1 (engine-side shingling primitive)."""
     texts = batch.column("text").to_pylist()
-    md5s, rolls = [], np.empty(len(texts), np.int64)
-    MOD = (1 << 61) - 1
-    BASE = 257
-    for i, t in enumerate(texts):
-        bs = (t or "").encode("utf-8")
-        md5s.append(hashlib.md5(bs).hexdigest())
-        h = 0
-        for b in bs:
-            h = (h * BASE + b) % MOD
-        rolls[i] = h
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    rolls = rolling_hash(texts)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

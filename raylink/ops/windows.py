@@ -64,31 +64,59 @@ def tumbling_window(events_ds, size_sec: int = 3600):
     )
 
 
-def sessionize(events_ds, gap_sec: int = 1800):
+def sessionize(events_ds, gap_sec: int = 1800, num_buckets: int = 64):
     """Session windows per user (new session when gap > gap_sec) ->
     (user_id, session_start:int64 epoch sec, n_events, sum_value r6,
-    duration_sec)."""
+    duration_sec).
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts").reset_index(drop=True)
-        epoch = g["ts"].astype("int64") // 1_000_000
-        new = (epoch.diff().fillna(gap_sec + 1) > gap_sec).cumsum()
-        out = (
-            pd.DataFrame(
-                {"epoch": epoch, "value": g["value"], "sid": new}
-            )
-            .groupby("sid")
-            .agg(
-                session_start=("epoch", "min"),
-                session_end=("epoch", "max"),
-                n_events=("value", "size"),
-                sum_value=("value", "sum"),
-            )
-            .reset_index(drop=True)
+    Users are coarse-bucketed (hash(user_id) % num_buckets) so one shuffle
+    group serves MANY users — a per-user groupby would spawn millions of
+    tiny groups on a crawl-scale event log. Inside each bucket group the
+    rows are lexsorted by (user, epoch) once and sessions are segmented
+    fully vectorized (cumsum of break flags + reduceat-style bincounts)."""
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[s]").astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array((splitmix64(uid.astype(np.uint64)) % B).astype(np.int32)),
+                "user_id": pa.array(uid),
+                "epoch": pa.array(epoch),
+                "value": batch.column("value"),
+            }
         )
-        out.insert(0, "user_id", group["user_id"].iloc[0])
-        out["sum_value"] = out["sum_value"].round(6)
-        out["duration_sec"] = out["session_end"] - out["session_start"]
-        return out[["user_id", "session_start", "n_events", "sum_value", "duration_sec"]]
 
-    return events_ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        epoch = group.column("epoch").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((epoch, uid))
+        u, e, v = uid[order], epoch[order], val[order]
+        brk = np.ones(len(u), dtype=bool)
+        if len(u) > 1:
+            brk[1:] = (u[1:] != u[:-1]) | ((e[1:] - e[:-1]) > gap_sec)
+        sid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(u)]
+        n_events = ends - starts
+        sums = np.bincount(sid, weights=v)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "session_start": pa.array(e[starts]),
+                "n_events": pa.array(n_events.astype(np.int64)),
+                "sum_value": pa.array(round_half_away(sums, 6)),
+                "duration_sec": pa.array(e[ends - 1] - e[starts]),
+            }
+        )
+
+    return (
+        events_ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(sessions, batch_format="pyarrow")
+    )

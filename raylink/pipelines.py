@@ -28,14 +28,37 @@ def cache_key(*parts) -> str:
 
 
 def _ids_from_urls(batch: pa.Table) -> pa.Table:
-    """Synthetic-corpus vid assignment: the url path embeds the doc id
-    (general corpora use hash64(url) — see raylink.util.splitmix64)."""
-    src = [int(u.rsplit("/", 1)[1]) for u in batch.column("src_url").to_pylist()]
-    dst = [int(u.rsplit("/", 1)[1]) for u in batch.column("dst_url").to_pylist()]
+    """Synthetic-corpus vid assignment: the url path embeds the doc id.
+    Vectorized with pyarrow.compute (strip everything up to the last '/',
+    cast) — no per-row python. General corpora without embedded ids use
+    ``hash_ids_from_urls`` instead."""
+    import pyarrow.compute as pc
+
+    def ids(col):
+        return pc.cast(
+            pc.replace_substring_regex(col, pattern="^.*/", replacement=""),
+            pa.int64(),
+        )
+
     return pa.table(
         {
-            "src": pa.array(src, type=pa.int64()),
-            "dst": pa.array(dst, type=pa.int64()),
+            "src": ids(batch.column("src_url")),
+            "dst": ids(batch.column("dst_url")),
+        }
+    )
+
+
+def hash_ids_from_urls(batch: pa.Table) -> pa.Table:
+    """General-corpus vid assignment: vid = hash64_str(url) (splitmix64 of
+    the FNV-1a url digest). Use when urls carry no embedded integer id —
+    the production path for a real crawl; collision bound documented on
+    ``raylink.util.hash64_str``."""
+    from raylink.util import hash64_str
+
+    return pa.table(
+        {
+            "src": pa.array(hash64_str(batch.column("src_url").to_pylist())),
+            "dst": pa.array(hash64_str(batch.column("dst_url").to_pylist())),
         }
     )
 

@@ -449,11 +449,16 @@ def q_sssp_weighted(sf_dir: str):
 
 
 def q_coreness(sf_dir: str):
-    """Full core decomposition (iterated peeling); rows-only, pytest oracle."""
-    from raylink.algos import coreness
+    """Full core decomposition, backed by the single-pass Montresor engine —
+    the scale path (iterated peeling runs one BSP job per k; Montresor is
+    one job total and stays the pytest oracle's comparison target)."""
+    from raylink.algos import coreness_montresor
 
     g = page_graph(sf_dir, directed=False)
-    return coreness(g=g, ckpt_root=_ckpt("coreness", sf_dir))
+    _, cores = coreness_montresor(
+        g=g, engine="tasks", ckpt_dir=_ckpt("coreness_q", sf_dir)
+    )
+    return cores
 
 
 def q_subgraph_rank(sf_dir: str):

@@ -56,6 +56,18 @@ def round_half_away(x, decimals: int = 6):
     return np.copysign(np.floor(np.abs(x) * p + 0.5) / p, x)
 
 
+def hash64_str(texts) -> np.ndarray:
+    """General-corpus 64-bit string id: splitmix64-finalized FNV-1a of the
+    utf-8 bytes, returned as non-negative int64 (top bit cleared so ids fit
+    every signed-int64 code path).
+
+    Collision note: with a 63-bit space, expected collisions ~ n^2 / 2^64 —
+    negligible below ~10^9 urls; a 10^12-url crawl expects ~5*10^4 colliding
+    pairs, so at that scale assign ids with a 128-bit digest + dedup pass
+    instead (documented limitation, same as any 64-bit id scheme)."""
+    return (splitmix64(text_hash64(texts)) >> U64(1)).astype(np.int64)
+
+
 def text_hash64(texts) -> np.ndarray:
     """Stable 64-bit content hash of strings (FNV-1a, pure python per row —
     used for exact-dedup keys where no vectorized cryptographic kernel

@@ -280,3 +280,21 @@ def test_media_decode(ray_session):
     )
     with pytest.raises(NotImplementedError):
         DecodeMedia()(bad)
+
+
+def test_rolling_hash_vectorized_matches_scalar():
+    from raylink.ops.textstats import rolling_hash
+
+    rng = np.random.default_rng(11)
+    texts = [
+        "".join(chr(rng.integers(32, 127)) for _ in range(int(rng.integers(0, 200))))
+        for _ in range(50)
+    ] + ["", "a", "é中文 multibyte"]
+    MOD, BASE = (1 << 61) - 1, 257
+    exp = []
+    for t in texts:
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * BASE + b) % MOD
+        exp.append(h)
+    np.testing.assert_array_equal(rolling_hash(texts), np.array(exp, dtype=np.int64))

@@ -69,3 +69,46 @@ def test_read_edges_json(adj_files):
     assert (pdf["weight"] == 2.5).all()
     vdf = vds.to_pandas().sort_values("vid")
     assert (vdf["value"].to_numpy() == np.arange(N, dtype=float)).all()
+
+
+def test_hash_ids_from_urls(ray_session, tmp_path):
+    """General-corpus vid path: build the graph from URLs alone (no embedded
+    ids) via hash64(url); PageRank must match the id-built graph after
+    mapping hash-vids back to urls (VERDICT r1 item 7)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.algos import pagerank
+    from raylink.pipelines import _ids_from_urls, hash_ids_from_urls
+    from raylink.synth import url_of
+    from raylink.util import hash64_str
+
+    n = 60
+    # small synthetic link table (deterministic): i -> (i*3+1) % n, i -> (i+7) % n
+    src_urls, dst_urls = [], []
+    for i in range(n):
+        for d in ((i * 3 + 1) % n, (i + 7) % n):
+            if d != i:
+                src_urls.append(url_of(i))
+                dst_urls.append(url_of(d))
+    links = pa.table({"src_url": pa.array(src_urls), "dst_url": pa.array(dst_urls)})
+    urls = [url_of(i) for i in range(n)]
+
+    # id-built graph (urls embed the id)
+    eds_id = rd.from_arrow(links).map_batches(_ids_from_urls, batch_format="pyarrow")
+    verts_id = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+    _, r_id = pagerank(eds_id, vertices_ds=verts_id, num_parts=4, iters=10,
+                       ckpt_dir=str(tmp_path / "cki"))
+    pdf_id = r_id.to_pandas().sort_values("vid").reset_index(drop=True)
+
+    # hash-built graph (urls opaque)
+    eds_h = rd.from_arrow(links).map_batches(hash_ids_from_urls, batch_format="pyarrow")
+    hvid = hash64_str(urls)
+    assert len(np.unique(hvid)) == n  # no collisions at this scale
+    verts_h = rd.from_arrow(pa.table({"vid": pa.array(np.sort(hvid))}))
+    _, r_h = pagerank(eds_h, vertices_ds=verts_h, num_parts=4, iters=10,
+                      ckpt_dir=str(tmp_path / "ckh"))
+    pdf_h = r_h.to_pandas().set_index("vid")
+    # map hash-vid -> original id and compare rank vectors
+    ranks_by_id = pdf_h.loc[hvid, "rank"].to_numpy()
+    np.testing.assert_allclose(ranks_by_id, pdf_id["rank"].to_numpy(), atol=1e-12)
