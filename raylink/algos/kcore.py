@@ -24,7 +24,7 @@ import pyarrow as pa
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import PARTITIONERS
+from raylink.util import route_parts
 
 
 class KCore(Algorithm):
@@ -54,9 +54,8 @@ class KCore(Algorithm):
             dst = indices[sel]
             if len(dst):
                 dsts, counts = np.unique(dst, return_counts=True)
-                partfn = PARTITIONERS[ctx["partitioner"]]
                 out = self.make_msgs(
-                    partfn(dsts, ctx["num_parts"]), dsts, dec=counts.astype(np.int64)
+                    route_parts(shard, ctx, dsts), dsts, dec=counts.astype(np.int64)
                 )
         return (
             {"deg": deg, "removed": removed},

@@ -28,7 +28,7 @@ import pyarrow as pa
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import PARTITIONERS
+from raylink.util import route_parts
 
 _BIG = np.int64(2**31)
 
@@ -101,9 +101,8 @@ class KCoreMontresor(Algorithm):
             srcv = np.repeat(vids, deg)[sel]
             corev = np.repeat(core, deg)[sel]
             if len(dst):
-                partfn = PARTITIONERS[ctx["partitioner"]]
                 out = self.make_msgs(
-                    partfn(dst, ctx["num_parts"]), dst, src=srcv, core=corev
+                    route_parts(shard, ctx, dst), dst, src=srcv, core=corev
                 )
         return {"core": core, "est": est}, out, int(changed.sum()), 0.0
 

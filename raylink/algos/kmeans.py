@@ -24,7 +24,7 @@ import pyarrow as pa
 from raylink.graph import LinkGraph, build_graph, vertex_table
 from raylink.superstep import Algorithm, run_bsp
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import PARTITIONERS, splitmix64
+from raylink.util import route_parts, splitmix64
 
 INF = np.int64(2**62)
 
@@ -103,9 +103,8 @@ class KMeansCluster(Algorithm):
             dsts = np.array(sorted(remote), dtype=np.int64)
             nds = np.array([remote[int(x)][0] for x in dsts], dtype=np.int64)
             ncs = np.array([remote[int(x)][1] for x in dsts], dtype=np.int64)
-            partfn = PARTITIONERS[ctx["partitioner"]]
             out = self.make_msgs(
-                partfn(dsts, ctx["num_parts"]), dsts, dist=nds, cluster=ncs
+                route_parts(shard, ctx, dsts), dsts, dist=nds, cluster=ncs
             )
         return {"dist": dist, "cluster": cluster}, out, len(remote), 0.0
 

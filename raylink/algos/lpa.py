@@ -19,7 +19,7 @@ import pyarrow as pa
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import PARTITIONERS
+from raylink.util import route_parts
 
 _I64MAX = np.int64(2**62)
 
@@ -62,8 +62,7 @@ class MinLabelLPA(Algorithm):
                 dsts, inv = np.unique(dst, return_inverse=True)
                 mins = np.full(len(dsts), _I64MAX, dtype=np.int64)
                 np.minimum.at(mins, inv, lab)
-                partfn = PARTITIONERS[ctx["partitioner"]]
-                out = self.make_msgs(partfn(dsts, ctx["num_parts"]), dsts, label=mins)
+                out = self.make_msgs(route_parts(shard, ctx, dsts), dsts, label=mins)
         return state, out, int(changed.sum()), 0.0
 
 

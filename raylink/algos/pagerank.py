@@ -27,7 +27,7 @@ import pyarrow as pa
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp, sort_msgs
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import PARTITIONERS
+from raylink.util import route_parts
 
 
 class PageRank(Algorithm):
@@ -73,9 +73,8 @@ class PageRank(Algorithm):
             dsts, inv = np.unique(indices, return_inverse=True)
             sums = np.zeros(len(dsts), dtype=np.float64)
             np.add.at(sums, inv, contrib)
-            partfn = PARTITIONERS[ctx["partitioner"]]
             out = self.make_msgs(
-                partfn(dsts, ctx["num_parts"]), dsts, val=sums
+                route_parts(shard, ctx, dsts), dsts, val=sums
             )
         else:
             out = None

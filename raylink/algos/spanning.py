@@ -20,7 +20,7 @@ import pyarrow as pa
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import PARTITIONERS
+from raylink.util import route_parts
 
 INF = np.int64(2**62)
 
@@ -100,9 +100,8 @@ class BFSForest(Algorithm):
             dsts = np.array(sorted(remote), dtype=np.int64)
             nds = np.array([remote[int(x)][0] for x in dsts], dtype=np.int64)
             nps = np.array([remote[int(x)][1] for x in dsts], dtype=np.int64)
-            partfn = PARTITIONERS[ctx["partitioner"]]
             out = self.make_msgs(
-                partfn(dsts, ctx["num_parts"]), dsts, dist=nds, parent=nps
+                route_parts(shard, ctx, dsts), dsts, dist=nds, parent=nps
             )
         return {"dist": dist, "parent": parent}, out, len(remote), 0.0
 

@@ -25,7 +25,7 @@ import pyarrow as pa
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import PARTITIONERS
+from raylink.util import route_parts
 
 INF = np.int64(2**62)
 
@@ -92,8 +92,7 @@ class SSSP(Algorithm):
             dsts, inv = np.unique(rd_, return_inverse=True)
             mins = np.full(len(dsts), INF, dtype=np.int64)
             np.minimum.at(mins, inv, rv)
-            partfn = PARTITIONERS[ctx["partitioner"]]
-            out = self.make_msgs(partfn(dsts, ctx["num_parts"]), dsts, dist=mins)
+            out = self.make_msgs(route_parts(shard, ctx, dsts), dsts, dist=mins)
             n_active = len(dsts)
         return {"dist": dist}, out, n_active, 0.0
 
@@ -154,8 +153,7 @@ class SSSP(Algorithm):
         if remote:
             dsts = np.array(sorted(remote), dtype=np.int64)
             mins = np.array([remote[int(x)] for x in dsts], dtype=np.float64)
-            partfn = PARTITIONERS[ctx["partitioner"]]
-            out = self.make_msgs(partfn(dsts, ctx["num_parts"]), dsts, dist=mins)
+            out = self.make_msgs(route_parts(shard, ctx, dsts), dsts, dist=mins)
         return {"dist": dist}, out, len(remote), 0.0
 
 

@@ -84,6 +84,11 @@ class LinkGraph:
     filesystem: object = None
 
     def part_of(self, vids: np.ndarray) -> np.ndarray:
+        if self.partitioner == "explicit":
+            raise ValueError(
+                "explicit-partitioned graphs have no partition function; "
+                "partitions are stored per shard (tgt_vids/tgt_parts)"
+            )
         return PARTITIONERS[self.partitioner](vids, self.num_parts)
 
     def shard_path(self, p: int) -> str:
@@ -146,15 +151,22 @@ def _build_shard(
     src = group.column("src").to_numpy(zero_copy_only=False)
     dst = group.column("dst").to_numpy(zero_copy_only=False)
     has_w = "weight" in group.column_names
+    explicit = "dst_part" in group.column_names
     w = (
         group.column("weight").to_numpy(zero_copy_only=False)
         if has_w
+        else None
+    )
+    dp = (
+        group.column("dst_part").to_numpy(zero_copy_only=False)
+        if explicit
         else None
     )
     vert_mask = dst == -1
     vids = np.unique(np.concatenate([src[vert_mask], src[~vert_mask]]))
     esrc, edst = src[~vert_mask], dst[~vert_mask]
     ew = np.nan_to_num(w[~vert_mask], nan=1.0) if has_w else None
+    edp = dp[~vert_mask] if explicit else None
     # exact dedup of directed edges (reference: HashSet dedup in
     # MakeGraphUndirectedReducer.java:22,43-51); ties keep min weight
     if len(esrc):
@@ -164,11 +176,15 @@ def _build_shard(
         esrc, edst = esrc[order], edst[order]
         if has_w:
             ew = ew[order]
+        if explicit:
+            edp = edp[order]
         keep = np.ones(len(esrc), dtype=bool)
         keep[1:] = (esrc[1:] != esrc[:-1]) | (edst[1:] != edst[:-1])
         esrc, edst = esrc[keep], edst[keep]
         if has_w:
             ew = ew[keep]
+        if explicit:
+            edp = edp[keep]
     # CSR over owned vids
     lsrc = np.searchsorted(vids, esrc)
     indptr = np.zeros(len(vids) + 1, dtype=np.int64)
@@ -195,6 +211,12 @@ def _build_shard(
     )
     if has_w:
         arrays["weights"] = ew
+    if explicit:
+        # explicit routing table: partition of every distinct CSR edge target
+        # (BSP messages only ever target edge endpoints — util.route_parts)
+        tgt_vids, first = np.unique(edst, return_index=True)
+        arrays["tgt_vids"] = tgt_vids
+        arrays["tgt_parts"] = edp[first].astype(np.int32)
     for col in vertex_cols or []:
         vals = np.zeros(len(vids), dtype=np.float64)  # default 0.0
         vsrc = src[vert_mask]
@@ -211,14 +233,15 @@ def _build_shard(
     bsrc_sgid = sgid[bl]
     bsrc_sg = sg_minvid[inv[bl]]  # subgraph identity = its min vid (globally unique)
     bdst = edst[~dst_owned]
+    bcols = {
+        "src_sgid": pa.array(bsrc_sgid),
+        "src_sg": pa.array(bsrc_sg),
+        "dst": pa.array(bdst),
+    }
+    if explicit:  # meta-graph resolution shuffles on the STORED dst part
+        bcols["dst_part"] = pa.array(edp[~dst_owned].astype(np.int32))
     storage.write_table_atomic(
-        pa.table(
-            {
-                "src_sgid": pa.array(bsrc_sgid),
-                "src_sg": pa.array(bsrc_sg),
-                "dst": pa.array(bdst),
-            }
-        ),
+        pa.table(bcols),
         storage.join(graph_dir, "boundary", f"part-{part}.parquet"),
         filesystem,
     )
@@ -300,12 +323,27 @@ def build_graph(
     per-shard (available to algorithms as ``shard['v_<col>']``) — the
     reference's vertex values (IVertex.java:28-43, loaded by
     LongTextJSONReader.java:98-120).
+
+    ``partitioner="explicit"`` ingests a PRE-PARTITIONED layout (the
+    reference's FullInfoSplitReader family, FullInfoSplitReader.java:55-66):
+    ``edges_ds`` must carry (src, dst, src_part:int32, dst_part:int32) and
+    ``vertices_ds`` (vid, part:int32); rows shuffle to their given
+    partitions, each shard stores a (tgt_vids, tgt_parts) routing table for
+    BSP messages (util.route_parts), and meta-graph resolution shuffles on
+    the stored dst parts. Requires directed=True input (a pre-partitioned
+    file already lists both directions when the graph is undirected).
     """
     import ray.data  # noqa: F401  (ensures ray.data registered)
 
+    explicit = partitioner == "explicit"
     vertex_cols = list(vertex_cols or [])
     if vertex_cols and vertices_ds is None:
         raise ValueError("vertex_cols requires an explicit vertices_ds")
+    if explicit and (vertices_ds is None or not directed):
+        raise ValueError(
+            "partitioner='explicit' requires vertices_ds (vid, part) and "
+            "directed=True (pre-partitioned inputs list both directions)"
+        )
     if not directed:
         edges_ds = undirect(edges_ds, weighted=weighted)
     if vertices_ds is None:
@@ -323,26 +361,37 @@ def build_graph(
             cols["weight"] = pa.array(np.full(len(batch), np.nan))
         for c in vertex_cols:
             cols[c] = pa.compute.cast(batch.column(c), pa.float64())
+        if explicit:
+            cols["part"] = pa.compute.cast(batch.column("part"), pa.int32())
+            cols["dst_part"] = pa.array(np.full(len(batch), -1, dtype=np.int32))
         return pa.table(cols)
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         # edge rows carry typed nulls for the vertex value columns so both
-        # union branches share one schema
-        cols = {c: batch.column(c) for c in batch.column_names}
+        # union branches share one schema; explicit inputs map src_part to
+        # the shuffle key
+        cols = {c: batch.column(c) for c in batch.column_names
+                if c not in ("src_part", "dst_part")}
         for c in vertex_cols:
             cols[c] = pa.nulls(len(batch), type=pa.float64())
+        if explicit:
+            cols["part"] = pa.compute.cast(batch.column("src_part"), pa.int32())
+            cols["dst_part"] = pa.compute.cast(batch.column("dst_part"), pa.int32())
         return pa.table(cols)
 
     ecols = ["src", "dst"] + (["weight"] if has_weight else [])
+    if explicit:
+        ecols += ["src_part", "dst_part"]
     eds = edges_ds.select_columns(ecols)
-    if vertex_cols:
+    if vertex_cols or explicit:
         eds = eds.map_batches(edge_rows, batch_format="pyarrow")
     combined = eds.union(
         vertices_ds.map_batches(vert_rows, batch_format="pyarrow")
     )
-    combined = combined.map_batches(
-        _with_part(partitioner, num_parts, "src"), batch_format="pyarrow"
-    )
+    if not explicit:
+        combined = combined.map_batches(
+            _with_part(partitioner, num_parts, "src"), batch_format="pyarrow"
+        )
     report = (
         combined.groupby("part")
         .map_groups(
@@ -381,7 +430,19 @@ def meta_edges(g: LinkGraph):
     files = [storage.join(bdir, f) for f in storage.listdir(bdir, g.filesystem)]
     files, bfs = storage.for_ray(files, g.filesystem)
     b = rd.read_parquet(files, filesystem=bfs)
-    b = b.map_batches(_with_part(g.partitioner, g.num_parts, "dst"), batch_format="pyarrow")
+    if g.partitioner == "explicit":
+        # pre-partitioned graphs shuffle on the STORED dst partition
+        b = b.map_batches(
+            lambda t: t.append_column(
+                "part",
+                pa.compute.cast(t.column("dst_part"), pa.int32()),
+            ).drop_columns(["dst_part"]),
+            batch_format="pyarrow",
+        )
+    else:
+        b = b.map_batches(
+            _with_part(g.partitioner, g.num_parts, "dst"), batch_format="pyarrow"
+        )
     gd, gfs = g.graph_dir, g.filesystem
 
     def resolve(group: pa.Table) -> pa.Table:

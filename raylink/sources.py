@@ -6,7 +6,7 @@ reader family (SURVEY.md §2.2).
 | LongTextAdjacencyListReader ("VID Sink1 Sink2 ...", whitespace) | ``read_adjacency_text`` |
 | PartitionsLongTextAdjacencyListReader ("VID PID Sink1 ...") | ``read_adjacency_text(with_partition=True)`` (partition column surfaced; the engine re-partitions by its own key — explicit partitioning is an offline-pipeline artifact we deliberately replace, SURVEY.md §3.3) |
 | LongTextJSONReader ("[src, pid, value, [[sink, eid, evalue], ...]]") | ``read_edges_json`` (vertex/edge values carried) |
-| FullInfoSplitReader family (pre-partitioned "pid sgid vid (sink sgid pid)+") | not replicated: subgraph discovery is online (build_graph) — loading someone else's partition layout contradicts the engine's one-partitioning-key design |
+| FullInfoSplitReader family (pre-partitioned "pid sgid vid (sink sgid pid)+") | ``read_full_info`` + ``build_graph(partitioner="explicit")`` — rows shuffle to the partitions given in the file; subgraphs are still re-discovered online (within-partition WCCs, identical up to id naming) |
 | edge list parquet/csv | ``ray.data.read_parquet`` / ``read_csv`` directly |
 
 All parse work is vectorized-per-batch over ``read_text`` lines; outputs are
@@ -72,6 +72,65 @@ def read_adjacency_text(paths, with_partition: bool = False):
         "vid"
     ).count().select_columns(["vid"])
     return edges, vertices
+
+
+def read_full_info(paths):
+    """Pre-partitioned full-info text reader (reference FullInfoSplitReader
+    family, hama/.../FullInfoSplitReader.java:55-66): each line
+    ``pid sgid vid (sink_vid sink_sgid sink_pid)+`` fully specifies a
+    vertex's partition and every edge target's partition, so loading needs
+    NO resolution protocol — feed the result to
+    ``build_graph(partitioner="explicit")``.
+
+    Returns (edges_ds (src, dst, src_part, dst_part), vertices_ds
+    (vid, part)). File-given sgids are ignored: subgraphs are re-discovered
+    as within-partition WCCs at build, which yields the same groups up to
+    id naming (documented divergence)."""
+    import ray.data as rd
+
+    raw = rd.read_text(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        src, dst, sp, dp = [], [], [], []
+        for line in batch.column("text").to_pylist():
+            parts = line.split()
+            if not parts:
+                continue
+            pid, vid = int(parts[0]), int(parts[2])
+            sinks = parts[3:]
+            for i in range(0, len(sinks) - 2, 3):
+                src.append(vid)
+                dst.append(int(sinks[i]))
+                sp.append(pid)
+                dp.append(int(sinks[i + 2]))
+        return pa.table(
+            {
+                "src": pa.array(np.asarray(src, dtype=np.int64)),
+                "dst": pa.array(np.asarray(dst, dtype=np.int64)),
+                "src_part": pa.array(np.asarray(sp, dtype=np.int32)),
+                "dst_part": pa.array(np.asarray(dp, dtype=np.int32)),
+            }
+        )
+
+    def verts(batch: pa.Table) -> pa.Table:
+        vvid, vpart = [], []
+        for line in batch.column("text").to_pylist():
+            parts = line.split()
+            if not parts:
+                continue
+            vvid.append(int(parts[2]))
+            vpart.append(int(parts[0]))
+        return pa.table(
+            {
+                "vid": pa.array(np.asarray(vvid, dtype=np.int64)),
+                "part": pa.array(np.asarray(vpart, dtype=np.int32)),
+            }
+        )
+
+    return (
+        raw.map_batches(parse, batch_format="pyarrow"),
+        raw.map_batches(verts, batch_format="pyarrow"),
+    )
 
 
 def read_edges_json(paths):

@@ -41,6 +41,34 @@ def mod_partitioner(vids: np.ndarray, num_parts: int) -> np.ndarray:
 PARTITIONERS = {"hash": hash_partitioner, "mod": mod_partitioner}
 
 
+def route_parts(shard: dict, ctx: dict, dsts: np.ndarray) -> np.ndarray:
+    """Destination partition of each message target.
+
+    Function partitioners ('hash' / 'mod') compute it; the 'explicit'
+    partitioner (pre-partitioned inputs, the reference's FullInfoSplitReader
+    family, FullInfoSplitReader.java:55-66) looks it up in the shard's
+    stored target->part arrays. Every BSP message in the engine targets a
+    CSR edge endpoint, so the per-shard (tgt_vids, tgt_parts) arrays cover
+    all routable destinations."""
+    dsts = np.asarray(dsts, dtype=np.int64)
+    if ctx["partitioner"] == "explicit":
+        tv, tp = shard["tgt_vids"], shard["tgt_parts"]
+        pos = np.searchsorted(tv, dsts)
+        ok = (
+            (pos < len(tv)) & (tv[np.minimum(pos, max(len(tv) - 1, 0))] == dsts)
+            if len(tv)
+            else np.zeros(len(dsts), dtype=bool)
+        )
+        if not ok.all():
+            missing = np.unique(dsts[~ok])[:5]
+            raise KeyError(
+                f"explicit partitioner: no stored partition for message "
+                f"targets {missing.tolist()} (not CSR edge endpoints?)"
+            )
+        return tp[pos].astype(np.int32)
+    return PARTITIONERS[ctx["partitioner"]](dsts, ctx["num_parts"])
+
+
 def make_sgid(part: np.ndarray, local_idx: np.ndarray) -> np.ndarray:
     """Reference subgraph-id encoding: local_idx | (part << 32)
     (LongTextAdjacencyListReader.java:293-294)."""

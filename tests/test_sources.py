@@ -112,3 +112,48 @@ def test_hash_ids_from_urls(ray_session, tmp_path):
     # map hash-vid -> original id and compare rank vectors
     ranks_by_id = pdf_h.loc[hvid, "rank"].to_numpy()
     np.testing.assert_allclose(ranks_by_id, pdf_id["rank"].to_numpy(), atol=1e-12)
+
+
+def test_read_full_info_explicit_partitioning(ray_session, tmp_path):
+    """Pre-partitioned ingestion: full-info file with a custom partition map
+    (not expressible by any registered partitioner) -> explicit build ->
+    shards honor the map; CC and SSSP match the oracles through the stored
+    routing tables, on both BSP engines."""
+    from raylink.algos import connected_components, sssp
+    from raylink.graph import build_graph, load_shard
+    from raylink.sources import read_full_info
+
+    edges = expected_edges(N)
+    part_of = lambda v: (v * 7 + 3) % 5  # noqa: E731
+    # undirected closure adjacency
+    adj = {v: set() for v in range(N)}
+    for s, d in edges:
+        adj[int(s)].add(int(d))
+        adj[int(d)].add(int(s))
+    path = tmp_path / "full_info.txt"
+    with open(path, "w") as f:
+        for v in range(N):
+            toks = [str(part_of(v)), "0", str(v)]
+            for d in sorted(adj[v]):
+                toks += [str(d), "0", str(part_of(d))]
+            f.write(" ".join(toks) + "\n")
+
+    eds, vds = read_full_info(str(path))
+    g = build_graph(eds.materialize(), vds, num_parts=5, partitioner="explicit",
+                    directed=True, graph_dir=str(tmp_path / "gfi"))
+    assert g.partitioner == "explicit"
+    # shards contain exactly the vids of their explicit partition
+    for p in g.parts:
+        sh = load_shard(g.graph_dir, p)
+        assert (np.array([part_of(v) for v in sh["vids"]]) == p).all()
+        assert "tgt_vids" in sh and "tgt_parts" in sh
+
+    _, comps = connected_components(g=g, ckpt_dir=str(tmp_path / "ckc"))
+    got = comps.to_pandas().sort_values("vid")["component"].to_numpy()
+    np.testing.assert_array_equal(got, cc_oracle(N, edges))
+
+    from oracles import bfs_oracle
+
+    _, dists = sssp(g=g, source=0, engine="tasks", ckpt_dir=str(tmp_path / "cks"))
+    got_d = dists.to_pandas().sort_values("vid")["dist"].to_numpy()
+    np.testing.assert_array_equal(got_d, bfs_oracle(N, edges, 0))
