@@ -16,12 +16,14 @@ raw-task BSP exchange (engine="tasks", raylink/superstep_tasks.py) — the
 Dataset-shuffle engine timing is reported alongside for comparison.
 
 ``--scaling``: the north rule's N vs 4N cluster sizes, evidenced in-sandbox
-by two fresh processes at num_cpus=8 and 32 over the SAME input. Measured on
-an edge-shuffle-dominated workload (a large closed-form edge table:
-RAYLINK_SCALING_N vertices x ~16 avg degree; graph build all-to-all + 5
-Dataset-engine PageRank rounds) so the number reflects shuffle throughput
-scaling, not the fixed per-round driver floor that dominates at toy sizes
-(see BENCH/BASELINE.md for the decomposition argument).
+by two fresh processes at num_cpus=8 and 32 over the SAME input — THREE
+legs: CPU-bound curation (extract+minhash), Dataset-engine edge shuffle
+(build all-to-all + 5 PR rounds on a 12M-edge closed-form graph), and the
+raw-task BSP engine on the same graph. See BENCH/BASELINE.md for the
+single-box decomposition of each.
+
+``--neardup-bench``: MinHash-LSH + distributed pair-join verify end-to-end
+over a salted ~480k-doc corpus (the crawl-curation near-dup stage).
 """
 
 from __future__ import annotations
@@ -234,6 +236,123 @@ def run_shuffle_bench() -> dict:
     return out
 
 
+def run_tasks_bench() -> dict:
+    """Task-engine BSP (P x P ObjectRef exchange) on the large closed-form
+    graph at this process's num_cpus: 5 fixed PageRank rounds after a build.
+    The third scaling leg — shows how the low-latency engine behaves with
+    real per-round compute (not just the driver floor)."""
+    import pyarrow as pa
+
+    ray = _init_ray()
+    import ray.data as rd
+
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+
+    n = SCALING_N
+
+    def gen(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        A = np.int64(2654435761 % n)
+        B = np.int64(40503)
+        deg = (14 + (ids % 5)).astype(np.int64)
+        src = np.repeat(ids, deg)
+        j = np.arange(len(src), dtype=np.int64) - np.repeat(
+            np.cumsum(deg) - deg, deg
+        )
+        dst = (src * A + j * B + (src % 7)) % np.int64(n)
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    edges = (
+        rd.range(n, override_num_blocks=NUM_CPUS * 4)
+        .map_batches(gen, batch_format="pyarrow")
+        .materialize()
+    )
+    verts = rd.range(n).map_batches(
+        lambda b: pa.table({"vid": b.column("id")}), batch_format="pyarrow"
+    )
+    g = build_graph(edges, verts, num_parts=32, partitioner="hash", directed=True)
+    # warm the per-worker shard caches with one throwaway round
+    pagerank(g=g, iters=1, resume=False, engine="tasks")
+    t0 = time.perf_counter()
+    res, _ = pagerank(g=g, iters=5, resume=False, engine="tasks", ckpt_every=5)
+    pr_sec = time.perf_counter() - t0
+    rounds = max(1, res.supersteps_run - 1)
+    out = {
+        "num_cpus": NUM_CPUS,
+        "n_vertices": n,
+        "n_edges": g.n_edges,
+        "pagerank_5it_tasks_sec": round(pr_sec, 2),
+        "tasks_edges_per_sec": round(g.n_edges * rounds / pr_sec),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_neardup_bench() -> dict:
+    """Near-dup (MinHash-LSH candidates + distributed pair-join verify) over
+    a salted amplified corpus (~RAYLINK_NEARDUP_SCALE x sf docs; copies are
+    de-correlated by replacing every 2nd word with a per-copy token, pushing
+    cross-copy trigram jaccard to ~0.07 so neither exact-dup nor LSH-band
+    candidate blowup can occur — the documented exact-dedup-first contract;
+    mass duplication belongs to exact_dedup, not the near-dup stage)."""
+    import pyarrow as pa
+
+    ray = _init_ray()
+
+    from raylink.ops.dedup import minhash_pairs
+
+    scale = int(os.environ.get("RAYLINK_NEARDUP_SCALE", "96"))
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    base = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    nb = base.num_rows
+    base_ref = None
+
+    def salt_copies(batch: pa.Table) -> pa.Table:
+        # one input row per copy index k; each task salts the whole base
+        # table for its k values (salting is distributed, not driver-side)
+        out_ids, out_txt = [], []
+        ids0 = base.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = base.column("text").to_pylist()
+        for k in batch.column("id").to_pylist():
+            for d, t in zip(ids0, texts):
+                ws = (t or "").split()
+                for i in range(1, len(ws), 2):
+                    ws[i] = f"s{k}w{i}"
+                out_ids.append(int(d) + int(k) * nb)
+                out_txt.append(" ".join(ws))
+        return pa.table(
+            {"doc_id": pa.array(out_ids, type=pa.int64()),
+             "text": pa.array(out_txt)}
+        )
+
+    docs = (
+        rd.range(scale, override_num_blocks=scale)
+        .map_batches(salt_copies, batch_format="pyarrow", batch_size=1)
+        .materialize()
+    )
+    n = docs.count()
+    t0 = time.perf_counter()
+    pairs = minhash_pairs(docs, n=3, tau=0.5)
+    n_pairs = pairs.count()
+    wall = time.perf_counter() - t0
+    out = {
+        "num_cpus": NUM_CPUS,
+        "n_docs": n,
+        "n_near_dup_pairs": n_pairs,
+        "neardup_sec": round(wall, 2),
+        "docs_per_sec": round(n / wall),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_curation_bench() -> dict:
     """CPU-bound crawl-curation leg: pages -> HTML extract -> MinHash-LSH
     signatures + band buckets + candidate counting (the dedup front half).
@@ -320,21 +439,31 @@ def run_scaling() -> dict:
     eff_sh = (
         sh_hi["edge_shuffle_throughput"] / sh_lo["edge_shuffle_throughput"]
     ) / (hi / lo)
+    tk_lo = one(lo, "--tasks-bench", RAYLINK_SCALING_N=shn)
+    tk_hi = one(hi, "--tasks-bench", RAYLINK_SCALING_N=shn)
+    eff_tk = (
+        tk_hi["tasks_edges_per_sec"] / tk_lo["tasks_edges_per_sec"]
+    ) / (hi / lo)
     return {
-        "metric": "throughput scaling efficiency, num_cpus 8 -> 32, same input (two legs)",
+        "metric": "throughput scaling efficiency, num_cpus 8 -> 32, same input (three legs)",
         "curation_pages_per_sec_8": cur_lo["pages_per_sec"],
         "curation_pages_per_sec_32": cur_hi["pages_per_sec"],
         "scaling_efficiency": round(eff_cur, 3),
         "shuffle_throughput_8": sh_lo["edge_shuffle_throughput"],
         "shuffle_throughput_32": sh_hi["edge_shuffle_throughput"],
         "shuffle_scaling_efficiency": round(eff_sh, 3),
+        "tasks_edges_per_sec_8": tk_lo["tasks_edges_per_sec"],
+        "tasks_edges_per_sec_32": tk_hi["tasks_edges_per_sec"],
+        "tasks_scaling_efficiency": round(eff_tk, 3),
         "note": (
             "curation leg = CPU-bound extract+minhash pipeline (scales with "
             "cores); shuffle leg is memory-bandwidth-bound on a single box — "
-            "cores are not nodes; see BENCH/BASELINE.md for the decomposition"
+            "cores are not nodes; tasks leg = raw-task BSP rounds on the same "
+            "graph; see BENCH/BASELINE.md for the decomposition"
         ),
         "detail": {"curation_8": cur_lo, "curation_32": cur_hi,
-                   "shuffle_8": sh_lo, "shuffle_32": sh_hi},
+                   "shuffle_8": sh_lo, "shuffle_32": sh_hi,
+                   "tasks_8": tk_lo, "tasks_32": tk_hi},
         "sf": SF_DIR,
     }
 
@@ -346,5 +475,9 @@ if __name__ == "__main__":
         print(json.dumps(run_shuffle_bench()))
     elif "--curation-bench" in sys.argv:
         print(json.dumps(run_curation_bench()))
+    elif "--tasks-bench" in sys.argv:
+        print(json.dumps(run_tasks_bench()))
+    elif "--neardup-bench" in sys.argv:
+        print(json.dumps(run_neardup_bench()))
     else:
         print(json.dumps(run_bench()))
