@@ -83,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "token_count": q.q_token_count,
+        "token_topk": q.q_token_topk,
+        "dedup_clusters": q.q_dedup_clusters,
+        "domain_stats": q.q_domain_stats,
         "text_stats": q.q_text_stats,
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
@@ -117,6 +120,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": o.dedup_exact_sql(),
         "dedup_ngram": o.ngram_pairs_sql(tau=0.5),
         "token_count": o.token_count_sql(),
+        "token_topk": o.token_topk_sql(k=100),
+        "dedup_clusters": o.dedup_clusters_sql(tau=0.5),
+        "domain_stats": o.domain_stats_sql(),
         "text_stats": o.text_stats_sql(),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),

@@ -121,6 +121,41 @@ class LangId:
         )
 
 
+def token_topk(docs_ds, k: int = 100):
+    """Global top-k most frequent lowercase word tokens -> Dataset
+    (token, cnt), ordered (cnt desc, token asc) — vocabulary building.
+
+    Shape: per-batch partial counts (one row per distinct token per batch,
+    NOT per occurrence) -> one groupby sum over the vocabulary-sized table
+    -> distributed sort + limit. The full corpus never leaves the workers;
+    only distinct-token rows shuffle."""
+    word = re.compile(WORD_PATTERN)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(word.findall((t or "").lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), type=pa.string()),
+                "c": pa.array(np.fromiter(c.values(), dtype=np.int64, count=len(c))),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("c")
+        .map_batches(
+            lambda b: pa.table({"token": b.column("token"), "cnt": b.column("sum(c)")}),
+            batch_format="pyarrow",
+        )
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
 def rolling_hash(texts) -> np.ndarray:
     """Vectorized Horner rolling hash h = (h*257 + byte) mod 2^61-1.
 

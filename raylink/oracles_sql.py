@@ -271,6 +271,71 @@ FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
 WHERE ROUND(c * 1.0 / (sa.nb + sb.nb - c), 6) >= {tau}"""
 
 
+def token_topk_sql(k: int = 100) -> str:
+    return f"""
+SELECT token, count(*)::BIGINT AS cnt FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS token
+  FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT {k}"""
+
+
+def dedup_clusters_sql(n: int = 3, tau: float = 0.5) -> str:
+    """Connected components over the n-gram Jaccard pair graph (mirrors
+    queries.q_dedup_clusters): cluster = min doc_id reachable via pairs."""
+    assert n == 3, "oracle written for trigrams"
+    return f"""
+WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS nb FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT ia, ib FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+  WHERE ROUND(c * 1.0 / (sa.nb + sb.nb - c), 6) >= {tau}
+),
+e AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+lbl AS (
+  SELECT doc_id AS vid, doc_id AS l FROM documents
+  UNION
+  SELECT e.b, x.l FROM lbl x JOIN e ON e.a = x.vid
+)
+SELECT vid::BIGINT AS doc_id, MIN(l)::BIGINT AS cluster FROM lbl GROUP BY vid"""
+
+
+def domain_stats_sql() -> str:
+    """Per-site page counts + extracted-text char totals (mirrors
+    queries.q_domain_stats over the synthetic url scheme)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """k AS (
+  SELECT d.doc_id, d.text,
+    CASE WHEN d.doc_id < p.m
+         THEN (d.doc_id % 5) + 1 + CASE WHEN d.doc_id % 7 = 3 THEN 1 ELSE 0 END
+         ELSE 0 END AS nlinks
+  FROM documents d, mm p)""",
+            """pg AS (
+  SELECT 'site' || (doc_id % 97) || '.example' AS host,
+         length('Document ' || doc_id || chr(10)
+           || replace(replace(text, chr(13), ' '), chr(10), ' ')
+           || CASE WHEN nlinks > 0
+                   THEN chr(10) || rtrim(repeat('link' || chr(10), nlinks), chr(10))
+                   ELSE '' END) AS n_chars
+  FROM k)""",
+        )
+        + """
+SELECT host, count(*)::BIGINT AS n_pages, SUM(n_chars)::BIGINT AS total_chars
+FROM pg GROUP BY host"""
+    )
+
+
 def token_count_sql() -> str:
     return (
         "SELECT SUM(len(regexp_extract_all(text, '"

@@ -331,6 +331,88 @@ def q_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fp_md5"])
 
 
+def q_token_topk(sf_dir: str):
+    """Top-100 vocabulary tokens (cnt desc, token asc tie-break)."""
+    from raylink.ops.textstats import token_topk
+
+    return token_topk(_docs(sf_dir), k=100)
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup resolution: connected components over the n-gram Jaccard
+    pair graph -> one cluster id (min doc_id) per document. Composes the
+    curation layer (pair generation + distributed verify) with the graph
+    engine (meta-graph CC) — the standard 'pick a canonical doc per
+    duplicate cluster' step of a crawl pipeline."""
+    from raylink.algos import connected_components
+    from raylink.ops.dedup import ngram_pairs
+
+    docs = _docs(sf_dir)
+    pairs = ngram_pairs(docs, n=3, tau=0.5).map_batches(
+        lambda b: pa.table({"src": b.column("doc_a"), "dst": b.column("doc_b")}),
+        batch_format="pyarrow",
+    ).materialize()
+    verts = docs.map_batches(
+        lambda b: pa.table({"vid": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    _, comps = connected_components(
+        pairs, vertices_ds=verts, num_parts=P, partitioner="mod",
+        engine="tasks", ckpt_dir=_ckpt("dedup_clusters", sf_dir),
+    )
+    return comps.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("vid"), "cluster": b.column("component")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-site aggregates over the crawled pages (host, n_pages,
+    total_chars) — domain-level curation (crawl allow/deny lists, per-site
+    caps). Host parsed from the url with vectorized Arrow kernels; partial
+    per-batch aggregation before the one vocabulary-sized groupby."""
+    import pyarrow.compute as pc
+
+    extracted, _, _, _ = page_edge_tables(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(batch.column("url"), pattern="^https://", replacement=""),
+            pattern="/.*$", replacement="",
+        )
+        chars = pc.utf8_length(batch.column("text"))
+        t = pa.table({"host": host, "chars": chars})
+        import pandas as pd
+
+        df = t.to_pandas().groupby("host", sort=True).agg(
+            n=("chars", "size"), c=("chars", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "host": pa.array(df["host"], type=pa.string()),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+                "c": pa.array(df["c"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        extracted.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["n", "c"])
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "host": b.column("host"),
+                    "n_pages": b.column("sum(n)"),
+                    "total_chars": b.column("sum(c)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 # ----------------------------------------------------------- embeddings ops
 def _emb(sf_dir: str):
     import ray.data as rd

@@ -298,3 +298,40 @@ def test_rolling_hash_vectorized_matches_scalar():
             h = (h * BASE + b) % MOD
         exp.append(h)
     np.testing.assert_array_equal(rolling_hash(texts), np.array(exp, dtype=np.int64))
+
+
+def test_token_topk(docs_ds):
+    from collections import Counter
+
+    from raylink.ops.textstats import WORD_PATTERN, token_topk
+    import re
+
+    got = token_topk(docs_ds, k=5).to_pandas()
+    c = Counter()
+    for t in _docs_table().column("text").to_pylist():
+        c.update(re.findall(WORD_PATTERN, t.lower()))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(got["token"], got["cnt"])) == exp
+
+
+def test_dedup_clusters_composition(ray_session):
+    """Near-dup clustering = CC over the ngram pair graph: docs 0,1,2 form
+    one cluster (0-2 exact dup, 0-1 near dup), everything else singleton."""
+    import ray.data as rd
+
+    from raylink.algos import connected_components
+    from raylink.ops.dedup import ngram_pairs
+
+    docs = rd.from_arrow(_docs_table())
+    pairs = ngram_pairs(docs, n=3, tau=0.5).map_batches(
+        lambda b: pa.table({"src": b.column("doc_a"), "dst": b.column("doc_b")}),
+        batch_format="pyarrow",
+    ).materialize()
+    verts = docs.map_batches(
+        lambda b: pa.table({"vid": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    _, comps = connected_components(pairs, vertices_ds=verts, num_parts=2)
+    pdf = comps.to_pandas().set_index("vid")["component"]
+    assert pdf[0] == pdf[1] == pdf[2] == 0
+    for d in range(3, 9):
+        assert pdf[d] == d
