@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": q.q_token_topk,
         "dedup_clusters": q.q_dedup_clusters,
         "domain_stats": q.q_domain_stats,
+        "curation_funnel": q.q_curation_funnel,
         "text_stats": q.q_text_stats,
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": o.token_topk_sql(k=100),
         "dedup_clusters": o.dedup_clusters_sql(tau=0.5),
         "domain_stats": o.domain_stats_sql(),
+        "curation_funnel": o.curation_funnel_sql(),
         "text_stats": o.text_stats_sql(),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),

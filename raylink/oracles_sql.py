@@ -271,6 +271,43 @@ FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
 WHERE ROUND(c * 1.0 / (sa.nb + sb.nb - c), 6) >= {tau}"""
 
 
+def curation_funnel_sql() -> str:
+    """Quality AND lang=='en' AND canonical-exact-dup survivor funnel
+    (mirrors queries.q_curation_funnel; reuses the text_stats / lang_id /
+    dedup_exact rules 1:1)."""
+    stop = _STOP(STOP_EN)
+    sr = f"CASE WHEN len(ws) = 0 THEN 0.0 ELSE len(list_filter(ws, x -> x IN ({stop}))) * 1.0 / len(ws) END"
+    avg = "CASE WHEN len(ws) = 0 THEN 0.0 ELSE list_aggregate(list_transform(ws, x -> length(x)), 'sum') * 1.0 / len(ws) END"
+    cnt = lambda ws: f"len(list_filter(ws, x -> x IN ({_STOP(ws)})))"  # noqa: E731
+    c_en, c_de, c_fr, c_es = cnt(STOP_EN), cnt(STOP_DE), cnt(STOP_FR), cnt(STOP_ES)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS cjk,
+         regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_words,
+         ROUND(LEAST(len(ws), 50) / 50.0 * 0.5 + LEAST({sr}, 0.4) / 0.4 * 0.5, 6) AS quality,
+         (len(ws) >= 10 AND {avg} BETWEEN 2.0 AND 12.0) AS keep,
+         cjk, {c_en} AS en, {c_de} AS de, {c_fr} AS fr, {c_es} AS es
+  FROM w),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN cjk > 0 THEN 'zh'
+              WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS pred_lang
+  FROM s),
+canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT s.doc_id, s.n_words, s.quality
+FROM s JOIN lang USING (doc_id) JOIN canon USING (doc_id)
+WHERE s.keep AND lang.pred_lang = 'en'"""
+
+
 def token_topk_sql(k: int = 100) -> str:
     return f"""
 SELECT token, count(*)::BIGINT AS cnt FROM (

@@ -331,6 +331,72 @@ def q_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fp_md5"])
 
 
+def q_curation_funnel(sf_dir: str):
+    """The canonical training-data curation funnel, composed end-to-end:
+    keep a document iff (quality keep rule) AND (predicted lang == 'en')
+    AND (it is the canonical copy of its exact-dup group). One streaming
+    pass computes stats+lang per batch; the dedup keep-set arrives via the
+    distributed exact-dedup groupby and a hash join (no driver set).
+    Output: (doc_id, n_words, quality) of survivors."""
+    from raylink.join import hash_join
+    from raylink.ops.dedup import exact_dedup
+    from raylink.ops.textstats import LangId, TextStats
+
+    docs = _docs(sf_dir)
+    stats = docs.map_batches(TextStats, batch_format="pyarrow", batch_size=512,
+                             concurrency=(1, 2))
+    langs = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                      batch_size=512, concurrency=(1, 2))
+    keep_ids = exact_dedup(_docs(sf_dir)).map_batches(
+        lambda b: pa.table({"doc_id": b.column("keep_id"),
+                            "is_keep": pa.array(np.ones(len(b), dtype=np.int64))}),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(
+        stats.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "n_words": b.column("n_words"),
+                                "quality": b.column("quality"),
+                                "keep": b.column("keep")}),
+            batch_format="pyarrow",
+        ),
+        langs.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "pred_lang": b.column("pred_lang")}),
+            batch_format="pyarrow",
+        ),
+        on="doc_id",
+        left_cols={"n_words": pa.int64(), "quality": pa.float64(),
+                   "keep": pa.bool_()},
+        right_cols={"pred_lang": pa.string()},
+    )
+    j2 = hash_join(
+        j1, keep_ids, on="doc_id",
+        left_cols={"n_words": pa.int64(), "quality": pa.float64(),
+                   "keep": pa.bool_(), "pred_lang": pa.string()},
+        right_cols={"is_keep": pa.int64()},
+        strict=False,  # non-canonical dups have no keep row -> dropped
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            batch.column("keep"),
+            pc.equal(batch.column("pred_lang"), pa.scalar("en")),
+        )
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "n_words": kept.column("n_words"),
+                "quality": kept.column("quality"),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
 def q_token_topk(sf_dir: str):
     """Top-100 vocabulary tokens (cnt desc, token asc tie-break)."""
     from raylink.ops.textstats import token_topk
