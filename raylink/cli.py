@@ -33,37 +33,47 @@ def _load_edges(args):
         from raylink.sources import read_edges_json
 
         return read_edges_json(args.edges)
+    if args.format == "full_info":
+        from raylink.sources import read_full_info
+
+        return read_full_info(args.edges)
     edges = rd.read_parquet(args.edges)
     verts = rd.read_parquet(args.vertices) if args.vertices else None
     return edges, verts
 
 
-def _build(args, directed: bool):
+def _build(args, directed: bool, vertex_cols=None):
     from raylink.graph import build_graph
 
     edges, verts = _load_edges(args)
     if args.format != "parquet":
         edges = edges.materialize()
+    # full_info inputs are pre-partitioned: force the explicit partitioner
+    partitioner = "explicit" if args.format == "full_info" else args.partitioner
     return build_graph(
         edges,
         verts,
         num_parts=args.num_parts,
-        partitioner=args.partitioner,
-        directed=directed,
+        partitioner=partitioner,
+        directed=directed if partitioner != "explicit" else True,
         graph_dir=args.graph_dir,
         weighted=args.weighted,
+        vertex_cols=vertex_cols,
     ), edges
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="raylink", description=__doc__)
     p.add_argument("algorithm", choices=[
-        "pagerank", "subgraphrank", "cc", "lpa", "sssp", "kcore", "coreness",
-        "triangles", "forest", "kmeans",
+        "pagerank", "seeded_pagerank", "subgraphrank", "cc", "lpa", "sssp",
+        "kcore", "coreness", "triangles", "forest", "kmeans",
     ])
     p.add_argument("--edges", required=True, help="parquet glob / text / jsonl path")
-    p.add_argument("--vertices", help="optional vertex parquet (vid)")
-    p.add_argument("--format", choices=["parquet", "adjacency", "json"], default="parquet")
+    p.add_argument("--vertices", help="optional vertex parquet (vid[, value cols])")
+    p.add_argument("--format", choices=["parquet", "adjacency", "json", "full_info"],
+                   default="parquet")
+    p.add_argument("--seed-col", dest="seed_col", default="seed",
+                   help="vertex value column for seeded_pagerank")
     p.add_argument("--with-partition", action="store_true")
     p.add_argument("--out", help="output directory (partitioned parquet)")
     p.add_argument("--num-parts", type=int, default=16)
@@ -104,6 +114,18 @@ def main(argv=None) -> int:
         edges, _ = _load_edges(args)
         summary["triangles"] = triangle_count(edges)
         result = None
+    elif args.algorithm == "seeded_pagerank":
+        from raylink.algos import seeded_pagerank
+
+        edges, verts = _load_edges(args)
+        if verts is None:
+            p.error("seeded_pagerank needs --vertices with the seed column")
+        res, result = seeded_pagerank(
+            edges, vertices_ds=verts, seed_col=args.seed_col,
+            num_parts=args.num_parts, partitioner=args.partitioner,
+            eps=args.eps, iters=args.iters, **common,
+        )
+        summary.update(supersteps=res.supersteps_run, wall_sec=round(res.wall_sec, 2))
     elif args.algorithm in ("pagerank", "subgraphrank"):
         from raylink.algos import pagerank, subgraph_rank
 

@@ -38,3 +38,28 @@ def test_cli_cc_roundtrip(tmp_path):
     parts = sorted(glob.glob(str(out / "part=*" / "data.parquet")))
     df = pd.concat([pq.read_table(p).to_pandas() for p in parts]).sort_values("vid")
     np.testing.assert_array_equal(df["component"].to_numpy(), cc_oracle(N, edges))
+
+
+def test_cli_full_info_pagerank(tmp_path):
+    """full_info format -> explicit partitioner end-to-end via the CLI."""
+    edges = expected_edges(N)
+    part_of = lambda v: v % 3  # noqa: E731
+    adj = {i: set() for i in range(N)}
+    for s, d in edges:
+        adj[int(s)].add(int(d))
+    gfile = tmp_path / "fi.txt"
+    with open(gfile, "w") as f:
+        for v in range(N):
+            toks = [str(part_of(v)), "0", str(v)]
+            for d in sorted(adj[v]):
+                toks += [str(d), "0", str(part_of(d))]
+            f.write(" ".join(toks) + "\n")
+    r = subprocess.run(
+        [sys.executable, "-m", "raylink.cli", "pagerank", "--edges", str(gfile),
+         "--format", "full_info", "--iters", "5", "--engine", "tasks",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == N and summary["supersteps"] == 6
