@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "knn": q.q_knn,
         "ann_lsh": q.q_ann_lsh,
+        "ann_ivf": q.q_ann_ivf,
         "embedding_pairs": q.q_embedding_pairs,
         "embedding_pairs_lsh": q.q_embedding_pairs_lsh,
         "events_window": q.q_events_window,
@@ -141,6 +142,6 @@ def oracle_sql() -> dict[str, str]:
         "media_features": o.media_features_sql(),
         "subgraph_rank": o.subgraph_rank_sql(),
         # rows-only (hash-family- or probabilistic-recall values):
-        # graph_kmeans, dedup_minhash, dedup_simhash, ann_lsh,
+        # graph_kmeans, dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
         # embedding_pairs_lsh — each oracle-tested in pytest
     }

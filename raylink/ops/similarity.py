@@ -199,6 +199,116 @@ def lsh_ann(emb_ds, query_ids: list[int], k: int = 5, n_tables: int = 8, bits: i
     )
 
 
+def ivf_ann(
+    emb_ds,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+    train_iters: int = 8,
+    seed: int = 13,
+):
+    """IVF (inverted-file) approximate top-k — the index-shaped ANN scale
+    path alongside ``lsh_ann``:
+
+    1. a small centroid codebook is trained driver-side with Lloyd k-means
+       on a deterministic sample (``vec_id < train_sample``) of normalized
+       vectors — the codebook is tiny and broadcast once;
+    2. every vector is assigned to its nearest centroid inside
+       ``map_batches`` (the inverted lists exist implicitly as the
+       assignment); the full dataset never leaves the workers;
+    3. each query probes its ``n_probe`` nearest centroids; only vectors in
+       probed lists get exact cosines (candidate fraction ~ n_probe /
+       n_centroids), then the usual per-query top-k reduce.
+
+    Deterministic (seeded init, fixed iteration count); recall vs
+    ``knn_brute`` is tested in pytest."""
+    import pyarrow.compute as pc
+    import ray
+
+    qlist = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
+    q_pdf = emb_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=qlist)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    qm = _normalize(np.array(q_pdf["embedding"].tolist(), dtype=np.float64))
+
+    # --- train codebook on a deterministic sample (driver-side, tiny)
+    train_pdf = emb_ds.map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), pa.scalar(train_sample))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    tm = _normalize(np.array(train_pdf["embedding"].tolist(), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(tm))
+    cent = tm[rng.choice(len(tm), size=n_centroids, replace=False)]
+    for _ in range(train_iters):
+        assign = np.argmax(tm @ cent.T, axis=1)
+        for c in range(n_centroids):
+            sel = assign == c
+            if sel.any():
+                v = tm[sel].mean(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    cent[c] = v / nrm
+    # per-query probe sets: n_probe nearest centroids
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, : min(n_probe, n_centroids)]
+    ref = ray.put((q_ids, qm, cent, probe))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qi, qmat, cents, probes = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _normalize(_mat(batch))
+        assign = np.argmax(m @ cents.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for r, q in enumerate(qi):
+            cand = np.isin(assign, probes[r]) & (ids != q)
+            if not cand.any():
+                continue
+            s = round_half_away(qmat[r] @ m[cand].T, 6)
+            take = min(int(cand.sum()), k)
+            nid = ids[cand]
+            order = np.lexsort((nid, -s))[:take]
+            out_q.append(np.full(take, q, dtype=np.int64))
+            out_n.append(nid[order])
+            out_s.append(s[order])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        s = group.column("cosine").to_numpy(zero_copy_only=False)
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        q = group.column("query_id")[0].as_py()
+        order = np.lexsort((nid, -s))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), q, dtype=np.int64)),
+                "neighbor_id": pa.array(nid[order]),
+                "cosine": pa.array(s[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(scan, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
 def embedding_pairs(emb_ds, tau: float = 0.9, num_blocks: int = 8):
     """All pairs with cosine >= tau -> (id_a, id_b, cosine r6), a < b.
 

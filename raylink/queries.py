@@ -498,6 +498,16 @@ def q_ann_lsh(sf_dir: str):
     return lsh_ann(_emb(sf_dir), query_ids=list(range(10)), k=5)
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF inverted-file ANN (seeded codebook, deterministic); rows-only —
+    recall is approximate by design, verified >= 0.8 vs brute force in
+    pytest (test_ivf_ann_recall)."""
+    from raylink.ops.similarity import ivf_ann
+
+    return ivf_ann(_emb(sf_dir), query_ids=list(range(10)), k=5,
+                   n_centroids=16, n_probe=4)
+
+
 def q_embedding_pairs(sf_dir: str):
     from raylink.ops.similarity import embedding_pairs
 

@@ -335,3 +335,26 @@ def test_dedup_clusters_composition(ray_session):
     assert pdf[0] == pdf[1] == pdf[2] == 0
     for d in range(3, 9):
         assert pdf[d] == d
+
+
+def test_ivf_ann_recall(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.similarity import ivf_ann
+
+    tbl = _emb_table(n=200)
+    ds = rd.from_arrow(tbl)
+    got = ivf_ann(ds, [0, 1, 2, 3], k=5, n_centroids=8, n_probe=3).to_pandas()
+    exp = _brute_topk(tbl, [0, 1, 2, 3], 5)
+    hits = tot = 0
+    for q in [0, 1, 2, 3]:
+        e = {n for n, _ in exp[q]}
+        g = set(got[got["query_id"] == q]["neighbor_id"])
+        hits += len(e & g)
+        tot += len(e)
+    assert hits / tot >= 0.8, f"IVF recall too low: {hits}/{tot}"
+    # deterministic across runs
+    again = ivf_ann(ds, [0, 1, 2, 3], k=5, n_centroids=8, n_probe=3).to_pandas()
+    assert got.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
