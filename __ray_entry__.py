@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q.q_events_window,
         "events_sessionize": q.q_events_sessionize,
         "media_features": q.q_media_features,
+        "media_resize": q.q_media_resize,
+        "media_frames": q.q_media_frames,
     }
 
 

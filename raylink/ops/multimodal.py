@@ -100,6 +100,116 @@ class DecodeMedia:
         )
 
 
+class ResizeMedia:
+    """Actor-pool resize stage: RLNKIMG1 blob (w x h bytes) -> nearest-
+    neighbour resample to (out_w x out_h), re-encoded as RLNKIMG1.
+
+    The resample itself is one vectorized numpy fancy-index per image (no
+    per-pixel python); non-RLNK mimes hit the same NotImplementedError codec
+    contract as DecodeMedia. Output: media_id, media (resized blob), width,
+    height."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8) -> None:
+        self.out_w, self.out_h = int(out_w), int(out_h)
+
+    def _resize(self, blob: bytes) -> bytes:
+        if blob[:8] != MAGIC:
+            raise NotImplementedError(
+                "real image decode requires an image library not present in "
+                "this environment; only RLNKIMG1 synthetic blobs are supported"
+            )
+        w, h = struct.unpack("<HH", blob[8:12])
+        px = np.frombuffer(blob[12:], dtype=np.uint8)
+        # pad/truncate defensively to w*h, then NN-resample
+        img = np.zeros(h * w, dtype=np.uint8)
+        m = min(len(px), h * w)
+        img[:m] = px[:m]
+        img = img.reshape(h, w)
+        rows = (np.arange(self.out_h) * h) // self.out_h
+        cols = (np.arange(self.out_w) * w) // self.out_w
+        out = img[rows[:, None], cols[None, :]]
+        return MAGIC + struct.pack("<HH", self.out_w, self.out_h) + out.tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = [self._resize(bytes(b)) for b in batch.column("media").to_pylist()]
+        n = len(blobs)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "media": pa.array(blobs, type=pa.binary()),
+                "width": pa.array(np.full(n, self.out_w, dtype=np.int32)),
+                "height": pa.array(np.full(n, self.out_h, dtype=np.int32)),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for 'video'-shaped RLNKIMG1 blobs:
+    the payload is F frames of (w x h) bytes; emit every ``every``-th frame
+    as its own RLNKIMG1 blob -> rows (media_id, frame_idx, frame). The
+    row-expanding map is the standard Ray Data shape for frame extraction
+    (one input row -> many output rows, streaming)."""
+
+    def __init__(self, every: int = 2) -> None:
+        self.every = max(1, int(every))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, fidx, frames = [], [], []
+        for mid, blob in zip(
+            batch.column("media_id").to_pylist(), batch.column("media").to_pylist()
+        ):
+            blob = bytes(blob)
+            if blob[:8] != MAGIC:
+                raise NotImplementedError(
+                    "real video decode requires a codec library not present "
+                    "in this environment; only RLNKIMG1 blobs are supported"
+                )
+            w, h = struct.unpack("<HH", blob[8:12])
+            px = np.frombuffer(blob[12:], dtype=np.uint8)
+            fsize = max(1, w * h)
+            n_frames = len(px) // fsize
+            for f in range(0, n_frames, self.every):
+                ids_out.append(mid)
+                fidx.append(f)
+                frames.append(
+                    MAGIC + struct.pack("<HH", w, h)
+                    + px[f * fsize : (f + 1) * fsize].tobytes()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int64()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def resize_media(media_ds, out_w: int = 8, out_h: int = 8,
+                 batch_size: int = 64, concurrency: int = 4):
+    """Resize pipeline: actor pool (autoscaling from 1 so small clusters
+    cannot deadlock), small batches for wide binary rows."""
+    return media_ds.map_batches(
+        ResizeMedia,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, max(1, concurrency)),
+    )
+
+
+def sample_frames(media_ds, every: int = 2, batch_size: int = 16,
+                  concurrency: int = 4):
+    """Frame-sampling pipeline (row-expanding; even smaller batches since
+    output rows multiply)."""
+    return media_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, max(1, concurrency)),
+    )
+
+
 def media_from_documents(docs_ds):
     """Wrap each document's ASCII text bytes as an RLNKIMG1 blob (w = byte
     length, h = 1): a deterministic, real-table-derived media corpus whose

@@ -580,6 +580,60 @@ def q_media_features(sf_dir: str):
     return feats.map_batches(flatten, batch_format="pyarrow")
 
 
+def q_media_resize(sf_dir: str):
+    """Nearest-neighbour resize of the document-derived media corpus to 8x8,
+    fingerprinted; rows-only (binary output not SQL-constructible), numpy
+    oracle in pytest (test_media_resize)."""
+    import hashlib
+
+    from raylink.ops.multimodal import media_from_documents, resize_media
+
+    resized = resize_media(media_from_documents(_docs(sf_dir)), out_w=8, out_h=8,
+                           concurrency=2)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(bytes(b)).hexdigest() for b in batch.column("media").to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "fp_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return resized.map_batches(fp, batch_format="pyarrow")
+
+
+def q_media_frames(sf_dir: str):
+    """Frame sampling over 'video'-shaped blobs (docs text bytes chunked as
+    16x4 frames), every 2nd frame; rows-only, pytest oracle
+    (test_frame_sampler)."""
+    from raylink.ops.multimodal import sample_frames, media_from_documents
+    import struct as _struct
+
+    media = media_from_documents(_docs(sf_dir))
+
+    def as_video(batch: pa.Table) -> pa.Table:
+        # reinterpret each blob's payload as 16x4-byte frames
+        blobs = []
+        for b in batch.column("media").to_pylist():
+            b = bytes(b)
+            blobs.append(b[:8] + _struct.pack("<HH", 16, 4) + b[12:])
+        return pa.table(
+            {"media_id": batch.column("media_id"),
+             "media": pa.array(blobs, type=pa.binary())}
+        )
+
+    frames = sample_frames(media.map_batches(as_video, batch_format="pyarrow"),
+                           every=2, concurrency=2)
+    return frames.map_batches(
+        lambda b: pa.table({"media_id": b.column("media_id"),
+                            "frame_idx": b.column("frame_idx")}),
+        batch_format="pyarrow",
+    )
+
+
 def q_sssp_weighted(sf_dir: str):
     """Weighted Dijkstra (edge weight = deterministic function of endpoints);
     rows-only check, oracle-tested in pytest (test_weighted_sssp)."""

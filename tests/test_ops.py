@@ -358,3 +358,48 @@ def test_ivf_ann_recall(ray_session):
     assert got.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
         again.sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
+
+
+def test_media_resize(ray_session):
+    import struct
+
+    import ray.data as rd
+
+    from raylink.ops.multimodal import MAGIC, ResizeMedia, resize_media, synth_media
+
+    media = synth_media(20, seed=3)
+    out = resize_media(rd.from_arrow(media), out_w=8, out_h=8, concurrency=2).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+    # numpy reference for one image
+    blob = bytes(media.column("media")[0].as_py())
+    w, h = struct.unpack("<HH", blob[8:12])
+    img = np.frombuffer(blob[12:], dtype=np.uint8).reshape(h, w)
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(8) * w) // 8
+    exp = img[rows[:, None], cols[None, :]].tobytes()
+    got_blob = bytes(out.loc[0, "media"])
+    assert got_blob[:8] == MAGIC and got_blob[12:] == exp
+    # stub contract: non-RLNK blob raises
+    with pytest.raises(NotImplementedError):
+        ResizeMedia()(pa.table({"media_id": pa.array([0], type=pa.int64()),
+                                "media": pa.array([b"\x89PNGxxxx"], type=pa.binary())}))
+
+
+def test_frame_sampler(ray_session):
+    import struct
+
+    import ray.data as rd
+
+    from raylink.ops.multimodal import MAGIC, sample_frames
+
+    # one "video": 10 frames of 4x2 bytes
+    w, h, F = 4, 2, 10
+    payload = bytes(range(w * h * F))
+    blob = MAGIC + struct.pack("<HH", w, h) + payload
+    ds = rd.from_arrow(pa.table({"media_id": pa.array([7], type=pa.int64()),
+                                 "media": pa.array([blob], type=pa.binary())}))
+    out = sample_frames(ds, every=2, concurrency=1).to_pandas().sort_values("frame_idx")
+    assert list(out["frame_idx"]) == [0, 2, 4, 6, 8]
+    f2 = bytes(out.iloc[1]["frame"])
+    assert f2[12:] == payload[2 * w * h : 3 * w * h]
