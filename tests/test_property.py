@@ -60,3 +60,64 @@ def test_property_cc_sssp(ray_session, edges_list):
         dists.to_pandas().sort_values("vid")["dist"].to_numpy(),
         bfs_oracle(N, edges, 0),
     )
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 30), st.integers(0, 10**6)),
+             min_size=0, max_size=80),
+)
+def test_property_hash_join_vs_pandas(ray_session, left_rows):
+    """hash_join == pandas inner merge on arbitrary (possibly duplicated,
+    possibly unmatched) left keys against a unique right relation."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raylink.join import hash_join
+
+    lk = np.array([k for k, _ in left_rows], dtype=np.int64)
+    lx = np.array([x for _, x in left_rows], dtype=np.int64)
+    rk = np.arange(0, 31, 2, dtype=np.int64)  # evens only -> odd keys unmatched
+    rv = rk * 100
+    left = rd.from_arrow(pa.table({"k": pa.array(lk), "x": pa.array(lx)}))
+    right = rd.from_arrow(pa.table({"k": pa.array(rk), "v": pa.array(rv)}))
+    got = hash_join(left, right, on="k", left_cols={"x": pa.int64()},
+                    right_cols={"v": pa.int64()}, strict=False).to_pandas()
+    exp = (
+        pd.DataFrame({"k": lk, "x": lx})
+        .merge(pd.DataFrame({"k": rk, "v": rv}), on="k", how="inner")
+        .sort_values(["k", "x"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    if len(exp):
+        got = got.sort_values(["k", "x"]).reset_index(drop=True)
+        assert got.equals(exp[["k", "x", "v"]])
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+             min_size=0, max_size=60),
+)
+def test_property_pair_attach(ray_session, raw_pairs):
+    """pair_attach returns exactly one row per unique pair key with both
+    sides' values correctly attached, for arbitrary pair sets."""
+    import ray.data as rd
+
+    from raylink.join import pair_attach
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in raw_pairs if a != b})
+    keys = np.array([(a << 32) | b for a, b in pairs], dtype=np.int64)
+    cand = rd.from_arrow(pa.table({"key": pa.array(keys)}))
+    ids = np.arange(26, dtype=np.int64)
+    vals = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "val": pa.array(ids * 7)})
+    )
+    got = pair_attach(cand, vals, {"val": pa.int64()}).to_pandas()
+    assert len(got) == len(pairs)
+    if len(pairs):
+        got = got.sort_values("key")
+        a = got["key"].to_numpy() >> 32
+        b = got["key"].to_numpy() & 0xFFFFFFFF
+        np.testing.assert_array_equal(got["val_a"].to_numpy(), a * 7)
+        np.testing.assert_array_equal(got["val_b"].to_numpy(), b * 7)
