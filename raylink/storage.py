@@ -90,6 +90,21 @@ def listdir(path: str, filesystem=None) -> list[str]:
     )
 
 
+def list_subdirs(path: str, filesystem=None) -> list[str]:
+    """Base names of directories directly under ``path`` (sorted); empty if
+    the path does not exist."""
+    fs, p = resolve(path, filesystem)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except FileNotFoundError:
+        return []
+    return sorted(
+        posixpath.basename(i.path)
+        for i in infos
+        if i.type == pafs.FileType.Directory
+    )
+
+
 def delete_dir(path: str, filesystem=None) -> None:
     fs, p = resolve(path, filesystem)
     try:

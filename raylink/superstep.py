@@ -133,6 +133,37 @@ class Checkpoint:
     def write_manifest(self, man: dict) -> None:
         storage.write_json_atomic(man, self.manifest_path(), self.filesystem)
 
+    def gc_rounds(self, upto: int) -> None:
+        """Delete state/metrics/message checkpoints of supersteps <= upto.
+
+        Retention is what makes multi-day crawl-scale jobs storage-bounded:
+        resume only ever needs the LAST complete round (state + its message
+        parquet + manifest), and per-round aggregate metrics live on in the
+        manifest history. Old-round files are dead weight that at 10^12-
+        vertex scale would otherwise grow the checkpoint root by one full
+        state copy per superstep."""
+        if upto < 0:
+            return
+        for sub, pat in (("state", "ss="), ("metrics", "ss=")):
+            base = storage.join(self.ckpt_dir, sub)
+            for d in storage.list_subdirs(base, self.filesystem):
+                if not d.startswith(pat):
+                    continue
+                try:
+                    s = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if s <= upto:
+                    storage.delete_dir(storage.join(base, d), self.filesystem)
+        mbase = storage.join(self.ckpt_dir, "msgs")
+        for d in storage.list_subdirs(mbase, self.filesystem):
+            try:
+                s = int(d.lstrip("s"))
+            except ValueError:
+                continue
+            if s <= upto:
+                storage.delete_dir(storage.join(mbase, d), self.filesystem)
+
     def round_metrics(self, s: int, parts: list[int]) -> dict:
         rows = []
         for p in parts:
@@ -335,6 +366,10 @@ def run_bsp(
                 "history": history,
             }
         )
+        # retention: drop rounds older than the resume window (0 keeps all)
+        retain = int(ctx.get("retain_rounds", 2))
+        if retain > 0:
+            ck.gc_rounds(s_end - retain)
         s = s_end + 1
 
     return BSPResult(

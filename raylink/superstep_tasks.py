@@ -237,6 +237,10 @@ def run_bsp_tasks(
                 "engine": "tasks",
             }
         )
+        # retention: drop rounds older than the resume window (0 keeps all)
+        retain = int(ctx.get("retain_rounds", 2))
+        if retain > 0:
+            ck.gc_rounds(s_end - retain)
         s = s_end + 1
 
     return BSPResult(
