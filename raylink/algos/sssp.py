@@ -74,8 +74,10 @@ class SSSP(Algorithm):
             )
             nbr = indices[idx]
             nd = np.repeat(dist[frontier], degs) + 1
-            pos = np.searchsorted(vids, nbr)
-            owned = (pos < len(vids)) & (vids[np.minimum(pos, len(vids) - 1)] == nbr)
+            from raylink.graph import edge_localization
+
+            edge_pos, edge_owned = edge_localization(shard)
+            pos, owned = edge_pos[idx], edge_owned[idx]
             if np.any(~owned):
                 remote_dst.append(nbr[~owned])
                 remote_dist.append(nd[~owned])
@@ -111,14 +113,9 @@ class SSSP(Algorithm):
         weights = shard.get("weights")
         if weights is None:
             weights = np.ones(len(indices), dtype=np.float64)
-        if "_edge_pos" not in shard:
-            pos_all = np.searchsorted(vids, indices)
-            owned_all = (pos_all < len(vids)) & (
-                vids[np.minimum(pos_all, len(vids) - 1)] == indices
-            )
-            shard["_edge_pos"] = pos_all
-            shard["_edge_owned"] = owned_all
-        edge_pos, edge_owned = shard["_edge_pos"], shard["_edge_owned"]
+        from raylink.graph import edge_localization
+
+        edge_pos, edge_owned = edge_localization(shard)
         dist = np.asarray(state["dist"], dtype=np.float64).copy()
         roots: list[int] = []
         if s == 0:

@@ -136,6 +136,23 @@ def load_shard(graph_dir: str, p: int, filesystem=None) -> dict:
     return sh
 
 
+def edge_localization(shard: dict) -> tuple:
+    """(edge_pos, edge_owned) aligned with the shard's CSR ``indices``:
+    local position of each edge target and whether it is owned. Computed
+    once per shard and cached on the shard dict (which is itself cached per
+    worker), so frontier-style algorithms do plain array indexing instead of
+    a searchsorted per BFS level."""
+    if "_edge_pos" not in shard:
+        vids, indices = shard["vids"], shard["indices"]
+        pos = np.searchsorted(vids, indices)
+        owned = (pos < len(vids)) & (
+            vids[np.minimum(pos, len(vids) - 1)] == indices
+        ) if len(vids) else np.zeros(len(indices), dtype=bool)
+        shard["_edge_pos"] = pos
+        shard["_edge_owned"] = owned
+    return shard["_edge_pos"], shard["_edge_owned"]
+
+
 def _build_shard(
     group: pa.Table, graph_dir: str, num_parts: int, partitioner: str,
     filesystem=None, vertex_cols: list | None = None,

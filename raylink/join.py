@@ -51,6 +51,14 @@ def hash_join(
       joins are referential: labels/degrees exist for every vertex);
       ``strict=False`` drops unmatched left rows (inner join).
 
+    Skew: all rows of one KEY land in one bucket group, so a single hot key
+    carrying a large fraction of the left side concentrates in one group
+    (correctness unaffected — tested; only that group's task is bigger).
+    For such workloads raise ``num_buckets`` (more, smaller groups) or
+    pre-aggregate the left side per key before joining — the engine's own
+    call sites join per-vertex relations where key multiplicity is bounded
+    by degree, already capped upstream by combiners/DF cuts.
+
     Returns Dataset (``on``, *left_cols, *right_cols).
     """
     overlap = set(left_cols) & set(right_cols)

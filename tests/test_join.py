@@ -118,3 +118,26 @@ def test_crossing_count_paths_agree(edge_data, tmp_path):
     s = crossing_count(edges_ds, labels, N, force="shuffle")
     exp = int(np.sum((edges[:, 0] % 3) != (edges[:, 1] % 3)))
     assert b == s == exp
+
+
+def test_hash_join_hot_key_skew(ray_session):
+    """A single key carrying half the left side: correctness is unaffected
+    by the bucket concentration (the documented skew behavior)."""
+    import ray.data as rd
+
+    from raylink.join import hash_join
+
+    hot = np.full(5000, 7, dtype=np.int64)
+    cold = np.arange(5000, dtype=np.int64) % 100
+    lk = np.concatenate([hot, cold])
+    lx = np.arange(len(lk), dtype=np.int64)
+    left = rd.from_arrow(pa.table({"k": pa.array(lk), "x": pa.array(lx)}))
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(100, dtype=np.int64)),
+                  "v": pa.array(np.arange(100, dtype=np.int64) * 11)})
+    )
+    out = hash_join(left, right, on="k", left_cols={"x": pa.int64()},
+                    right_cols={"v": pa.int64()}).to_pandas()
+    assert len(out) == len(lk)
+    assert (out["v"] == out["k"] * 11).all()
+    assert (out["k"] == 7).sum() == 5000 + 50  # hot rows + cold k==7 rows
