@@ -143,7 +143,9 @@ def oracle_sql() -> dict[str, str]:
         "meta_diameter": o.meta_diameter_sql(),
         "media_features": o.media_features_sql(),
         "subgraph_rank": o.subgraph_rank_sql(),
-        # rows-only (hash-family- or probabilistic-recall values):
-        # graph_kmeans, dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
-        # embedding_pairs_lsh — each oracle-tested in pytest
+        "graph_kmeans": o.graph_kmeans_sql(),
+        # rows-only (hash-family-, recall- or binary-output-dependent):
+        # dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
+        # embedding_pairs_lsh, media_resize, media_frames — each
+        # oracle-tested in pytest
     }

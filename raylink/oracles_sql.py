@@ -644,6 +644,93 @@ FROM documents d LEFT JOIN ch ON ch.doc_id = d.doc_id
 GROUP BY d.doc_id, d.text"""
 
 
+# ---- overflow-safe 64-bit arithmetic (HUGEINT limbs) for hash mirroring ----
+_M64 = "18446744073709551616"  # 2^64
+_M32 = "4294967296"  # 2^32
+
+
+def _mul64(a: str, b: str) -> str:
+    """(a*b) mod 2^64 over UBIGINT operands via 32-bit limbs (DuckDB errors
+    on native 64-bit overflow, so intermediates go through HUGEINT)."""
+    return (
+        f"CAST(((( (CAST(({a}) >> 32 AS HUGEINT) * (({b}) % {_M32})) % {_M32} "
+        f"+ (CAST(({a}) % {_M32} AS HUGEINT) * (({b}) >> 32)) % {_M32}) % {_M32}) * {_M32} "
+        f"+ CAST(({a}) % {_M32} AS HUGEINT) * (({b}) % {_M32})) % {_M64} AS UBIGINT)"
+    )
+
+
+def _add64(a: str, b: str) -> str:
+    return f"CAST((CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT)) % {_M64} AS UBIGINT)"
+
+
+def _sm64(x: str) -> str:
+    """splitmix64 finalizer (mirrors raylink.util.splitmix64 bit-for-bit —
+    verified against the numpy implementation)."""
+    z1 = _add64(x, "CAST(11400714819323198485 AS UBIGINT)")
+    e1 = f"xor({z1}, ({z1}) >> 30)"
+    z2 = _mul64(e1, "CAST(13787848793156543929 AS UBIGINT)")
+    e2 = f"xor({z2}, ({z2}) >> 27)"
+    z3 = _mul64(e2, "CAST(10723151780598845931 AS UBIGINT)")
+    return f"xor({z3}, ({z3}) >> 31)"
+
+
+def graph_kmeans_sql(k: int = 6, seed: int = 42, iterations: int = 2,
+                     cap: int = 64) -> str:
+    """GPS-style graph k-means (mirrors queries.q_graph_kmeans exactly):
+    per iteration, seeds = the k vertices minimizing splitmix64(vid ^ salt)
+    (salt = seed + 7919*it, hash mirrored bit-for-bit via _sm64); cluster
+    assignment converges to the lexicographic argmin of (hops-to-seed,
+    seed-id) per vertex (multi-source BFS fixpoint, = the engine's
+    (dist, cluster) tie-break rule); the kept iteration is the one with
+    strictly fewer distinct-directed-edge crossings (first wins ties).
+    Unreached vertices keep cluster -1 and dist 2^62."""
+    INF = 1 << 62
+    ctes = [GRAPH_CTES]
+    sm = _sm64("xor(CAST(vid AS UBIGINT), CAST({salt} AS UBIGINT))")
+    for it in range(iterations):
+        salt = seed + 7919 * it
+        ctes.append(
+            f"seeds{it} AS MATERIALIZED (SELECT vid FROM ("
+            f"SELECT vid, {sm.format(salt=salt)} AS h FROM verts "
+            f"ORDER BY h, vid LIMIT {k}))"
+        )
+        ctes.append(
+            f"""bfs{it} AS (
+  SELECT vid, vid AS c, 0 AS d FROM seeds{it}
+  UNION
+  SELECT e.dst, x.c, x.d + 1 FROM bfs{it} x JOIN und e ON e.src = x.vid
+  WHERE x.d < {cap}
+)"""
+        )
+        ctes.append(
+            f"""lab{it} AS MATERIALIZED (
+  SELECT v.vid,
+         COALESCE(m.cluster, -1)::BIGINT AS cluster,
+         COALESCE(m.dist, {INF})::BIGINT AS dist
+  FROM verts v LEFT JOIN (
+    SELECT b.vid, MIN(b.c) AS cluster, dm.dist
+    FROM (SELECT vid, MIN(d) AS dist FROM bfs{it} GROUP BY vid) dm
+    JOIN bfs{it} b ON b.vid = dm.vid AND b.d = dm.dist
+    GROUP BY b.vid, dm.dist
+  ) m ON m.vid = v.vid)"""
+        )
+        ctes.append(
+            f"""x{it} AS (
+  SELECT count(*)::BIGINT AS c FROM edges e
+  JOIN lab{it} a ON a.vid = e.src JOIN lab{it} b ON b.vid = e.dst
+  WHERE a.cluster <> b.cluster)"""
+        )
+    return (
+        _with(*ctes, recursive=True)
+        + """
+SELECT vid::BIGINT AS vid, cluster, dist
+FROM lab1 WHERE (SELECT c FROM x1) < (SELECT c FROM x0)
+UNION ALL
+SELECT vid::BIGINT AS vid, cluster, dist
+FROM lab0 WHERE (SELECT c FROM x1) >= (SELECT c FROM x0)"""
+    )
+
+
 def cooccur_pagerank_sql(iters: int = 10) -> str:
     """PageRank over the lineitem part-co-occurrence graph (vertex set =
     part table; same update rule/constants as pagerank_sql)."""
