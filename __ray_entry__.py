@@ -123,6 +123,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": o.graph_stats_sql(),
         "dedup_exact": o.dedup_exact_sql(),
         "dedup_ngram": o.ngram_pairs_sql(tau=0.5),
+        "dedup_minhash": o.dedup_minhash_sql(tau=0.5),
+        "dedup_simhash": o.dedup_simhash_sql(max_hamming=3),
+        "media_resize": o.media_resize_sql(),
+        "media_frames": o.media_frames_sql(),
         "token_count": o.token_count_sql(),
         "token_topk": o.token_topk_sql(k=100),
         "dedup_clusters": o.dedup_clusters_sql(tau=0.5),
@@ -144,8 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": o.media_features_sql(),
         "subgraph_rank": o.subgraph_rank_sql(),
         "graph_kmeans": o.graph_kmeans_sql(),
-        # rows-only (hash-family-, recall- or binary-output-dependent):
-        # dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
-        # embedding_pairs_lsh, media_resize, media_frames — each
-        # oracle-tested in pytest
+        # rows-only (genuinely non-SQL-mirrorable: float random-hyperplane /
+        # centroid geometry): ann_lsh, ann_ivf, embedding_pairs_lsh — each
+        # oracle-tested in pytest (recall vs brute force)
     }

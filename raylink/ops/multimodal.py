@@ -119,6 +119,7 @@ class ResizeMedia:
                 "this environment; only RLNKIMG1 synthetic blobs are supported"
             )
         w, h = struct.unpack("<HH", blob[8:12])
+        w, h = max(w, 1), max(h, 1)  # degenerate dims -> 1x1 zero image
         px = np.frombuffer(blob[12:], dtype=np.uint8)
         # pad/truncate defensively to w*h, then NN-resample
         img = np.zeros(h * w, dtype=np.uint8)

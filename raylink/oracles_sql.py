@@ -674,6 +674,127 @@ def _sm64(x: str) -> str:
     return f"xor({z3}, ({z3}) >> 31)"
 
 
+def _fnv64(char_col: str) -> str:
+    """FNV-1a over a word's chars (ASCII ⇒ chars == utf-8 bytes) via
+    list_reduce — mirrors raylink.util.text_hash64 bit-for-bit."""
+    step = _mul64("xor(h, cv)", "CAST(1099511628211 AS UBIGINT)")
+    return (
+        f"list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), "
+        f"list_transform(split({char_col}, ''), c -> CAST(ord(c) AS UBIGINT))), "
+        f"(h, cv) -> {step})"
+    )
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    """SimHash near-dup pairs (mirrors ops.dedup.simhash_pairs exactly):
+    simhash = per-bit majority of FNV-1a word hashes weighted by counts; the
+    engine's 4x16-bit banding is COMPLETE for hamming <= 3 (pigeonhole: <4
+    differing bits leave one band identical), so its output equals ALL pairs
+    with hamming <= max_hamming — directly expressible. The uint64 simhash
+    is reinterpreted as two's-complement BIGINT like the engine's int64."""
+    assert max_hamming <= 3, "banding completeness argument holds for <= 3"
+    return f"""
+WITH wh AS MATERIALIZED (
+  SELECT word, {_fnv64("word")} AS h
+  FROM (SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents)
+),
+dw AS (
+  SELECT doc_id, word, count(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents)
+  GROUP BY 1, 2
+),
+bits AS (
+  SELECT dw.doc_id, t.b,
+         SUM(CASE WHEN (wh.h >> t.b) & 1 = 1 THEN dw.c ELSE -dw.c END) AS acc
+  FROM dw JOIN wh USING (word), unnest(generate_series(0, 63)) AS t(b)
+  GROUP BY 1, 2
+),
+shv AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0
+                       THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                       ELSE 0 END) AS HUGEINT) AS v
+  FROM bits GROUP BY doc_id
+),
+sh AS (
+  SELECT d.doc_id,
+         COALESCE(
+           CASE WHEN s.v >= 9223372036854775808
+                THEN CAST(s.v - 18446744073709551616 AS BIGINT)
+                ELSE CAST(s.v AS BIGINT) END, 0) AS simhash
+  FROM documents d LEFT JOIN shv s ON s.doc_id = d.doc_id
+)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def dedup_minhash_sql(n: int = 3, tau: float = 0.5, bands: int = 32,
+                      rows: int = 4, seed: int = 7) -> str:
+    """MinHash-LSH near-dup pairs (mirrors ops.dedup.minhash_pairs exactly,
+    including which pairs the LSH *finds*): the 128 permutation seeds are
+    inlined as literals (same numpy PRNG stream the engine uses), gram
+    hashes are FNV-1a mirrored bit-for-bit, signatures are
+    min(splitmix64(gram_hash ^ seed_i)) per permutation, band buckets fold
+    4 signature rows with the engine's FNV-prime chain and compare on the
+    top-56 bits (the engine drops the low 8), and candidates are verified
+    with the exact trigram jaccard at ROUND(...,6) >= tau."""
+    import numpy as np
+
+    assert n == 3, "oracle written for trigrams"
+    rng = np.random.default_rng(seed)
+    seeds = rng.integers(0, 2**63, size=bands * rows, dtype=np.int64).astype(np.uint64)
+    seed_rows = ", ".join(
+        f"({i}, CAST({int(s)} AS UBIGINT))" for i, s in enumerate(seeds)
+    )
+    # band-hash fold over the 4 sig values of band b (1-indexed list access):
+    # h = h * 1099511628211 + sig  (uint64 wrap), h0 = 0
+    P = "CAST(1099511628211 AS UBIGINT)"
+    fold = "CAST(0 AS UBIGINT)"
+    for r in range(rows):
+        fold = _add64(_mul64(fold, P), f"l[b*{rows} + {r + 1}]")
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3
+),
+gh AS MATERIALIZED (
+  SELECT gram, {_fnv64("gram")} AS h FROM (SELECT DISTINCT gram FROM g)
+),
+seeds(i, s) AS (VALUES {seed_rows}),
+sig AS MATERIALIZED (
+  SELECT g.doc_id, seeds.i,
+         MIN({_sm64("xor(gh.h, seeds.s)")}) AS m
+  FROM g JOIN gh USING (gram), seeds
+  GROUP BY 1, 2
+),
+sl AS (SELECT doc_id, list(m ORDER BY i) AS l FROM sig GROUP BY doc_id),
+bnd AS MATERIALIZED (
+  SELECT doc_id, b, ({fold}) >> 8 AS bh
+  FROM sl, unnest(generate_series(0, {bands - 1})) AS t(b)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+  FROM bnd a JOIN bnd b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, count(*) AS nb FROM g GROUP BY doc_id),
+inter AS (
+  SELECT c.ia, c.ib, count(*) AS c
+  FROM cand c JOIN g ga ON ga.doc_id = c.ia JOIN g gb
+    ON gb.doc_id = c.ib AND gb.gram = ga.gram
+  GROUP BY 1, 2
+)
+SELECT ia::BIGINT AS doc_a, ib::BIGINT AS doc_b,
+       ROUND(i.c * 1.0 / (sa.nb + sb.nb - i.c), 6) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.ia JOIN sz sb ON sb.doc_id = i.ib
+WHERE ROUND(i.c * 1.0 / (sa.nb + sb.nb - i.c), 6) >= {tau}"""
+
+
 def graph_kmeans_sql(k: int = 6, seed: int = 42, iterations: int = 2,
                      cap: int = 64) -> str:
     """GPS-style graph k-means (mirrors queries.q_graph_kmeans exactly):
@@ -729,6 +850,43 @@ UNION ALL
 SELECT vid::BIGINT AS vid, cluster, dist
 FROM lab0 WHERE (SELECT c FROM x1) >= (SELECT c FROM x0)"""
     )
+
+
+def media_frames_sql(frame_w: int = 16, frame_h: int = 4, every: int = 2) -> str:
+    """Frame sampling over the document-derived 'video' blobs (mirrors
+    queries.q_media_frames): n_frames = floor(bytes / (w*h)), emit every
+    ``every``-th frame index."""
+    fsize = frame_w * frame_h
+    return f"""
+SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx
+FROM (SELECT doc_id, strlen(text) // {fsize} AS nf FROM documents),
+     unnest(generate_series(0, CAST(nf - 1 AS BIGINT), {every})) AS t(f)
+WHERE nf >= 1"""
+
+
+def media_resize_sql(out_w: int = 8, out_h: int = 8) -> str:
+    """8x8 nearest-neighbour resize fingerprint of the document-derived
+    media (mirrors queries.q_media_resize): the source is a (w x 1) byte
+    image of the ASCII text, so every output row samples the same w-length
+    row at columns floor(c*w/8); the resized PAYLOAD is reconstructed
+    byte-for-byte in SQL (ASCII, so chars == bytes) and md5'd."""
+    # sampled row: chars at 1-based positions floor(c*w/out_w)+1, c=0..out_w-1
+    cells = " || ".join(
+        f"substr(text, (({c} * w) // {out_w}) + 1, 1)" for c in range(out_w)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id, text, LEAST(strlen(text), 65535) AS w FROM documents
+),
+r AS (
+  SELECT doc_id, w, CASE WHEN w = 0 THEN repeat(chr(0), {out_w})
+                         ELSE ({cells}) END AS row
+  FROM m
+)
+SELECT doc_id AS media_id,
+       {out_w}::INTEGER AS width, {out_h}::INTEGER AS height,
+       md5(repeat(row, {out_h})) AS fp_md5
+FROM r"""
 
 
 def cooccur_pagerank_sql(iters: int = 10) -> str:

@@ -581,9 +581,11 @@ def q_media_features(sf_dir: str):
 
 
 def q_media_resize(sf_dir: str):
-    """Nearest-neighbour resize of the document-derived media corpus to 8x8,
-    fingerprinted; rows-only (binary output not SQL-constructible), numpy
-    oracle in pytest (test_media_resize)."""
+    """Nearest-neighbour resize of the document-derived media corpus to 8x8;
+    the resized PAYLOAD (pure ASCII — sampled text bytes) is md5-
+    fingerprinted so the SQL oracle can reconstruct it byte-for-byte
+    (media_resize_sql); numpy oracle for the resample itself in pytest
+    (test_media_resize)."""
     import hashlib
 
     from raylink.ops.multimodal import media_from_documents, resize_media
@@ -592,7 +594,10 @@ def q_media_resize(sf_dir: str):
                            concurrency=2)
 
     def fp(batch: pa.Table) -> pa.Table:
-        md5s = [hashlib.md5(bytes(b)).hexdigest() for b in batch.column("media").to_pylist()]
+        md5s = [
+            hashlib.md5(bytes(b)[12:]).hexdigest()  # payload only (ASCII)
+            for b in batch.column("media").to_pylist()
+        ]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
