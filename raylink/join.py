@@ -33,6 +33,18 @@ from raylink.util import splitmix64
 BROADCAST_THRESHOLD = 2_000_000
 
 
+def with_typed_empty(ds, fields: dict):
+    """Guarantee ``ds`` carries this schema even when every upstream group is
+    empty: ``map_groups`` over zero groups yields schema-less empty blocks
+    that break downstream column access (``to_pandas()`` without columns).
+    Prepending a zero-row typed block via ``union`` costs nothing, keeps the
+    pipeline lazy/streaming, and is a no-op when data is present."""
+    import ray.data as rd
+
+    empty = pa.table({nm: pa.array([], type=t) for nm, t in fields.items()})
+    return rd.from_arrow(empty).union(ds)
+
+
 def hash_join(
     left_ds,
     right_ds,

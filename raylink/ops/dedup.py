@@ -67,6 +67,7 @@ def _grams_of(text: str, n: int) -> set:
 # distributed pair-value join lives in raylink.join (shared with the
 # similarity ops and the graph-side degree/label attaches)
 from raylink.join import pair_attach as _pair_attach  # noqa: E402
+from raylink.join import with_typed_empty as _with_typed_empty  # noqa: E402
 
 
 # ------------------------------------------------------------------ exact
@@ -208,7 +209,10 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
             }
         )
 
-    return paired.map_batches(jac, batch_format="pyarrow")
+    return _with_typed_empty(
+        paired.map_batches(jac, batch_format="pyarrow"),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "jaccard": pa.float64()},
+    )
 
 
 # ------------------------------------------------------------------ minhash
@@ -368,7 +372,10 @@ def minhash_pairs(
             }
         )
 
-    return paired.map_batches(verify, batch_format="pyarrow")
+    return _with_typed_empty(
+        paired.map_batches(verify, batch_format="pyarrow"),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "jaccard": pa.float64()},
+    )
 
 
 # ------------------------------------------------------------------ simhash
@@ -479,4 +486,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
             }
         )
 
-    return paired.map_batches(verify, batch_format="pyarrow")
+    return _with_typed_empty(
+        paired.map_batches(verify, batch_format="pyarrow"),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "hamming": pa.int64()},
+    )

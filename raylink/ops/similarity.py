@@ -213,8 +213,10 @@ def ivf_ann(
     path alongside ``lsh_ann``:
 
     1. a small centroid codebook is trained driver-side with Lloyd k-means
-       on a deterministic sample (``vec_id < train_sample``) of normalized
-       vectors — the codebook is tiny and broadcast once;
+       on a deterministic hash-ordered sample (the ``train_sample`` vectors
+       with smallest ``splitmix64(vec_id)`` — id-space-agnostic, unlike a
+       ``vec_id < train_sample`` cut which assumes dense ids from 0) of
+       normalized vectors — the codebook is tiny and broadcast once;
     2. every vector is assigned to its nearest centroid inside
        ``map_batches`` (the inverted lists exist implicitly as the
        assignment); the full dataset never leaves the workers;
@@ -235,12 +237,27 @@ def ivf_ann(
     q_ids = q_pdf["vec_id"].to_numpy(np.int64)
     qm = _normalize(np.array(q_pdf["embedding"].tolist(), dtype=np.float64))
 
-    # --- train codebook on a deterministic sample (driver-side, tiny)
-    train_pdf = emb_ds.map_batches(
-        lambda b: b.filter(pc.less(b.column("vec_id"), pa.scalar(train_sample))),
-        batch_format="pyarrow",
-    ).to_pandas()
-    tm = _normalize(np.array(train_pdf["embedding"].tolist(), dtype=np.float64))
+    # --- train codebook on a deterministic hash-ordered sample: each batch
+    # prunes to its train_sample smallest splitmix64(vec_id); the driver
+    # takes the global smallest train_sample. Works for ANY id space (dense,
+    # hashed, sparse). Driver pull is bounded by train_sample * n_blocks
+    # rows — for corpora with very many blocks pre-sample upstream.
+    from raylink.util import splitmix64
+
+    def prune(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        take = np.argsort(h, kind="stable")[:train_sample]
+        return batch.take(pa.array(np.sort(take)))
+
+    train_pdf = emb_ds.map_batches(prune, batch_format="pyarrow").to_pandas()
+    if len(train_pdf) == 0:
+        raise ValueError("ivf_ann: empty training sample (no vectors in input)")
+    th = splitmix64(train_pdf["vec_id"].to_numpy(np.int64).astype(np.uint64))
+    sel = np.argsort(th, kind="stable")[:train_sample]
+    tm = _normalize(
+        np.array(train_pdf["embedding"].iloc[sel].tolist(), dtype=np.float64)
+    )
     rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, len(tm))
     cent = tm[rng.choice(len(tm), size=n_centroids, replace=False)]
@@ -397,7 +414,7 @@ def embedding_pairs(emb_ds, tau: float = 0.9, num_blocks: int = 8):
 
 def embedding_pairs_lsh(
     emb_ds, tau: float = 0.9, n_tables: int = 16, bits: int = 8, seed: int = 11,
-    num_buckets: int = 64,
+    num_buckets: int = 64, embedding_type: pa.DataType | None = None,
 ):
     """Approximate cosine near-dup: sign-sketch LSH candidates + exact
     per-pair verify — the subquadratic crawl-scale path.
@@ -413,6 +430,15 @@ def embedding_pairs_lsh(
     completeness is not (use ``embedding_pairs`` for exact recall)."""
     from raylink.ops.dedup import _pair_attach
     from raylink.util import splitmix64
+
+    if embedding_type is None:
+        # derive the list element type from the input instead of assuming
+        # float32 (a float64 input would schema-mismatch inside pair_attach).
+        # Dataset.schema() is metadata-cheap on a read_*; for a derived
+        # pipeline it may execute upstream — pass embedding_type explicitly
+        # in that case.
+        sch = emb_ds.schema()
+        embedding_type = dict(zip(sch.names, sch.types))["embedding"]
 
     sk_holder = {}
 
@@ -473,9 +499,7 @@ def embedding_pairs_lsh(
         ),
         batch_format="pyarrow",
     )
-    paired = _pair_attach(
-        cands, values, {"embedding": pa.list_(pa.float32())}
-    )
+    paired = _pair_attach(cands, values, {"embedding": embedding_type})
 
     def verify(batch: pa.Table) -> pa.Table:
         key = batch.column("key").to_numpy(zero_copy_only=False)
@@ -497,4 +521,9 @@ def embedding_pairs_lsh(
             }
         )
 
-    return paired.map_batches(verify, batch_format="pyarrow")
+    from raylink.join import with_typed_empty
+
+    return with_typed_empty(
+        paired.map_batches(verify, batch_format="pyarrow"),
+        {"id_a": pa.int64(), "id_b": pa.int64(), "cosine": pa.float64()},
+    )

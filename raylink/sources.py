@@ -76,11 +76,16 @@ def read_adjacency_text(paths, with_partition: bool = False):
 
 def read_full_info(paths):
     """Pre-partitioned full-info text reader (reference FullInfoSplitReader
-    family, hama/.../FullInfoSplitReader.java:55-66): each line
-    ``pid sgid vid (sink_vid sink_sgid sink_pid)+`` fully specifies a
-    vertex's partition and every edge target's partition, so loading needs
-    NO resolution protocol — feed the result to
+    family): each line ``pid vid sgid (sink_vid sink_sgid sink_pid)+`` fully
+    specifies a vertex's partition and every edge target's partition, so
+    loading needs NO resolution protocol — feed the result to
     ``build_graph(partitioner="explicit")``.
+
+    Field order follows the reference PARSER, not its Javadoc: the Javadoc
+    comment says ``pid sgid vid`` but ``createVertex`` reads
+    ``vertexID = vertexValue[1]`` and ``subgraphID = vertexValue[2]``
+    (hama/.../FullInfoSplitReader.java:170-174) — real reference-format
+    files have the vertex id in column 1.
 
     Returns (edges_ds (src, dst, src_part, dst_part), vertices_ds
     (vid, part)). File-given sgids are ignored: subgraphs are re-discovered
@@ -96,7 +101,9 @@ def read_full_info(paths):
             parts = line.split()
             if not parts:
                 continue
-            pid, vid = int(parts[0]), int(parts[2])
+            # parts[1] is the VERTEX id, parts[2] the (ignored) subgraph id —
+            # matching FullInfoSplitReader.createVertex, not its Javadoc
+            pid, vid = int(parts[0]), int(parts[1])
             sinks = parts[3:]
             for i in range(0, len(sinks) - 2, 3):
                 src.append(vid)
@@ -118,7 +125,7 @@ def read_full_info(paths):
             parts = line.split()
             if not parts:
                 continue
-            vvid.append(int(parts[2]))
+            vvid.append(int(parts[1]))
             vpart.append(int(parts[0]))
         return pa.table(
             {

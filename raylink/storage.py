@@ -123,8 +123,11 @@ def write_bytes_atomic(data: bytes, path: str, filesystem=None) -> None:
         f.write(data)
     try:
         fs.move(tmp, p)
-    except (NotImplementedError, OSError, pa.ArrowNotImplementedError):
-        # no rename on this store: single-PUT direct write is itself atomic
+    except (NotImplementedError, pa.ArrowNotImplementedError):
+        # capability-based fallback ONLY: the store has no rename (object
+        # stores), where a single-PUT direct write is itself atomic. A
+        # FAILING rename on a rename-capable filesystem (permissions, IO
+        # error) must surface, not silently drop atomicity.
         with fs.open_output_stream(p) as f:
             f.write(data)
         fs.delete_file(tmp)

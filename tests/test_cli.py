@@ -48,11 +48,12 @@ def test_cli_full_info_pagerank(tmp_path):
     for s, d in edges:
         adj[int(s)].add(int(d))
     gfile = tmp_path / "fi.txt"
+    # reference parser order: pid vid sgid (sink sgid pid)+
     with open(gfile, "w") as f:
         for v in range(N):
-            toks = [str(part_of(v)), "0", str(v)]
+            toks = [str(part_of(v)), str(v), str(v + 500)]
             for d in sorted(adj[v]):
-                toks += [str(d), "0", str(part_of(d))]
+                toks += [str(d), str(d + 500), str(part_of(d))]
             f.write(" ".join(toks) + "\n")
     r = subprocess.run(
         [sys.executable, "-m", "raylink.cli", "pagerank", "--edges", str(gfile),

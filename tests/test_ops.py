@@ -208,6 +208,93 @@ def test_embedding_pairs_lsh_recall(ray_session):
     assert (merged["cosine_l"] == merged["cosine_e"]).all()
 
 
+def test_dedup_pairs_typed_empty(ray_session):
+    """Zero-candidate corpora must still yield typed (doc_a, doc_b, ...)
+    datasets — map_groups over zero groups would otherwise produce
+    schema-less empties that break downstream column access (ADVICE r2)."""
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta epsilon zeta",
+                    "one two three four five six seven",
+                    "red green blue yellow purple orange",
+                ]
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    # contract is at the Dataset level: schema visible, count 0, and
+    # downstream ops (sort on a named column) work. Ray's to_pandas drops
+    # columns for ANY all-empty dataset, so that is not the bar.
+    mh = minhash_pairs(ds, tau=0.9)
+    assert mh.schema().names == ["doc_a", "doc_b", "jaccard"]
+    assert mh.sort("doc_a").count() == 0
+    sh = simhash_pairs(ds, max_hamming=0)
+    assert sh.schema().names == ["doc_a", "doc_b", "hamming"]
+    assert sh.sort("doc_a").count() == 0
+    ng = ngram_pairs(ds, n=3, tau=0.9)
+    assert ng.schema().names == ["doc_a", "doc_b", "jaccard"]
+    assert ng.sort("doc_a").count() == 0
+
+
+def test_embedding_pairs_lsh_float64(ray_session):
+    """Element type is derived from the input, not hard-coded float32
+    (ADVICE r2): a float64 embedding column must flow through pair_attach."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import embedding_pairs_lsh
+
+    t32 = _emb_table(n=60)
+    m = np.array(t32.column("embedding").to_pylist(), dtype=np.float64)
+    t64 = pa.table(
+        {
+            "vec_id": t32.column("vec_id"),
+            "embedding": pa.array(
+                [v.tolist() for v in m], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    pdf = embedding_pairs_lsh(rd.from_arrow(t64), tau=0.95, n_tables=16, bits=6).to_pandas()
+    exact = embedding_pairs(rd.from_arrow(t64), tau=0.95).to_pandas()
+    got = set(zip(pdf["id_a"], pdf["id_b"]))
+    exp = set(zip(exact["id_a"], exact["id_b"]))
+    assert got <= exp and len(exp) > 0 and len(got) / len(exp) >= 0.8
+
+
+def test_ivf_ann_sparse_ids(ray_session):
+    """Codebook training samples by id hash, not vec_id < train_sample
+    (ADVICE r2): a corpus whose ids don't intersect [0, train_sample) must
+    still train and answer with good recall."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import ivf_ann
+
+    tbl = _emb_table(n=200)
+    off = np.int64(5_000_000_000)
+    sparse = pa.table(
+        {
+            "vec_id": pa.array(
+                tbl.column("vec_id").to_numpy(zero_copy_only=False) + off
+            ),
+            "embedding": tbl.column("embedding"),
+        }
+    )
+    qids = [int(off), int(off) + 1, int(off) + 2]
+    got = ivf_ann(rd.from_arrow(sparse), qids, k=5, n_centroids=8, n_probe=3).to_pandas()
+    exp = _brute_topk(tbl, [0, 1, 2], 5)
+    hits = tot = 0
+    for q in [0, 1, 2]:
+        e = {n + int(off) for n, _ in exp[q]}
+        g = set(got[got["query_id"] == q + int(off)]["neighbor_id"])
+        hits += len(e & g)
+        tot += len(e)
+    assert hits / tot >= 0.8, f"IVF sparse-id recall too low: {hits}/{tot}"
+
+
 def _events_table():
     rng = np.random.default_rng(3)
     n = 500

@@ -131,11 +131,13 @@ def test_read_full_info_explicit_partitioning(ray_session, tmp_path):
         adj[int(s)].add(int(d))
         adj[int(d)].add(int(s))
     path = tmp_path / "full_info.txt"
+    # reference parser order: pid vid sgid (sink sgid pid)+ — sgid is written
+    # as vid+1000 so a vid/sgid column swap (ADVICE r2) cannot pass silently
     with open(path, "w") as f:
         for v in range(N):
-            toks = [str(part_of(v)), "0", str(v)]
+            toks = [str(part_of(v)), str(v), str(v + 1000)]
             for d in sorted(adj[v]):
-                toks += [str(d), "0", str(part_of(d))]
+                toks += [str(d), str(d + 1000), str(part_of(d))]
             f.write(" ".join(toks) + "\n")
 
     eds, vds = read_full_info(str(path))
