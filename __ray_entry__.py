@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_diameter": q.q_meta_diameter,
         "graph_kmeans": q.q_graph_kmeans,
         "cooccur_pagerank": q.q_cooccur_pagerank,
+        "link_positions": q.q_link_positions,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "page_text": o.page_text_sql(),
         "page_edges": o.page_edges_sql(),
+        "link_positions": o.link_positions_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "pagerank_converged": o.pagerank_sql(iters=27),
         "seeded_pagerank": o.seeded_pagerank_sql(iters=30),

@@ -116,20 +116,38 @@ def spanning_forest(
     ckpt_dir: str | None = None,
     resume: bool = True,
     engine: str = "tasks",
+    broadcast_threshold: int | None = None,
 ):
     """Returns (BSPResult, Dataset (vid, root, dist, parent)): parent=-1 for
-    roots; tree edges = (parent, vid) rows with parent >= 0."""
-    from raylink.algos.cc import connected_components
+    roots; tree edges = (parent, vid) rows with parent >= 0.
 
+    Scale shape (VERDICT r2 item 2): roots come from a distributed distinct
+    over the meta-LPA state (O(n_subgraphs) rows, never the O(V) vertex
+    table), and the per-vertex component attach goes through the thresholded
+    ``attach_lookup`` (broadcast while small, hash join when dataset-sized)
+    — the same treatment ``connected_components`` got in round 2. Nothing
+    O(V) reaches the driver."""
+    from raylink.algos.cc import connected_components
+    from raylink.join import BROADCAST_THRESHOLD, attach_lookup
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
     if g is None:
         g = build_graph(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
             directed=False,
         )
-    _, comps = connected_components(g=g, resume=resume, engine=engine,
-                                    ckpt_dir=None if ckpt_dir is None else ckpt_dir + "-cc")
-    comp_pdf = comps.to_pandas()
-    roots = np.unique(comp_pdf["component"].to_numpy(np.int64))
+    res_cc, comps = connected_components(
+        g=g, resume=resume, engine=engine,
+        ckpt_dir=None if ckpt_dir is None else ckpt_dir + "-cc",
+        broadcast_threshold=broadcast_threshold,
+    )
+    # one root per component = distinct meta-LPA labels. The state table has
+    # n_subgraphs rows; the distinct is computed distributed and only the
+    # O(#components) root ids reach the driver (they are BSP seed config).
+    roots = np.sort(
+        np.asarray(res_cc.state_dataset().unique("label"), dtype=np.int64)
+    )
     ctx = {
         "roots": roots, "partitioner": g.partitioner, "num_parts": g.num_parts,
     }
@@ -137,31 +155,24 @@ def spanning_forest(
     res = _run(g, BFSForest(), ctx, max_supersteps=max_supersteps,
                ckpt_dir=ckpt_dir, resume=resume)
 
-    comp_lookup = comp_pdf.sort_values("vid")
-    import ray
-
-    order = np.argsort(comp_lookup["vid"].to_numpy(np.int64))
-    ref = ray.put(
-        (
-            comp_lookup["vid"].to_numpy(np.int64),
-            comp_lookup["component"].to_numpy(np.int64),
-        )
+    joined = attach_lookup(
+        res.state_dataset(), comps, on="vid",
+        left_cols={"dist": pa.int64(), "parent": pa.int64()},
+        value_cols={"component": pa.int64()},
+        n_lookup_rows=g.n_vertices, broadcast_threshold=broadcast_threshold,
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        vv, cc = ray.get(ref)
-        vids = batch.column("vid").to_numpy(zero_copy_only=False)
-        root = cc[np.searchsorted(vv, vids)]
         d = batch.column("dist").to_numpy(zero_copy_only=False).copy()
         d[d >= INF] = -1
         return pa.table(
             {
                 "vid": batch.column("vid"),
-                "root": pa.array(root),
+                "root": batch.column("component"),
                 "dist": pa.array(d),
                 "parent": batch.column("parent"),
             }
         )
 
-    out = res.state_dataset().map_batches(finish, batch_format="pyarrow")
+    out = joined.map_batches(finish, batch_format="pyarrow")
     return res, out

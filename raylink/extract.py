@@ -137,3 +137,24 @@ def explode_links(batch: pa.Table) -> pa.Table:
         src = src.combine_chunks()
     src_rep = src.take(pa.array(np.repeat(np.arange(len(counts), dtype=np.int64), counts)))
     return pa.table({"src_url": src_rep, "dst_url": flat})
+
+
+def explode_links_pos(batch: pa.Table) -> pa.Table:
+    """Like ``explode_links`` but carries the anchor's 0-based position in
+    its page's link list as ``pos`` — a typed edge value (the reference's
+    IEdge.java:26-34 edge values; anchor position is the natural web-graph
+    edge attribute)."""
+    links = batch.column("links")
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    flat = links.flatten()
+    counts = np.asarray(links.value_lengths().fill_null(0))
+    total = int(counts.sum())
+    pos = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    src = batch.column("url")
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    src_rep = src.take(pa.array(np.repeat(np.arange(len(counts), dtype=np.int64), counts)))
+    return pa.table({"src_url": src_rep, "dst_url": flat, "pos": pa.array(pos)})

@@ -156,6 +156,7 @@ def edge_localization(shard: dict) -> tuple:
 def _build_shard(
     group: pa.Table, graph_dir: str, num_parts: int, partitioner: str,
     filesystem=None, vertex_cols: list | None = None,
+    edge_cols: list | None = None,
 ) -> pa.Table:
     """map_groups body: one partition's edge+vertex rows -> shard npz +
     boundary parquet + one report row. All writes via raylink.storage.
@@ -163,12 +164,17 @@ def _build_shard(
     ``vertex_cols``: numeric per-vertex value columns carried on the vertex
     rows (dst == -1); persisted in the shard as ``v_<col>`` float64 arrays
     aligned to ``vids`` — the reference's typed vertex values
-    (goffish-api/.../IVertex.java:28-43) in columnar form."""
+    (goffish-api/.../IVertex.java:28-43) in columnar form.
+    ``edge_cols``: numeric per-edge value columns on the edge rows;
+    persisted as ``e_<col>`` float64 arrays aligned to the CSR ``indices``
+    (exactly like ``weights``) — the reference's typed edge values
+    (goffish-api/.../IEdge.java:26-34)."""
     part = int(group.column("part")[0].as_py())
     src = group.column("src").to_numpy(zero_copy_only=False)
     dst = group.column("dst").to_numpy(zero_copy_only=False)
     has_w = "weight" in group.column_names
     explicit = "dst_part" in group.column_names
+    edge_cols = list(edge_cols or [])
     w = (
         group.column("weight").to_numpy(zero_copy_only=False)
         if has_w
@@ -184,17 +190,28 @@ def _build_shard(
     esrc, edst = src[~vert_mask], dst[~vert_mask]
     ew = np.nan_to_num(w[~vert_mask], nan=1.0) if has_w else None
     edp = dp[~vert_mask] if explicit else None
-    # exact dedup of directed edges (reference: HashSet dedup in
-    # MakeGraphUndirectedReducer.java:22,43-51); ties keep min weight
-    if len(esrc):
-        order = (
-            np.lexsort((ew, edst, esrc)) if has_w else np.lexsort((edst, esrc))
+    evals = {
+        c: group.column(c).to_numpy(zero_copy_only=False)[~vert_mask].astype(
+            np.float64
         )
+        for c in edge_cols
+    }
+    # exact dedup of directed edges (reference: HashSet dedup in
+    # MakeGraphUndirectedReducer.java:22,43-51); ties keep the row minimal
+    # in (weight, *edge_cols) lexicographic order — deterministic and
+    # SQL-mirrorable (MIN over the duplicate group)
+    if len(esrc):
+        keys = [evals[c] for c in reversed(edge_cols)]
+        if has_w:
+            keys.append(ew)
+        keys += [edst, esrc]
+        order = np.lexsort(tuple(keys))
         esrc, edst = esrc[order], edst[order]
         if has_w:
             ew = ew[order]
         if explicit:
             edp = edp[order]
+        evals = {c: v[order] for c, v in evals.items()}
         keep = np.ones(len(esrc), dtype=bool)
         keep[1:] = (esrc[1:] != esrc[:-1]) | (edst[1:] != edst[:-1])
         esrc, edst = esrc[keep], edst[keep]
@@ -202,6 +219,7 @@ def _build_shard(
             ew = ew[keep]
         if explicit:
             edp = edp[keep]
+        evals = {c: v[keep] for c, v in evals.items()}
     # CSR over owned vids
     lsrc = np.searchsorted(vids, esrc)
     indptr = np.zeros(len(vids) + 1, dtype=np.int64)
@@ -228,6 +246,8 @@ def _build_shard(
     )
     if has_w:
         arrays["weights"] = ew
+    for c, v in evals.items():
+        arrays[f"e_{c}"] = v
     if explicit:
         # explicit routing table: partition of every distinct CSR edge target
         # (BSP messages only ever target edge endpoints — util.route_parts)
@@ -283,20 +303,24 @@ def _with_part(partitioner: str, num_parts: int, col: str):
     return add_part
 
 
-def undirect(edges_ds, weighted: bool = False):
+def undirect(edges_ds, weighted: bool = False, edge_cols: list | None = None):
     """Directed edge Dataset -> undirected closure (dedup happens per-shard).
-    ``weighted`` must be passed explicitly: schema auto-detection would force
-    an eager execution of the upstream pipeline (Dataset.columns() blocks)."""
+    ``weighted``/``edge_cols`` must be passed explicitly: schema
+    auto-detection would force an eager execution of the upstream pipeline
+    (Dataset.columns() blocks)."""
 
     has_weight = weighted
+    edge_cols = list(edge_cols or [])
 
     def rev(batch: pa.Table) -> pa.Table:
         cols = {"src": batch.column("dst"), "dst": batch.column("src")}
         if "weight" in batch.column_names:
             cols["weight"] = batch.column("weight")
+        for c in edge_cols:
+            cols[c] = batch.column(c)
         return pa.table(cols)
 
-    ecols = ["src", "dst"] + (["weight"] if has_weight else [])
+    ecols = ["src", "dst"] + (["weight"] if has_weight else []) + edge_cols
     return edges_ds.select_columns(ecols).union(
         edges_ds.map_batches(rev, batch_format="pyarrow")
     )
@@ -326,6 +350,7 @@ def build_graph(
     weighted: bool = False,
     filesystem=None,
     vertex_cols: list | None = None,
+    edge_cols: list | None = None,
 ) -> LinkGraph:
     """edges (src:int64, dst:int64[, weight:float64 iff weighted=True]) [+
     vertices (vid:int64)] -> LinkGraph.
@@ -340,6 +365,10 @@ def build_graph(
     per-shard (available to algorithms as ``shard['v_<col>']``) — the
     reference's vertex values (IVertex.java:28-43, loaded by
     LongTextJSONReader.java:98-120).
+    ``edge_cols`` names numeric value columns on ``edges_ds`` to persist
+    per-shard aligned with the CSR ``indices`` (``shard['e_<col>']``) — the
+    reference's typed edge values (IEdge.java:26-34); duplicate edges keep
+    the row minimal in (weight, *edge_cols) order.
 
     ``partitioner="explicit"`` ingests a PRE-PARTITIONED layout (the
     reference's FullInfoSplitReader family, FullInfoSplitReader.java:55-66):
@@ -354,6 +383,7 @@ def build_graph(
 
     explicit = partitioner == "explicit"
     vertex_cols = list(vertex_cols or [])
+    edge_cols = list(edge_cols or [])
     if vertex_cols and vertices_ds is None:
         raise ValueError("vertex_cols requires an explicit vertices_ds")
     if explicit and (vertices_ds is None or not directed):
@@ -362,7 +392,7 @@ def build_graph(
             "directed=True (pre-partitioned inputs list both directions)"
         )
     if not directed:
-        edges_ds = undirect(edges_ds, weighted=weighted)
+        edges_ds = undirect(edges_ds, weighted=weighted, edge_cols=edge_cols)
     if vertices_ds is None:
         vertices_ds = derive_vertices(edges_ds)
     if graph_dir is None:
@@ -376,6 +406,8 @@ def build_graph(
         cols = {"src": v, "dst": pa.array(np.full(len(batch), -1, dtype=np.int64))}
         if has_weight:
             cols["weight"] = pa.array(np.full(len(batch), np.nan))
+        for c in edge_cols:
+            cols[c] = pa.array(np.full(len(batch), np.nan))
         for c in vertex_cols:
             cols[c] = pa.compute.cast(batch.column(c), pa.float64())
         if explicit:
@@ -389,6 +421,8 @@ def build_graph(
         # the shuffle key
         cols = {c: batch.column(c) for c in batch.column_names
                 if c not in ("src_part", "dst_part")}
+        for c in edge_cols:
+            cols[c] = pa.compute.cast(batch.column(c), pa.float64())
         for c in vertex_cols:
             cols[c] = pa.nulls(len(batch), type=pa.float64())
         if explicit:
@@ -396,11 +430,11 @@ def build_graph(
             cols["dst_part"] = pa.compute.cast(batch.column("dst_part"), pa.int32())
         return pa.table(cols)
 
-    ecols = ["src", "dst"] + (["weight"] if has_weight else [])
+    ecols = ["src", "dst"] + (["weight"] if has_weight else []) + edge_cols
     if explicit:
         ecols += ["src_part", "dst_part"]
     eds = edges_ds.select_columns(ecols)
-    if vertex_cols or explicit:
+    if vertex_cols or edge_cols or explicit:
         eds = eds.map_batches(edge_rows, batch_format="pyarrow")
     combined = eds.union(
         vertices_ds.map_batches(vert_rows, batch_format="pyarrow")
@@ -413,7 +447,8 @@ def build_graph(
         combined.groupby("part")
         .map_groups(
             lambda g: _build_shard(
-                g, graph_dir, num_parts, partitioner, filesystem, vertex_cols
+                g, graph_dir, num_parts, partitioner, filesystem, vertex_cols,
+                edge_cols,
             ),
             batch_format="pyarrow",
         )
@@ -532,33 +567,105 @@ def vertex_table(g: LinkGraph):
     return parts.map_batches(read_part, batch_format="pyarrow", batch_size=1)
 
 
+def edge_table(g: LinkGraph, edge_cols: list | None = None):
+    """Dataset of the stored (deduped) edges read back from shards:
+    (src, dst[, weight][, <col> for each requested edge value]) — the
+    engine-side view of the reference's typed edges (IEdge.java:26-34).
+    ``edge_cols`` names must have been persisted at build
+    (``build_graph(edge_cols=[...])`` -> ``shard['e_<col>']``)."""
+    import ray.data as rd
+
+    gd, gfs = g.graph_dir, g.filesystem
+    cols = list(edge_cols or [])
+
+    def read_part(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("p").to_pylist():
+            sh = load_shard(gd, int(p), gfs)
+            deg = np.diff(sh["indptr"])
+            tab = {
+                "src": pa.array(np.repeat(sh["vids"], deg)),
+                "dst": pa.array(sh["indices"]),
+            }
+            if "weights" in sh:
+                tab["weight"] = pa.array(sh["weights"])
+            for c in cols:
+                tab[c] = pa.array(sh[f"e_{c}"])
+            out.append(pa.table(tab))
+        return pa.concat_tables(out) if out else pa.table({})
+
+    parts = rd.from_arrow(pa.table({"p": pa.array(g.parts, type=pa.int32())}))
+    return parts.map_batches(read_part, batch_format="pyarrow", batch_size=1)
+
+
 def meta_diameter(g: LinkGraph, n_seeds: int = 4) -> int:
     """Meta-graph eccentricity estimate — the reference's GraphStats
-    probe/reply flooding (sample-hama/.../GraphStats.java:118-214), computed
-    as driver-side BFS over the (small) meta-graph: max BFS depth from each
-    of the ``n_seeds`` smallest subgraph ids (a deterministic, SQL-mirrorable
-    seed choice). Returns the max hop count observed (a lower bound on the
-    true meta diameter; seeds sharing a component weaken the estimate but
-    keep the oracle expressible)."""
-    me = meta_edges(g).select_columns(["src_sg", "dst_sg"]).to_pandas()
-    if len(me) == 0:
+    probe/reply flooding (sample-hama/.../GraphStats.java:118-214): max BFS
+    depth from each of the ``n_seeds`` smallest subgraph ids that touch a
+    meta edge (a deterministic, SQL-mirrorable seed choice). Returns the max
+    hop count observed (a lower bound on the true meta diameter).
+
+    Scale shape (VERDICT r2 item 6): the probes run as BSP BFS jobs on a
+    LinkGraph built FROM the meta-graph — the driver holds O(n_seeds)
+    scalars (seed ids + per-probe eccentricities), never a meta-adjacency
+    dict. A fragmented crawl with billions of subgraphs runs these probes
+    exactly like any other graph job."""
+    from ray.data.aggregate import Max
+
+    me = meta_edges(g).select_columns(["src_sg", "dst_sg"]).materialize()
+    if me.count() == 0:
         return 0
-    adj: dict[int, set] = {}
-    for s, d in zip(me["src_sg"], me["dst_sg"]):
-        adj.setdefault(int(s), set()).add(int(d))
-        adj.setdefault(int(d), set()).add(int(s))
-    seeds = sorted(adj)[:n_seeds]
+
+    # meta vertex universe = edge endpoints (the set the probe can touch)
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(
+                    np.unique(
+                        np.concatenate(
+                            [
+                                b.column("src_sg").to_numpy(zero_copy_only=False),
+                                b.column("dst_sg").to_numpy(zero_copy_only=False),
+                            ]
+                        )
+                    )
+                )
+            }
+        )
+
+    verts = me.map_batches(endpoints, batch_format="pyarrow").groupby(
+        "vid"
+    ).count().select_columns(["vid"])
+    edges = me.map_batches(
+        lambda b: pa.table({"src": b.column("src_sg"), "dst": b.column("dst_sg")}),
+        batch_format="pyarrow",
+    )
+    g_meta = build_graph(
+        edges, verts, num_parts=min(g.num_parts, 8), partitioner="hash",
+        directed=True,  # already symmetric
+    )
+    # n_seeds smallest endpoint ids: per-batch partial min-k, tiny final
+    seed_partials = verts.map_batches(
+        lambda b: pa.table(
+            {"vid": pa.array(np.sort(b.column("vid").to_numpy(zero_copy_only=False))[:n_seeds])}
+        ),
+        batch_format="pyarrow",
+    )
+    seeds = sorted(int(r["vid"]) for r in seed_partials.take_all())[:n_seeds]
+
+    from raylink.algos.sssp import sssp
+
     best = 0
     for seed in seeds:
-        dist = {seed: 0}
-        frontier = [seed]
-        while frontier:
-            nxt = []
-            for v in frontier:
-                for w in adj.get(v, ()):
-                    if w not in dist:
-                        dist[w] = dist[v] + 1
-                        nxt.append(w)
-            frontier = nxt
-        best = max(best, max(dist.values()))
+        _, dists = sssp(g=g_meta, source=seed, engine="tasks", resume=False)
+        def ecc_partial(b: pa.Table) -> pa.Table:
+            d = b.column("dist").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"m": pa.array([int(d.max()) if len(d) else 0], type=pa.int64())}
+            )
+
+        ecc = dists.map_batches(
+            ecc_partial, batch_format="pyarrow"
+        ).aggregate(Max("m"))["max(m)"]
+        best = max(best, int(ecc))
     return best

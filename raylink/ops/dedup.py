@@ -64,6 +64,21 @@ def _grams_of(text: str, n: int) -> set:
     return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
 
 
+def _gram_lists(texts, n: int) -> list[list[str]]:
+    """Per-doc shingle LISTS (duplicates kept — min/unique downstream are
+    dup-invariant), for ops that hash the whole batch's grams in one
+    vectorized ``text_hash64`` call instead of per doc."""
+    out = []
+    for t in texts:
+        ws = WORD_RE.findall((t or "").lower())
+        out.append(
+            [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+            if len(ws) >= n
+            else []
+        )
+    return out
+
+
 # distributed pair-value join lives in raylink.join (shared with the
 # similarity ops and the graph-side degree/label attaches)
 from raylink.join import pair_attach as _pair_attach  # noqa: E402
@@ -139,7 +154,7 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
         # spawn one task per distinct shingle). Gram identity is its 64-bit
         # FNV hash — collision probability ~(n_grams^2)/2^65, negligible below
         # ~1e8 distinct shingles (documented assumption).
-        gh = text_hash64(batch.column("gram").to_pylist())
+        gh = text_hash64(batch.column("gram"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -226,11 +241,17 @@ class _GramSetHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
+        gram_lists = _gram_lists(batch.column("text").to_pylist(), self.n)
+        counts = np.fromiter(
+            (len(g) for g in gram_lists), dtype=np.int64, count=len(gram_lists)
+        )
+        # ONE vectorized hash over every gram in the batch, then per-doc
+        # sorted-unique on numpy slices (np.unique(hashes) == the hashes of
+        # the distinct-gram set, sorted — min/set semantics are dup-invariant)
+        gh = text_hash64([g for gs in gram_lists for g in gs])
+        bounds = np.r_[0, np.cumsum(counts)]
         sets = [
-            np.sort(text_hash64(sorted(_grams_of(t, self.n))))
-            if t
-            else np.array([], dtype=np.uint64)
-            for t in batch.column("text").to_pylist()
+            np.unique(gh[bounds[i] : bounds[i + 1]]) for i in range(len(ids))
         ]
         return pa.table(
             {
@@ -255,6 +276,10 @@ class MinHasher:
         self.seeds = rng.integers(0, 2**63, size=perms, dtype=np.int64).astype(np.uint64)
         self.perms = perms
         self._mix = splitmix64
+        # reusable scratch for the (seed_chunk x grams) working set — fresh
+        # numpy allocations of this size pay first-touch page faults worth
+        # ~10x the arithmetic per batch (measured), so actors keep buffers
+        self._bufs: tuple | None = None
 
     def signature(self, text: str) -> np.ndarray:
         grams = sorted(_grams_of(text, self.n))
@@ -264,12 +289,48 @@ class MinHasher:
         return self._mix(x[None, :] ^ self.seeds[:, None]).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # batched: ONE vectorized text_hash64 over every shingle in the
+        # batch, then per-doc mins via np.minimum.reduceat, chunked over
+        # seeds to bound the (chunk x total_grams) working set. Bit-identical
+        # to per-doc ``signature`` (min is dup-invariant, so the per-doc
+        # sorted-set step there is unnecessary here); property-tested.
         ids = batch.column("doc_id").to_pylist()
-        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        gram_lists = _gram_lists(batch.column("text").to_pylist(), self.n)
+        counts = np.fromiter(
+            (len(g) for g in gram_lists), dtype=np.int64, count=len(gram_lists)
+        )
+        gh = text_hash64([g for gs in gram_lists for g in gs])
+        sigs = np.zeros((len(ids), self.perms), dtype=np.uint64)
+        nonempty = counts > 0
+        if nonempty.any():
+            from raylink.util import splitmix64_inplace
+
+            seg_starts = np.r_[0, np.cumsum(counts)][:-1][nonempty]
+            G = len(gh)
+            # seed chunk sized so the working set (2 scratch rows x chunk x
+            # 8 B + the gram hashes) stays L2-resident (~0.5 MB): measured
+            # 2x faster single-core than 16 MB chunks AND keeps the stage
+            # CPU-bound instead of DRAM-bound, which is what preserves
+            # multi-core scaling on the curation leg
+            step = max(1, min(self.perms, int(64_000 // max(G, 1)) or 1))
+            need = step * G
+            if self._bufs is None or self._bufs[0].size < need:
+                self._bufs = (np.empty(need, np.uint64), np.empty(need, np.uint64))
+            a_flat, t_flat = self._bufs
+            for c0 in range(0, self.perms, step):
+                seeds = self.seeds[c0 : c0 + step]
+                c = len(seeds)
+                a = a_flat[: c * G].reshape(c, G)
+                tmp = t_flat[: c * G].reshape(c, G)
+                np.bitwise_xor(gh[None, :], seeds[:, None], out=a)
+                splitmix64_inplace(a, tmp)
+                sigs[nonempty, c0 : c0 + c] = np.minimum.reduceat(
+                    a, seg_starts, axis=1
+                ).T
         return pa.table(
             {
                 "doc_id": pa.array(ids, type=pa.int64()),
-                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+                "sig": pa.array(sigs.tolist(), type=pa.list_(pa.uint64())),
             }
         )
 
@@ -384,23 +445,33 @@ class SimHasher:
         self.word = WORD_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # per-doc unique words+counts, then ONE vectorized text_hash64 over
+        # all unique words in the batch; bit-majority accumulation is a
+        # segment reduceat over the whole batch. Values unchanged.
         ids = batch.column("doc_id").to_pylist()
-        out = np.empty(len(ids), dtype=np.int64)
-        for i, t in enumerate(batch.column("text").to_pylist()):
+        n = len(ids)
+        uws, ucs = [], []
+        for t in batch.column("text").to_pylist():
             ws, cs = np.unique(self.word.findall((t or "").lower()), return_counts=True)
-            if len(ws) == 0:
-                out[i] = 0
-                continue
-            hs = text_hash64(list(ws))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            acc = ((bits * 2 - 1) * cs[:, None]).sum(axis=0)
-            out[i] = int(
-                np.bitwise_or.reduce(
-                    (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
-                ).astype(np.int64)
-            )
+            uws.append(ws)
+            ucs.append(cs)
+        counts = np.fromiter((len(w) for w in uws), dtype=np.int64, count=n)
+        out = np.zeros(n, dtype=np.int64)
+        nonempty = counts > 0
+        if nonempty.any():
+            hs = text_hash64([w for ws in uws for w in ws])
+            cs_all = np.concatenate(ucs) if len(ucs) else np.empty(0, np.int64)
+            bits = (
+                (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int64)
+            weighted = (bits * 2 - 1) * cs_all[:, None]
+            seg_starts = np.r_[0, np.cumsum(counts)][:-1][nonempty]
+            acc = np.add.reduceat(weighted, seg_starts, axis=0)
+            sh = np.bitwise_or.reduce(
+                (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64),
+                axis=1,
+            ).astype(np.int64)
+            out[nonempty] = sh
         return pa.table(
             {"doc_id": pa.array(ids, type=pa.int64()), "simhash": pa.array(out)}
         )

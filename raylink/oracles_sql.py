@@ -94,6 +94,30 @@ def page_edges_sql() -> str:
     return _with(GRAPH_CTES) + "\nSELECT src::BIGINT AS src, dst::BIGINT AS dst FROM edges"
 
 
+def link_positions_sql() -> str:
+    """Mirrors queries.q_link_positions: the LINK SPEC v1 closed form with
+    each anchor's 0-based page position (series links at j-1; the hub link,
+    appended last, at (d%5)+1), MIN(pos) per distinct (src,dst) — matching
+    the engine's (weight, *edge_cols)-minimal dedup."""
+    return (
+        _with(
+            "nn AS (SELECT count(*)::BIGINT AS n FROM documents)",
+            "mm AS (SELECT n, n - (n % 3) AS m FROM nn)",
+            """raw AS (
+  SELECT d.doc_id AS src, (d.doc_id + 3*j*j) % p.m AS dst, (j - 1)::DOUBLE AS pos
+  FROM documents d, mm p, unnest(generate_series(1, (d.doc_id % 5) + 1)) AS t(j)
+  WHERE d.doc_id < p.m
+  UNION ALL
+  SELECT d.doc_id, d.doc_id % 3, ((d.doc_id % 5) + 1)::DOUBLE
+  FROM documents d, mm p
+  WHERE d.doc_id < p.m AND d.doc_id % 7 = 3
+)""",
+        )
+        + "\nSELECT src::BIGINT AS src, dst::BIGINT AS dst, MIN(pos) AS pos "
+        "FROM raw GROUP BY src, dst"
+    )
+
+
 def pagerank_sql(iters: int = 30, decimals: int = 8) -> str:
     ctes = [
         GRAPH_CTES,

@@ -57,8 +57,8 @@ def hash_ids_from_urls(batch: pa.Table) -> pa.Table:
 
     return pa.table(
         {
-            "src": pa.array(hash64_str(batch.column("src_url").to_pylist())),
-            "dst": pa.array(hash64_str(batch.column("dst_url").to_pylist())),
+            "src": pa.array(hash64_str(batch.column("src_url"))),
+            "dst": pa.array(hash64_str(batch.column("dst_url"))),
         }
     )
 

@@ -14,6 +14,7 @@ The reference encodes partition into ids by bit-packing
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 U64 = np.uint64
 MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -27,6 +28,25 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         z = (z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)
         z = z ^ (z >> U64(31))
+    return z
+
+
+def splitmix64_inplace(z: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer computed IN PLACE on uint64 array ``z`` using
+    preallocated scratch ``tmp`` (same shape). Bit-identical to
+    ``splitmix64``; exists because per-call allocation of large temporaries
+    dominates wall time on the minhash hot path (first-touch page faults on
+    fresh mmap'd buffers cost ~10x the arithmetic)."""
+    with np.errstate(over="ignore"):
+        z += U64(0x9E3779B97F4A7C15)
+        np.right_shift(z, U64(30), out=tmp)
+        z ^= tmp
+        z *= U64(0xBF58476D1CE4E5B9)
+        np.right_shift(z, U64(27), out=tmp)
+        z ^= tmp
+        z *= U64(0x94D049BB133111EB)
+        np.right_shift(z, U64(31), out=tmp)
+        z ^= tmp
     return z
 
 
@@ -96,17 +116,74 @@ def hash64_str(texts) -> np.ndarray:
     return (splitmix64(text_hash64(texts)) >> U64(1)).astype(np.int64)
 
 
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
 def text_hash64(texts) -> np.ndarray:
-    """Stable 64-bit content hash of strings (FNV-1a, pure python per row —
-    used for exact-dedup keys where no vectorized cryptographic kernel
-    exists; cost is one C-loop per string)."""
+    """Stable 64-bit FNV-1a hash of strings, vectorized position-parallel.
+
+    FNV-1a is sequential over each string's bytes but independent ACROSS
+    strings, so the loop runs over byte POSITIONS (one numpy xor+multiply
+    over all still-active strings per position) instead of over every byte
+    in python — the same pattern as ``rolling_hash``
+    (raylink/ops/textstats.py). Bit-identical to the scalar reference
+    implementation (property-tested), which matters because the MinHash /
+    SimHash / n-gram SQL oracles mirror these exact values.
+
+    Accepts a python list of strings or a pyarrow (Chunked)Array; utf-8
+    encoding and the concatenated byte buffer come zero-copy from Arrow.
+    Strings are processed longest-first so the active set at each position
+    is a contiguous prefix (no boolean masks in the hot loop). Cost:
+    O(max_len) numpy kernel launches + O(total_bytes) work."""
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(texts, type=pa.string())
+    arr = arr.cast(pa.large_string())
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    buf_b = arr.buffers()
+    offsets = np.frombuffer(buf_b[1], dtype=np.int64, count=n + 1,
+                            offset=arr.offset * 8)
+    data = np.frombuffer(buf_b[2], dtype=np.uint8) if buf_b[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    order = np.argsort(-lens, kind="stable")
+    s_ord = starts[order]
+    l_ord = lens[order]
+    L = int(l_ord[0])
+    # active count at byte position j = #strings with len > j
+    cnt = np.bincount(lens, minlength=L + 1)
+    n_active = n - np.cumsum(cnt)  # n_active[j] = #lens > j
+    h = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(L):
+            k = int(n_active[j])
+            v = h[:k]
+            v ^= data[s_ord[:k] + j]
+            v *= FNV_PRIME
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
+
+
+def text_hash64_scalar(texts) -> np.ndarray:
+    """Reference scalar FNV-1a (python loop per byte) — kept as the
+    property-test oracle for ``text_hash64``."""
     out = np.empty(len(texts), dtype=np.uint64)
     fnv_offset = 0xCBF29CE484222325
     fnv_prime = 0x100000001B3
     mask = 0xFFFFFFFFFFFFFFFF
     for i, t in enumerate(texts):
         h = fnv_offset
-        for b in t.encode("utf-8"):
+        for b in (t or "").encode("utf-8"):
             h = ((h ^ b) * fnv_prime) & mask
         out[i] = h
     return out

@@ -121,3 +121,21 @@ def test_property_pair_attach(ray_session, raw_pairs):
         b = got["key"].to_numpy() & 0xFFFFFFFF
         np.testing.assert_array_equal(got["val_a"].to_numpy(), a * 7)
         np.testing.assert_array_equal(got["val_b"].to_numpy(), b * 7)
+
+
+@given(
+    texts=st.lists(
+        st.text(max_size=80) | st.just("") | st.text(alphabet="中文🎉é ", max_size=30),
+        max_size=40,
+    )
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_property_text_hash64_vectorized(texts):
+    """Position-parallel FNV-1a must be bit-identical to the scalar
+    reference — the minhash/simhash/ngram SQL oracles mirror these values."""
+    from raylink.util import text_hash64, text_hash64_scalar
+
+    np.testing.assert_array_equal(text_hash64(texts), text_hash64_scalar(texts))
+    np.testing.assert_array_equal(
+        text_hash64(pa.array(texts, type=pa.string())), text_hash64_scalar(texts)
+    )
