@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q.q_knn,
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
+        "ann_join": q.q_ann_join,
         "embedding_pairs": q.q_embedding_pairs,
         "embedding_pairs_lsh": q.q_embedding_pairs_lsh,
         "events_window": q.q_events_window,

@@ -66,8 +66,8 @@ def _grams_of(text: str, n: int) -> set:
 
 def _gram_lists(texts, n: int) -> list[list[str]]:
     """Per-doc shingle LISTS (duplicates kept — min/unique downstream are
-    dup-invariant), for ops that hash the whole batch's grams in one
-    vectorized ``text_hash64`` call instead of per doc."""
+    dup-invariant). Kept as the readable reference for ``_gram_hashes``;
+    used only by tests/oracles now."""
     out = []
     for t in texts:
         ws = WORD_RE.findall((t or "").lower())
@@ -77,6 +77,49 @@ def _gram_lists(texts, n: int) -> list[list[str]]:
             else []
         )
     return out
+
+
+def _gram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(gram FNV-1a hashes for every shingle of every doc, per-doc counts).
+
+    The shingle string "w1 w2 ... wn" is a SUBSTRING of the doc's
+    space-joined normalized word list, so each gram is hashed as a byte
+    RANGE over one per-doc buffer (``util.fnv1a_ranges``) — no per-gram
+    python string is ever constructed (the former ``" ".join`` per shingle
+    was the hot path's dominant allocator churn). WORD_RE matches only
+    ascii [a-z0-9], so byte offsets == char offsets. Bit-identical to
+    hashing ``_gram_lists`` output (property-tested)."""
+    from raylink.util import fnv1a_ranges
+
+    chunks: list[bytes] = []
+    starts_all: list[np.ndarray] = []
+    lens_all: list[np.ndarray] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    off = 0
+    for di, t in enumerate(texts):
+        ws = WORD_RE.findall((t or "").lower())
+        if len(ws) < n:
+            continue
+        norm = " ".join(ws)
+        b = norm.encode("ascii")
+        wlens = np.fromiter((len(w) for w in ws), dtype=np.int64, count=len(ws))
+        wstarts = np.zeros(len(ws), dtype=np.int64)
+        np.cumsum(wlens[:-1] + 1, out=wstarts[1:])
+        g = len(ws) - n + 1
+        gs = wstarts[:g]
+        glens = wstarts[n - 1 :] + wlens[n - 1 :] - gs
+        starts_all.append(gs + off)
+        lens_all.append(glens)
+        counts[di] = g
+        chunks.append(b)
+        off += len(b)
+    if not chunks:
+        return np.empty(0, dtype=np.uint64), counts
+    data = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    gh = fnv1a_ranges(
+        data, np.concatenate(starts_all), np.concatenate(lens_all)
+    )
+    return gh, counts
 
 
 # distributed pair-value join lives in raylink.join (shared with the
@@ -125,19 +168,29 @@ def exact_dedup(docs_ds):
 
 # ------------------------------------------------------------------ n-gram
 class _Shingler:
+    """(doc_id, text) batch -> one row per DISTINCT shingle per doc, as its
+    64-bit FNV hash (``gh``). Gram identity is its hash from the start —
+    the gram strings themselves never leave the stage (they were only ever
+    hashed downstream; shipping them through the shuffle was pure waste).
+    Same negligible-collision assumption documented at ``ngram_pairs``."""
+
     def __init__(self, n: int):
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, grams = [], []
-        for i, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for g in _grams_of(t, self.n):
-                ids.append(i)
-                grams.append(g)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        gh, counts = _gram_hashes(batch.column("text").to_pylist(), self.n)
+        bounds = np.r_[0, np.cumsum(counts)]
+        uniq = [np.unique(gh[bounds[i] : bounds[i + 1]]) for i in range(len(ids))]
+        ulens = np.fromiter((len(u) for u in uniq), dtype=np.int64, count=len(uniq))
         return pa.table(
-            {"doc_id": pa.array(ids, type=pa.int64()), "gram": pa.array(grams)}
+            {
+                "doc_id": pa.array(np.repeat(ids, ulens)),
+                "gh": pa.array(
+                    (np.concatenate(uniq) if len(uniq) else np.empty(0, np.uint64))
+                    .astype(np.int64)
+                ),
+            }
         )
 
 
@@ -154,11 +207,11 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
         # spawn one task per distinct shingle). Gram identity is its 64-bit
         # FNV hash — collision probability ~(n_grams^2)/2^65, negligible below
         # ~1e8 distinct shingles (documented assumption).
-        gh = text_hash64(batch.column("gram"))
+        gh = batch.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "gh": pa.array(gh.astype(np.int64)),
+                "gh": batch.column("gh"),
                 "b": pa.array((gh % np.uint64(64)).astype(np.int32)),
             }
         )
@@ -241,14 +294,11 @@ class _GramSetHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        gram_lists = _gram_lists(batch.column("text").to_pylist(), self.n)
-        counts = np.fromiter(
-            (len(g) for g in gram_lists), dtype=np.int64, count=len(gram_lists)
-        )
-        # ONE vectorized hash over every gram in the batch, then per-doc
-        # sorted-unique on numpy slices (np.unique(hashes) == the hashes of
-        # the distinct-gram set, sorted — min/set semantics are dup-invariant)
-        gh = text_hash64([g for gs in gram_lists for g in gs])
+        # ONE range-hash pass over every shingle in the batch (no per-gram
+        # strings), then per-doc sorted-unique on numpy slices
+        # (np.unique(hashes) == the hashes of the distinct-gram set, sorted
+        # — min/set semantics are dup-invariant)
+        gh, counts = _gram_hashes(batch.column("text").to_pylist(), self.n)
         bounds = np.r_[0, np.cumsum(counts)]
         sets = [
             np.unique(gh[bounds[i] : bounds[i + 1]]) for i in range(len(ids))
@@ -289,17 +339,13 @@ class MinHasher:
         return self._mix(x[None, :] ^ self.seeds[:, None]).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # batched: ONE vectorized text_hash64 over every shingle in the
-        # batch, then per-doc mins via np.minimum.reduceat, chunked over
-        # seeds to bound the (chunk x total_grams) working set. Bit-identical
-        # to per-doc ``signature`` (min is dup-invariant, so the per-doc
-        # sorted-set step there is unnecessary here); property-tested.
+        # batched: ONE range-hash pass over every shingle in the batch (no
+        # per-gram python strings, see _gram_hashes), then per-doc mins via
+        # np.minimum.reduceat, chunked over seeds to bound the working set.
+        # Bit-identical to per-doc ``signature`` (min is dup-invariant, so
+        # the per-doc sorted-set step there is unnecessary); property-tested.
         ids = batch.column("doc_id").to_pylist()
-        gram_lists = _gram_lists(batch.column("text").to_pylist(), self.n)
-        counts = np.fromiter(
-            (len(g) for g in gram_lists), dtype=np.int64, count=len(gram_lists)
-        )
-        gh = text_hash64([g for gs in gram_lists for g in gs])
+        gh, counts = _gram_hashes(batch.column("text").to_pylist(), self.n)
         sigs = np.zeros((len(ids), self.perms), dtype=np.uint64)
         nonempty = counts > 0
         if nonempty.any():

@@ -18,12 +18,26 @@ import pyarrow as pa
 
 MAGIC = b"RLNKIMG1"
 
-try:  # real decoder would go here; not present in this environment
-    import PIL.Image  # noqa: F401
+try:  # real codec path — wired when the environment provides PIL
+    import PIL.Image
 
     _HAVE_PIL = True
 except ImportError:
     _HAVE_PIL = False
+
+
+def _pil_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real-image decode via PIL (when present): any PIL-readable format ->
+    (width, height, grayscale pixel bytes) — the same contract the RLNKIMG1
+    parser satisfies, so every downstream stage (histogram features, resize,
+    re-encode) is codec-agnostic. Skipped-when-absent unit tests pin this
+    path (test_media_pil_*)."""
+    import io
+
+    img = PIL.Image.open(io.BytesIO(blob))
+    img = img.convert("L")  # deterministic single-channel byte layout
+    w, h = img.size
+    return w, h, np.asarray(img, dtype=np.uint8).reshape(-1)
 
 
 def synth_media(n: int, seed: int = 42) -> pa.Table:
@@ -69,8 +83,8 @@ class DecodeMedia:
         if blob[:8] == MAGIC:
             w, h = struct.unpack("<HH", blob[8:12])
             return w, h, np.frombuffer(blob[12:], dtype=np.uint8)
-        if _HAVE_PIL:  # pragma: no cover - not available in this environment
-            raise NotImplementedError("real codec path not wired yet")
+        if _HAVE_PIL:  # pragma: no cover - PIL absent in this sandbox
+            return _pil_decode(blob)
         raise NotImplementedError(
             "real image decode requires an image library not present in this "
             "environment; only RLNKIMG1 synthetic blobs are supported"
@@ -114,13 +128,18 @@ class ResizeMedia:
 
     def _resize(self, blob: bytes) -> bytes:
         if blob[:8] != MAGIC:
-            raise NotImplementedError(
-                "real image decode requires an image library not present in "
-                "this environment; only RLNKIMG1 synthetic blobs are supported"
-            )
-        w, h = struct.unpack("<HH", blob[8:12])
+            if _HAVE_PIL:  # pragma: no cover - PIL absent in this sandbox
+                w, h, px = _pil_decode(blob)
+            else:
+                raise NotImplementedError(
+                    "real image decode requires an image library not present "
+                    "in this environment; only RLNKIMG1 synthetic blobs are "
+                    "supported"
+                )
+        else:
+            w, h = struct.unpack("<HH", blob[8:12])
+            px = np.frombuffer(blob[12:], dtype=np.uint8)
         w, h = max(w, 1), max(h, 1)  # degenerate dims -> 1x1 zero image
-        px = np.frombuffer(blob[12:], dtype=np.uint8)
         # pad/truncate defensively to w*h, then NN-resample
         img = np.zeros(h * w, dtype=np.uint8)
         m = min(len(px), h * w)

@@ -143,13 +143,15 @@ def read_full_info(paths):
 def read_edges_json(paths):
     """JSON-rows reader (reference LongTextJSONReader.java:61-64,98-120):
     each line ``[srcid, pid, srcvalue, [[sinkid, edgeid, edgevalue], ...]]``.
-    Returns (edges_ds with weight, vertices_ds with value)."""
+    Returns (edges_ds (src, dst, weight, eid), vertices_ds with value).
+    ``eid`` is the file-given edge id (IEdge.java:26-34; -1 when absent) —
+    persist it per shard with ``build_graph(edge_cols=["eid"])``."""
     import ray.data as rd
 
     raw = rd.read_text(paths)
 
     def edges_fn(batch: pa.Table) -> pa.Table:
-        srcs, dsts, weights = [], [], []
+        srcs, dsts, weights, eids = [], [], [], []
         for line in batch.column("text").to_pylist():
             line = line.strip()
             if not line:
@@ -160,11 +162,13 @@ def read_edges_json(paths):
                 srcs.append(vid)
                 dsts.append(int(sink[0]))
                 weights.append(float(sink[2]) if len(sink) > 2 else 1.0)
+                eids.append(int(sink[1]) if len(sink) > 1 else -1)
         return pa.table(
             {
                 "src": pa.array(np.asarray(srcs, dtype=np.int64)),
                 "dst": pa.array(np.asarray(dsts, dtype=np.int64)),
                 "weight": pa.array(np.asarray(weights, dtype=np.float64)),
+                "eid": pa.array(np.asarray(eids, dtype=np.int64)),
             }
         )
 

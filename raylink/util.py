@@ -155,13 +155,26 @@ def text_hash64(texts) -> np.ndarray:
         else np.empty(0, dtype=np.uint8)
     starts = offsets[:-1]
     lens = offsets[1:] - starts
+    return fnv1a_ranges(data, starts, lens)
+
+
+def fnv1a_ranges(data: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """FNV-1a of arbitrary (possibly overlapping) byte ranges of ``data``,
+    position-parallel. This is the shingle kernel: n-gram substrings of one
+    normalized document string are hashed directly as ranges — no per-gram
+    python string is ever built."""
+    n = len(starts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
     order = np.argsort(-lens, kind="stable")
     s_ord = starts[order]
     l_ord = lens[order]
-    L = int(l_ord[0])
-    # active count at byte position j = #strings with len > j
+    L = int(l_ord[0]) if n else 0
+    # active count at byte position j = #ranges with len > j
     cnt = np.bincount(lens, minlength=L + 1)
-    n_active = n - np.cumsum(cnt)  # n_active[j] = #lens > j
+    n_active = n - np.cumsum(cnt)
     h = np.full(n, FNV_OFFSET, dtype=np.uint64)
     with np.errstate(over="ignore"):
         for j in range(L):

@@ -139,3 +139,24 @@ def test_property_text_hash64_vectorized(texts):
     np.testing.assert_array_equal(
         text_hash64(pa.array(texts, type=pa.string())), text_hash64_scalar(texts)
     )
+
+
+@given(
+    texts=st.lists(
+        st.text(max_size=120) | st.text(alphabet="ab 01 ZÄ中.🎉", max_size=60),
+        max_size=25,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_property_gram_hashes_match_joined_strings(texts, n):
+    """Range-hashed shingles (no per-gram strings) must equal hashing the
+    ' '-joined gram strings — the dedup oracles mirror those exact values."""
+    from raylink.ops.dedup import _gram_hashes, _gram_lists
+    from raylink.util import text_hash64_scalar
+
+    gh, counts = _gram_hashes(texts, n)
+    gl = _gram_lists(texts, n)
+    assert counts.tolist() == [len(g) for g in gl]
+    exp = text_hash64_scalar([g for gs in gl for g in gs])
+    np.testing.assert_array_equal(gh, exp)

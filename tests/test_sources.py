@@ -58,7 +58,7 @@ def test_read_adjacency_text_with_partition(adj_files):
     np.testing.assert_array_equal(got, cc_oracle(N, edges))
 
 
-def test_read_edges_json(adj_files):
+def test_read_edges_json(adj_files, tmp_path):
     from raylink.sources import read_edges_json
 
     _, _, jsonf, edges = adj_files
@@ -67,8 +67,19 @@ def test_read_edges_json(adj_files):
     got = np.array(sorted(zip(pdf["src"], pdf["dst"])), dtype=np.int64)
     np.testing.assert_array_equal(got, edges)
     assert (pdf["weight"] == 2.5).all()
+    # file-given edge ids surface (fixture writes eid = 100 + sink)
+    assert (pdf["eid"].to_numpy() == 100 + pdf["dst"].to_numpy()).all()
     vdf = vds.to_pandas().sort_values("vid")
     assert (vdf["value"].to_numpy() == np.arange(N, dtype=float)).all()
+
+    # edge ids persist per shard through the edge-value machinery
+    from raylink.graph import build_graph, edge_table
+
+    g = build_graph(eds.materialize(), vds, num_parts=4, directed=True,
+                    weighted=True, edge_cols=["eid"],
+                    graph_dir=str(tmp_path / "gj"))
+    et = edge_table(g, ["eid"]).to_pandas()
+    assert (et["eid"].to_numpy() == 100 + et["dst"].to_numpy()).all()
 
 
 def test_hash_ids_from_urls(ray_session, tmp_path):
