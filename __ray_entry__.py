@@ -78,6 +78,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kmeans": q.q_graph_kmeans,
         "cooccur_pagerank": q.q_cooccur_pagerank,
         "link_positions": q.q_link_positions,
+        # relational layer over the TPC-H-shaped tables
+        "pricing_summary": q.q_pricing_summary,
+        "shipping_priority": q.q_shipping_priority,
+        "nation_revenue": q.q_nation_revenue,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
@@ -112,6 +116,9 @@ def oracle_sql() -> dict[str, str]:
         "page_text": o.page_text_sql(),
         "page_edges": o.page_edges_sql(),
         "link_positions": o.link_positions_sql(),
+        "pricing_summary": o.pricing_summary_sql(),
+        "shipping_priority": o.shipping_priority_sql(),
+        "nation_revenue": o.nation_revenue_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "pagerank_converged": o.pagerank_sql(iters=27),
         "seeded_pagerank": o.seeded_pagerank_sql(iters=30),

@@ -938,3 +938,73 @@ def cooccur_pagerank_sql(iters: int = 10) -> str:
   ) s ON s.vid = v.vid)"""
         )
     return _with(*ctes) + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, 8) AS rank FROM pr{iters}"
+
+
+# ------------------------------------------------------- relational (TPC-H-ish)
+# Mirrors raylink.queries.q_pricing_summary / q_shipping_priority /
+# q_nation_revenue. All money arithmetic is integer-scaled (cents) on BOTH
+# sides, so sums are exact in BIGINT and the final double divisions are
+# bit-identical — no float-summation order sensitivity.
+
+def pricing_summary_sql() -> str:
+    return """
+WITH f AS (
+  SELECT CAST(ROUND(l_quantity) AS BIGINT) AS q,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS ec,
+         CAST(ROUND(l_discount*100) AS BIGINT) AS dc,
+         CAST(ROUND(l_tax*100) AS BIGINT) AS tc,
+         l_returnflag, l_linestatus
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-01-01'
+)
+SELECT l_returnflag, l_linestatus,
+       SUM(q)::DOUBLE AS sum_qty,
+       SUM(ec)::DOUBLE / 100.0 AS sum_base_price,
+       SUM(ec*(100-dc))::DOUBLE / 10000.0 AS sum_disc_price,
+       SUM(ec*(100-dc)*(100+tc))::DOUBLE / 1000000.0 AS sum_charge,
+       SUM(q)::DOUBLE / COUNT(*) AS avg_qty,
+       SUM(ec)::DOUBLE / 100.0 / COUNT(*) AS avg_price,
+       SUM(dc)::DOUBLE / 100.0 / COUNT(*) AS avg_disc,
+       COUNT(*)::BIGINT AS count_order
+FROM f GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
+def shipping_priority_sql() -> str:
+    return """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (
+  SELECT o_orderkey, o_orderdate FROM orders
+  JOIN c ON o_custkey = c_custkey
+  WHERE o_orderdate < TIMESTAMP '2000-03-15'
+),
+l AS (
+  SELECT l_orderkey,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev_i
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '2000-03-15'
+)
+SELECT l.l_orderkey,
+       SUM(l.rev_i)::DOUBLE / 10000.0 AS revenue,
+       o.o_orderdate
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY SUM(l.rev_i) DESC, l.l_orderkey
+LIMIT 10"""
+
+
+def nation_revenue_sql() -> str:
+    return """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev_i
+  FROM lineitem
+)
+SELECT n.n_name,
+       SUM(l.rev_i)::DOUBLE / 10000.0 AS revenue
+FROM l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY SUM(l.rev_i) DESC, n.n_name"""

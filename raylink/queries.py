@@ -323,6 +323,305 @@ def q_link_positions(sf_dir: str):
     return edge_table(g, ["pos"])
 
 
+# ------------------------------------------------------- relational (TPC-H-ish)
+# The driver testdata ships TPC-H-shaped tables; these queries exercise the
+# engine's relational layer (column-pruned reads, per-batch integer-scaled
+# partial aggregation before the groupby, broadcast of tiny dimensions,
+# large x large hash_join) on the biggest tables. All money/discount/tax
+# arithmetic is INTEGER-SCALED (cents), so every aggregate is exact in
+# int64 and the DuckDB oracle comparison is bit-exact — no float-summation
+# order sensitivity anywhere.
+
+_SHIP_CUTOFF = np.datetime64("2001-01-01", "us")
+_Q3_DATE = np.datetime64("2000-03-15", "us")
+
+
+def _cents(arr) -> np.ndarray:
+    """Exact-2dp float column -> int64 cents (values are exact multiples of
+    0.01, so nearest-int is exact; matches SQL ROUND(x*100)::BIGINT)."""
+    return np.rint(arr.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) sums /
+    averages over shipped lineitems. Shape: column-pruned read -> per-batch
+    integer partial aggregates (one row per group per batch) -> tiny
+    groupby -> final division. Nothing bigger than #groups shuffles."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.less_equal(
+                b.column("l_shipdate"),
+                pa.scalar(_SHIP_CUTOFF.item(), type=pa.timestamp("us")),
+            )
+        )
+        if t.num_rows == 0:
+            return pa.table(
+                {"l_returnflag": pa.array([], type=pa.string()),
+                 "l_linestatus": pa.array([], type=pa.string()),
+                 "qty": pa.array([], type=pa.int64()),
+                 "base": pa.array([], type=pa.int64()),
+                 "disc_price": pa.array([], type=pa.int64()),
+                 "charge": pa.array([], type=pa.int64()),
+                 "disc": pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        rf = np.asarray(t.column("l_returnflag").to_pylist())
+        ls = np.asarray(t.column("l_linestatus").to_pylist())
+        key = np.char.add(np.char.add(rf, "|"), ls)
+        uk, inv = np.unique(key, return_inverse=True)
+        q = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
+        ec = _cents(t.column("l_extendedprice"))
+        dc = _cents(t.column("l_discount"))
+        tc = _cents(t.column("l_tax"))
+        dp = ec * (100 - dc)
+        ch = dp * (100 + tc)
+        ng = len(uk)
+
+        def gsum(v):  # int64-exact per-group sums (bincount is float64 but
+            # per-batch magnitudes stay far under 2^53)
+            return np.bincount(inv, weights=v.astype(np.float64), minlength=ng).astype(np.int64)
+
+        flags = np.array([k.split("|") for k in uk])
+        return pa.table(
+            {
+                "l_returnflag": pa.array(flags[:, 0]),
+                "l_linestatus": pa.array(flags[:, 1]),
+                "qty": pa.array(gsum(q)),
+                "base": pa.array(gsum(ec)),
+                "disc_price": pa.array(gsum(dp)),
+                "charge": pa.array(gsum(ch)),
+                "disc": pa.array(gsum(dc)),
+                "cnt": pa.array(np.bincount(inv, minlength=ng).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["qty", "base", "disc_price", "charge", "disc", "cnt"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        qty = b.column("sum(qty)").to_numpy(zero_copy_only=False).astype(np.int64)
+        base = b.column("sum(base)").to_numpy(zero_copy_only=False).astype(np.int64)
+        dp = b.column("sum(disc_price)").to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = b.column("sum(charge)").to_numpy(zero_copy_only=False).astype(np.int64)
+        dc = b.column("sum(disc)").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = b.column("sum(cnt)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "sum_qty": pa.array(qty.astype(np.float64)),
+                "sum_base_price": pa.array(base.astype(np.float64) / 100.0),
+                "sum_disc_price": pa.array(dp.astype(np.float64) / 10000.0),
+                "sum_charge": pa.array(ch.astype(np.float64) / 1000000.0),
+                "avg_qty": pa.array(qty.astype(np.float64) / cnt),
+                "avg_price": pa.array(base.astype(np.float64) / 100.0 / cnt),
+                "avg_disc": pa.array(dc.astype(np.float64) / 100.0 / cnt),
+                "count_order": pa.array(cnt),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped shipping priority: top-10 open orders of BUILDING
+    customers by pending revenue. Shape: tiny dimension filter broadcast
+    (1.5k custkeys via ray.put), date-filtered fact reads, large x large
+    ``hash_join`` lineitem x orders, per-batch integer revenue partials,
+    order-keyed groupby, distributed sort + limit."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from raylink.join import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING")))
+        .select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    ckeys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
+    cref = ray.put(ckeys)
+
+    d1 = pa.scalar(_Q3_DATE.item(), type=pa.timestamp("us"))
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("o_orderdate"), d1))
+        ck = ray.get(cref)
+        ok = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck, ok)
+        hit = (pos < len(ck)) & (ck[np.minimum(pos, max(len(ck) - 1, 0))] == ok)
+        t = t.filter(pa.array(hit))
+        return pa.table(
+            {"okey": t.column("o_orderkey"), "o_orderdate": t.column("o_orderdate")}
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_f, batch_format="pyarrow")
+
+    def li_f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("l_shipdate"), d1))
+        rev = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        return pa.table({"okey": t.column("l_orderkey"), "rev": pa.array(rev)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(li_f, batch_format="pyarrow")
+
+    joined = hash_join(
+        li, orders, on="okey",
+        left_cols={"rev": pa.int64()},
+        right_cols={"o_orderdate": pa.timestamp("us")},
+        strict=False,
+    )
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ok = b.column("okey").to_numpy(zero_copy_only=False)
+        uk, idx, inv = np.unique(ok, return_index=True, return_inverse=True)
+        rev = b.column("rev").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        dates = b.column("o_orderdate").take(pa.array(idx))
+        return pa.table(
+            {"l_orderkey": pa.array(uk), "rev": pa.array(s), "o_orderdate": dates}
+        )
+
+    # o_orderdate is functionally dependent on the order key, so grouping on
+    # both keeps it through one groupby-sum (no per-key map_groups)
+    agg = (
+        joined.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby(["l_orderkey", "o_orderdate"])
+        .sum("rev")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_orderkey": b.column("l_orderkey"),
+                    "rev": b.column("sum(rev)"),
+                    "o_orderdate": b.column("o_orderdate"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    top = agg.sort(["rev", "l_orderkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "revenue": pa.array(
+                    b.column("rev").to_numpy(zero_copy_only=False).astype(np.float64)
+                    / 10000.0
+                ),
+                "o_orderdate": b.column("o_orderdate"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_nation_revenue(sf_dir: str):
+    """TPC-H Q5-shaped revenue per customer nation: two broadcast dimension
+    attaches (nation 25 rows, customer 1.5k rows) + one large x large
+    ``hash_join`` orders x lineitem + integer partial aggregation by nation
+    name. -> (n_name, revenue), ordered by revenue desc, name asc."""
+    import ray
+    import ray.data as rd
+
+    from raylink.join import hash_join
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cn = cust.set_index("c_custkey").loc[ck, "c_nationkey"].to_numpy(np.int64)
+    cref = ray.put((ck, cn))
+
+    def orders_f(b: pa.Table) -> pa.Table:
+        keys, nk = ray.get(cref)
+        ok = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ok)
+        return pa.table(
+            {
+                "okey": b.column("o_orderkey"),
+                "nkey": pa.array(nk[pos].astype(np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_f, batch_format="pyarrow")
+
+    def li_f(b: pa.Table) -> pa.Table:
+        rev = _cents(b.column("l_extendedprice")) * (
+            100 - _cents(b.column("l_discount"))
+        )
+        return pa.table({"okey": b.column("l_orderkey"), "rev": pa.array(rev)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow")
+
+    joined = hash_join(
+        li, orders, on="okey",
+        left_cols={"rev": pa.int64()}, right_cols={"nkey": pa.int64()},
+        strict=False,
+    )
+
+    def nat_partial(b: pa.Table) -> pa.Table:
+        nk = b.column("nkey").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(nk, return_inverse=True)
+        rev = b.column("rev").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        return pa.table({"nkey": pa.array(uk), "rev": pa.array(s)})
+
+    agg = (
+        joined.map_batches(nat_partial, batch_format="pyarrow")
+        .groupby("nkey")
+        .sum("rev")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = b.column("nkey").to_numpy(zero_copy_only=False)
+        s = b.column("sum(rev)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array([nmap[int(k)] for k in nk], type=pa.string()),
+                "revenue": pa.array(s.astype(np.float64) / 10000.0),
+                "rev_i": pa.array(s),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["rev_i", "n_name"], descending=[True, False]).drop_columns(
+        ["rev_i"]
+    )
+
+
 # ------------------------------------------------------------ documents ops
 def _docs(sf_dir: str):
     import ray.data as rd

@@ -589,3 +589,32 @@ def test_media_pil_contract(ray_session):
     from raylink.ops.multimodal import MAGIC
 
     assert blob[:8] == MAGIC  # re-encoded in the engine interchange format
+
+
+def test_relational_queries_vs_duckdb(ray_session):
+    """TPC-H-shaped relational layer (integer-scaled exact arithmetic):
+    engine results equal DuckDB on the same parquet at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    qs, oracles = e.queries(), e.oracle_sql()
+    for name in ["pricing_summary", "shipping_priority", "nation_revenue"]:
+        got = qs[name](sf)
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+        exp = con.execute(oracles[name]).fetchdf()
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        exp = exp[sorted(exp.columns)].reset_index(drop=True)
+        assert got.shape == exp.shape, name
+        for c in got.columns:
+            a, b = got[c].to_numpy(), exp[c].to_numpy()
+            if a.dtype.kind == "f":
+                assert (a == b).all(), f"{name}.{c}"
+            else:
+                assert (a == b).all(), f"{name}.{c}"
