@@ -507,17 +507,23 @@ class SimHasher:
         if nonempty.any():
             hs = text_hash64([w for ws in uws for w in ws])
             cs_all = np.concatenate(ucs) if len(ucs) else np.empty(0, np.int64)
-            bits = (
-                (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            ).astype(np.int64)
-            weighted = (bits * 2 - 1) * cs_all[:, None]
             seg_starts = np.r_[0, np.cumsum(counts)][:-1][nonempty]
-            acc = np.add.reduceat(weighted, seg_starts, axis=0)
-            sh = np.bitwise_or.reduce(
-                (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64),
-                axis=1,
-            ).astype(np.int64)
-            out[nonempty] = sh
+            # per-bit accumulation without the (W x 64) matrix: for bit j,
+            # acc_j(doc) = 2 * sum(counts where bit set) - total(doc); one
+            # W-length scratch reused across the 64 iterations keeps the
+            # working set cache-resident (the old two W x 64 int64
+            # temporaries were ~100 MB of per-batch allocator churn)
+            tot = np.add.reduceat(cs_all, seg_starts)
+            scratch = np.empty(len(hs), dtype=np.int64)
+            sh = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+            for j in range(64):
+                np.bitwise_and(
+                    (hs >> np.uint64(j)).view(np.int64), np.int64(1), out=scratch
+                )
+                scratch *= cs_all
+                set_sum = np.add.reduceat(scratch, seg_starts)
+                sh |= ((2 * set_sum - tot) > 0).astype(np.uint64) << np.uint64(j)
+            out[nonempty] = sh.astype(np.int64)
         return pa.table(
             {"doc_id": pa.array(ids, type=pa.int64()), "simhash": pa.array(out)}
         )

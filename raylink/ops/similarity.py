@@ -404,11 +404,9 @@ def knn_join(
         tagger(0), batch_format="pyarrow"
     )
     if self_join:
-        tagged = corpus.union(
-            emb_ds.select_columns(["vec_id", "embedding"]).map_batches(
-                tagger(1), batch_format="pyarrow"
-            )
-        )
+        # one pass: every corpus row doubles as a query inside bucket_topk
+        # (no second sketch scan, half the shuffle bytes)
+        tagged = corpus
     else:
         tagged = corpus.union(
             query_ds.select_columns(["vec_id", "embedding"]).map_batches(
@@ -427,14 +425,21 @@ def knn_join(
         ends = np.r_[starts[1:], len(bk)]
         out_q, out_n, out_s = [], [], []
         for st, en in zip(starts, ends):
-            sd = side[st:en]
-            nq = int((sd == 1).sum())
-            nc = en - st - nq
-            if nq == 0 or nc == 0:
-                continue
-            # rows sorted by side: corpus block first, then queries
-            cid, cm = ids[st : st + nc], m[st : st + nc]
-            qid, qm = ids[st + nc : en], m[st + nc : en]
+            if self_join:
+                nc = en - st
+                if nc < 2:
+                    continue
+                cid = qid = ids[st:en]
+                cm = qm = m[st:en]
+            else:
+                sd = side[st:en]
+                nq = int((sd == 1).sum())
+                nc = en - st - nq
+                if nq == 0 or nc == 0:
+                    continue
+                # rows sorted by side: corpus block first, then queries
+                cid, cm = ids[st : st + nc], m[st : st + nc]
+                qid, qm = ids[st + nc : en], m[st + nc : en]
             if nc > max_bucket:
                 # deterministic hot-bucket cut by hashed id order
                 selc = np.argsort(splitmix64(cid.astype(np.uint64)), kind="stable")[
@@ -447,6 +452,7 @@ def knn_join(
             if self_join:
                 sims[qid[:, None] == cid[None, :]] = -np.inf
             take = min(k, nc)
+            nq = len(qid)
             # per-query local top-k by (-cos, neighbor_id)
             ordc = np.lexsort(
                 (np.broadcast_to(cid, sims.shape), -sims), axis=1
