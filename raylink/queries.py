@@ -437,18 +437,31 @@ def q_pricing_summary(sf_dir: str):
     )
 
 
-def q_shipping_priority(sf_dir: str):
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTER — free (no execution), so join
+    shapes can be size-thresholded without materializing anything."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
+def q_shipping_priority(sf_dir: str, broadcast_threshold: int | None = None):
     """TPC-H Q3-shaped shipping priority: top-10 open orders of BUILDING
-    customers by pending revenue. Shape: tiny dimension filter broadcast
-    (1.5k custkeys via ray.put), date-filtered fact reads, large x large
-    ``hash_join`` lineitem x orders, per-batch integer revenue partials,
-    order-keyed groupby, distributed sort + limit."""
+    customers by pending revenue. Shape: the customer semi-join is
+    size-thresholded on the parquet-footer row count — broadcast the
+    filtered custkeys (``ray.put``) while the dimension is small, switch to
+    the distributed ``hash_join`` semi-join when it is dataset-sized; then
+    date-filtered fact reads, large x large ``hash_join`` lineitem x
+    orders, per-batch integer revenue partials, multi-key groupby,
+    distributed sort + limit."""
     import pyarrow.compute as pc
     import ray
     import ray.data as rd
 
-    from raylink.join import hash_join
+    from raylink.join import BROADCAST_THRESHOLD, hash_join
 
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
@@ -456,26 +469,55 @@ def q_shipping_priority(sf_dir: str):
         .select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    ckeys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
-    cref = ray.put(ckeys)
-
     d1 = pa.scalar(_Q3_DATE.item(), type=pa.timestamp("us"))
-
-    def orders_f(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.less(b.column("o_orderdate"), d1))
-        ck = ray.get(cref)
-        ok = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ck, ok)
-        hit = (pos < len(ck)) & (ck[np.minimum(pos, max(len(ck) - 1, 0))] == ok)
-        t = t.filter(pa.array(hit))
-        return pa.table(
-            {"okey": t.column("o_orderkey"), "o_orderdate": t.column("o_orderdate")}
-        )
-
-    orders = rd.read_parquet(
+    orders_raw = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(orders_f, batch_format="pyarrow")
+    )
+
+    if _parquet_rows(sf_dir, "customer") <= broadcast_threshold:
+        ckeys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
+        cref = ray.put(ckeys)
+
+        def orders_f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.less(b.column("o_orderdate"), d1))
+            ck = ray.get(cref)
+            ok = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ck, ok)
+            hit = (pos < len(ck)) & (ck[np.minimum(pos, max(len(ck) - 1, 0))] == ok)
+            t = t.filter(pa.array(hit))
+            return pa.table(
+                {"okey": t.column("o_orderkey"),
+                 "o_orderdate": t.column("o_orderdate")}
+            )
+
+        orders = orders_raw.map_batches(orders_f, batch_format="pyarrow")
+    else:  # dataset-sized dimension: distributed semi-join (inner hash_join)
+
+        def odate_f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.less(b.column("o_orderdate"), d1))
+            return pa.table(
+                {
+                    "ckey": t.column("o_custkey"),
+                    "okey": t.column("o_orderkey"),
+                    "o_orderdate": t.column("o_orderdate"),
+                }
+            )
+
+        odate = orders_raw.map_batches(odate_f, batch_format="pyarrow")
+        ckds = cust.map_batches(
+            lambda b: pa.table(
+                {"ckey": b.column("c_custkey"),
+                 "bld": pa.array(np.ones(b.num_rows, dtype=np.int8))}
+            ),
+            batch_format="pyarrow",
+        )
+        orders = hash_join(
+            odate, ckds, on="ckey",
+            left_cols={"okey": pa.int64(), "o_orderdate": pa.timestamp("us")},
+            right_cols={"bld": pa.int8()},
+            strict=False,
+        ).select_columns(["okey", "o_orderdate"])
 
     def li_f(b: pa.Table) -> pa.Table:
         t = b.filter(pc.greater(b.column("l_shipdate"), d1))
@@ -539,41 +581,50 @@ def q_shipping_priority(sf_dir: str):
     )
 
 
-def q_nation_revenue(sf_dir: str):
-    """TPC-H Q5-shaped revenue per customer nation: two broadcast dimension
-    attaches (nation 25 rows, customer 1.5k rows) + one large x large
-    ``hash_join`` orders x lineitem + integer partial aggregation by nation
-    name. -> (n_name, revenue), ordered by revenue desc, name asc."""
-    import ray
+def q_nation_revenue(sf_dir: str, broadcast_threshold: int | None = None):
+    """TPC-H Q5-shaped revenue per customer nation: nation (25 rows) is a
+    driver map; the customer nationkey attach goes through the thresholded
+    ``attach_lookup`` (broadcast while small, distributed hash join when the
+    dimension is dataset-sized — decided from the parquet footer row count,
+    no execution); then one large x large ``hash_join`` orders x lineitem +
+    integer partial aggregation by nation. -> (n_name, revenue), ordered by
+    revenue desc, name asc."""
     import ray.data as rd
 
-    from raylink.join import hash_join
+    from raylink.join import attach_lookup, hash_join
 
     nat = rd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
-    nmap = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
-    cn = cust.set_index("c_custkey").loc[ck, "c_nationkey"].to_numpy(np.int64)
-    cref = ray.put((ck, cn))
-
-    def orders_f(b: pa.Table) -> pa.Table:
-        keys, nk = ray.get(cref)
-        ok = b.column("o_custkey").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ok)
-        return pa.table(
-            {
-                "okey": b.column("o_orderkey"),
-                "nkey": pa.array(nk[pos].astype(np.int64)),
-            }
-        )
-
-    orders = rd.read_parquet(
+    ).map_batches(
+        lambda b: pa.table(
+            {"ckey": b.column("c_custkey"),
+             "nkey": pa.compute.cast(b.column("c_nationkey"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    orders_k = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(orders_f, batch_format="pyarrow")
+    ).map_batches(
+        lambda b: pa.table(
+            {"okey": b.column("o_orderkey"), "ckey": b.column("o_custkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    from raylink.join import BROADCAST_THRESHOLD
+
+    orders = attach_lookup(
+        orders_k, cust, on="ckey",
+        left_cols={"okey": pa.int64()}, value_cols={"nkey": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "customer"),
+        broadcast_threshold=(
+            BROADCAST_THRESHOLD if broadcast_threshold is None
+            else broadcast_threshold
+        ),
+    ).select_columns(["okey", "nkey"])
 
     def li_f(b: pa.Table) -> pa.Table:
         rev = _cents(b.column("l_extendedprice")) * (

@@ -618,3 +618,18 @@ def test_relational_queries_vs_duckdb(ray_session):
                 assert (a == b).all(), f"{name}.{c}"
             else:
                 assert (a == b).all(), f"{name}.{c}"
+
+
+def test_relational_shuffle_paths_agree(ray_session):
+    """Forcing broadcast_threshold=0 routes the customer dimension through
+    the distributed hash-join paths; results must equal the broadcast
+    paths row for row."""
+    from raylink.queries import q_nation_revenue, q_shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    a = q_shipping_priority(sf).to_pandas().reset_index(drop=True)
+    b = q_shipping_priority(sf, broadcast_threshold=0).to_pandas().reset_index(drop=True)
+    assert a.equals(b)
+    c = q_nation_revenue(sf).to_pandas().reset_index(drop=True)
+    d = q_nation_revenue(sf, broadcast_threshold=0).to_pandas().reset_index(drop=True)
+    assert c.equals(d)
