@@ -62,7 +62,70 @@ def _build(args, directed: bool, vertex_cols=None):
     ), edges
 
 
+def _main_query(argv) -> int:
+    """Generic named-query launcher: every pipeline in ``raylink.queries``
+    (graph, dedup, similarity, text, relational, media) is `ray job
+    submit`-able without code — the DefaultJob pluggability extended to the
+    whole query surface.
+
+      python -m raylink.cli query --name pricing_summary \\
+          --sf-dir /root/testdata/sf0.01 --out /tmp/q1
+    """
+    p = argparse.ArgumentParser(prog="raylink query")
+    p.add_argument("--name", required=True,
+                   help="query name (function q_<name> in raylink.queries)")
+    p.add_argument("--sf-dir", dest="sf_dir", required=True)
+    p.add_argument("--out", help="output parquet directory (omit to count)")
+    p.add_argument("--num-cpus", type=int)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from raylink import queries as q
+
+    fn = getattr(q, f"q_{args.name}", None)
+    if fn is None:
+        names = sorted(n[2:] for n in dir(q) if n.startswith("q_"))
+        print(json.dumps({"error": f"unknown query {args.name!r}",
+                          "available": names}))
+        return 2
+    t0 = time.perf_counter()
+    res = fn(args.sf_dir)
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = res if hasattr(res, "write_parquet") else rd.from_arrow(
+        res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+    )
+    if args.out:
+        ds.write_parquet(args.out)
+        rows = rd.read_parquet(args.out).count()
+    else:
+        rows = ds.count()
+    print(json.dumps({
+        "query": args.name, "rows": rows, "out": args.out,
+        "sec": round(time.perf_counter() - t0, 3),
+    }))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return _main_query(argv[1:])
     p = argparse.ArgumentParser(prog="raylink", description=__doc__)
     p.add_argument("algorithm", choices=[
         "pagerank", "seeded_pagerank", "subgraphrank", "cc", "lpa", "sssp",

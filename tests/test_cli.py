@@ -64,3 +64,26 @@ def test_cli_full_info_pagerank(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     summary = json.loads(r.stdout.strip().splitlines()[-1])
     assert summary["rows"] == N and summary["supersteps"] == 6
+
+
+def test_cli_named_query(tmp_path):
+    """Generic query launcher: any q_<name> pipeline runs via the CLI and
+    writes parquet."""
+    r = subprocess.run(
+        [sys.executable, "-m", "raylink.cli", "query", "--name", "pricing_summary",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path / "q1"),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["query"] == "pricing_summary" and summary["rows"] >= 1
+    # unknown name lists what exists
+    r2 = subprocess.run(
+        [sys.executable, "-m", "raylink.cli", "query", "--name", "nope",
+         "--sf-dir", "/root/testdata/sf0.001", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert r2.returncode == 2
+    out = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert "pricing_summary" in out["available"]
