@@ -37,6 +37,10 @@ def _load_edges(args):
         from raylink.sources import read_full_info
 
         return read_full_info(args.edges)
+    if args.format == "giraph":
+        from raylink.sources import read_giraph_adjacency
+
+        return read_giraph_adjacency(args.edges)
     edges = rd.read_parquet(args.edges)
     verts = rd.read_parquet(args.vertices) if args.vertices else None
     return edges, verts
@@ -133,7 +137,8 @@ def main(argv=None) -> int:
     ])
     p.add_argument("--edges", required=True, help="parquet glob / text / jsonl path")
     p.add_argument("--vertices", help="optional vertex parquet (vid[, value cols])")
-    p.add_argument("--format", choices=["parquet", "adjacency", "json", "full_info"],
+    p.add_argument("--format",
+                   choices=["parquet", "adjacency", "json", "full_info", "giraph"],
                    default="parquet")
     p.add_argument("--seed-col", dest="seed_col", default="seed",
                    help="vertex value column for seeded_pagerank")

@@ -6,7 +6,8 @@ reader family (SURVEY.md §2.2).
 | LongTextAdjacencyListReader ("VID Sink1 Sink2 ...", whitespace) | ``read_adjacency_text`` |
 | PartitionsLongTextAdjacencyListReader ("VID PID Sink1 ...") | ``read_adjacency_text(with_partition=True)`` (partition column surfaced; the engine re-partitions by its own key — explicit partitioning is an offline-pipeline artifact we deliberately replace, SURVEY.md §3.3) |
 | LongTextJSONReader ("[src, pid, value, [[sink, eid, evalue], ...]]") | ``read_edges_json`` (vertex/edge values carried) |
-| FullInfoSplitReader family (pre-partitioned "pid sgid vid (sink sgid pid)+") | ``read_full_info`` + ``build_graph(partitioner="explicit")`` — rows shuffle to the partitions given in the file; subgraphs are still re-discovered online (within-partition WCCs, identical up to id naming) |
+| FullInfoSplitReader family (pre-partitioned "pid vid sgid (sink sgid pid)+") | ``read_full_info`` + ``build_graph(partitioner="explicit")`` — rows shuffle to the partitions given in the file; subgraphs are still re-discovered online (within-partition WCCs, identical up to id naming) |
+| Giraph LongDoubleDoubleAdjacencyListSubgraphInputFormat ("vid value sink...") | ``read_giraph_adjacency`` (runtime #2's format family; vertex values carried) |
 | edge list parquet/csv | ``ray.data.read_parquet`` / ``read_csv`` directly |
 
 All parse work is vectorized-per-batch over ``read_text`` lines; outputs are
@@ -137,6 +138,56 @@ def read_full_info(paths):
     return (
         raw.map_batches(parse, batch_format="pyarrow"),
         raw.map_batches(verts, batch_format="pyarrow"),
+    )
+
+
+def read_giraph_adjacency(paths, split: str = None):
+    """Giraph-runtime adjacency reader (reference runtime #2's
+    LongDoubleDoubleAdjacencyListSubgraphInputFormat /
+    AdjacencyListTextSubgraphInputFormat.java:123-164): each line is
+    ``vid vertex_value sink1 sink2 ...`` (id at [0], double value at [1],
+    edge targets from [2]; default whitespace separator). Returns
+    (edges_ds (src, dst), vertices_ds (vid, value)) — feed
+    ``build_graph(vertex_cols=["value"])`` to carry the vertex values."""
+    import ray.data as rd
+
+    raw = rd.read_text(paths)
+
+    def parse_edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for line in batch.column("text").to_pylist():
+            parts = line.split(split)
+            if len(parts) < 2:
+                continue
+            vid = int(parts[0])
+            for t in parts[2:]:
+                srcs.append(vid)
+                dsts.append(int(t))
+        return pa.table(
+            {
+                "src": pa.array(np.asarray(srcs, dtype=np.int64)),
+                "dst": pa.array(np.asarray(dsts, dtype=np.int64)),
+            }
+        )
+
+    def parse_verts(batch: pa.Table) -> pa.Table:
+        vids, vals = [], []
+        for line in batch.column("text").to_pylist():
+            parts = line.split(split)
+            if len(parts) < 2:
+                continue
+            vids.append(int(parts[0]))
+            vals.append(float(parts[1]))
+        return pa.table(
+            {
+                "vid": pa.array(np.asarray(vids, dtype=np.int64)),
+                "value": pa.array(np.asarray(vals, dtype=np.float64)),
+            }
+        )
+
+    return (
+        raw.map_batches(parse_edges, batch_format="pyarrow"),
+        raw.map_batches(parse_verts, batch_format="pyarrow"),
     )
 
 

@@ -170,3 +170,32 @@ def test_read_full_info_explicit_partitioning(ray_session, tmp_path):
     _, dists = sssp(g=g, source=0, engine="tasks", ckpt_dir=str(tmp_path / "cks"))
     got_d = dists.to_pandas().sort_values("vid")["dist"].to_numpy()
     np.testing.assert_array_equal(got_d, bfs_oracle(N, edges, 0))
+
+
+def test_read_giraph_adjacency(adj_files, tmp_path):
+    """Giraph-runtime adjacency format (vid value sink...) loads, carries
+    vertex values into shards, and reproduces the PageRank oracle."""
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph, load_shard
+    from raylink.sources import read_giraph_adjacency
+
+    _, _, _, edges = adj_files
+    adj = {i: [] for i in range(N)}
+    for s, t in edges:
+        adj[int(s)].append(int(t))
+    path = tmp_path / "giraph.txt"
+    with open(path, "w") as f:
+        for i in range(N):
+            f.write(" ".join([str(i), str(0.5 * i)] + [str(t) for t in adj[i]]) + "\n")
+
+    eds, vds = read_giraph_adjacency(str(path))
+    g = build_graph(eds.materialize(), vds, num_parts=4, directed=True,
+                    vertex_cols=["value"], graph_dir=str(tmp_path / "gg"))
+    got_vals = {}
+    for p in g.parts:
+        sh = load_shard(g.graph_dir, p)
+        got_vals.update(dict(zip(sh["vids"].tolist(), sh["v_value"].tolist())))
+    assert got_vals == {v: 0.5 * v for v in range(N)}
+    _, ranks = pagerank(g=g, iters=8, ckpt_dir=str(tmp_path / "ck"))
+    got = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    np.testing.assert_allclose(got, pr_oracle(N, edges, iters=8), atol=1e-12)
