@@ -331,6 +331,13 @@ def q_link_positions(sf_dir: str):
 # arithmetic is INTEGER-SCALED (cents), so every aggregate is exact in
 # int64 and the DuckDB oracle comparison is bit-exact — no float-summation
 # order sensitivity anywhere.
+#
+# Scale bound (documented, not silent): the scaled charge term is
+# ~1e11 per row, so a SINGLE int64 group sum stays exact up to ~1e7 rows
+# per group per batch (partials) and ~9e18 total — beyond ~1e7 rows per
+# GLOBAL group the final sum should move to per-group hierarchical
+# accumulation (int128 limbs or decimal), same pattern as the splitmix64
+# SQL mirror in oracles_sql._mul64.
 
 _SHIP_CUTOFF = np.datetime64("2001-01-01", "us")
 _Q3_DATE = np.datetime64("2000-03-15", "us")
