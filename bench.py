@@ -520,6 +520,67 @@ def run_rayspin_bench() -> dict:
     return out
 
 
+def run_annjoin_bench() -> dict:
+    """Dataset-sized-query ANN throughput: every vector is a query
+    (``knn_join`` self-join) over a deterministic clustered embedding
+    corpus synthesized inside map_batches (nothing driver-side)."""
+    import pyarrow as pa
+
+    ray = _init_ray()
+    import ray.data as rd
+
+    from raylink.ops.similarity import knn_join
+    from raylink.util import splitmix64
+
+    n = int(os.environ.get("RAYLINK_ANN_N", "200000"))
+    dim, n_centers = 32, 256
+
+    def gen(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        # deterministic per-row vectors: center(id % n_centers) + hash noise
+        h = splitmix64(ids.astype(np.uint64))
+        rng_c = np.random.default_rng(77)
+        centers = rng_c.standard_normal((n_centers, dim)) * 3
+        noise = np.empty((len(ids), dim))
+        x = h.copy()
+        for d in range(dim):
+            x = splitmix64(x)
+            noise[:, d] = (x.astype(np.float64) / 2**64) - 0.5
+        vecs = centers[ids % n_centers] + noise
+        return pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs.astype(np.float32)],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+    emb = (
+        rd.range(n, override_num_blocks=NUM_CPUS * 2)
+        .map_batches(gen, batch_format="pyarrow")
+        .materialize()
+    )
+    t0 = time.perf_counter()
+    res = knn_join(emb, k=5, n_tables=8, bits=10)
+    n_rows = res.count()
+    wall = time.perf_counter() - t0
+    out = {
+        "num_cpus": NUM_CPUS,
+        "n_vectors": n,
+        "dim": dim,
+        "k": 5,
+        "result_rows": n_rows,
+        "annjoin_sec": round(wall, 2),
+        "queries_per_sec": round(n / wall),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     def one(ncpu: int, flag: str, **env_over) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **env_over)
@@ -605,5 +666,7 @@ if __name__ == "__main__":
         print(json.dumps(run_tasks_bench()))
     elif "--neardup-bench" in sys.argv:
         print(json.dumps(run_neardup_bench()))
+    elif "--annjoin-bench" in sys.argv:
+        print(json.dumps(run_annjoin_bench()))
     else:
         print(json.dumps(run_bench()))
