@@ -640,9 +640,23 @@ def meta_diameter(g: LinkGraph, n_seeds: int = 4) -> int:
         lambda b: pa.table({"src": b.column("src_sg"), "dst": b.column("dst_sg")}),
         batch_format="pyarrow",
     )
+    if g.directed:
+        # eccentricity probes flood UNDIRECTED reachability (the reference's
+        # driver-side BFS symmetrized the meta adjacency); meta edges of a
+        # directed graph follow stored direction, so union the reversed
+        # copy. Parallel edges are harmless to hop-BFS.
+        edges = edges.union(
+            me.map_batches(
+                lambda b: pa.table(
+                    {"src": b.column("dst_sg"), "dst": b.column("src_sg")}
+                ),
+                batch_format="pyarrow",
+            )
+        )
     g_meta = build_graph(
         edges, verts, num_parts=min(g.num_parts, 8), partitioner="hash",
-        directed=True,  # already symmetric
+        directed=True,  # symmetric: undirected meta edges are stored both
+        # ways already; directed inputs were symmetrized above
     )
     # n_seeds smallest endpoint ids: per-batch partial min-k, tiny final
     seed_partials = verts.map_batches(

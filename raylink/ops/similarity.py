@@ -238,11 +238,15 @@ def ivf_ann(
     qm = _normalize(np.array(q_pdf["embedding"].tolist(), dtype=np.float64))
 
     # --- train codebook on a deterministic hash-ordered sample: each batch
-    # prunes to its train_sample smallest splitmix64(vec_id); the driver
-    # takes the global smallest train_sample. Works for ANY id space (dense,
-    # hashed, sparse). Driver pull is bounded by train_sample * n_blocks
-    # rows — for corpora with very many blocks pre-sample upstream.
+    # prunes to its train_sample smallest splitmix64(vec_id), a distributed
+    # second reduce stage (repartition to <=_PRUNE_FANIN blocks, prune each
+    # whole block) collapses the per-batch survivors, and only then does the
+    # driver take the global smallest train_sample. Works for ANY id space
+    # (dense, hashed, sparse). Driver pull is bounded by
+    # train_sample * _PRUNE_FANIN rows — independent of corpus size.
     from raylink.util import splitmix64
+
+    _PRUNE_FANIN = 16
 
     def prune(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
@@ -250,7 +254,12 @@ def ivf_ann(
         take = np.argsort(h, kind="stable")[:train_sample]
         return batch.take(pa.array(np.sort(take)))
 
-    train_pdf = emb_ds.map_batches(prune, batch_format="pyarrow").to_pandas()
+    pruned = (
+        emb_ds.map_batches(prune, batch_format="pyarrow", batch_size=8192)
+        .repartition(_PRUNE_FANIN)
+        .map_batches(prune, batch_format="pyarrow", batch_size=None)
+    )
+    train_pdf = pruned.to_pandas()
     if len(train_pdf) == 0:
         raise ValueError("ivf_ann: empty training sample (no vectors in input)")
     th = splitmix64(train_pdf["vec_id"].to_numpy(np.int64).astype(np.uint64))

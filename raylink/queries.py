@@ -381,10 +381,15 @@ def q_pricing_summary(sf_dir: str):
                  "disc": pa.array([], type=pa.int64()),
                  "cnt": pa.array([], type=pa.int64())}
             )
-        rf = np.asarray(t.column("l_returnflag").to_pylist())
-        ls = np.asarray(t.column("l_linestatus").to_pylist())
-        key = np.char.add(np.char.add(rf, "|"), ls)
-        uk, inv = np.unique(key, return_inverse=True)
+        # Arrow-native group keys: dictionary-encode both string columns
+        # (no per-row python objects on the fact-table scan), combine the
+        # integer codes into one packed key for the per-batch grouping.
+        rf = t.column("l_returnflag").combine_chunks().dictionary_encode()
+        ls = t.column("l_linestatus").combine_chunks().dictionary_encode()
+        rfc = rf.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lsc = ls.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nls = len(ls.dictionary)
+        uk, inv = np.unique(rfc * nls + lsc, return_inverse=True)
         q = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(np.int64)
         ec = _cents(t.column("l_extendedprice"))
         dc = _cents(t.column("l_discount"))
@@ -393,15 +398,16 @@ def q_pricing_summary(sf_dir: str):
         ch = dp * (100 + tc)
         ng = len(uk)
 
-        def gsum(v):  # int64-exact per-group sums (bincount is float64 but
-            # per-batch magnitudes stay far under 2^53)
-            return np.bincount(inv, weights=v.astype(np.float64), minlength=ng).astype(np.int64)
+        def gsum(v):  # int64 accumulation end-to-end — exact up to the
+            # documented ~1e7 rows/group int64 bound regardless of batch size
+            out = np.zeros(ng, dtype=np.int64)
+            np.add.at(out, inv, v.astype(np.int64))
+            return out
 
-        flags = np.array([k.split("|") for k in uk])
         return pa.table(
             {
-                "l_returnflag": pa.array(flags[:, 0]),
-                "l_linestatus": pa.array(flags[:, 1]),
+                "l_returnflag": rf.dictionary.take(pa.array(uk // nls)),
+                "l_linestatus": ls.dictionary.take(pa.array(uk % nls)),
                 "qty": pa.array(gsum(q)),
                 "base": pa.array(gsum(ec)),
                 "disc_price": pa.array(gsum(dp)),
@@ -490,8 +496,11 @@ def q_shipping_priority(sf_dir: str, broadcast_threshold: int | None = None):
             t = b.filter(pc.less(b.column("o_orderdate"), d1))
             ck = ray.get(cref)
             ok = t.column("o_custkey").to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(ck, ok)
-            hit = (pos < len(ck)) & (ck[np.minimum(pos, max(len(ck) - 1, 0))] == ok)
+            if len(ck) == 0:  # empty dimension: nothing can match
+                hit = np.zeros(len(ok), dtype=bool)
+            else:
+                pos = np.searchsorted(ck, ok)
+                hit = (pos < len(ck)) & (ck[np.minimum(pos, len(ck) - 1)] == ok)
             t = t.filter(pa.array(hit))
             return pa.table(
                 {"okey": t.column("o_orderkey"),
@@ -548,8 +557,9 @@ def q_shipping_priority(sf_dir: str, broadcast_threshold: int | None = None):
     def rev_partial(b: pa.Table) -> pa.Table:
         ok = b.column("okey").to_numpy(zero_copy_only=False)
         uk, idx, inv = np.unique(ok, return_index=True, return_inverse=True)
-        rev = b.column("rev").to_numpy(zero_copy_only=False).astype(np.float64)
-        s = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        rev = b.column("rev").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, rev)  # int64-exact regardless of batch size
         dates = b.column("o_orderdate").take(pa.array(idx))
         return pa.table(
             {"l_orderkey": pa.array(uk), "rev": pa.array(s), "o_orderdate": dates}
@@ -653,8 +663,9 @@ def q_nation_revenue(sf_dir: str, broadcast_threshold: int | None = None):
     def nat_partial(b: pa.Table) -> pa.Table:
         nk = b.column("nkey").to_numpy(zero_copy_only=False)
         uk, inv = np.unique(nk, return_inverse=True)
-        rev = b.column("rev").to_numpy(zero_copy_only=False).astype(np.float64)
-        s = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        rev = b.column("rev").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, rev)  # int64-exact regardless of batch size
         return pa.table({"nkey": pa.array(uk), "rev": pa.array(s)})
 
     agg = (
@@ -864,17 +875,22 @@ def q_domain_stats(sf_dir: str):
             pattern="/.*$", replacement="",
         )
         chars = pc.utf8_length(batch.column("text"))
-        t = pa.table({"host": host, "chars": chars})
-        import pandas as pd
-
-        df = t.to_pandas().groupby("host", sort=True).agg(
-            n=("chars", "size"), c=("chars", "sum")
-        ).reset_index()
+        # Arrow-native partial: dictionary-encode the host strings, then
+        # bincount/int64-accumulate over the integer codes — no pandas, no
+        # python string objects on the page scan.
+        he = (
+            host.combine_chunks() if isinstance(host, pa.ChunkedArray) else host
+        ).dictionary_encode()
+        codes = he.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = len(he.dictionary)
+        cn = chars.to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.zeros(nh, dtype=np.int64)
+        np.add.at(csum, codes, cn)
         return pa.table(
             {
-                "host": pa.array(df["host"], type=pa.string()),
-                "n": pa.array(df["n"].to_numpy(np.int64)),
-                "c": pa.array(df["c"].to_numpy(np.int64)),
+                "host": he.dictionary,
+                "n": pa.array(np.bincount(codes, minlength=nh).astype(np.int64)),
+                "c": pa.array(csum),
             }
         )
 

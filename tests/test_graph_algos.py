@@ -423,3 +423,22 @@ def test_edge_value_columns(ray_session, tmp_path):
     pdu = edge_table(gu, ["a", "b"]).to_pandas()
     rev = pdu[(pdu["src"] == 3) & (pdu["dst"] == 2)]
     assert len(rev) == 1 and rev.iloc[0]["a"] == 40.0 and rev.iloc[0]["b"] == 4.0
+
+
+def test_meta_diameter_directed_symmetrized(ray_session, tmp_path):
+    """meta_diameter floods UNDIRECTED meta reachability even when the input
+    graph is directed (ADVICE r3: the BSP probes previously followed stored
+    direction only). A backward chain 7->6->...->0 with one vertex per
+    partition has directed eccentricity 3 from the 4 smallest seeds but
+    undirected eccentricity 7."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from raylink.graph import build_graph, meta_diameter
+
+    src = np.arange(1, 8, dtype=np.int64)
+    eds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(src - 1)}))
+    verts = rd.from_arrow(pa.table({"vid": pa.array(np.arange(8, dtype=np.int64))}))
+    g = build_graph(eds, verts, num_parts=8, partitioner="mod", directed=True,
+                    graph_dir=str(tmp_path / "gmd"))
+    assert meta_diameter(g, n_seeds=4) == 7
