@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kmeans": q.q_graph_kmeans,
         "cooccur_pagerank": q.q_cooccur_pagerank,
         "link_positions": q.q_link_positions,
+        "dense_remap": q.q_dense_remap,
         # relational layer over the TPC-H-shaped tables
         "pricing_summary": q.q_pricing_summary,
         "shipping_priority": q.q_shipping_priority,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "page_text": o.page_text_sql(),
         "page_edges": o.page_edges_sql(),
         "link_positions": o.link_positions_sql(),
+        "dense_remap": o.dense_remap_sql(),
         "pricing_summary": o.pricing_summary_sql(),
         "shipping_priority": o.shipping_priority_sql(),
         "nation_revenue": o.nation_revenue_sql(),

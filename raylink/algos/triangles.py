@@ -19,8 +19,9 @@ high-degree hub vertices.
      (u,v) key; per-bucket sorted-search membership test and count.
 
 Count is orientation-invariant, so it equals the reference's vid-ordered
-count exactly. Assumes vids < 2**31 for key packing (true for crawl-local
-ids; swap to two-column join otherwise).
+count exactly. Requires vids < 2**32 for key packing (guarded —
+``assert_packable`` raises on e.g. 63-bit ``hash_ids_from_urls`` ids; run
+``raylink.ids.dense_id_remap`` first for such corpora).
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import splitmix64
+from raylink.util import assert_packable, splitmix64
 
 
 def _canon(batch: pa.Table) -> pa.Table:
@@ -37,6 +38,8 @@ def _canon(batch: pa.Table) -> pa.Table:
     keep = s != d  # drop self-loops (reference: snapToMetisInput.py:52-53)
     a = np.minimum(s[keep], d[keep]).astype(np.int64)
     b = np.maximum(s[keep], d[keep]).astype(np.int64)
+    assert_packable(a, "triangle_count vid")
+    assert_packable(b, "triangle_count vid")
     key = (a << np.int64(32)) | b
     return pa.table({"key": pa.array(np.unique(key))})
 

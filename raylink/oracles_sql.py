@@ -94,6 +94,26 @@ def page_edges_sql() -> str:
     return _with(GRAPH_CTES) + "\nSELECT src::BIGINT AS src, dst::BIGINT AS dst FROM edges"
 
 
+def dense_remap_sql(num_buckets: int = 16) -> str:
+    """Mirrors queries.q_dense_remap: vid = hash64_str(url_of(v)) (FNV-1a ->
+    splitmix64 -> >>1), bucket = splitmix64(vid) % B, dense = rank over
+    (bucket asc, vid asc)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            "vv AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges "
+            "UNION ALL SELECT dst AS v FROM edges))",
+            "uu AS (SELECT 'https://site' || CAST(v % 97 AS VARCHAR) || "
+            "'.example/d/' || CAST(v AS VARCHAR) AS url FROM vv)",
+            f"hh AS (SELECT ({_sm64(_fnv64('url'))} >> 1) AS h FROM uu)",
+            f"bb AS (SELECT CAST(h AS BIGINT) AS vid, "
+            f"({_sm64('h')}) % {num_buckets} AS bkt FROM hh)",
+        )
+        + "\nSELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY bkt, vid) - 1 "
+        "AS BIGINT) AS dense FROM bb ORDER BY dense"
+    )
+
+
 def link_positions_sql() -> str:
     """Mirrors queries.q_link_positions: the LINK SPEC v1 closed form with
     each anchor's 0-based page position (series links at j-1; the hub link,

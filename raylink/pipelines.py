@@ -114,11 +114,16 @@ def page_graph(
 
 
 def distinct_edges(edges_ds):
-    """Exact dedup of (src,dst) via a packed-key groupby (vids < 2**32)."""
+    """Exact dedup of (src,dst) via a packed-key groupby. Enforces the
+    vid < 2**32 packing contract (guard raises with a pointer to
+    ``raylink.ids.dense_id_remap`` for hash-assigned 63-bit id corpora)."""
+    from raylink.util import assert_packable
 
     def pack(batch: pa.Table) -> pa.Table:
         s = batch.column("src").to_numpy(zero_copy_only=False)
         d = batch.column("dst").to_numpy(zero_copy_only=False)
+        assert_packable(s, "distinct_edges src")
+        assert_packable(d, "distinct_edges dst")
         return pa.table({"key": pa.array(np.unique((s << np.int64(32)) | d))})
 
     def unpack(batch: pa.Table) -> pa.Table:

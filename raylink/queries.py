@@ -48,6 +48,23 @@ def q_page_edges(sf_dir: str):
     return distinct_edges(edges)
 
 
+def q_dense_remap(sf_dir: str):
+    """Production-id-regime remap: page edges with hash64_str(url) vids
+    (63-bit — unpackable for (a<<32)|b keys) -> ``dense_id_remap`` ->
+    the (vid, dense) inverse mapping, dense ascending. Exact SQL oracle via
+    the FNV-1a/splitmix64 mirrors (dense = ROW_NUMBER over (bucket, vid))."""
+    from raylink.extract import explode_links
+    from raylink.ids import dense_id_remap
+    from raylink.pipelines import hash_ids_from_urls, page_edge_tables
+
+    ex, _, _, _ = page_edge_tables(sf_dir)
+    edges_h = ex.map_batches(explode_links, batch_format="pyarrow").map_batches(
+        hash_ids_from_urls, batch_format="pyarrow"
+    )
+    _, mapping = dense_id_remap(edges_h, num_buckets=16)
+    return mapping.sort("dense")
+
+
 def q_pagerank(sf_dir: str):
     from raylink.algos import pagerank
 

@@ -89,9 +89,31 @@ def route_parts(shard: dict, ctx: dict, dsts: np.ndarray) -> np.ndarray:
     return PARTITIONERS[ctx["partitioner"]](dsts, ctx["num_parts"])
 
 
+def assert_packable(ids: np.ndarray, what: str = "packed pair key") -> None:
+    """Enforce the id < 2**32 contract of every (a<<32)|b packed-key
+    operator (distinct_edges, triangle_count, dedup pair generation,
+    pair_attach). 63-bit ids from ``hash_ids_from_urls`` silently alias
+    under the shift — run ``raylink.ids.dense_id_remap`` first to get
+    packable dense ids for such corpora."""
+    if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= 1 << 32):
+        raise ValueError(
+            f"{what}: ids must be in [0, 2**32) for (a<<32)|b packing; "
+            f"got range [{int(ids.min())}, {int(ids.max())}] — remap with "
+            "raylink.ids.dense_id_remap (hash-assigned 63-bit ids alias "
+            "under the 32-bit shift)"
+        )
+
+
 def make_sgid(part: np.ndarray, local_idx: np.ndarray) -> np.ndarray:
     """Reference subgraph-id encoding: local_idx | (part << 32)
-    (LongTextAdjacencyListReader.java:293-294)."""
+    (LongTextAdjacencyListReader.java:293-294).
+
+    Packing contract (same family as ``assert_packable``): local_idx and
+    part must each fit 32 bits / 31 bits respectively. local_idx is a
+    per-partition running index (bounded by per-shard vertex count) and
+    part is the partition number — both orders of magnitude below the bound
+    at any partitioning a single shard's memory can hold, so this is a
+    structural invariant, not a data-dependent one like vid packing."""
     return (local_idx.astype(np.int64)) | (part.astype(np.int64) << np.int64(32))
 
 
