@@ -31,17 +31,16 @@ def entry() -> Any:
     from raylink.pipelines import page_graph
     from raylink.algos import pagerank
     from raylink.queries import _ckpt
-    from raylink.synth import url_of
+    from raylink.synth import urls_of
 
     sf = "/root/testdata/sf0.001"
     g = page_graph(sf, directed=True)
     _, ranks = pagerank(g=g, eps=1e-6, engine="tasks", ckpt_dir=_ckpt("entry_pagerank", sf))
 
     def add_url(batch: pa.Table) -> pa.Table:
-        vids = batch.column("vid").to_pylist()
         return pa.table(
             {
-                "url": pa.array([url_of(v) for v in vids]),
+                "url": urls_of(batch.column("vid")),
                 "vid": batch.column("vid"),
                 "rank": batch.column("rank"),
             }

@@ -339,6 +339,27 @@ def derive_vertices(edges_ds):
     return stacked.groupby("vid").count().select_columns(["vid"])
 
 
+def auto_num_parts(
+    n_edges: int,
+    target_shard_bytes: int = 256 << 20,
+    bytes_per_edge: int = 24,
+    min_parts: int = 8,
+    max_parts: int = 1 << 20,
+) -> int:
+    """Partition count sized from the edge count so one shard's CSR stays
+    within ``target_shard_bytes`` of worker heap.
+
+    ``_build_shard`` holds one whole partition in memory per ``map_groups``
+    group (CSR indptr/indices + weights/edge values), ~``bytes_per_edge``
+    bytes per directed edge (8B indices + 8B sort scratch + 8B
+    weights/values amortized). The P=8/16 defaults are fine at test scale;
+    a 100x corpus needs P derived from the input — e.g. 10^10 edges at the
+    256 MiB default gives ~1024 parts. Rounded up to a power of two so the
+    partition key distribution stays balanced under the splitmix64 hash."""
+    want = max(min_parts, -(-n_edges * bytes_per_edge // target_shard_bytes))
+    return int(min(max_parts, 1 << int(np.ceil(np.log2(want)))))
+
+
 def build_graph(
     edges_ds,
     vertices_ds=None,
@@ -357,6 +378,9 @@ def build_graph(
 
     One all-to-all shuffle (groupby part). Partitioning key part(src) is
     reused by every downstream superstep — pick ONE key, reuse it.
+    ``num_parts`` bounds per-shard memory (each map_groups group holds one
+    whole partition's CSR): when the edge count is known, size it with
+    ``auto_num_parts(n_edges)`` instead of the default.
     ``weighted`` is explicit, not schema-sniffed: Dataset.columns() would
     eagerly execute the upstream pipeline to fetch the schema.
     ``graph_dir`` may be a URI; ``filesystem`` an explicit pyarrow.fs

@@ -489,6 +489,10 @@ def minhash_pairs(
 class SimHasher:
     def __init__(self, seed: int = 0):
         self.word = WORD_RE
+        # reusable W-length scratch (same treatment as MinHasher._bufs):
+        # fresh numpy allocations pay first-touch page faults worth ~10x the
+        # arithmetic per batch, so the callable keeps a grow-only buffer
+        self._scratch = np.empty(0, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # per-doc unique words+counts, then ONE vectorized text_hash64 over
@@ -514,7 +518,11 @@ class SimHasher:
             # working set cache-resident (the old two W x 64 int64
             # temporaries were ~100 MB of per-batch allocator churn)
             tot = np.add.reduceat(cs_all, seg_starts)
-            scratch = np.empty(len(hs), dtype=np.int64)
+            if self._scratch.size < len(hs):
+                self._scratch = np.empty(
+                    max(len(hs), 2 * self._scratch.size), dtype=np.int64
+                )
+            scratch = self._scratch[: len(hs)]
             sh = np.zeros(int(nonempty.sum()), dtype=np.uint64)
             for j in range(64):
                 np.bitwise_and(

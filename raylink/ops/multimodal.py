@@ -25,6 +25,13 @@ try:  # real codec path — wired when the environment provides PIL
 except ImportError:
     _HAVE_PIL = False
 
+try:  # real video path — wired when the environment provides PyAV/ffmpeg
+    import av as _av
+
+    _HAVE_AV = True
+except ImportError:
+    _HAVE_AV = False
+
 
 def _pil_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Real-image decode via PIL (when present): any PIL-readable format ->
@@ -38,6 +45,31 @@ def _pil_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
     img = img.convert("L")  # deterministic single-channel byte layout
     w, h = img.size
     return w, h, np.asarray(img, dtype=np.uint8).reshape(-1)
+
+
+def _av_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Real-video decode via PyAV (when present): any ffmpeg-readable
+    container -> (width, height, concatenated grayscale frame bytes) — the
+    same F-frames-of-(w x h) layout the RLNKIMG1 video parser reads, so
+    ``FrameSampler`` is codec-agnostic downstream of this call. Frames are
+    converted to single-channel 'gray' planes for a deterministic byte
+    layout (mirrors ``_pil_decode``'s convert('L')). Skipped-when-absent
+    unit tests pin the contract (test_media_av_*)."""
+    import io
+
+    frames = []
+    w = h = 0
+    with _av.open(io.BytesIO(blob)) as container:  # pragma: no cover - no
+        # ffmpeg in this sandbox; exercised by the skipped-when-absent test
+        stream = container.streams.video[0]
+        for frame in container.decode(stream):
+            g = frame.reformat(format="gray")
+            arr = g.to_ndarray()
+            h, w = arr.shape
+            frames.append(arr.reshape(-1))
+    if not frames:
+        raise ValueError("video stream decoded to zero frames")
+    return w, h, np.concatenate(frames)
 
 
 def synth_media(n: int, seed: int = 42) -> pa.Table:
@@ -179,13 +211,17 @@ class FrameSampler:
             batch.column("media_id").to_pylist(), batch.column("media").to_pylist()
         ):
             blob = bytes(blob)
-            if blob[:8] != MAGIC:
+            if blob[:8] == MAGIC:
+                w, h = struct.unpack("<HH", blob[8:12])
+                px = np.frombuffer(blob[12:], dtype=np.uint8)
+            elif _HAVE_AV:  # pragma: no cover - PyAV absent in this sandbox
+                w, h, px = _av_decode(blob)
+            else:
                 raise NotImplementedError(
-                    "real video decode requires a codec library not present "
-                    "in this environment; only RLNKIMG1 blobs are supported"
+                    "real video decode requires a codec library (PyAV/"
+                    "ffmpeg) not present in this environment; only RLNKIMG1 "
+                    "blobs are supported"
                 )
-            w, h = struct.unpack("<HH", blob[8:12])
-            px = np.frombuffer(blob[12:], dtype=np.uint8)
             fsize = max(1, w * h)
             n_frames = len(px) // fsize
             for f in range(0, n_frames, self.every):

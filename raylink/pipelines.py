@@ -84,25 +84,36 @@ def page_edge_tables(sf_dir: str, concurrency: int = 4, batch_size: int = 512):
 def page_graph(
     sf_dir: str,
     directed: bool = True,
-    num_parts: int = 8,
+    num_parts: int | None = 8,
     partitioner: str = "mod",
     concurrency: int = 4,
 ) -> LinkGraph:
     """Build (or reuse the cached) LinkGraph of the synthetic page corpus.
 
     Default partitioner is 'mod' so subgraph-level results are expressible in
-    the SQL oracle; PageRank/CC/LPA values are partitioning-invariant."""
+    the SQL oracle; PageRank/CC/LPA values are partitioning-invariant.
+    ``num_parts=None`` sizes the partition count from the extracted edge
+    count via ``auto_num_parts`` (the crawl-scale default — P=8 holds only
+    while one partition's CSR fits a worker heap)."""
     from raylink import storage
+    from raylink.graph import auto_num_parts
 
+    edges = None
+    if num_parts is None:
+        _, edges, verts, _ = page_edge_tables(sf_dir, concurrency=concurrency)
+        edges = edges.materialize()
+        num_parts = auto_num_parts(edges.count())
     key = cache_key("page_graph", sf_dir, directed, num_parts, partitioner)
     gdir = storage.join(GRAPH_ROOT, key)
     if storage.exists(storage.join(gdir, "manifest.json")):
         return LinkGraph.load(gdir)
-    _, edges, verts, _ = page_edge_tables(sf_dir, concurrency=concurrency)
-    # materialize the (small) edge table before build: the undirected closure
-    # references the edge pipeline twice, and two extraction actor pools can
-    # reserve every CPU and starve the upstream read (deadlock at low cpus)
-    edges = edges.materialize()
+    if edges is None:
+        _, edges, verts, _ = page_edge_tables(sf_dir, concurrency=concurrency)
+        # materialize the (small) edge table before build: the undirected
+        # closure references the edge pipeline twice, and two extraction
+        # actor pools can reserve every CPU and starve the upstream read
+        # (deadlock at low cpus)
+        edges = edges.materialize()
     return build_graph(
         edges,
         verts,

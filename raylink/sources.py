@@ -191,18 +191,29 @@ def read_giraph_adjacency(paths, split: str = None):
     )
 
 
-def read_edges_json(paths):
-    """JSON-rows reader (reference LongTextJSONReader.java:61-64,98-120):
+def read_edges_json(paths, edge_value_cols: list[str] | None = None):
+    """JSON-rows reader (reference LongTextJSONReader.java:61-64,285-317):
     each line ``[srcid, pid, srcvalue, [[sinkid, edgeid, edgevalue], ...]]``.
-    Returns (edges_ds (src, dst, weight, eid), vertices_ds with value).
-    ``eid`` is the file-given edge id (IEdge.java:26-34; -1 when absent) —
-    persist it per shard with ``build_graph(edge_cols=["eid"])``."""
+    Returns (edges_ds (src, dst, weight, eid, *edge_value_cols), vertices_ds
+    with value). ``eid`` is the file-given edge id (IEdge.java:26-34; -1
+    when absent) — persist it per shard with ``build_graph(edge_cols=...)``.
+
+    The reference carries an ARBITRARY edge value per edge (edgeValues[2]
+    becomes the IEdge value, LongTextJSONReader.java:306-310). Scalar values
+    land in ``weight`` (the common single-valued case). Multi-valued edges
+    — ``edgevalue`` a JSON list — are exposed via ``edge_value_cols``: pass
+    the names for each list slot and they become typed float64 columns,
+    ready for ``build_graph(edge_cols=edge_value_cols)`` / ``edge_table``
+    round-trips (``weight`` is then 1.0 unless 'weight' is one of the
+    names)."""
     import ray.data as rd
 
     raw = rd.read_text(paths)
+    ev_names = list(edge_value_cols or [])
 
     def edges_fn(batch: pa.Table) -> pa.Table:
         srcs, dsts, weights, eids = [], [], [], []
+        evs = [[] for _ in ev_names]
         for line in batch.column("text").to_pylist():
             line = line.strip()
             if not line:
@@ -212,16 +223,33 @@ def read_edges_json(paths):
             for sink in rec[3]:
                 srcs.append(vid)
                 dsts.append(int(sink[0]))
-                weights.append(float(sink[2]) if len(sink) > 2 else 1.0)
                 eids.append(int(sink[1]) if len(sink) > 1 else -1)
-        return pa.table(
-            {
-                "src": pa.array(np.asarray(srcs, dtype=np.int64)),
-                "dst": pa.array(np.asarray(dsts, dtype=np.int64)),
-                "weight": pa.array(np.asarray(weights, dtype=np.float64)),
-                "eid": pa.array(np.asarray(eids, dtype=np.int64)),
-            }
-        )
+                val = sink[2] if len(sink) > 2 else 1.0
+                if ev_names:
+                    vals = val if isinstance(val, (list, tuple)) else [val]
+                    if len(vals) != len(ev_names):
+                        raise ValueError(
+                            f"read_edges_json: edge value arity {len(vals)} "
+                            f"!= edge_value_cols arity {len(ev_names)}"
+                        )
+                    for slot, v in zip(evs, vals):
+                        slot.append(float(v))
+                    weights.append(
+                        float(vals[ev_names.index("weight")])
+                        if "weight" in ev_names else 1.0
+                    )
+                else:
+                    weights.append(float(val))
+        cols = {
+            "src": pa.array(np.asarray(srcs, dtype=np.int64)),
+            "dst": pa.array(np.asarray(dsts, dtype=np.int64)),
+            "weight": pa.array(np.asarray(weights, dtype=np.float64)),
+            "eid": pa.array(np.asarray(eids, dtype=np.int64)),
+        }
+        for nm, slot in zip(ev_names, evs):
+            if nm != "weight":
+                cols[nm] = pa.array(np.asarray(slot, dtype=np.float64))
+        return pa.table(cols)
 
     def verts_fn(batch: pa.Table) -> pa.Table:
         vids, vals = [], []

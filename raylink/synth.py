@@ -39,6 +39,20 @@ def url_of(i: int) -> str:
     return f"https://site{i % 97}.example/d/{i}"
 
 
+def urls_of(vids) -> "pa.Array":
+    """Vectorized ``url_of`` over an int64 column (Arrow string-join kernel,
+    no per-row python) — byte-identical to ``url_of`` per id."""
+    import pyarrow.compute as pc
+
+    v = pa.array(np.asarray(vids, dtype=np.int64)) if not isinstance(
+        vids, (pa.Array, pa.ChunkedArray)
+    ) else vids
+    site = pc.cast(pc.subtract(v, pc.multiply(pc.divide(v, 97), 97)), pa.string())
+    return pc.binary_join_element_wise(
+        "https://site", site, ".example/d/", pc.cast(v, pa.string()), "",
+    )
+
+
 def _clean(t: str) -> str:
     return t.replace("\r", " ").replace("\n", " ")
 

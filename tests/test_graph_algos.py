@@ -442,3 +442,35 @@ def test_meta_diameter_directed_symmetrized(ray_session, tmp_path):
     g = build_graph(eds, verts, num_parts=8, partitioner="mod", directed=True,
                     graph_dir=str(tmp_path / "gmd"))
     assert meta_diameter(g, n_seeds=4) == 7
+
+
+def test_auto_num_parts_and_p64(edge_data, tmp_path):
+    """auto_num_parts sizes P from the edge count; a P=64 build (many parts
+    >> vertices-per-part) gives bit-identical PageRank to the P=4 build."""
+    from raylink.algos import pagerank
+    from raylink.graph import auto_num_parts, build_graph
+
+    assert auto_num_parts(1_000) == 8  # floor
+    assert auto_num_parts(10_000_000_000) == 1024  # 1e10 edges @ 256MiB
+    assert auto_num_parts(10_000_000_000, target_shard_bytes=64 << 20) == 4096
+    p = auto_num_parts(123)
+    assert p & (p - 1) == 0  # power of two
+
+    edges, edges_ds, verts_ds = edge_data
+    g64 = build_graph(edges_ds, verts_ds, num_parts=64, directed=True,
+                      graph_dir=str(tmp_path / "g64"))
+    assert g64.num_parts == 64
+    _, r64 = pagerank(g=g64, iters=5)
+    _, r4 = pagerank(edges_ds, vertices_ds=verts_ds, num_parts=4, iters=5)
+    a = _sorted_state(r64, "rank")
+    b = _sorted_state(r4, "rank")
+    # partitioning changes float reduction order; values agree to ulps
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+
+
+def test_page_graph_auto_parts(ray_session):
+    """page_graph(num_parts=None) derives P from the extracted edge count."""
+    from raylink.pipelines import page_graph
+
+    g = page_graph("/root/testdata/sf0.001", num_parts=None)
+    assert g.num_parts == 8  # tiny corpus bottoms out at the floor

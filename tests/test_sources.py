@@ -82,6 +82,55 @@ def test_read_edges_json(adj_files, tmp_path):
     assert (et["eid"].to_numpy() == 100 + et["dst"].to_numpy()).all()
 
 
+def test_read_edges_json_multivalue(ray_session, tmp_path):
+    """Multi-valued JSON edge values (reference LongTextJSONReader.java:
+    306-310 — edgevalue is arbitrary) land as named typed columns and
+    round-trip through build_graph(edge_cols)/edge_table (VERDICT r3
+    item 4)."""
+    import json as _json
+
+    from raylink.graph import build_graph, edge_table
+    from raylink.sources import read_edges_json
+
+    # 4 vertices, edge value = [cap, cost] per edge
+    lines = []
+    raw_edges = {(0, 1): (10.0, 0.5), (0, 2): (20.0, 1.5),
+                 (1, 2): (30.0, 2.5), (2, 3): (40.0, 3.5)}
+    adj = {}
+    for (s, d), (cap, cost) in raw_edges.items():
+        adj.setdefault(s, []).append([d, 100 + d, [cap, cost]])
+    for v in range(4):
+        lines.append(_json.dumps([v, v % 2, float(v), adj.get(v, [])]))
+    f = tmp_path / "mv.json"
+    f.write_text("\n".join(lines) + "\n")
+
+    eds, vds = read_edges_json(str(f), edge_value_cols=["cap", "cost"])
+    pdf = eds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(pdf.columns) == ["src", "dst", "weight", "eid", "cap", "cost"]
+    for _, r in pdf.iterrows():
+        cap, cost = raw_edges[(r["src"], r["dst"])]
+        assert r["cap"] == cap and r["cost"] == cost and r["weight"] == 1.0
+
+    g = build_graph(eds.materialize(), vds, num_parts=2, directed=True,
+                    weighted=True, edge_cols=["eid", "cap", "cost"],
+                    graph_dir=str(tmp_path / "gmv"))
+    et = edge_table(g, ["eid", "cap", "cost"]).to_pandas()
+    assert len(et) == len(raw_edges)
+    for _, r in et.iterrows():
+        cap, cost = raw_edges[(r["src"], r["dst"])]
+        assert r["cap"] == cap and r["cost"] == cost
+        assert r["eid"] == 100 + r["dst"]
+
+    # scalar edgevalue named as weight via edge_value_cols
+    lines2 = [_json.dumps([0, 0, 0.0, [[1, 7, 3.25]]]),
+              _json.dumps([1, 1, 1.0, []])]
+    f2 = tmp_path / "sv.json"
+    f2.write_text("\n".join(lines2) + "\n")
+    eds2, _ = read_edges_json(str(f2), edge_value_cols=["weight"])
+    p2 = eds2.to_pandas()
+    assert p2["weight"].tolist() == [3.25] and p2["eid"].tolist() == [7]
+
+
 def test_hash_ids_from_urls(ray_session, tmp_path):
     """General-corpus vid path: build the graph from URLs alone (no embedded
     ids) via hash64(url); PageRank must match the id-built graph after
