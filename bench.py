@@ -96,6 +96,8 @@ def run_bench() -> dict:
     from raylink.graph import build_graph
     from raylink.pipelines import _ids_from_urls
 
+    import statistics
+
     queries: dict[str, float] = {}
     t_total0 = time.perf_counter()
 
@@ -106,34 +108,44 @@ def run_bench() -> dict:
     pages.limit(4000).map_batches(lambda b: b, batch_format="pyarrow").count()
     queries["synthesize"] = round(time.perf_counter() - t0, 3)
 
-    # 1. extract: HTML -> text/links over zero-copy Arrow batches
-    t0 = time.perf_counter()
-    extracted = pages.drop_columns(["text"]).map_batches(
-        ExtractPages().__call__, batch_format="pyarrow", batch_size=1024
-    )
-    edges = (
-        extracted.map_batches(explode_links, batch_format="pyarrow")
-        .map_batches(_ids_from_urls, batch_format="pyarrow")
-        .materialize()
-    )
-    n_edge_rows = edges.count()
-    queries["extract"] = round(time.perf_counter() - t0, 3)
-
-    # 2. graph build (one all-to-all shuffle; per-partition CSR + subgraphs).
-    # P fixed at 8 independent of cluster size (same partitioning => identical
-    # results at every parallelism level).
-    t0 = time.perf_counter()
+    # 1-3. flagship chain, MEDIAN OF 3 full reps per stage (VERDICT r3 item
+    # 5: the headline swung ~1.8x between rounds on host state alone; stage
+    # medians + the host-ceiling probe reported below make round-over-round
+    # deltas signal). Each rep re-runs extract -> build -> PageRank(1e-6)
+    # from the materialized pages, resume=False (no checkpoint reuse).
+    ex_walls, gb_walls, pr_walls = [], [], []
     verts = rd.from_arrow(
         pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))})
     )
-    g = build_graph(edges, verts, num_parts=8, partitioner="hash", directed=True)
-    queries["graph_build"] = round(time.perf_counter() - t0, 3)
+    for _rep in range(3):
+        # extract: HTML -> text/links over zero-copy Arrow batches
+        t0 = time.perf_counter()
+        extracted = pages.drop_columns(["text"]).map_batches(
+            ExtractPages().__call__, batch_format="pyarrow", batch_size=1024
+        )
+        edges = (
+            extracted.map_batches(explode_links, batch_format="pyarrow")
+            .map_batches(_ids_from_urls, batch_format="pyarrow")
+            .materialize()
+        )
+        n_edge_rows = edges.count()
+        ex_walls.append(time.perf_counter() - t0)
 
-    # 3. PageRank to 1e-6 (the north-star metric) — task-engine BSP exchange
-    t0 = time.perf_counter()
-    res, ranks = pagerank(g=g, eps=1e-6, resume=False, engine="tasks", ckpt_every=5)
-    ranks.to_pandas()  # consume
-    pr_wall = time.perf_counter() - t0
+        # graph build (one all-to-all shuffle; per-partition CSR +
+        # subgraphs). P fixed at 8 independent of cluster size (same
+        # partitioning => identical results at every parallelism level).
+        t0 = time.perf_counter()
+        g = build_graph(edges, verts, num_parts=8, partitioner="hash", directed=True)
+        gb_walls.append(time.perf_counter() - t0)
+
+        # PageRank to 1e-6 (the north-star metric) — task-engine BSP
+        t0 = time.perf_counter()
+        res, ranks = pagerank(g=g, eps=1e-6, resume=False, engine="tasks", ckpt_every=5)
+        ranks.to_pandas()  # consume
+        pr_walls.append(time.perf_counter() - t0)
+    queries["extract"] = round(statistics.median(ex_walls), 3)
+    queries["graph_build"] = round(statistics.median(gb_walls), 3)
+    pr_wall = statistics.median(pr_walls)
     queries["pagerank"] = round(pr_wall, 3)
     update_rounds = max(1, res.supersteps_run - 1)
     edges_per_sec = g.n_edges * update_rounds / pr_wall
@@ -147,8 +159,6 @@ def run_bench() -> dict:
     # 4. secondary pipelines — median of 3 reps each (VERDICT r2 item 9:
     # sub-10s stages vary ~2x run-to-run; medians make round-over-round
     # comparisons signal)
-    import statistics
-
     cc_walls = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -164,9 +174,16 @@ def run_bench() -> dict:
         tri_walls.append(time.perf_counter() - t0)
     queries["triangles"] = round(statistics.median(tri_walls), 3)
     rep_detail = {
+        "extract": [round(w, 3) for w in ex_walls],
+        "graph_build": [round(w, 3) for w in gb_walls],
+        "pagerank": [round(w, 3) for w in pr_walls],
         "connected_components": [round(w, 3) for w in cc_walls],
         "triangles": [round(w, 3) for w in tri_walls],
     }
+    # same-run host-health probe (pure-python mp.Pool spin, 8 vs 32 procs):
+    # the flagship medians above are only comparable across rounds next to
+    # the box's deliverable-CPU number at measurement time
+    machine = machine_parallel_baseline()
 
     headline = queries["extract"] + queries["graph_build"] + queries["pagerank"]
     out = {
@@ -184,6 +201,7 @@ def run_bench() -> dict:
         "supersteps_per_hour": round(supersteps_per_hour),
         "triangles": tri,
         "rep_detail": rep_detail,
+        "machine_parallel_ceiling_8_to_32": machine["machine_ceiling"],
         "total_sec": round(time.perf_counter() - t_total0, 3),
     }
     ray.shutdown()
@@ -581,6 +599,65 @@ def run_annjoin_bench() -> dict:
     return out
 
 
+def run_relational_bench() -> dict:
+    """Relational-layer leg (VERDICT r3 item 3): the three TPC-H-shaped
+    queries at $GRAFT_SF_DIR (median of 3 warm reps each) plus a lineitem
+    fact-scan throughput measurement — the same file read AMP times through
+    q_pricing_summary's column-pruned scan + Arrow-dictionary integer
+    partials (the path the dictionary-encode fix targets), reported as
+    rows/s."""
+    import statistics
+
+    ray = _init_ray()
+
+    from raylink.queries import (
+        q_nation_revenue,
+        q_pricing_summary,
+        q_shipping_priority,
+    )
+
+    amp = int(os.environ.get("RAYLINK_RELATIONAL_AMP", "16"))
+    li_path = f"{SF_DIR}/lineitem.parquet"
+    import pyarrow.parquet as pq
+
+    li_rows = pq.ParquetFile(li_path).metadata.num_rows
+
+    def timed(fn, reps: int = 3) -> tuple[float, list[float]]:
+        walls = []
+        fn().to_pandas()  # warmup (worker pool + page cache), untimed
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn().to_pandas()
+            walls.append(time.perf_counter() - t0)
+        return statistics.median(walls), walls
+
+    q1, q1_walls = timed(lambda: q_pricing_summary(SF_DIR))
+    q3, q3_walls = timed(lambda: q_shipping_priority(SF_DIR))
+    q5, q5_walls = timed(lambda: q_nation_revenue(SF_DIR))
+    scan, scan_walls = timed(
+        lambda: q_pricing_summary(SF_DIR, lineitem_paths=[li_path] * amp)
+    )
+    out = {
+        "metric": "relational queries wall sec (medians of 3, warm)",
+        "pricing_summary_sec": round(q1, 3),
+        "shipping_priority_sec": round(q3, 3),
+        "nation_revenue_sec": round(q5, 3),
+        "lineitem_scan_rows": li_rows * amp,
+        "lineitem_scan_sec": round(scan, 3),
+        "lineitem_scan_rows_per_sec": round(li_rows * amp / scan),
+        "rep_detail": {
+            "pricing_summary": [round(w, 3) for w in q1_walls],
+            "shipping_priority": [round(w, 3) for w in q3_walls],
+            "nation_revenue": [round(w, 3) for w in q5_walls],
+            "lineitem_scan": [round(w, 3) for w in scan_walls],
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_scaling() -> dict:
     def one(ncpu: int, flag: str, **env_over) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **env_over)
@@ -668,5 +745,7 @@ if __name__ == "__main__":
         print(json.dumps(run_neardup_bench()))
     elif "--annjoin-bench" in sys.argv:
         print(json.dumps(run_annjoin_bench()))
+    elif "--relational-bench" in sys.argv:
+        print(json.dumps(run_relational_bench()))
     else:
         print(json.dumps(run_bench()))

@@ -366,16 +366,18 @@ def _cents(arr) -> np.ndarray:
     return np.rint(arr.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
 
 
-def q_pricing_summary(sf_dir: str):
+def q_pricing_summary(sf_dir: str, lineitem_paths: list[str] | None = None):
     """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus) sums /
     averages over shipped lineitems. Shape: column-pruned read -> per-batch
     integer partial aggregates (one row per group per batch) -> tiny
-    groupby -> final division. Nothing bigger than #groups shuffles."""
+    groupby -> final division. Nothing bigger than #groups shuffles.
+    ``lineitem_paths`` overrides the fact-table read (bench amplification:
+    pass the same file N times for an N x scan)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
     li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+        lineitem_paths or f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
                  "l_returnflag", "l_linestatus", "l_shipdate"],
     )
