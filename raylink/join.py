@@ -53,6 +53,7 @@ def hash_join(
     right_cols: dict,
     num_buckets: int = 64,
     strict: bool = True,
+    post=None,
 ):
     """Distributed hash equi-join on an int64 key.
 
@@ -62,6 +63,15 @@ def hash_join(
     - ``strict=True`` raises if a left key has no right match (the engine's
       joins are referential: labels/degrees exist for every vertex);
       ``strict=False`` drops unmatched left rows (inner join).
+    - ``post``: optional ``pa.Table -> pa.Table`` applied to each joined
+      bucket group INSIDE the join task, before any rows leave it. A join
+      key lives in exactly one bucket and the group function sees its
+      complete group, so a per-``on``-key aggregation here is globally
+      correct with NO second shuffle — and shrinks the join output to the
+      aggregate's cardinality before it hits the object store (the
+      join-then-groupby-on-the-same-key pattern should always land here).
+      Aggregations on OTHER keys emit per-bucket partials — combine them
+      downstream (``tree_groupby_sum`` / ``groupby``).
 
     Skew: all rows of one KEY land in one bucket group, so a single hot key
     carrying a large fraction of the left side concentrates in one group
@@ -118,12 +128,54 @@ def hash_join(
             cols[nm] = lsel.column(nm)
         for nm in right_cols:
             cols[nm] = taken.column(nm)
-        return pa.table(cols)
+        out = pa.table(cols)
+        return post(out) if post is not None else out
 
     both = left_ds.map_batches(tag(True), batch_format="pyarrow").union(
         right_ds.map_batches(tag(False), batch_format="pyarrow")
     )
     return both.groupby("b").map_groups(join_group, batch_format="pyarrow")
+
+
+def tree_groupby_sum(ds, keys: list[str], sum_cols: list[str], fanin: int = 32):
+    """Groupby-sum for BOUNDED group cardinality (#groups <= ~1e4, known a
+    priori: report dimensions like (returnflag, linestatus) or nation) as a
+    map-only combine tree instead of Ray's sort-based ``groupby().sum()``.
+
+    The sort-based Aggregate operator pays its all-to-all machinery per
+    BLOCK regardless of row count — measured 6.4 s on 1,248 partial rows
+    (sf0.1 pricing_summary) where this tree takes <1 s. Shape: in-task
+    Arrow hash aggregation (``Table.group_by`` — C++ kernels) after a
+    ``repartition(fanin)`` coalesce, then a final single-block combine.
+    Data moved is #blocks x #groups tiny rows, two coalesce exchanges, no
+    sort. At 1M input blocks and 1e4 groups the mid level sees ~1e10/fanin
+    rows split across ``fanin`` tasks and emits fanin x #groups — use the
+    default sort-based groupby instead when cardinality is unbounded
+    (per-key relations like degrees or order keys).
+
+    Output columns: ``keys + [f"sum({c})" for c in sum_cols]`` — drop-in
+    for ``ds.groupby(keys).sum(sum_cols)`` consumers.
+    """
+    aggs = [(c, "sum") for c in sum_cols]
+    plain = list(keys) + list(sum_cols)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        # group_by yields keys first, then <c>_sum in agg order -> rename
+        # back to the plain names so the next level re-aggregates them
+        return batch.group_by(keys).aggregate(aggs).rename_columns(plain)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            list(keys) + [f"sum({c})" for c in sum_cols]
+        )
+
+    t = ds.repartition(fanin).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+    t = t.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+    return t.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def attach_lookup(

@@ -436,10 +436,13 @@ def q_pricing_summary(sf_dir: str, lineitem_paths: list[str] | None = None):
             }
         )
 
-    agg = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .sum(["qty", "base", "disc_price", "charge", "disc", "cnt"])
+    from raylink.join import tree_groupby_sum
+
+    # 6 groups max: map-only combine tree, not the sort-based Aggregate
+    agg = tree_groupby_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["qty", "base", "disc_price", "charge", "disc", "cnt"],
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -566,14 +569,7 @@ def q_shipping_priority(sf_dir: str, broadcast_threshold: int | None = None):
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(li_f, batch_format="pyarrow")
 
-    joined = hash_join(
-        li, orders, on="okey",
-        left_cols={"rev": pa.int64()},
-        right_cols={"o_orderdate": pa.timestamp("us")},
-        strict=False,
-    )
-
-    def rev_partial(b: pa.Table) -> pa.Table:
+    def rev_final(b: pa.Table) -> pa.Table:
         ok = b.column("okey").to_numpy(zero_copy_only=False)
         uk, idx, inv = np.unique(ok, return_index=True, return_inverse=True)
         rev = b.column("rev").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -584,22 +580,16 @@ def q_shipping_priority(sf_dir: str, broadcast_threshold: int | None = None):
             {"l_orderkey": pa.array(uk), "rev": pa.array(s), "o_orderdate": dates}
         )
 
-    # o_orderdate is functionally dependent on the order key, so grouping on
-    # both keeps it through one groupby-sum (no per-key map_groups)
-    agg = (
-        joined.map_batches(rev_partial, batch_format="pyarrow")
-        .groupby(["l_orderkey", "o_orderdate"])
-        .sum("rev")
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "l_orderkey": b.column("l_orderkey"),
-                    "rev": b.column("sum(rev)"),
-                    "o_orderdate": b.column("o_orderdate"),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    # revenue groups on the JOIN key, so the aggregation runs inside the
+    # join's bucket groups (hash_join post) — each okey's rows are complete
+    # there, making the sums globally final with no second shuffle;
+    # o_orderdate rides along (functionally dependent on the order key)
+    agg = hash_join(
+        li, orders, on="okey",
+        left_cols={"rev": pa.int64()},
+        right_cols={"o_orderdate": pa.timestamp("us")},
+        strict=False,
+        post=rev_final,
     )
     top = agg.sort(["rev", "l_orderkey"], descending=[True, False]).limit(10)
     return top.map_batches(
@@ -673,12 +663,6 @@ def q_nation_revenue(sf_dir: str, broadcast_threshold: int | None = None):
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_f, batch_format="pyarrow")
 
-    joined = hash_join(
-        li, orders, on="okey",
-        left_cols={"rev": pa.int64()}, right_cols={"nkey": pa.int64()},
-        strict=False,
-    )
-
     def nat_partial(b: pa.Table) -> pa.Table:
         nk = b.column("nkey").to_numpy(zero_copy_only=False)
         uk, inv = np.unique(nk, return_inverse=True)
@@ -687,11 +671,18 @@ def q_nation_revenue(sf_dir: str, broadcast_threshold: int | None = None):
         np.add.at(s, inv, rev)  # int64-exact regardless of batch size
         return pa.table({"nkey": pa.array(uk), "rev": pa.array(s)})
 
-    agg = (
-        joined.map_batches(nat_partial, batch_format="pyarrow")
-        .groupby("nkey")
-        .sum("rev")
+    from raylink.join import tree_groupby_sum
+
+    # nation partials collapse inside the join's bucket groups (post) —
+    # <=25 rows leave each bucket — then a map-only combine tree finishes
+    # (nkey is NOT the join key, so per-bucket sums are partials)
+    joined = hash_join(
+        li, orders, on="okey",
+        left_cols={"rev": pa.int64()}, right_cols={"nkey": pa.int64()},
+        strict=False,
+        post=nat_partial,
     )
+    agg = tree_groupby_sum(joined, ["nkey"], ["rev"])
 
     def finish(b: pa.Table) -> pa.Table:
         nk = b.column("nkey").to_numpy(zero_copy_only=False)

@@ -167,3 +167,74 @@ def test_hash_join_hot_key_skew(ray_session):
     assert len(out) == len(lk)
     assert (out["v"] == out["k"] * 11).all()
     assert (out["k"] == 7).sum() == 5000 + 50  # hot rows + cold k==7 rows
+
+
+def test_tree_groupby_sum(ray_session):
+    """Map-only combine tree == sort-based groupby().sum() for bounded
+    group cardinality (string + int keys, many blocks)."""
+    import ray.data as rd
+
+    from raylink.join import tree_groupby_sum
+
+    rng = np.random.default_rng(7)
+    keys = np.array(["A", "B", "C"])[rng.integers(0, 3, 5000)]
+    k2 = rng.integers(0, 2, 5000).astype(np.int64)
+    v = rng.integers(-100, 100, 5000).astype(np.int64)
+    w = rng.integers(0, 10, 5000).astype(np.int64)
+    t = pa.table({"k": pa.array(keys), "k2": pa.array(k2),
+                  "v": pa.array(v), "w": pa.array(w)})
+    ds = rd.from_arrow(t).repartition(17)
+
+    got = (
+        tree_groupby_sum(ds, ["k", "k2"], ["v", "w"], fanin=4)
+        .to_pandas().sort_values(["k", "k2"]).reset_index(drop=True)
+    )
+    want = (
+        ds.groupby(["k", "k2"]).sum(["v", "w"])
+        .to_pandas().sort_values(["k", "k2"]).reset_index(drop=True)
+    )
+    assert list(got.columns) == ["k", "k2", "sum(v)", "sum(w)"]
+    assert got.equals(want[got.columns])
+
+
+def test_hash_join_post_aggregates_in_task(ray_session):
+    """hash_join(post=...) on the JOIN key: per-group sums are globally
+    final (each key's rows are complete within its bucket group) — matches
+    the join-then-groupby result exactly, including under repeated left
+    keys spread over many input blocks."""
+    import ray.data as rd
+
+    from raylink.join import hash_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 40, 3000).astype(np.int64)
+    lv = rng.integers(1, 50, 3000).astype(np.int64)
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(lk), "val": pa.array(lv)})
+    ).repartition(13)
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(40, dtype=np.int64)),
+                  "tag": pa.array(np.arange(40, dtype=np.int64) * 10)})
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        uk, idx, inv = np.unique(k, return_index=True, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, t.column("val").to_numpy(zero_copy_only=False))
+        return pa.table({"k": pa.array(uk), "val": pa.array(s),
+                         "tag": t.column("tag").take(pa.array(idx))})
+
+    got = (
+        hash_join(left, right, on="k",
+                  left_cols={"val": pa.int64()}, right_cols={"tag": pa.int64()},
+                  num_buckets=8, post=post)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = pd.DataFrame({"k": np.arange(40, dtype=np.int64)})
+    want["val"] = pd.Series(lv).groupby(lk).sum().reindex(np.arange(40)).fillna(0).astype(np.int64)
+    want = want[want["val"] > 0].reset_index(drop=True)
+    want["tag"] = want["k"] * 10
+    assert got.equals(want)
