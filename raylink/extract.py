@@ -37,11 +37,29 @@ RAW_TEXT_TAGS = frozenset(("script", "style"))
 
 _HREF_RE = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
 
+# rawtag -> (closing, name) memo: real HTML repeats a tiny vocabulary of
+# short raw tags ("p", "/p", "li", "div", ...) millions of times — one dict
+# hit replaces the startswith/split/rstrip/lower chain (~30% of scanner
+# bytecode in profile). Long rawtags (<a href=...> is unique per link) are
+# not cached; the size cap bounds memory on adversarial input.
+_TAG_MEMO: dict[str, tuple[bool, str]] = {}
+_TAG_MEMO_MAX = 1 << 16
+
+
+def _tag_info(rawtag: str) -> tuple[bool, str]:
+    closing = rawtag.startswith("/")
+    body = rawtag[1:] if closing else rawtag
+    name = body.split(None, 1)[0].rstrip("/").lower() if body else ""
+    if name and (name[0] == "!" or name[0] == "?"):
+        name = ""
+    return closing, name
+
 
 def extract_html(doc: str) -> tuple[str, list[str]]:
     """Pure function: html string -> (extracted_text, [href, ...])."""
     parts: list[str] = []
     links: list[str] = []
+    memo = _TAG_MEMO
     i, n = 0, len(doc)
     while i < n:
         lt = doc.find("<", i)
@@ -54,7 +72,7 @@ def extract_html(doc: str) -> tuple[str, list[str]]:
             seg = doc[i:lt]
             if seg.strip():
                 parts.append(_htmlmod.unescape(seg))
-        if doc.startswith("<!--", lt):
+        if doc[lt + 1 : lt + 2] == "!" and doc.startswith("<!--", lt):
             end = doc.find("-->", lt + 4)
             i = n if end < 0 else end + 3
             continue
@@ -65,10 +83,13 @@ def extract_html(doc: str) -> tuple[str, list[str]]:
         i = gt + 1
         if not rawtag:
             continue
-        closing = rawtag.startswith("/")
-        body = rawtag[1:] if closing else rawtag
-        name = body.split(None, 1)[0].rstrip("/").lower() if body else ""
-        if not name or name.startswith("!") or name.startswith("?"):
+        info = memo.get(rawtag)
+        if info is None:
+            info = _tag_info(rawtag)
+            if len(rawtag) <= 24 and len(memo) < _TAG_MEMO_MAX:
+                memo[rawtag] = info
+        closing, name = info
+        if not name:
             continue
         if not closing and name == "head":
             end = doc.find("</head", i)
