@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs": q.q_embedding_pairs,
         "embedding_pairs_lsh": q.q_embedding_pairs_lsh,
         "events_window": q.q_events_window,
+        "events_asof": q.q_events_asof,
+        "doc_sample": q.q_doc_sample,
+        "source_topk": q.q_source_topk,
         "events_sessionize": q.q_events_sessionize,
         "media_features": q.q_media_features,
         "media_resize": q.q_media_resize,
@@ -149,6 +152,9 @@ def oracle_sql() -> dict[str, str]:
         "knn": o.knn_sql(k=5, n_queries=10),
         "embedding_pairs": o.embedding_pairs_sql(tau=0.4),
         "events_window": o.events_window_sql(3600),
+        "events_asof": o.events_asof_sql(),
+        "doc_sample": o.stratified_sample_sql(0.2, 7, {"en": 0.5}),
+        "source_topk": o.source_topk_sql(3),
         "spanning_forest": o.spanning_forest_sql(),
         "events_sessionize": o.sessionize_sql(1800),
         "kcore": o.kcore_sql(k=3),

@@ -227,6 +227,116 @@ def attach_lookup(
     )
 
 
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    time: str,
+    left_cols: dict,
+    right_cols: dict,
+    tie: str | None = None,
+    num_buckets: int = 64,
+):
+    """Distributed as-of join: for every left row ``(key, t)``, attach the
+    right row with the same ``key`` and the greatest ``time <= t``
+    (inclusive). Among right rows tied on ``time``, the greatest ``tie``
+    column wins (pass e.g. an event id for full determinism); left rows
+    with no prior right row keep null value columns (left-join semantics).
+
+    Ray Data has no as-of join; the reference is graph-only — this is a
+    builder-brief (training-data / event-log) operator. Shape: the same
+    one-shuffle bucket union as ``hash_join`` (all rows of a key land in
+    one bucket group), then a fully VECTORIZED per-group sweep — sort by
+    (key, time, side, tie) with right rows before left at equal time, take
+    a running maximum of right-row positions, and invalidate matches whose
+    filled position belongs to a different key (the running max never
+    resets, but a leak across a key boundary necessarily has a different
+    key value, so the equality check nulls it). No per-key Python loop —
+    group cost is O(n log n) in the bucket's row count.
+
+    ``time`` columns must be int64-comparable (epoch ints or timestamps —
+    timestamps are compared as their int64 representation). Columns:
+    ``left_cols`` / ``right_cols`` as in ``hash_join`` (disjoint,
+    excluding ``key``/``time``/``tie``). Returns Dataset
+    ``(key, time, *left_cols, *right_cols)`` — one row per left row.
+    """
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"asof_join column collision: {sorted(overlap)}")
+    B = np.uint64(num_buckets)
+
+    def _i64(col) -> np.ndarray:
+        a = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(a.dtype, np.datetime64):
+            return a.astype("datetime64[us]").astype(np.int64)
+        return a.astype(np.int64)
+
+    def tag(is_left: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(key).to_numpy(zero_copy_only=False)
+            n = len(k)
+            cols = {
+                "b": pa.array((splitmix64(k.astype(np.uint64)) % B).astype(np.int32)),
+                key: batch.column(key),
+                "_t": pa.array(_i64(batch.column(time))),
+                "_s": pa.array(
+                    np.ones(n, np.int8) if is_left else np.zeros(n, np.int8)
+                ),
+                # tie only orders RIGHT rows among equal times; left rows'
+                # position after rights at equal (key, time) is fixed by _s,
+                # so the column need only exist on the right side
+                "_tie": pa.array(
+                    _i64(batch.column(tie))
+                    if (tie is not None and not is_left)
+                    else np.zeros(n, np.int64)
+                ),
+            }
+            for nm, typ in left_cols.items():
+                cols[nm] = batch.column(nm) if is_left else pa.nulls(n, type=typ)
+            for nm, typ in right_cols.items():
+                cols[nm] = pa.nulls(n, type=typ) if is_left else batch.column(nm)
+            return pa.table(cols)
+
+        return fn
+
+    def sweep(group: pa.Table) -> pa.Table:
+        k = group.column(key).to_numpy(zero_copy_only=False)
+        t = group.column("_t").to_numpy(zero_copy_only=False)
+        s = group.column("_s").to_numpy(zero_copy_only=False)
+        tv = group.column("_tie").to_numpy(zero_copy_only=False)
+        n = len(k)
+        # right rows (side 0) sort before left at equal (key, time); right
+        # ties order by _tie so the running max lands on the greatest
+        order = np.lexsort((tv, s, t, k))
+        ks, ss = k[order], s[order]
+        is_right = ss == 0
+        last_r = np.maximum.accumulate(
+            np.where(is_right, np.arange(n, dtype=np.int64), -1)
+        )
+        lpos = np.flatnonzero(~is_right)
+        fill = last_r[lpos]
+        ok = (fill >= 0) & (ks[np.maximum(fill, 0)] == ks[lpos])
+        left_orig = order[lpos]
+        lsel = group.take(pa.array(left_orig))
+        cols = {key: lsel.column(key), time: lsel.column("_t")}
+        for nm in left_cols:
+            cols[nm] = lsel.column(nm)
+        matched = order[np.where(ok, fill, 0)]
+        rtaken = group.take(pa.array(matched))
+        okp = pa.array(ok)
+        for nm, typ in right_cols.items():
+            vals = rtaken.column(nm)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            cols[nm] = pa.compute.if_else(okp, vals, pa.scalar(None, type=typ))
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag(True), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(False), batch_format="pyarrow")
+    )
+    return both.groupby("b").map_groups(sweep, batch_format="pyarrow")
+
+
 def pair_attach(cand_ds, values_ds, value_fields: dict,
                 carry_fields: dict | None = None, num_buckets: int = 64,
                 id_col: str = "doc_id"):

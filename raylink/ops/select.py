@@ -1,0 +1,167 @@
+"""Row-selection operators for training-data curation: deterministic
+(stratified) sampling and per-group top-k.
+
+Neither exists in the reference (it is a graph-only BSP engine); both are
+builder-brief training-data-pipeline requirements. Both are pure
+``map_batches`` / one-coarse-shuffle shapes:
+
+- ``stratified_sample`` touches each row once (a hash compare — no RNG
+  state, no shuffle, reproducible under any partitioning / retry order:
+  the keep decision is a pure function of the id and seed, like the
+  splitmix64 partitioner in ``graph.py``).
+- ``group_topk`` reduces per batch BEFORE its one shuffle (global top-k of
+  a group is contained in the union of per-batch top-ks), so at most
+  ``k x groups-per-batch`` rows per batch hit the exchange; groups are
+  coarse-bucketed by key hash like every other groupby in the engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.util import splitmix64
+
+U64 = np.uint64
+
+
+def _thresh(fraction: float) -> np.uint64:
+    """fraction in [0,1] -> inclusive-exclusive uint64 cut, exact: keep iff
+    splitmix64(id ^ seed) < floor(fraction * 2^64)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    return U64(min(int(fraction * 2.0**64), 2**64 - 1))
+
+
+def stratified_sample(
+    ds,
+    id_col: str,
+    fraction: float,
+    seed: int = 0,
+    by: str | None = None,
+    fractions: dict | None = None,
+):
+    """Deterministic Bernoulli sample: keep a row iff
+    ``splitmix64(uint64(id) ^ seed) < fraction * 2^64``.
+
+    - ``by`` + ``fractions``: per-stratum rates — a row whose ``by`` value
+      has an entry in ``fractions`` uses that rate, anything else uses
+      ``fraction`` (the default rate).
+    - Pure per-batch filter: no shuffle, no driver state, identical output
+      under any partitioning/replay (the hash IS the coin). Mirrored
+      bit-for-bit in SQL by ``oracles_sql.stratified_sample_sql``.
+    """
+    fractions = dict(fractions or {})
+    default_t = _thresh(fraction)
+    strat_t = {k: _thresh(v) for k, v in fractions.items()}
+    sd = U64(np.uint64(seed))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids ^ sd)
+        if by is None or not strat_t:
+            return batch.filter(pa.array(h < default_t))
+        # few strata: dictionary-encode and map codes -> thresholds
+        col = batch.column(by)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        lut = np.array(
+            [strat_t.get(v, default_t) for v in vocab], dtype=np.uint64
+        )
+        return batch.filter(pa.array(h < lut[codes]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def group_topk(
+    ds,
+    key_col: str,
+    score_col: str,
+    k: int,
+    id_col: str,
+    num_buckets: int = 64,
+):
+    """Top-``k`` rows per ``key_col`` value by ``score_col`` DESC, ties
+    broken by ``id_col`` ASC (fully deterministic). Returns a Dataset with
+    the input's columns plus ``rk`` (1-based rank within the key).
+
+    Shape: vectorized per-batch top-k per key (lexsort + segment ranks) ->
+    coarse bucket groupby on hash(key) -> identical per-group final top-k.
+    Per-batch reduction bounds the shuffle at ``k x keys-per-batch`` rows;
+    one bucket group serves many keys so group count stays ``num_buckets``
+    at any key cardinality. A single hot key concentrates at most ``k x
+    n_blocks`` rows in its bucket.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    B = np.uint64(num_buckets)
+
+    def _key_codes(batch: pa.Table) -> np.ndarray:
+        """Per-batch grouping codes for the key: ints pass through; strings
+        go through dictionary codes (only equal-clustering matters for the
+        segment ranks, not global order)."""
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            return col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return col.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+    def _key_hash(batch: pa.Table) -> np.ndarray:
+        from raylink.util import text_hash64
+
+        col = batch.column(key_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return text_hash64(col.to_pylist())
+
+    def local_topk(batch: pa.Table, final: bool) -> pa.Table:
+        if batch.num_rows == 0:
+            out = batch
+            ranks = np.empty(0, dtype=np.int64)
+        else:
+            key = _key_codes(batch)
+            score = batch.column(score_col).to_numpy(zero_copy_only=False)
+            # descending score: negate in the score's own domain (int64
+            # negation is exact; the float cast would round above 2^53)
+            neg = -score if np.issubdtype(score.dtype, np.integer) \
+                else -score.astype(np.float64)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, neg, key))
+            ks = key[order]
+            seg = np.empty(len(ks), dtype=bool)
+            seg[0] = True
+            np.not_equal(ks[1:], ks[:-1], out=seg[1:])
+            seg_ids = np.cumsum(seg) - 1
+            starts = np.flatnonzero(seg)
+            rank = np.arange(len(ks), dtype=np.int64) - starts[seg_ids]
+            sel = order[rank < k]
+            out = batch.take(pa.array(sel))
+            ranks = rank[rank < k] + 1
+        if not final:
+            return out  # partial: ranks recomputed in the final pass
+        return out.append_column("rk", pa.array(ranks))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = local_topk(batch, final=False)
+        if t.num_rows == 0:
+            bcol = np.empty(0, dtype=np.int32)
+        else:
+            bcol = (splitmix64(_key_hash(t)) % B).astype(np.int32)
+        return t.append_column("_b", pa.array(bcol))
+
+    def final(group: pa.Table) -> pa.Table:
+        return local_topk(group.drop_columns(["_b"]), final=True)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1028,3 +1028,65 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 ORDER BY SUM(l.rev_i) DESC, n.n_name"""
+
+
+# ------------------------------------------------- selection / event-log ops
+def events_asof_sql() -> str:
+    """Mirror of queries.q_events_asof: per click, the latest view of the
+    same user with view.ts <= click.ts, ties on ts broken by greatest
+    event_id; unmatched clicks keep NULL view_value. ts is epoch us (the
+    asof_join comparison domain)."""
+    return """
+WITH v AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view'),
+     c AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click')
+SELECT c.user_id,
+       epoch_us(c.ts) AS ts,
+       c.event_id,
+       c.value,
+       (SELECT s.value FROM v s
+         WHERE s.user_id = c.user_id AND s.ts <= c.ts
+         ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS view_value
+FROM c
+ORDER BY c.event_id
+"""
+
+
+def stratified_sample_sql(
+    fraction: float = 0.2, seed: int = 7, fractions: dict | None = None,
+    by: str = "lang",
+) -> str:
+    """Mirror of queries.q_doc_sample: keep iff
+    splitmix64(doc_id ^ seed) < floor(fraction * 2^64) with per-stratum
+    thresholds — the SAME float->int threshold computation as
+    ops.select._thresh, so the cut constants are bit-identical."""
+    fractions = {"en": 0.5} if fractions is None else fractions
+
+    def thresh(f: float) -> int:
+        return min(int(f * 2.0**64), 2**64 - 1)
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN CAST({thresh(v)} AS UBIGINT)"
+        for k, v in fractions.items()
+    )
+    cut = f"CASE {by} {cases} ELSE CAST({thresh(fraction)} AS UBIGINT) END"
+    h = _sm64(f"xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT))")
+    return f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {h} < {cut}
+ORDER BY doc_id
+"""
+
+
+def source_topk_sql(k: int = 3) -> str:
+    """Mirror of queries.q_source_topk: top-k docs per source by n_chars
+    desc, doc_id asc, 1-based rank."""
+    return f"""
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= {k}
+ORDER BY source, rk
+"""

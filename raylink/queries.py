@@ -1001,6 +1001,79 @@ def q_events_sessionize(sf_dir: str):
     return sessionize(ev, gap_sec=1800)
 
 
+def q_events_asof(sf_dir: str):
+    """Each click gets the latest prior-or-same-instant view's value for
+    its user (classic event-log feature attach): distributed ``asof_join``
+    on (user_id, ts), right ties broken by greatest event_id. Left-join
+    semantics — clicks with no prior view keep a null ``view_value``.
+    Output ts is int64 epoch microseconds (the join's comparison domain)."""
+    import ray.data as rd
+
+    from raylink.join import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def split(kind: str, rename: str | None):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.filter(pa.compute.equal(b.column("event_type"), pa.scalar(kind)))
+            cols = {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "event_id": t.column("event_id"),
+                (rename or "value"): t.column("value"),
+            }
+            return pa.table(cols)
+
+        return fn
+
+    clicks = ev.map_batches(split("click", None), batch_format="pyarrow")
+    views = ev.map_batches(split("view", "view_value"), batch_format="pyarrow")
+    out = asof_join(
+        clicks, views, key="user_id", time="ts",
+        left_cols={"event_id": pa.int64(), "value": pa.float64()},
+        right_cols={"view_value": pa.float64()},
+        tie="event_id",
+    )
+    return out.sort("event_id")
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic stratified Bernoulli sample of the documents table:
+    50% of English docs, 20% of everything else, seed 7 — the keep
+    decision is splitmix64(doc_id ^ seed) < fraction * 2^64, mirrored
+    bit-for-bit in SQL."""
+    import ray.data as rd
+
+    from raylink.ops.select import stratified_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    return stratified_sample(
+        docs, "doc_id", 0.2, seed=7, by="lang", fractions={"en": 0.5}
+    ).sort("doc_id")
+
+
+def q_source_topk(sf_dir: str):
+    """Top-3 documents per source by length (ties by doc_id asc) with a
+    1-based ``rk`` — per-batch local top-k before the one coarse-bucket
+    shuffle (``ops.select.group_topk``)."""
+    import ray.data as rd
+
+    from raylink.ops.select import group_topk
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return group_topk(docs, "source", "n_chars", k=3, id_col="doc_id").sort(
+        ["source", "rk"]
+    )
+
+
 # ------------------------------------------------------------ multimodal stub
 def q_media_features(sf_dir: str):
     """Decode features over a deterministic media corpus derived from the

@@ -680,3 +680,142 @@ def test_media_av_contract(ray_session):
     assert out.num_rows >= 2  # every-2nd of >=4 decoded frames
     assert out.column("frame")[0].as_py()[:8] == MAGIC
     assert out.column("frame_idx").to_pylist()[:2] == [0, 2]
+
+
+def test_stratified_sample(ray_session):
+    """Deterministic hash sampling: partitioning-invariant, per-stratum
+    rates honored, rate close to nominal."""
+    import ray.data as rd
+
+    from raylink.ops.select import stratified_sample
+
+    n = 20000
+    ids = np.arange(n, dtype=np.int64)
+    lang = np.where(ids % 4 == 0, "en", "de")
+    t = pa.table({"doc_id": pa.array(ids), "lang": pa.array(lang)})
+    ds1 = rd.from_arrow(t).repartition(3)
+    ds2 = rd.from_arrow(t).repartition(17)
+
+    kw = dict(fraction=0.1, seed=3, by="lang", fractions={"en": 0.6})
+    a = stratified_sample(ds1, "doc_id", **kw).to_pandas().sort_values("doc_id")
+    b = stratified_sample(ds2, "doc_id", **kw).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+    en_rate = (a["lang"] == "en").sum() / (lang == "en").sum()
+    de_rate = (a["lang"] == "de").sum() / (lang == "de").sum()
+    assert abs(en_rate - 0.6) < 0.03 and abs(de_rate - 0.1) < 0.02
+    # different seed -> different sample
+    c = stratified_sample(ds1, "doc_id", fraction=0.1, seed=4).to_pandas()
+    d = stratified_sample(ds1, "doc_id", fraction=0.1, seed=5).to_pandas()
+    assert set(c["doc_id"]) != set(d["doc_id"])
+    with pytest.raises(ValueError):
+        stratified_sample(ds1, "doc_id", fraction=1.5)
+
+
+def test_group_topk_matches_pandas(ray_session):
+    """group_topk == pandas rank oracle: string keys spread over many
+    blocks, a hot key, exact ties broken by id, int64 scores above 2^53
+    (the float-cast trap)."""
+    import ray.data as rd
+
+    from raylink.ops.select import group_topk
+
+    rng = np.random.default_rng(5)
+    n = 6000
+    keys = np.array([f"k{j}" for j in range(40)])[rng.integers(0, 40, n)]
+    keys[:2000] = "hot"  # hot key concentrates in one bucket
+    base = (1 << 60)
+    score = base + rng.integers(0, 50, n).astype(np.int64)  # many exact ties
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "src": pa.array(keys),
+                  "sc": pa.array(score)})
+    got = (
+        group_topk(rd.from_arrow(t).repartition(11), "src", "sc", k=3,
+                   id_col="doc_id")
+        .to_pandas().sort_values(["src", "rk"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = t.to_pandas()
+    df = df.sort_values(["src", "sc", "doc_id"],
+                        ascending=[True, False, True])
+    df["rk"] = df.groupby("src").cumcount() + 1
+    want = df[df["rk"] <= 3].sort_values(["src", "rk"]).reset_index(drop=True)
+    want["rk"] = want["rk"].astype(np.int64)
+    assert got[["doc_id", "src", "sc", "rk"]].equals(
+        want[["doc_id", "src", "sc", "rk"]]
+    )
+
+
+def test_asof_join_semantics(ray_session):
+    """asof_join: inclusive same-instant match, greatest-tie among equal
+    times, null on no prior right row, key isolation across buckets."""
+    import ray.data as rd
+
+    from raylink.join import asof_join
+
+    left = pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+        "t": pa.array([10, 5, 1, 7, 4], type=pa.int64()),
+        "lid": pa.array([100, 101, 102, 103, 104], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+        "t": pa.array([5, 5, 8, 9, 3], type=pa.int64()),
+        "rid": pa.array([7, 9, 8, 1, 2], type=pa.int64()),
+        "v": pa.array([70.0, 90.0, 80.0, 10.0, 20.0]),
+    })
+    out = (
+        asof_join(rd.from_arrow(left).repartition(2),
+                  rd.from_arrow(right).repartition(2),
+                  key="k", time="t",
+                  left_cols={"lid": pa.int64()},
+                  right_cols={"v": pa.float64()},
+                  tie="rid", num_buckets=4)
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    # lid 100 (k1,t10): latest right t=8 -> 80; lid 101 (k1,t5): inclusive
+    # tie at t=5, greatest rid=9 -> 90; lid 102 (k1,t1): none -> null;
+    # lid 103 (k2,t7): t=3 -> 20 (t=9 is future); lid 104 (k3): no rights.
+    assert out["v"].tolist()[:2] == [80.0, 90.0]
+    assert np.isnan(out["v"][2]) and out["v"][3] == 20.0 and np.isnan(out["v"][4])
+    assert out["t"].tolist() == [10, 5, 1, 7, 4]
+
+
+def test_asof_join_timestamps_random(ray_session):
+    """Randomized asof_join vs a per-row python oracle, timestamp time
+    column (compared as int64 us)."""
+    import ray.data as rd
+
+    from raylink.join import asof_join
+
+    rng = np.random.default_rng(13)
+    nl, nr = 800, 600
+    lk = rng.integers(0, 25, nl).astype(np.int64)
+    lt = rng.integers(0, 10**7, nl).astype("datetime64[us]")
+    rk = rng.integers(0, 25, nr).astype(np.int64)
+    rt = rng.integers(0, 10**7, nr).astype("datetime64[us]")
+    rid = np.arange(nr, dtype=np.int64)
+    rv = rng.normal(size=nr)
+    left = pa.table({"k": pa.array(lk), "ts": pa.array(lt),
+                     "lid": pa.array(np.arange(nl, dtype=np.int64))})
+    right = pa.table({"k": pa.array(rk), "ts": pa.array(rt),
+                      "rid": pa.array(rid), "v": pa.array(rv)})
+    out = (
+        asof_join(rd.from_arrow(left).repartition(5),
+                  rd.from_arrow(right).repartition(7),
+                  key="k", time="ts",
+                  left_cols={"lid": pa.int64()},
+                  right_cols={"v": pa.float64()}, tie="rid")
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    rt_i = rt.astype(np.int64)
+    lt_i = lt.astype(np.int64)
+    for j in range(nl):
+        m = (rk == lk[j]) & (rt_i <= lt_i[j])
+        if not m.any():
+            assert np.isnan(out["v"][j]), j
+        else:
+            cand = np.flatnonzero(m)
+            best = cand[np.lexsort((rid[cand], rt_i[cand]))[-1]]
+            assert out["v"][j] == rv[best], j
