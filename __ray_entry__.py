@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q.q_dedup_simhash,
         "token_count": q.q_token_count,
         "token_topk": q.q_token_topk,
+        "doc_top_terms": q.q_doc_top_terms,
         "dedup_clusters": q.q_dedup_clusters,
         "domain_stats": q.q_domain_stats,
         "curation_funnel": q.q_curation_funnel,
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": o.media_frames_sql(),
         "token_count": o.token_count_sql(),
         "token_topk": o.token_topk_sql(k=100),
+        "doc_top_terms": o.doc_top_terms_sql(3),
         "dedup_clusters": o.dedup_clusters_sql(tau=0.5),
         "domain_stats": o.domain_stats_sql(),
         "curation_funnel": o.curation_funnel_sql(),

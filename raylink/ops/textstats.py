@@ -200,3 +200,80 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
             "fp_roll": pa.array(rolls),
         }
     )
+
+
+def doc_top_terms(docs_ds, k: int = 3, num_buckets: int = 64):
+    """Per-document distinctive terms: top-``k`` tokens by ``tf/df`` (term
+    frequency over corpus document frequency), ties by term asc ->
+    Dataset (doc_id, term, tf, df, score, rk).
+
+    ``tf/df`` is the log-free idf variant: ``ln(N/df)`` is strictly
+    decreasing in ``df`` for a fixed corpus, so for tf=1 the ranking equals
+    classic tf-idf, and in general it is this engine's documented scoring
+    choice — the point is BIT-EXACT cross-engine ordering: the score is one
+    IEEE-754 division (correctly rounded, so identical in numpy and SQL),
+    where ``ln`` implementations may differ between libms.
+
+    Shape (crawl-scale): per-batch (doc_id, term, tf) rows, bucketed by
+    FNV-1a(term) — a bucket group holds ALL rows of its terms, so DF
+    (rows per term: one row per distinct (doc, term)) is computed and
+    attached inside the SAME group, join + aggregation in ONE shuffle (the
+    ``hash_join(post=...)`` insight without the second dataset). Then
+    ``group_topk`` per doc (second bucketed shuffle). Term strings shuffle
+    once as payload; grouping runs on the int64 hash (the ~2^-65
+    per-vocab-pair collision risk is the same documented trade as the
+    hashed n-gram shingles in ops/dedup.py — and a collision would merge
+    DF counts, never drop rows). Nothing driver-side.
+    """
+    from raylink.ops.select import group_topk
+    from raylink.util import splitmix64, text_hash64
+
+    word = re.compile(WORD_PATTERN)
+    B = np.uint64(num_buckets)
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dids, terms, tfs = [], [], []
+        for did, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            c = Counter(word.findall((t or "").lower()))
+            dids.extend([did] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        h = text_hash64(terms)
+        return pa.table(
+            {
+                "b": pa.array((splitmix64(h) % B).astype(np.int32)),
+                "h": pa.array(h.astype(np.int64)),
+                "doc_id": pa.array(np.asarray(dids, dtype=np.int64)),
+                "term": pa.array(terms, type=pa.string()),
+                "tf": pa.array(np.asarray(tfs, dtype=np.int64)),
+            }
+        )
+
+    def attach_df(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        tfv = group.column("tf").to_numpy(zero_copy_only=False)
+        dfv = cnt[inv].astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "term": group.column("term"),
+                "tf": group.column("tf"),
+                "df": pa.array(dfv),
+                "score": pa.array(tfv.astype(np.float64) / dfv),
+            }
+        )
+
+    scored = (
+        docs_ds.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(attach_df, batch_format="pyarrow")
+    )
+    return group_topk(
+        scored, key_col="doc_id", score_col="score", k=k, id_col="term",
+        num_buckets=num_buckets,
+    )

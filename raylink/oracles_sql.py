@@ -1090,3 +1090,26 @@ SELECT doc_id, source, n_chars, rk FROM (
 ) WHERE rk <= {k}
 ORDER BY source, rk
 """
+
+
+def doc_top_terms_sql(k: int = 3) -> str:
+    """Mirror of queries.q_doc_top_terms: tf = per-doc token count, df =
+    docs containing the token, score = one IEEE division tf/df (bit-equal
+    to the numpy side), top-k per doc by score desc, term asc."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                     tf.term) AS rk
+  FROM tf JOIN df USING (term))
+SELECT doc_id, term, tf, df, score, rk
+FROM scored WHERE rk <= {k}
+ORDER BY doc_id, rk
+"""

@@ -1074,6 +1074,14 @@ def q_source_topk(sf_dir: str):
     )
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Top-3 distinctive terms per document by tf/df (log-free idf — see
+    ops.textstats.doc_top_terms), rank-ordered."""
+    from raylink.ops.textstats import doc_top_terms
+
+    return doc_top_terms(_docs(sf_dir), k=3).sort(["doc_id", "rk"])
+
+
 # ------------------------------------------------------------ multimodal stub
 def q_media_features(sf_dir: str):
     """Decode features over a deterministic media corpus derived from the

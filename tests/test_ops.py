@@ -819,3 +819,46 @@ def test_asof_join_timestamps_random(ray_session):
             cand = np.flatnonzero(m)
             best = cand[np.lexsort((rid[cand], rt_i[cand]))[-1]]
             assert out["v"][j] == rv[best], j
+
+
+def test_doc_top_terms(ray_session):
+    """tf/df top terms vs a pandas oracle: df counted across blocks, rank
+    ties by term asc, per-doc k cut."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import doc_top_terms
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array([
+            "apple banana apple cherry",
+            "banana banana date",
+            "apple date date egg",
+            "egg fig fig fig",
+            "cherry cherry apple",
+            "fig banana cherry date egg",
+        ]),
+    })
+    got = (
+        doc_top_terms(rd.from_arrow(docs).repartition(3), k=2, num_buckets=8)
+        .to_pandas().sort_values(["doc_id", "rk"]).reset_index(drop=True)
+    )
+    import re as _re
+
+    import pandas as pd
+
+    rows = []
+    for did, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        for w, c in pd.Series(_re.findall(r"[a-z]+", t.lower())).value_counts().items():
+            rows.append((did, w, int(c)))
+    tf = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+    df = tf.groupby("term").size().rename("df").reset_index()
+    sc = tf.merge(df, on="term")
+    sc["score"] = sc["tf"].astype(np.float64) / sc["df"]
+    sc = sc.sort_values(["doc_id", "score", "term"],
+                        ascending=[True, False, True])
+    sc["rk"] = sc.groupby("doc_id").cumcount() + 1
+    want = sc[sc["rk"] <= 2].reset_index(drop=True)
+    want["rk"] = want["rk"].astype(np.int64)
+    cols = ["doc_id", "term", "tf", "df", "score", "rk"]
+    assert got[cols].equals(want[cols])
