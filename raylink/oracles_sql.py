@@ -160,14 +160,17 @@ def pagerank_sql(iters: int = 30, decimals: int = 8) -> str:
     )
 
 
-def subgraph_rank_sql(iters: int = 60) -> str:
+def subgraph_rank_sql(iters: int = 120) -> str:
     """SubgraphRank converges to the plain-PageRank fixpoint (same global
     update operator, warm start only changes the trajectory). Oracle = the
-    unrolled PR iteration run deep (T=60 puts SQL within ~1e-11 of the
-    fixpoint), compared at ROUND(..., 6); the engine runs eps=1e-10, so both
-    sides sit within ~1e-9 of the shared fixpoint — empirically identical at
-    r6 on the driver corpus (documented tolerance argument, verified for
-    sf0.01)."""
+    unrolled PR iteration run deep (T=120: 0.85^120 ~ 3e-9 contraction of
+    the initial distance puts SQL well under 1e-10 of the fixpoint),
+    compared at ROUND(..., 6); the engine halts at eps=1e-12 (~7e-12 from
+    the fixpoint). With both sides < 1e-10 from the shared fixpoint, a
+    disagreement needs a true rank within 1e-10 of a 5e-7 rounding
+    boundary — ~1e-4 expected hits per 10^6 vertices (documented tolerance
+    argument; the earlier T=60/eps=1e-10 margin produced exactly one such
+    hit at sf0.1)."""
     return pagerank_sql(iters=iters, decimals=6)
 
 

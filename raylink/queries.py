@@ -1220,8 +1220,11 @@ def q_subgraph_rank(sf_dir: str):
     from raylink.algos import subgraph_rank
 
     g = page_graph(sf_dir, directed=True)
+    # eps=1e-12: ~7e-12 of the fixpoint at halt — together with the
+    # 120-iteration oracle this makes an r6 rounding-boundary hit
+    # (observed once at sf0.1 with eps=1e-10/T=60) vanishingly unlikely
     _, ranks = subgraph_rank(
-        g=g, eps=1e-10, engine="tasks", ckpt_dir=_ckpt("sgrank10", sf_dir)
+        g=g, eps=1e-12, engine="tasks", ckpt_dir=_ckpt("sgrank12", sf_dir)
     )
 
     def rnd(batch: pa.Table) -> pa.Table:
