@@ -1,8 +1,8 @@
 """Row-selection operators for training-data curation: deterministic
-(stratified) sampling and per-group top-k.
+(stratified) sampling, per-group top-k, and exact-k per-group sampling.
 
-Neither exists in the reference (it is a graph-only BSP engine); both are
-builder-brief training-data-pipeline requirements. Both are pure
+None exist in the reference (it is a graph-only BSP engine); all are
+builder-brief training-data-pipeline requirements, built from pure
 ``map_batches`` / one-coarse-shuffle shapes:
 
 - ``stratified_sample`` touches each row once (a hash compare — no RNG
@@ -164,4 +164,28 @@ def group_topk(
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def sample_k_per_group(ds, key_col: str, id_col: str, k: int, seed: int = 0,
+                       num_buckets: int = 64):
+    """Exactly ``min(k, |group|)`` uniformly-chosen rows per ``key_col``
+    value — sampling as a composition of existing primitives: rank rows by
+    the deterministic pseudo-random permutation ``splitmix64(id ^ seed)``
+    (reinterpreted as two's-complement int64, descending) and take the
+    per-group top-k. Replay/partitioning-invariant like
+    ``stratified_sample`` (the hash IS the coin) but with an exact per-key
+    count instead of a rate. Returns input columns + ``pri`` (the int64
+    priority) + ``rk`` (1-based)."""
+    sd = U64(np.uint64(seed))
+
+    def pri(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = splitmix64(ids ^ sd).view(np.int64)
+        return batch.append_column("pri", pa.array(p))
+
+    return group_topk(
+        ds.map_batches(pri, batch_format="pyarrow"),
+        key_col=key_col, score_col="pri", k=k, id_col=id_col,
+        num_buckets=num_buckets,
     )

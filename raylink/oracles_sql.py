@@ -1116,3 +1116,24 @@ SELECT doc_id, term, tf, df, score, rk
 FROM scored WHERE rk <= {k}
 ORDER BY doc_id, rk
 """
+
+
+def sample_k_per_group_sql(k: int = 5, seed: int = 11) -> str:
+    """Mirror of queries.q_source_sample: priority = splitmix64(doc_id ^
+    seed) reinterpreted as two's-complement BIGINT (matching the engine's
+    .view(int64)), ROW_NUMBER per source by priority desc, doc_id asc."""
+    h = _sm64(f"xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT))")
+    pri = (
+        f"CASE WHEN {h} >= 9223372036854775808 "
+        f"THEN CAST({h} - 18446744073709551616 AS BIGINT) "
+        f"ELSE CAST({h} AS BIGINT) END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, source, {pri} AS pri FROM documents)
+SELECT doc_id, source, pri, rk FROM (
+  SELECT doc_id, source, pri,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY pri DESC, doc_id) AS rk
+  FROM t) WHERE rk <= {k}
+ORDER BY source, rk
+"""

@@ -1082,6 +1082,21 @@ def q_doc_top_terms(sf_dir: str):
     return doc_top_terms(_docs(sf_dir), k=3).sort(["doc_id", "rk"])
 
 
+def q_source_sample(sf_dir: str):
+    """Exactly 5 uniformly-chosen docs per source (seed 11) via the
+    hash-permutation top-k composition (ops.select.sample_k_per_group)."""
+    import ray.data as rd
+
+    from raylink.ops.select import sample_k_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return sample_k_per_group(docs, "source", "doc_id", k=5, seed=11).sort(
+        ["source", "rk"]
+    )
+
+
 # ------------------------------------------------------------ multimodal stub
 def q_media_features(sf_dir: str):
     """Decode features over a deterministic media corpus derived from the

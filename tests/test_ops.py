@@ -862,3 +862,34 @@ def test_doc_top_terms(ray_session):
     want["rk"] = want["rk"].astype(np.int64)
     cols = ["doc_id", "term", "tf", "df", "score", "rk"]
     assert got[cols].equals(want[cols])
+
+
+def test_sample_k_per_group(ray_session):
+    """Exact-k per-group hash sampling: exactly min(k, |group|) rows,
+    partitioning-invariant, seed changes the pick."""
+    import ray.data as rd
+
+    from raylink.ops.select import sample_k_per_group
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    grp = (ids % 7).astype(np.int64)
+    grp[ids < 3] = 99  # one group smaller than k
+    t = pa.table({"doc_id": pa.array(ids), "g": pa.array(grp)})
+    a = (
+        sample_k_per_group(rd.from_arrow(t).repartition(4), "g", "doc_id",
+                           k=10, seed=1)
+        .to_pandas().sort_values(["g", "rk"]).reset_index(drop=True)
+    )
+    b = (
+        sample_k_per_group(rd.from_arrow(t).repartition(13), "g", "doc_id",
+                           k=10, seed=1)
+        .to_pandas().sort_values(["g", "rk"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    sizes = a.groupby("g").size()
+    assert sizes[99] == 3 and (sizes.drop(99) == 10).all()
+    c = sample_k_per_group(rd.from_arrow(t), "g", "doc_id", k=10, seed=2).to_pandas()
+    assert set(map(tuple, c[["g", "doc_id"]].values)) != set(
+        map(tuple, a[["g", "doc_id"]].values)
+    )
