@@ -180,6 +180,34 @@ def run_bench() -> dict:
         "connected_components": [round(w, 3) for w in cc_walls],
         "triangles": [round(w, 3) for w in tri_walls],
     }
+    # 5. relational leg (r4): the three TPC-H-shaped queries once each plus
+    # a 16x-amplified lineitem scan through the dictionary-coded integer
+    # partials — surfaces the aggregation-tree / in-join-aggregation perf
+    # in the per-round record
+    import pyarrow.parquet as pq
+
+    from raylink.queries import (
+        q_nation_revenue,
+        q_pricing_summary,
+        q_shipping_priority,
+    )
+
+    li_path = f"{SF_DIR}/lineitem.parquet"
+    scan_rows = pq.ParquetFile(li_path).metadata.num_rows * 16
+    q_pricing_summary(SF_DIR).to_pandas()  # warm
+    for nm, fn in (
+        ("rel_pricing_summary", lambda: q_pricing_summary(SF_DIR)),
+        ("rel_shipping_priority", lambda: q_shipping_priority(SF_DIR)),
+        ("rel_nation_revenue", lambda: q_nation_revenue(SF_DIR)),
+    ):
+        t0 = time.perf_counter()
+        fn().to_pandas()
+        queries[nm] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    q_pricing_summary(SF_DIR, lineitem_paths=[li_path] * 16).to_pandas()
+    scan_wall = time.perf_counter() - t0
+    queries["rel_lineitem_scan_16x"] = round(scan_wall, 3)
+
     # same-run host-health probe (pure-python mp.Pool spin, 8 vs 32 procs):
     # the flagship medians above are only comparable across rounds next to
     # the box's deliverable-CPU number at measurement time
@@ -202,6 +230,7 @@ def run_bench() -> dict:
         "triangles": tri,
         "rep_detail": rep_detail,
         "machine_parallel_ceiling_8_to_32": machine["machine_ceiling"],
+        "lineitem_scan_rows_per_sec": round(scan_rows / scan_wall),
         "total_sec": round(time.perf_counter() - t_total0, 3),
     }
     ray.shutdown()

@@ -27,7 +27,10 @@ U64 = np.uint64
 
 def _thresh(fraction: float) -> np.uint64:
     """fraction in [0,1] -> inclusive-exclusive uint64 cut, exact: keep iff
-    splitmix64(id ^ seed) < floor(fraction * 2^64)."""
+    splitmix64(id ^ seed) < floor(fraction * 2^64). The cut saturates at
+    2^64-1, so fraction=1.0 keeps everything except an id hashing to
+    exactly 2^64-1 (probability 2^-64 — documented, and the SQL mirror
+    computes the identical constant, so both engines always agree)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction {fraction} outside [0, 1]")
     return U64(min(int(fraction * 2.0**64), 2**64 - 1))
