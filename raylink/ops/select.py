@@ -133,7 +133,11 @@ def group_topk(
             key = _key_codes(batch)
             score = batch.column(score_col).to_numpy(zero_copy_only=False)
             # descending score: negate in the score's own domain (int64
-            # negation is exact; the float cast would round above 2^53)
+            # negation is exact; the float cast would round above 2^53).
+            # Unsigned dtypes go through int64 first — negating a uint
+            # wraps and scrambles the order (values must be < 2^63).
+            if np.issubdtype(score.dtype, np.unsignedinteger):
+                score = score.astype(np.int64)
             neg = -score if np.issubdtype(score.dtype, np.integer) \
                 else -score.astype(np.float64)
             ids = batch.column(id_col).to_numpy(zero_copy_only=False)
