@@ -893,3 +893,18 @@ def test_sample_k_per_group(ray_session):
     assert set(map(tuple, c[["g", "doc_id"]].values)) != set(
         map(tuple, a[["g", "doc_id"]].values)
     )
+
+
+def test_group_topk_unsigned_scores(ray_session):
+    """uint64 scores must order correctly (negation would wrap)."""
+    import ray.data as rd
+
+    from raylink.ops.select import group_topk
+
+    t = pa.table({
+        "id": pa.array(np.arange(6, dtype=np.int64)),
+        "g": pa.array(np.zeros(6, dtype=np.int64)),
+        "s": pa.array(np.array([5, 1, 9, 7, 3, 8], dtype=np.uint64)),
+    })
+    got = group_topk(rd.from_arrow(t), "g", "s", k=3, id_col="id").to_pandas()
+    assert sorted(got["s"].tolist(), reverse=True) == [9, 8, 7]
