@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": q.q_doc_sample,
         "source_topk": q.q_source_topk,
         "source_sample": q.q_source_sample,
+        "length_quantiles": q.q_length_quantiles,
         "events_sessionize": q.q_events_sessionize,
         "media_features": q.q_media_features,
         "media_resize": q.q_media_resize,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": o.stratified_sample_sql(0.2, 7, {"en": 0.5}),
         "source_topk": o.source_topk_sql(3),
         "source_sample": o.sample_k_per_group_sql(5, 11),
+        "length_quantiles": o.length_quantiles_sql(),
         "spanning_forest": o.spanning_forest_sql(),
         "events_sessionize": o.sessionize_sql(1800),
         "kcore": o.kcore_sql(k=3),

@@ -196,3 +196,111 @@ def sample_k_per_group(ds, key_col: str, id_col: str, k: int, seed: int = 0,
         key_col=key_col, score_col="pri", k=k, id_col=id_col,
         num_buckets=num_buckets,
     )
+
+
+def group_quantiles(ds, key_col: str, value_col: str, qs: list[float],
+                    num_buckets: int = 64):
+    """Exact per-key discrete quantiles via a distributed value HISTOGRAM
+    -> Dataset (key_col, q:float64, value_col) with one row per (key, q).
+
+    Right when the value domain is gridded (int lengths, scores, counts):
+    per-batch (key, value, count) partials shrink the shuffle to distinct
+    (key, value) pairs — the raw rows never move and never sort. All rows
+    of a key land in one hash bucket group, where the quantile indices are
+    read off the cumulative histogram fully vectorized across keys (the
+    global-cumsum + per-key-offset searchsorted trick — no per-key loop).
+    Quantile rule matches SQL ``quantile_disc`` exactly:
+    ``sorted_values[ceil(q*n) - 1]`` (0-indexed), computed with the same
+    double-precision ``q*n`` product on both engines.
+    """
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError("qs must be in (0, 1]")
+    B = np.uint64(num_buckets)
+    qarr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def _khash(col) -> np.ndarray:
+        from raylink.util import text_hash64
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            return col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return text_hash64(col.to_pylist())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # key identity travels as the ORIGINAL column (string or int);
+        # the hash is only the bucket route, so collisions cost nothing
+        k = batch.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        kn = k.to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, kn))
+        ks, vs = kn[order], v[order]
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(ks)))
+        ku = k.take(pa.array(order[starts]))
+        return pa.table(
+            {
+                "b": pa.array((splitmix64(_khash(ku)) % B).astype(np.int32)),
+                "k": ku,
+                "v": pa.array(vs[starts]),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def quantiles(group: pa.Table) -> pa.Table:
+        karr = group.column("k")
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        k = karr.to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        ks, vs, cs = k[order], v[order], c[order]
+        # merge duplicate (key, value) partials from different batches
+        new = np.empty(len(ks), dtype=bool)
+        new[0] = True
+        new[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        seg = np.cumsum(new) - 1
+        m = int(seg[-1]) + 1
+        cm = np.zeros(m, dtype=np.int64)
+        np.add.at(cm, seg, cs)
+        km, vm = ks[new], vs[new]
+        # per-key segments over the merged histogram
+        knew = np.empty(m, dtype=bool)
+        knew[0] = True
+        knew[1:] = km[1:] != km[:-1]
+        kstarts = np.flatnonzero(knew)
+        nkeys = len(kstarts)
+        csum = np.cumsum(cm)
+        offsets = np.where(kstarts > 0, csum[kstarts - 1], 0)
+        ends = np.append(kstarts[1:], m) - 1
+        n_per_key = csum[ends] - offsets
+        out_k, out_q, out_v = [], [], []
+        for q in qarr:
+            # DuckDB quantile_disc: 0-indexed ceil(q*n)-1, same double mul
+            target = np.ceil(q * n_per_key).astype(np.int64) - 1
+            g = np.searchsorted(csum, offsets + target, side="right")
+            out_k.append(km[kstarts])  # sorted-order key per segment
+            out_q.append(np.full(nkeys, q))
+            out_v.append(vm[g])
+        return pa.table(
+            {
+                key_col: pa.array(
+                    np.concatenate(out_k).tolist(), type=karr.type
+                ),
+                "q": pa.array(np.concatenate(out_q)),
+                value_col: pa.array(np.concatenate(out_v)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(quantiles, batch_format="pyarrow")
+    )

@@ -1137,3 +1137,15 @@ SELECT doc_id, source, pri, rk FROM (
   FROM t) WHERE rk <= {k}
 ORDER BY source, rk
 """
+
+
+def length_quantiles_sql(qs=(0.25, 0.5, 0.75, 0.95)) -> str:
+    """Mirror of queries.q_length_quantiles: DuckDB quantile_disc is
+    sorted_values[ceil(q*n)-1] — exactly group_quantiles' rule (verified
+    against the index formula for n in {2,4,5})."""
+    parts = " UNION ALL ".join(
+        f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(n_chars, {q}) AS n_chars FROM documents GROUP BY lang"
+        for q in qs
+    )
+    return parts + " ORDER BY lang, q"

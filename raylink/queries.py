@@ -1097,6 +1097,22 @@ def q_source_sample(sf_dir: str):
     )
 
 
+def q_length_quantiles(sf_dir: str):
+    """Per-language document-length quantiles (p25/p50/p75/p95 of n_chars)
+    via the exact distributed histogram (ops.select.group_quantiles) —
+    the curation-threshold-picking query."""
+    import ray.data as rd
+
+    from raylink.ops.select import group_quantiles
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return group_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.75, 0.95]).sort(
+        ["lang", "q"]
+    )
+
+
 # ------------------------------------------------------------ multimodal stub
 def q_media_features(sf_dir: str):
     """Decode features over a deterministic media corpus derived from the

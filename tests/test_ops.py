@@ -908,3 +908,34 @@ def test_group_topk_unsigned_scores(ray_session):
     })
     got = group_topk(rd.from_arrow(t), "g", "s", k=3, id_col="id").to_pandas()
     assert sorted(got["s"].tolist(), reverse=True) == [9, 8, 7]
+
+
+def test_group_quantiles(ray_session):
+    """Exact per-key discrete quantiles == numpy ceil(q*n)-1 oracle, string
+    keys, values spread over many blocks, q=1.0 edge (max)."""
+    import ray.data as rd
+
+    from raylink.ops.select import group_quantiles
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    key = np.array(["a", "b", "c", "hot"])[rng.integers(0, 4, n)]
+    key[:2500] = "hot"
+    val = rng.integers(-50, 50, n).astype(np.int64)
+    t = pa.table({"k": pa.array(key), "v": pa.array(val)})
+    qs = [0.1, 0.5, 0.9, 1.0]
+    got = (
+        group_quantiles(rd.from_arrow(t).repartition(9), "k", "v", qs)
+        .to_pandas().sort_values(["k", "q"]).reset_index(drop=True)
+    )
+    import math
+
+    rows = []
+    for kk in sorted(set(key)):
+        sv = np.sort(val[key == kk])
+        for q in sorted(qs):
+            rows.append((kk, q, sv[max(math.ceil(q * len(sv)) - 1, 0)]))
+    for (kk, q, want_v), (_, r) in zip(rows, got.iterrows()):
+        assert (r["k"], r["q"], r["v"]) == (kk, q, want_v)
+    with pytest.raises(ValueError):
+        group_quantiles(rd.from_arrow(t), "k", "v", [0.0])
