@@ -458,21 +458,32 @@ def knn_join(
                 cid, cm = cid[selc], cm[selc]
                 nc = max_bucket
             sims = round_half_away(qm @ cm.T, 6)  # (nq, nc)
-            if self_join:
-                sims[qid[:, None] == cid[None, :]] = -np.inf
             take = min(k, nc)
             nq = len(qid)
-            # per-query local top-k by (-cos, neighbor_id)
-            ordc = np.lexsort(
-                (np.broadcast_to(cid, sims.shape), -sims), axis=1
-            )[:, :take]
+            # per-query local top-k by (-cos, neighbor_id) via ONE packed
+            # int64 key: s6 in [-1e6, 1e6] (6-dp-rounded cosine) shifted
+            # past a column index. cid is ascending within the bucket (the
+            # bucket sort is (ids, side, bk)), so smaller column == smaller
+            # neighbor_id — key-descending order IS (-cos, cid). Keys are
+            # unique, so argpartition + a take-wide argsort replaces the
+            # old full-row lexsort: O(nq*nc) instead of O(nq*nc*log nc),
+            # selection bit-identical (pinned by the recall/subset tests).
+            s6 = np.rint(sims * 1e6).astype(np.int64)
+            key = s6 * np.int64(1 << 32) - np.arange(nc, dtype=np.int64)[None, :]
+            if self_join:
+                key[qid[:, None] == cid[None, :]] = np.iinfo(np.int64).min
+            if take < nc:
+                part = np.argpartition(key, nc - take, axis=1)[:, nc - take:]
+            else:
+                part = np.broadcast_to(np.arange(nc, dtype=np.int64), (nq, nc)).copy()
+            pk = np.take_along_axis(key, part, axis=1)
+            ord2 = np.argsort(-pk, axis=1)
+            cols = np.take_along_axis(part, ord2, axis=1).reshape(-1)
             rows = np.repeat(np.arange(nq), take)
-            cols = ordc.reshape(-1)
-            s = sims[rows, cols]
-            keep = np.isfinite(s)
+            keep = key[rows, cols] != np.iinfo(np.int64).min
             out_q.append(np.repeat(qid, take)[keep])
             out_n.append(cid[cols][keep])
-            out_s.append(s[keep])
+            out_s.append(sims[rows, cols][keep])
         if not out_q:
             return pa.table(
                 {"query_id": pa.array([], type=pa.int64()),
