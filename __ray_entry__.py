@@ -76,12 +76,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "meta_diameter": q.q_meta_diameter,
         "graph_kmeans": q.q_graph_kmeans,
         "cooccur_pagerank": q.q_cooccur_pagerank,
+        "hits": q.q_hits,
         "link_positions": q.q_link_positions,
         "dense_remap": q.q_dense_remap,
         # relational layer over the TPC-H-shaped tables
         "pricing_summary": q.q_pricing_summary,
         "shipping_priority": q.q_shipping_priority,
         "nation_revenue": q.q_nation_revenue,
+        "order_priority": q.q_order_priority,
+        "customers_no_urgent": q.q_customers_no_urgent,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
@@ -126,10 +129,13 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": o.pricing_summary_sql(),
         "shipping_priority": o.shipping_priority_sql(),
         "nation_revenue": o.nation_revenue_sql(),
+        "order_priority": o.order_priority_sql(),
+        "customers_no_urgent": o.customers_no_urgent_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "pagerank_converged": o.pagerank_sql(iters=27),
         "seeded_pagerank": o.seeded_pagerank_sql(iters=30),
         "cooccur_pagerank": o.cooccur_pagerank_sql(iters=10),
+        "hits": o.hits_sql(iters=8),
         "connected_components": o.cc_sql(),
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),

@@ -227,6 +227,113 @@ def attach_lookup(
     )
 
 
+def semi_join(
+    left_ds,
+    keys_ds,
+    on: str,
+    left_cols: dict,
+    anti: bool = False,
+    n_key_rows: int | None = None,
+    broadcast_threshold: int = BROADCAST_THRESHOLD,
+    num_buckets: int = 64,
+    post=None,
+):
+    """Distributed semi-join (``anti=False``: keep left rows whose ``on``
+    exists in ``keys_ds``) / anti-join (``anti=True``: keep rows with NO
+    match) — the EXISTS / NOT EXISTS shapes. ``keys_ds`` needs only the
+    ``on`` column; duplicate keys are fine (membership, not multiplicity).
+
+    Shape choice mirrors ``attach_lookup``: when the caller knows the key
+    relation is small (``n_key_rows`` <= threshold) the distinct keys are
+    ``ray.put`` once and every left batch filters locally — ZERO shuffles
+    (a semi-join never widens rows, so the broadcast path is a pure
+    streaming filter). Otherwise both sides bucket by ``splitmix64(key)``
+    and one groupby shuffle filters per bucket; all rows of one key land in
+    one group, so membership is exact.
+
+    ``post`` (hash path only) runs per joined bucket group inside the task;
+    aggregations on non-``on`` keys emit per-bucket partials — combine
+    downstream (same contract as ``hash_join.post``).
+
+    Returns Dataset (``on``, *left_cols).
+    """
+    import ray
+
+    if n_key_rows is not None and n_key_rows <= broadcast_threshold:
+        # unique() on an empty dataset returns None; null keys never match
+        # under EXISTS semantics, so drop them before the int cast.
+        raw = [k for k in (keys_ds.unique(on) or []) if k is not None]
+        keys = np.unique(np.asarray(raw, dtype=np.int64))
+        ref = ray.put(keys)
+
+        def flt(batch: pa.Table) -> pa.Table:
+            k_sorted = ray.get(ref)
+            bkey = batch.column(on).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(k_sorted, bkey)
+            hit = (
+                (pos < len(k_sorted))
+                & (k_sorted[np.minimum(pos, max(len(k_sorted) - 1, 0))] == bkey)
+                if len(k_sorted)
+                else np.zeros(len(bkey), dtype=bool)
+            )
+            sel = batch.filter(pa.array(hit ^ anti))
+            out = pa.table(
+                {on: sel.column(on), **{nm: sel.column(nm) for nm in left_cols}}
+            )
+            return post(out) if post is not None else out
+
+        return left_ds.map_batches(flt, batch_format="pyarrow")
+
+    B = np.uint64(num_buckets)
+
+    def tag(is_left: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column(on).to_numpy(zero_copy_only=False)
+            if not is_left:
+                key = np.unique(key)  # per-batch membership pre-dedup
+            n = len(key)
+            cols = {
+                "b": pa.array((splitmix64(key.astype(np.uint64)) % B).astype(np.int32)),
+                on: pa.array(key) if not is_left else batch.column(on),
+                "_s": pa.array(np.zeros(n, np.int8) if is_left else np.ones(n, np.int8)),
+            }
+            for nm, typ in left_cols.items():
+                cols[nm] = batch.column(nm) if is_left else pa.nulls(n, type=typ)
+            return pa.table(cols)
+
+        return fn
+
+    def filter_group(group: pa.Table) -> pa.Table:
+        s = group.column("_s").to_numpy(zero_copy_only=False)
+        left = group.filter(pa.array(s == 0))
+        rkey = np.unique(
+            group.column(on).to_numpy(zero_copy_only=False)[s == 1]
+        )
+        lkey = left.column(on).to_numpy(zero_copy_only=False)
+        if len(rkey):
+            pos = np.searchsorted(rkey, lkey)
+            hit = (pos < len(rkey)) & (
+                rkey[np.minimum(pos, max(len(rkey) - 1, 0))] == lkey
+            )
+        else:
+            hit = np.zeros(len(lkey), dtype=bool)
+        sel = left.filter(pa.array(hit ^ anti))
+        out = pa.table(
+            {on: sel.column(on), **{nm: sel.column(nm) for nm in left_cols}}
+        )
+        return post(out) if post is not None else out
+
+    both = left_ds.map_batches(tag(True), batch_format="pyarrow").union(
+        keys_ds.map_batches(tag(False), batch_format="pyarrow")
+    )
+    return both.groupby("b").map_groups(filter_group, batch_format="pyarrow")
+
+
+def anti_join(left_ds, keys_ds, on: str, left_cols: dict, **kw):
+    """NOT EXISTS: left rows whose ``on`` has no row in ``keys_ds``."""
+    return semi_join(left_ds, keys_ds, on, left_cols, anti=True, **kw)
+
+
 def asof_join(
     left_ds,
     right_ds,

@@ -160,6 +160,46 @@ def pagerank_sql(iters: int = 30, decimals: int = 8) -> str:
     )
 
 
+def hits_sql(iters: int = 8, decimals: int = 8) -> str:
+    """HITS with per-phase L1 normalization, unrolled like pagerank_sql.
+    The engine normalizes by dividing received sums by the broadcast L1
+    partial of the SENDER values (constant factors cancel every phase, so
+    nothing drifts); SQL normalizes sender values first — the two differ
+    only by float association, absorbed by ROUND(.., decimals)."""
+    ctes = [
+        GRAPH_CTES,
+        "h0 AS (SELECT vid, 1.0 / nn.n AS hub FROM verts, nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""ar{t} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.ms, 0) AS ar FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(h.hub) AS ms
+    FROM h{t - 1} h JOIN edges e ON e.src = h.vid GROUP BY e.dst
+  ) s ON s.vid = v.vid)"""
+        )
+        ctes.append(
+            f"a{t} AS (SELECT vid, ar / (SELECT SUM(ar) FROM ar{t}) AS auth FROM ar{t})"
+        )
+        ctes.append(
+            f"""hr{t} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.ms, 0) AS hr FROM verts v LEFT JOIN (
+    SELECT e.src AS vid, SUM(a.auth) AS ms
+    FROM a{t} a JOIN edges e ON e.dst = a.vid GROUP BY e.src
+  ) s ON s.vid = v.vid)"""
+        )
+        ctes.append(
+            f"h{t} AS (SELECT vid, hr / (SELECT SUM(hr) FROM hr{t}) AS hub FROM hr{t})"
+        )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT a.vid::BIGINT AS vid, ROUND(a.auth, {decimals}) AS auth,
+       ROUND(h.hub, {decimals}) AS hub
+FROM a{iters} a JOIN h{iters} h ON h.vid = a.vid"""
+    )
+
+
 def subgraph_rank_sql(iters: int = 120) -> str:
     """SubgraphRank converges to the plain-PageRank fixpoint (same global
     update operator, warm start only changes the trajectory). Oracle = the
@@ -1149,3 +1189,24 @@ def length_quantiles_sql(qs=(0.25, 0.5, 0.75, 0.95)) -> str:
         for q in qs
     )
     return parts + " ORDER BY lang, q"
+
+
+def order_priority_sql() -> str:
+    """Mirror of q_order_priority (TPC-H Q4 shape, EXISTS semi-join)."""
+    return """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+GROUP BY o_orderpriority"""
+
+
+def customers_no_urgent_sql() -> str:
+    """Mirror of q_customers_no_urgent (NOT EXISTS anti-join)."""
+    return """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')"""

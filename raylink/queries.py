@@ -29,6 +29,7 @@ from raylink.superstep import CKPT_ROOT
 from raylink.util import round_half_away
 
 PR_ITERS = 30
+HITS_ITERS = 8
 
 
 def _ckpt(name: str, sf_dir: str, *extra) -> str:
@@ -1389,3 +1390,116 @@ def q_cooccur_pagerank(sf_dir: str):
         )
 
     return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities (8 iterations, L1-normalized) over the page
+    link graph. Runs on a flag-tagged UNION graph (forward+reverse edges in
+    one CSR, per-edge flag via edge_cols) so the hub pull is a plain BSP
+    push — see raylink/algos/hits.py."""
+    from raylink.algos.hits import hits, union_flag_edges
+    from raylink.graph import build_graph
+    from raylink.pipelines import page_edge_tables
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    g = build_graph(
+        union_flag_edges(edges.materialize()), verts, num_parts=P,
+        partitioner="mod", directed=True, edge_cols=["flag"],
+    )
+    _, scores = hits(g=g, iters=HITS_ITERS, engine="tasks",
+                     ckpt_dir=_ckpt("hits", sf_dir, HITS_ITERS))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "auth": pa.array(round_half_away(
+                    batch.column("auth").to_numpy(zero_copy_only=False), 8)),
+                "hub": pa.array(round_half_away(
+                    batch.column("hub").to_numpy(zero_copy_only=False), 8)),
+            }
+        )
+
+    return scores.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: orders in a quarter having at least one discounted
+    line item — the EXISTS predicate as a distributed hash SEMI-join
+    (lineitem is dataset-sized: no broadcast), with per-priority counting
+    fused into the join tasks (post hook -> per-bucket partials -> one
+    5-row groupby)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import semi_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_discount"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"o_orderkey": b.filter(pc.greater(b.column("l_discount"), 0.05))
+             .column("l_orderkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    d0 = pa.scalar(np.datetime64("1996-01-01", "us").item(), type=pa.timestamp("us"))
+    d1 = pa.scalar(np.datetime64("1996-04-01", "us").item(), type=pa.timestamp("us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.greater_equal(b.column("o_orderdate"), d0),
+                    pc.less(b.column("o_orderdate"), d1))
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+
+    def cnt(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("o_orderpriority").combine_chunks())
+        return pa.table(
+            {"o_orderpriority": vc.field("values"),
+             "order_count": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    partials = semi_join(
+        orders, li, on="o_orderkey",
+        left_cols={"o_orderpriority": pa.string()}, post=cnt,
+    )
+    out = partials.groupby("o_orderpriority").sum("order_count")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"o_orderpriority": b.column("o_orderpriority"),
+             "order_count": b.column("sum(order_count)")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_customers_no_urgent(sf_dir: str):
+    """NOT EXISTS as a distributed hash ANTI-join: customers who never
+    placed a 1-URGENT order. Orders is the big side — keys bucket-shuffle,
+    nothing on the driver."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import anti_join
+
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"c_custkey": b.filter(
+                pc.equal(b.column("o_orderpriority"), pa.scalar("1-URGENT"))
+            ).column("o_custkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_acctbal"]
+    )
+    return anti_join(
+        cust, urgent, on="c_custkey",
+        left_cols={"c_name": pa.string(), "c_acctbal": pa.float64()},
+    )

@@ -474,3 +474,32 @@ def test_page_graph_auto_parts(ray_session):
 
     g = page_graph("/root/testdata/sf0.001", num_parts=None)
     assert g.num_parts == 8  # tiny corpus bottoms out at the floor
+
+
+def hits_oracle(n, edges, iters):
+    auth = np.zeros(n)
+    hub = np.full(n, 1.0 / n)
+    uniq = np.unique(edges[:, 0] << np.int64(32) | edges[:, 1])
+    s, d = (uniq >> np.int64(32)).astype(np.int64), (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    for _ in range(iters):
+        auth = np.bincount(d, weights=hub[s], minlength=n)
+        auth /= auth.sum()
+        hub = np.bincount(s, weights=auth[d], minlength=n)
+        hub /= hub.sum()
+    return auth, hub
+
+
+@pytest.mark.parametrize("engine", ["dataset", "tasks"])
+def test_hits(edge_data, engine, tmp_path):
+    from raylink.algos.hits import hits
+
+    edges, edges_ds, verts_ds = edge_data
+    res, scores = hits(
+        edges_ds, vertices_ds=verts_ds, num_parts=4, iters=6, engine=engine,
+        ckpt_dir=str(tmp_path / f"hits-{engine}"),
+    )
+    pdf = scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    ea, eh = hits_oracle(N, edges, iters=6)
+    np.testing.assert_allclose(pdf["auth"].to_numpy(), ea, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(pdf["hub"].to_numpy(), eh, rtol=0, atol=1e-12)
+    assert abs(pdf["auth"].sum() - 1.0) < 1e-9 and abs(pdf["hub"].sum() - 1.0) < 1e-9

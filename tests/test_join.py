@@ -238,3 +238,46 @@ def test_hash_join_post_aggregates_in_task(ray_session):
     want = want[want["val"] > 0].reset_index(drop=True)
     want["tag"] = want["k"] * 10
     assert got.equals(want)
+
+
+def test_semi_anti_join_paths_agree(ray_session):
+    """Broadcast and hash paths of semi_join/anti_join produce identical
+    rows; pandas isin is the oracle. Duplicate keys on both sides, an empty
+    key relation, and a key in the keys_ds absent from the left are all
+    covered."""
+    import pandas as pd
+    import ray.data as rd
+
+    from raylink.join import anti_join, semi_join
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 50, 300).astype(np.int64)
+    lv = rng.normal(size=300)
+    keys = np.concatenate(
+        [rng.integers(0, 30, 80).astype(np.int64), np.array([999], np.int64)]
+    )
+    left = rd.from_arrow(pa.table({"k": pa.array(lk), "v": pa.array(lv)}))
+    kds = rd.from_arrow(pa.table({"k": pa.array(keys)}))
+    exp_semi = pd.DataFrame({"k": lk, "v": lv})[pd.Series(lk).isin(keys).to_numpy()]
+    exp_anti = pd.DataFrame({"k": lk, "v": lv})[~pd.Series(lk).isin(keys).to_numpy()]
+
+    for n_key_rows in (None, len(keys)):  # hash path, broadcast path
+        got_s = (
+            semi_join(left, kds, "k", {"v": pa.float64()}, n_key_rows=n_key_rows)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        got_a = (
+            anti_join(left, kds, "k", {"v": pa.float64()}, n_key_rows=n_key_rows)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got_s, exp_semi.sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got_a, exp_anti.sort_values(["k", "v"]).reset_index(drop=True)
+        )
+
+    # empty key relation: semi -> nothing, anti -> everything
+    empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
+    assert semi_join(left, empty, "k", {"v": pa.float64()}, n_key_rows=0).count() == 0
+    assert anti_join(left, empty, "k", {"v": pa.float64()}).count() == 300
