@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q.q_text_stats,
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
+        "doc_repetition": q.q_doc_repetition,
+        "pack_windows": q.q_pack_windows,
         "knn": q.q_knn,
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
@@ -120,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from raylink import oracles_sql as o
+    from raylink import queries as q
 
     return {
         "page_text": o.page_text_sql(),
@@ -159,6 +162,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": o.text_stats_sql(),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
+        "doc_repetition": o.doc_repetition_sql(),
+        "pack_windows": o.pack_windows_sql(budget=q.PACK_BUDGET),
         "knn": o.knn_sql(k=5, n_queries=10),
         "embedding_pairs": o.embedding_pairs_sql(tau=0.4),
         "events_window": o.events_window_sql(3600),

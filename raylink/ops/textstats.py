@@ -277,3 +277,85 @@ def doc_top_terms(docs_ds, k: int = 3, num_buckets: int = 64):
         scored, key_col="doc_id", score_col="score", k=k, id_col="term",
         num_buckets=num_buckets,
     )
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document (NLP curation filter:
+    docs dominated by repeated words/phrases are boilerplate or spam) ->
+    (doc_id, n_words, top_word_frac, dup_char_frac, top_bigram_frac).
+
+      top_word_frac   occurrences of the most frequent word / n_words
+      dup_char_frac   chars inside words occurring >1x (ALL occurrences)
+                      / total word chars
+      top_bigram_frac occurrences of the most frequent adjacent word pair
+                      / (n_words - 1)
+
+    Zero-denominator docs report 0.0. Words = ``[a-z]+`` runs of
+    lower(text), the same rule as ``TextStats``/``WORD_PATTERN`` — here
+    extracted fully vectorized (Arrow ``split_pattern_regex`` on the
+    complement + empty-drop; no per-doc Python). Per-(doc,word) counting
+    runs on dictionary codes packed with the batch-local doc index — exact
+    string equality, no hash collisions. Each fraction is one IEEE division
+    + round-half-away(8), bit-equal to the SQL mirror.
+    """
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    doc_ids = batch.column("doc_id")
+    words_list = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text").combine_chunks()), pattern="[^a-z]+"
+    )
+    lens = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words_list)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keepw = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    if not keepw.all():  # boundary empties from the complement split
+        flat = flat.filter(pa.array(keepw))
+        doc_idx = doc_idx[keepw]
+
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    wlen = pc.utf8_length(enc.dictionary).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+
+    n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    total_chars = np.zeros(n, dtype=np.int64)
+    np.add.at(total_chars, doc_idx, wlen[codes])
+
+    # per-(doc, word) counts on packed keys (doc_idx < 2^31, codes < 2^31)
+    key = (doc_idx << np.int64(32)) | codes
+    ukey, ucnt = np.unique(key, return_counts=True)
+    udoc = (ukey >> np.int64(32)).astype(np.int64)
+    ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+    top_word = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top_word, udoc, ucnt)
+    dup_chars = np.zeros(n, dtype=np.int64)
+    dup = ucnt > 1
+    np.add.at(dup_chars, udoc[dup], ucnt[dup] * wlen[ucode[dup]])
+
+    # adjacent word pairs: flattened order IS document order
+    V = np.int64(len(enc.dictionary))
+    adj = doc_idx[1:] == doc_idx[:-1] if len(doc_idx) else np.zeros(0, bool)
+    top_bigram = np.zeros(n, dtype=np.int64)
+    if adj.any():
+        pid = (doc_idx[:-1][adj] * V + codes[:-1][adj]) * V + codes[1:][adj]
+        upid, upc = np.unique(pid, return_counts=True)
+        np.maximum.at(top_bigram, (upid // (V * V)).astype(np.int64), upc)
+    n_bigrams = np.maximum(n_words - 1, 0)
+
+    def frac(num: np.ndarray, den: np.ndarray) -> pa.Array:
+        out = np.zeros(n, dtype=np.float64)
+        nz = den > 0
+        out[nz] = num[nz] / den[nz]
+        return pa.array(round_half_away(out, 8))
+
+    return pa.table(
+        {
+            "doc_id": doc_ids,
+            "n_words": pa.array(n_words),
+            "top_word_frac": frac(top_word, n_words),
+            "dup_char_frac": frac(dup_chars, total_chars),
+            "top_bigram_frac": frac(top_bigram, n_bigrams),
+        }
+    )

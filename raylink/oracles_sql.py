@@ -1210,3 +1210,52 @@ FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')"""
+
+
+def doc_repetition_sql(decimals: int = 8) -> str:
+    """Mirror of ops.textstats.repetition_stats (one IEEE division per
+    fraction; bigrams as space-joined adjacent word pairs — words are
+    [a-z]+ so the join is collision-free)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+  FROM documents
+), per AS (
+  SELECT doc_id, wd, count(*)::BIGINT AS c, length(wd)::BIGINT AS lc
+  FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY doc_id, wd
+), agg AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n_words, MAX(c)::BIGINT AS top_c,
+         SUM(c * lc)::BIGINT AS total_chars,
+         SUM(CASE WHEN c > 1 THEN c * lc ELSE 0 END)::BIGINT AS dup_chars
+  FROM per GROUP BY doc_id
+), bagg AS (
+  SELECT doc_id, MAX(c)::BIGINT AS top_b FROM (
+    SELECT doc_id, bg, count(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM w) GROUP BY doc_id, bg
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_words, 0)::BIGINT AS n_words,
+  ROUND(CASE WHEN a.n_words > 0 THEN a.top_c / a.n_words::DOUBLE
+        ELSE 0.0 END, {decimals}) AS top_word_frac,
+  ROUND(CASE WHEN a.total_chars > 0 THEN a.dup_chars / a.total_chars::DOUBLE
+        ELSE 0.0 END, {decimals}) AS dup_char_frac,
+  ROUND(CASE WHEN a.n_words > 1 THEN COALESCE(b.top_b, 0) / (a.n_words - 1)::DOUBLE
+        ELSE 0.0 END, {decimals}) AS top_bigram_frac
+FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN bagg b USING (doc_id)"""
+
+
+def pack_windows_sql(budget: int = 4096) -> str:
+    """Mirror of q_pack_windows: exclusive window prefix sum over doc_id
+    order, integer-divided into token-budget shards."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TOKEN_PATTERN}'))::BIGINT AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       (COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {budget})::BIGINT AS shard
+FROM t"""

@@ -1503,3 +1503,30 @@ def q_customers_no_urgent(sf_dir: str):
         cust, urgent, on="c_custkey",
         left_cols={"c_name": pa.string(), "c_acctbal": pa.float64()},
     )
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals per doc (top-word / dup-char /
+    top-bigram fractions) — a streaming map-only stage, no shuffle."""
+    from raylink.ops.textstats import repetition_stats
+
+    return _docs(sf_dir).map_batches(
+        repetition_stats, batch_format="pyarrow", batch_size=512
+    )
+
+
+PACK_BUDGET = 4096
+
+
+def q_pack_windows(sf_dir: str):
+    """Training-sequence packing: assign each doc to the 4096-token shard
+    its exclusive running token total (doc_id order) starts in. Exercises
+    the distributed ordered prefix sum (range-bucket histogram + per-bucket
+    scan — the driver holds O(buckets))."""
+    from raylink.ops.select import pack_windows
+    from raylink.ops.textstats import TextStats
+
+    toks = _docs(sf_dir).map_batches(
+        TextStats, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
+    ).select_columns(["doc_id", "n_tokens"])
+    return pack_windows(toks, "doc_id", "n_tokens", budget=PACK_BUDGET)

@@ -939,3 +939,98 @@ def test_group_quantiles(ray_session):
         assert (r["k"], r["q"], r["v"]) == (kk, q, want_v)
     with pytest.raises(ValueError):
         group_quantiles(rd.from_arrow(t), "k", "v", [0.0])
+
+
+def test_ordered_prefix_sum(ray_session):
+    """Distributed exclusive prefix sum == numpy cumsum on sorted keys:
+    negative + clustered keys (range-bucket skew path), many partitions,
+    carry columns; duplicate keys raise."""
+    import ray.data as rd
+
+    from raylink.ops.select import ordered_prefix_sum
+
+    rng = np.random.default_rng(11)
+    # clustered, negative, non-contiguous unique keys
+    keys = np.unique(
+        np.concatenate([
+            rng.integers(-1000, -900, 400), rng.integers(5_000_000, 5_000_050, 60),
+            rng.integers(0, 10_000, 800),
+        ]).astype(np.int64)
+    )
+    rng.shuffle(keys)
+    vals = rng.integers(0, 1 << 40, len(keys)).astype(np.int64)  # big: int64 path
+    tag = (keys * 7).astype(np.int64)
+    ds = rd.from_arrow(pa.table(
+        {"k": pa.array(keys), "v": pa.array(vals), "t": pa.array(tag)}
+    )).repartition(7)
+    got = (
+        ordered_prefix_sum(ds, "k", "v", out_col="p", num_buckets=32,
+                           carry_cols={"t": pa.int64()})
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    order = np.argsort(keys)
+    want = np.cumsum(vals[order]) - vals[order]
+    np.testing.assert_array_equal(got["p"].to_numpy(), want)
+    np.testing.assert_array_equal(got["t"].to_numpy(), keys[order] * 7)
+
+    dup = rd.from_arrow(pa.table({"k": pa.array([1, 1, 2], type=pa.int64()),
+                                  "v": pa.array([5, 6, 7], type=pa.int64())}))
+    with pytest.raises(Exception, match="duplicate"):
+        ordered_prefix_sum(dup, "k", "v").materialize()
+
+
+def test_pack_windows(ray_session):
+    """Shard assignment == greedy floor(exclusive_cumsum / budget) oracle;
+    shard sizes cover the budget contract (every shard's token total >=
+    budget - max_doc_tokens except the last)."""
+    import ray.data as rd
+
+    from raylink.ops.select import pack_windows
+
+    rng = np.random.default_rng(3)
+    ids = np.arange(500, dtype=np.int64)
+    toks = rng.integers(1, 900, 500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "n_tokens": pa.array(toks)})).repartition(5)
+    budget = 2048
+    got = (
+        pack_windows(ds, "doc_id", "n_tokens", budget=budget)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (np.cumsum(toks) - toks) // budget
+    np.testing.assert_array_equal(got["shard"].to_numpy(), want)
+    np.testing.assert_array_equal(got["n_tokens"].to_numpy(), toks)
+    with pytest.raises(ValueError):
+        pack_windows(ds, "doc_id", "n_tokens", budget=0)
+
+
+def test_repetition_stats():
+    """Pure batch kernel vs a per-doc Counter oracle (unicode text, empty
+    docs, all-repeat docs, bigram-heavy docs)."""
+    import re
+    from collections import Counter
+
+    from raylink.ops.textstats import repetition_stats
+    from raylink.util import round_half_away
+
+    texts = [
+        "the cat the cat the dog", "all unique words here now", "",
+        "a a a a a a", "x9y !!! 123", "ab cd ab cd ab cd",
+        "Üml täts ünd täts", "  spaces   everywhere  ", "one",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    got = repetition_stats(batch).to_pandas()
+    w = re.compile("[a-z]+")
+    for i, t in enumerate(texts):
+        ws = w.findall(t.lower())
+        nw, c = len(ws), Counter(ws)
+        bg = Counter(zip(ws, ws[1:]))
+        tc = sum(len(x) for x in ws)
+        dc = sum(n * len(wd) for wd, n in c.items() if n > 1)
+        r8 = lambda x: float(round_half_away(np.array([x]), 8)[0])  # noqa: E731
+        assert got.n_words[i] == nw
+        assert got.top_word_frac[i] == r8(max(c.values()) / nw if nw else 0.0)
+        assert got.dup_char_frac[i] == r8(dc / tc if tc else 0.0)
+        assert got.top_bigram_frac[i] == r8(
+            max(bg.values()) / (nw - 1) if bg else 0.0)
