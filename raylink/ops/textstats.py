@@ -29,6 +29,38 @@ STOP_FR = ("le", "la", "les", "et", "des", "est", "un", "une", "du", "dans")
 STOP_ES = ("el", "los", "las", "y", "es", "un", "una", "por", "con", "para")
 
 
+def _word_codes(text: pa.Array):
+    """lower(text) -> ``[a-z]+`` word OCCURRENCES, fully Arrow-vectorized:
+    (doc_idx int64 per occurrence, dictionary code per occurrence,
+    dictionary StringArray). The extraction rule equals
+    ``re.findall(WORD_PATTERN, text.lower())``: split on the complement
+    regex and drop boundary empties. Dictionary codes make every
+    downstream count exact string equality with no per-doc Python."""
+    import pyarrow.compute as pc
+
+    n = len(text)
+    words_list = pc.split_pattern_regex(pc.utf8_lower(text), pattern="[^a-z]+")
+    lens = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(words_list)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return doc_idx, codes, enc.dictionary
+
+
+def _stop_hits(doc_idx, codes, dictionary, stopset, n) -> np.ndarray:
+    """Per-doc occurrence count of words in ``stopset`` — one python pass
+    over the (small) batch VOCABULARY, vectorized over occurrences."""
+    mask = np.fromiter(
+        (w in stopset for w in dictionary.to_pylist()), bool, len(dictionary)
+    )
+    return np.bincount(doc_idx[mask[codes]], minlength=n).astype(np.int64)
+
+
 class TextStats:
     """documents batch -> per-doc stats.
 
@@ -37,38 +69,55 @@ class TextStats:
       quality (r6), keep (bool)
     Quality rule (C4-ish): keep iff n_words >= 10 and 2 <= avg word length
     <= 12; quality = min(n_words,50)/50 * 0.5 + min(stop_ratio,0.4)/0.4 * 0.5.
+
+    (r4) vectorized: words via ``_word_codes``; n_tokens as the sum of two
+    disjoint RE2 match counts (alnum runs + lone non-alnum-non-space chars
+    — the same partition TOKEN_PATTERN's alternation produces), aligning
+    the engine with the DuckDB oracle's RE2 semantics. Every ratio is the
+    identical IEEE division sequence the per-doc loop performed.
     """
 
     def __init__(self) -> None:
-        self.tok = re.compile(TOKEN_PATTERN)
-        self.word = re.compile(WORD_PATTERN)
         self.stop_en = frozenset(STOP_EN)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
-        n_chars = np.empty(n, np.int64)
-        n_tokens = np.empty(n, np.int64)
-        n_words = np.empty(n, np.int64)
-        n_uniq = np.empty(n, np.int64)
-        stop_ratio = np.empty(n, np.float64)
-        quality = np.empty(n, np.float64)
-        keep = np.empty(n, bool)
-        for i, t in enumerate(texts):
-            t = t or ""
-            n_chars[i] = len(t)
-            n_tokens[i] = len(self.tok.findall(t))
-            words = self.word.findall(t.lower())
-            n_words[i] = len(words)
-            n_uniq[i] = len(set(words))
-            ns = sum(1 for w in words if w in self.stop_en)
-            sr = ns / len(words) if words else 0.0
-            stop_ratio[i] = float(round_half_away(sr, 6))
-            avg = (sum(len(w) for w in words) / len(words)) if words else 0.0
-            keep[i] = len(words) >= 10 and 2.0 <= avg <= 12.0
-            quality[i] = float(round_half_away(
-                min(len(words), 50) / 50.0 * 0.5 + min(sr, 0.4) / 0.4 * 0.5, 6
-            ))
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        n = len(text)
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_tokens = (
+            pc.count_substring_regex(text, pattern="[A-Za-z0-9]+")
+            .to_numpy(zero_copy_only=False)
+            + pc.count_substring_regex(text, pattern=r"[^A-Za-z0-9\s]")
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+
+        doc_idx, codes, dic = _word_codes(text)
+        n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        ukey = np.unique((doc_idx << np.int64(32)) | codes)
+        n_uniq = np.bincount(
+            (ukey >> np.int64(32)).astype(np.int64), minlength=n
+        ).astype(np.int64)
+        ns = _stop_hits(doc_idx, codes, dic, self.stop_en, n)
+        wlen = pc.utf8_length(dic).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        wchars = np.zeros(n, dtype=np.int64)
+        np.add.at(wchars, doc_idx, wlen[codes])
+
+        sr = np.zeros(n, dtype=np.float64)
+        np.divide(ns, n_words, out=sr, where=n_words > 0)
+        avg = np.zeros(n, dtype=np.float64)
+        np.divide(wchars, n_words, out=avg, where=n_words > 0)
+        keep = (n_words >= 10) & (avg >= 2.0) & (avg <= 12.0)
+        quality = round_half_away(
+            np.minimum(n_words, 50) / 50.0 * 0.5
+            + np.minimum(sr, 0.4) / 0.4 * 0.5,
+            6,
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -76,7 +125,7 @@ class TextStats:
                 "n_tokens": pa.array(n_tokens),
                 "n_words": pa.array(n_words),
                 "n_uniq_words": pa.array(n_uniq),
-                "stop_ratio": pa.array(stop_ratio),
+                "stop_ratio": pa.array(round_half_away(sr, 6)),
                 "quality": pa.array(quality),
                 "keep": pa.array(keep),
             }
@@ -92,8 +141,6 @@ class LangId:
     """
 
     def __init__(self) -> None:
-        self.word = re.compile(WORD_PATTERN)
-        self.cjk = re.compile(CJK_PATTERN)
         self.sets = [
             ("en", frozenset(STOP_EN)),
             ("de", frozenset(STOP_DE)),
@@ -102,22 +149,27 @@ class LangId:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        preds = []
-        for t in texts:
-            t = t or ""
-            if self.cjk.search(t):
-                preds.append("zh")
-                continue
-            words = self.word.findall(t.lower())
-            counts = [sum(1 for w in words if w in s) for _, s in self.sets]
-            best = max(counts)
-            if best == 0:
-                preds.append("und")
-            else:
-                preds.append(self.sets[counts.index(best)][0])
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        n = len(text)
+        cjk = (
+            pc.count_substring_regex(text, pattern=CJK_PATTERN)
+            .to_numpy(zero_copy_only=False) > 0
+        )
+        doc_idx, codes, dic = _word_codes(text)
+        counts = np.stack(
+            [_stop_hits(doc_idx, codes, dic, s, n) for _, s in self.sets]
+        )
+        best = counts.max(axis=0)
+        # argmax takes the FIRST maximal row -> tie order en > de > fr > es
+        langs = np.array([nm for nm, _ in self.sets])[counts.argmax(axis=0)]
+        preds = np.where(cjk, "zh", np.where(best == 0, "und", langs))
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "pred_lang": pa.array(preds)}
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds.tolist(), type=pa.string()),
+            }
         )
 
 
@@ -128,19 +180,18 @@ def token_topk(docs_ds, k: int = 100):
     Shape: per-batch partial counts (one row per distinct token per batch,
     NOT per occurrence) -> one groupby sum over the vocabulary-sized table
     -> distributed sort + limit. The full corpus never leaves the workers;
-    only distinct-token rows shuffle."""
-    word = re.compile(WORD_PATTERN)
+    only distinct-token rows shuffle. (r4) vectorized: the batch vocabulary
+    falls straight out of ``_word_codes``' dictionary encode."""
+    import pyarrow.compute as pc
 
     def partial(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(word.findall((t or "").lower()))
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        _, codes, dic = _word_codes(text)
+        c = np.bincount(codes, minlength=len(dic)).astype(np.int64)
         return pa.table(
             {
-                "token": pa.array(list(c.keys()), type=pa.string()),
-                "c": pa.array(np.fromiter(c.values(), dtype=np.int64, count=len(c))),
+                "token": pc.cast(dic, pa.string()),
+                "c": pa.array(c),
             }
         )
 
@@ -225,31 +276,33 @@ def doc_top_terms(docs_ds, k: int = 3, num_buckets: int = 64):
     hashed n-gram shingles in ops/dedup.py — and a collision would merge
     DF counts, never drop rows). Nothing driver-side.
     """
+    import pyarrow.compute as pc
+
     from raylink.ops.select import group_topk
     from raylink.util import splitmix64, text_hash64
 
-    word = re.compile(WORD_PATTERN)
     B = np.uint64(num_buckets)
 
     def tf_rows(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        dids, terms, tfs = [], [], []
-        for did, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            c = Counter(word.findall((t or "").lower()))
-            dids.extend([did] * len(c))
-            terms.extend(c.keys())
-            tfs.extend(c.values())
-        h = text_hash64(terms)
+        # (r4) vectorized: per-(doc, term) tf from packed (doc_idx, code)
+        # keys; terms hashed once per batch VOCABULARY, not per occurrence
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx, codes, dic = _word_codes(text)
+        ukey, tf = np.unique(
+            (doc_idx << np.int64(32)) | codes, return_counts=True
+        )
+        udoc = (ukey >> np.int64(32)).astype(np.int64)
+        ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+        hdic = text_hash64(dic.to_pylist())
+        h = hdic[ucode]
         return pa.table(
             {
                 "b": pa.array((splitmix64(h) % B).astype(np.int32)),
                 "h": pa.array(h.astype(np.int64)),
-                "doc_id": pa.array(np.asarray(dids, dtype=np.int64)),
-                "term": pa.array(terms, type=pa.string()),
-                "tf": pa.array(np.asarray(tfs, dtype=np.int64)),
+                "doc_id": pa.array(doc_ids[udoc]),
+                "term": pc.cast(dic, pa.string()).take(pa.array(ucode)),
+                "tf": pa.array(tf.astype(np.int64)),
             }
         )
 
@@ -302,22 +355,9 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
 
     n = len(batch)
     doc_ids = batch.column("doc_id")
-    words_list = pc.split_pattern_regex(
-        pc.utf8_lower(batch.column("text").combine_chunks()), pattern="[^a-z]+"
-    )
-    lens = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
-    flat = pc.list_flatten(words_list)
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-    keepw = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
-    if not keepw.all():  # boundary empties from the complement split
-        flat = flat.filter(pa.array(keepw))
-        doc_idx = doc_idx[keepw]
-
-    enc = flat.dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    wlen = pc.utf8_length(enc.dictionary).to_numpy(zero_copy_only=False).astype(
-        np.int64
-    )
+    text = pc.fill_null(batch.column("text").combine_chunks(), "")
+    doc_idx, codes, dic = _word_codes(text)
+    wlen = pc.utf8_length(dic).to_numpy(zero_copy_only=False).astype(np.int64)
 
     n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
     total_chars = np.zeros(n, dtype=np.int64)
@@ -335,7 +375,7 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     np.add.at(dup_chars, udoc[dup], ucnt[dup] * wlen[ucode[dup]])
 
     # adjacent word pairs: flattened order IS document order
-    V = np.int64(len(enc.dictionary))
+    V = np.int64(len(dic))
     adj = doc_idx[1:] == doc_idx[:-1] if len(doc_idx) else np.zeros(0, bool)
     top_bigram = np.zeros(n, dtype=np.int64)
     if adj.any():
