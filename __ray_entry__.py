@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangles,
         "degrees": q.q_degrees,
+        "clustering_coeff": q.q_clustering_coeff,
+        "assortativity": q.q_assortativity,
         "subgraphs": q.q_subgraphs,
         "meta_graph": q.q_meta_graph,
         "sssp": q.q_sssp,
@@ -94,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": q.q_token_topk,
         "doc_top_terms": q.q_doc_top_terms,
         "dedup_clusters": q.q_dedup_clusters,
+        "decontaminate": q.q_decontaminate,
         "domain_stats": q.q_domain_stats,
         "curation_funnel": q.q_curation_funnel,
         "text_stats": q.q_text_stats,
@@ -109,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs_lsh": q.q_embedding_pairs_lsh,
         "events_window": q.q_events_window,
         "events_asof": q.q_events_asof,
+        "events_latest": q.q_events_latest,
+        "bigram_topk": q.q_bigram_topk,
         "doc_sample": q.q_doc_sample,
         "source_topk": q.q_source_topk,
         "source_sample": q.q_source_sample,
@@ -143,6 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),
         "degrees": o.degrees_sql(),
+        "clustering_coeff": o.clustering_coeff_sql(),
+        "assortativity": o.assortativity_sql(),
         "subgraphs": o.subgraphs_sql(),
         "meta_graph": o.meta_graph_sql(),
         "sssp": o.sssp_sql(source=0),
@@ -157,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": o.token_topk_sql(k=100),
         "doc_top_terms": o.doc_top_terms_sql(3),
         "dedup_clusters": o.dedup_clusters_sql(tau=0.5),
+        "decontaminate": o.decontaminate_sql(n=8),
         "domain_stats": o.domain_stats_sql(),
         "curation_funnel": o.curation_funnel_sql(),
         "text_stats": o.text_stats_sql(),
@@ -168,6 +176,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pairs": o.embedding_pairs_sql(tau=0.4),
         "events_window": o.events_window_sql(3600),
         "events_asof": o.events_asof_sql(),
+        "events_latest": o.events_latest_sql(),
+        "bigram_topk": o.bigram_topk_sql(k=100),
         "doc_sample": o.stratified_sample_sql(0.2, 7, {"en": 0.5}),
         "source_topk": o.source_topk_sql(3),
         "source_sample": o.sample_k_per_group_sql(5, 11),

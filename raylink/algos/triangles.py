@@ -48,29 +48,10 @@ def _unpack(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return keys >> np.int64(32), keys & np.int64(0xFFFFFFFF)
 
 
-def triangle_count(
-    edges_ds,
-    num_buckets: int = 32,
-    broadcast_threshold: int | None = None,
-    force: str | None = None,
-) -> int:
-    """Global triangle count of the undirected simple graph.
-
-    The degree attach for orientation is thresholded: below
-    ``broadcast_threshold`` distinct vertices the degree table is broadcast
-    (``ray.put`` once, searchsorted per batch); above it the degrees are
-    joined onto both edge endpoints with the distributed ``pair_attach``
-    (two bucket shuffles, nothing on the driver) — at a 10^12-vertex crawl
-    the broadcast would be a driver OOM. ``force`` pins a path for testing
-    ('broadcast' | 'shuffle'); both produce identical counts (orientation is
-    the same (degree, vid) rank either way)."""
-    import ray
-
-    from raylink.join import BROADCAST_THRESHOLD, pair_attach
-
-    if broadcast_threshold is None:
-        broadcast_threshold = BROADCAST_THRESHOLD
-
+def _distinct_and_degrees(edges_ds):
+    """Canonical distinct undirected edges (packed (min,max) key Dataset)
+    plus the undirected distinct-neighbour degree table (vid, deg); both
+    materialized (each is consumed by more than one downstream stage)."""
     edges = edges_ds.map_batches(_canon, batch_format="pyarrow")
     # distinct canonical edges (hash-partitioned exact dedup on the packed key)
     distinct = edges.groupby("key").count().select_columns(["key"]).materialize()
@@ -90,6 +71,34 @@ def triangle_count(
         )
         .materialize()
     )
+    return distinct, deg_ds
+
+
+def _oriented_edges(
+    edges_ds,
+    num_buckets: int,
+    broadcast_threshold: int | None,
+    force: str | None,
+):
+    """Shared head of the triangle dataflow: canonical distinct edges ->
+    degree table -> (degree, vid)-rank-oriented edges bucketed by apex.
+    Returns ``(oriented, deg_ds)``; both materialized Datasets.
+
+    The degree attach for orientation is thresholded: below
+    ``broadcast_threshold`` distinct vertices the degree table is broadcast
+    (``ray.put`` once, searchsorted per batch); above it the degrees are
+    joined onto both edge endpoints with the distributed ``pair_attach``
+    (two bucket shuffles, nothing on the driver) — at a 10^12-vertex crawl
+    the broadcast would be a driver OOM. ``force`` pins a path for testing
+    ('broadcast' | 'shuffle'); both produce identical orientations."""
+    import ray
+
+    from raylink.join import BROADCAST_THRESHOLD, pair_attach
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
+
+    distinct, deg_ds = _distinct_and_degrees(edges_ds)
     n_verts = deg_ds.count()
     use_broadcast = force == "broadcast" or (
         force is None and n_verts <= broadcast_threshold
@@ -137,6 +146,21 @@ def triangle_count(
             return orient_arrays(a, b, da, db)
 
         oriented = paired.map_batches(orient, batch_format="pyarrow").materialize()
+    return oriented, deg_ds
+
+
+def triangle_count(
+    edges_ds,
+    num_buckets: int = 32,
+    broadcast_threshold: int | None = None,
+    force: str | None = None,
+) -> int:
+    """Global triangle count of the undirected simple graph (see
+    ``_oriented_edges`` for the shared orientation head and its
+    broadcast-vs-shuffle degree attach)."""
+    oriented, _ = _oriented_edges(
+        edges_ds, num_buckets, broadcast_threshold, force
+    )
 
     def wedges(group: pa.Table) -> pa.Table:
         """All rank-ordered neighbour pairs, per apex, vectorized over the
@@ -209,3 +233,204 @@ def triangle_count(
 
     total = both.groupby("kb").map_groups(close, batch_format="pyarrow").sum("t")
     return int(total or 0)
+
+
+def local_clustering(
+    edges_ds,
+    verts_ds=None,
+    num_buckets: int = 32,
+    broadcast_threshold: int | None = None,
+    force: str | None = None,
+):
+    """Per-vertex triangle counts and local clustering coefficient ->
+    Dataset (vid, deg, tri, coeff r6); ``coeff = 2*tri / (deg*(deg-1))``,
+    0.0 below degree 2. ``deg`` is the undirected distinct-neighbour
+    degree. ``verts_ds`` (a Dataset with a ``vid`` column) adds
+    zero-degree rows for isolated vertices.
+
+    Same dataflow as ``triangle_count`` with the apex carried through the
+    wedge rows instead of pre-summed away: a closed wedge (apex; u, v)
+    credits all three vertices. The close stage reduces to per-vertex
+    partial counts INSIDE each key bucket, so the final exchange is one
+    vertex-sized groupby-sum; degree rows ride the same groupby (union +
+    sum — no join stage). Wedge volume matches triangle_count's bound
+    (~O(E^1.5) worst case via (degree, vid)-rank orientation); hub pairs
+    shared by many apexes are not merged pre-shuffle here, the price of
+    per-vertex attribution.
+    """
+    oriented, deg_ds = _oriented_edges(
+        edges_ds, num_buckets, broadcast_threshold, force
+    )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        ddst = group.column("ddst").to_numpy(zero_copy_only=False)
+        order_ = np.argsort(src, kind="stable")
+        src, dst, ddst = src[order_], dst[order_], ddst[order_]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        keys, apexes = [], []
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            nbr = dst[st:en]
+            d = ddst[st:en]
+            nbr = nbr[np.lexsort((nbr, d))]  # rank order
+            ii, jj = np.triu_indices(len(nbr), k=1)
+            keys.append((nbr[ii] << np.int64(32)) | nbr[jj])
+            apexes.append(np.full(len(ii), src[st], dtype=np.int64))
+        if not keys:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()),
+                 "apex": pa.array([], type=pa.int64()),
+                 "kb": pa.array([], type=pa.int32())}
+            )
+        key = np.concatenate(keys)
+        apex = np.concatenate(apexes)
+        kb = (splitmix64(key.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {"key": pa.array(key), "apex": pa.array(apex), "kb": pa.array(kb)}
+        )
+
+    cands = oriented.groupby("bucket").map_groups(wedges, batch_format="pyarrow")
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        key = (s << np.int64(32)) | d
+        kb = (splitmix64(key.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "apex": pa.array(np.full(len(key), -1, dtype=np.int64)),  # marker
+                "kb": pa.array(kb),
+            }
+        )
+
+    both = cands.union(oriented.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def close(group: pa.Table) -> pa.Table:
+        """Per key-bucket: each wedge whose closing edge exists credits its
+        three vertices; reduce to per-vertex partials before the exchange."""
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        apex = group.column("apex").to_numpy(zero_copy_only=False)
+        is_edge = apex < 0
+        edge_keys = np.unique(key[is_edge])
+        wk, wa = key[~is_edge], apex[~is_edge]
+        if len(edge_keys) and len(wk):
+            pos = np.searchsorted(edge_keys, wk)
+            hit = (pos < len(edge_keys)) & (
+                edge_keys[np.minimum(pos, len(edge_keys) - 1)] == wk
+            )
+        else:
+            hit = np.zeros(len(wk), dtype=bool)
+        hk = wk[hit]
+        members = np.concatenate([wa[hit], hk >> np.int64(32),
+                                  hk & np.int64(0xFFFFFFFF)])
+        v, c = np.unique(members, return_counts=True)
+        return pa.table(
+            {"vid": pa.array(v.astype(np.int64)),
+             "deg": pa.array(np.zeros(len(v), dtype=np.int64)),
+             "tri": pa.array(c.astype(np.int64))}
+        )
+
+    tri_rows = both.groupby("kb").map_groups(close, batch_format="pyarrow")
+    deg_rows = deg_ds.map_batches(
+        lambda b: pa.table(
+            {"vid": b.column("vid"), "deg": b.column("deg"),
+             "tri": pa.array(np.zeros(b.num_rows, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    parts = [tri_rows, deg_rows]
+    if verts_ds is not None:
+        parts.append(
+            verts_ds.map_batches(
+                lambda b: pa.table(
+                    {"vid": b.column("vid").cast(pa.int64()),
+                     "deg": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                     "tri": pa.array(np.zeros(b.num_rows, dtype=np.int64))}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    summed = parts[0].union(*parts[1:]).groupby("vid").sum(["deg", "tri"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        from raylink.util import round_half_away
+
+        deg = batch.column("sum(deg)").to_numpy(zero_copy_only=False)
+        tri = batch.column("sum(tri)").to_numpy(zero_copy_only=False)
+        coeff = np.zeros(len(deg), dtype=np.float64)
+        m = deg >= 2
+        coeff[m] = round_half_away(2.0 * tri[m] / (deg[m] * (deg[m] - 1)), 6)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "deg": pa.array(deg.astype(np.int64)),
+                "tri": pa.array(tri.astype(np.int64)),
+                "coeff": pa.array(coeff),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow")
+
+
+def degree_assortativity(edges_ds, num_buckets: int = 32) -> pa.Table:
+    """Pearson degree-degree correlation over the undirected simple graph
+    -> one-row Table (assortativity r6, n_edges). Both edge orientations
+    enter the sum (the standard undirected convention), so Sx = Sy and
+    Sxx = Syy and
+
+        r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2),   n = 2 * |edges|
+
+    with every S an exact int64 partial (degree products fit int64 up to
+    deg ~ 3e9 per-edge and ~1e18 total — beyond any real crawl's sum at
+    per-block granularity; the final reduction is Python arbitrary
+    precision). Degenerate (constant-degree) graphs report 0.0.
+
+    Shape: distinct edges + degree table (shared ``_distinct_and_degrees``
+    head), degrees joined onto both endpoints by the distributed
+    ``pair_attach`` (no broadcast — works at any vertex count), one
+    4-scalar per-batch partial, one driver-side division."""
+    from raylink.join import pair_attach
+    from raylink.util import round_half_away
+
+    distinct, deg_ds = _distinct_and_degrees(edges_ds)
+    paired = pair_attach(
+        distinct, deg_ds, {"deg": pa.int64()}, id_col="vid",
+        num_buckets=num_buckets,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([2 * len(da)], type=pa.int64()),
+                "sx": pa.array([int((da + db).sum())], type=pa.int64()),
+                "sxy": pa.array([2 * int((da * db).sum())], type=pa.int64()),
+                "sxx": pa.array([int((da * da + db * db).sum())], type=pa.int64()),
+            }
+        )
+
+    sums = paired.map_batches(partial, batch_format="pyarrow").sum(
+        ["n", "sx", "sxy", "sxx"]
+    )
+    n, sx = int(sums["sum(n)"] or 0), int(sums["sum(sx)"] or 0)
+    sxy, sxx = int(sums["sum(sxy)"] or 0), int(sums["sum(sxx)"] or 0)
+    den = n * sxx - sx * sx
+    r = 0.0 if den == 0 else float(
+        round_half_away(np.float64(n * sxy - sx * sx) / np.float64(den), 6)
+    )
+    return pa.table(
+        {
+            "assortativity": pa.array([r], type=pa.float64()),
+            "n_edges": pa.array([n // 2], type=pa.int64()),
+        }
+    )

@@ -621,3 +621,70 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         paired.map_batches(verify, batch_format="pyarrow"),
         {"doc_a": pa.int64(), "doc_b": pa.int64(), "hamming": pa.int64()},
     )
+
+
+# --------------------------------------------------------------- contamination
+def decontaminate(docs_ds, bench_ds, n: int = 8):
+    """Benchmark-contamination flagging: mark every document whose text
+    contains any word ``n``-gram of any benchmark document -> Dataset
+    (doc_id, n_grams, n_hits, contaminated) — the standard train-set
+    decontamination pass (an n-gram of an eval set appearing verbatim in a
+    training doc leaks the benchmark).
+
+    Grams use the same rule as ``ngram_pairs``: words = ``[a-z0-9]+`` runs
+    of lower(text), gram = n consecutive words space-joined, compared by
+    FNV-1a hash (the documented ~2^-64 false-positive trade of every
+    hashed-gram op here; a collision can only over-flag, never miss).
+    ``n_hits`` counts gram OCCURRENCES in the doc (all windows), so a
+    tolerance threshold can be applied downstream.
+
+    Shape: the benchmark gram set is distinct-reduced DISTRIBUTED
+    (per-batch unique -> one vocabulary groupby), and only the final
+    distinct hash list lands on the driver for the ``ray.put`` broadcast —
+    bounded by the benchmark VOCABULARY, small by definition (an eval
+    suite, not a corpus). The corpus-side scan is one map_batches with a
+    sorted-array membership test; the 100-TB side never shuffles at all.
+    """
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        gh, _ = _gram_hashes(batch.column("text").to_pylist(), n)
+        return pa.table({"gh": pa.array(np.unique(gh).view(np.int64))})
+
+    distinct = (
+        bench_ds.map_batches(bench_grams, batch_format="pyarrow")
+        .groupby("gh")
+        .count()
+    )
+    ghs = np.array(
+        [r["gh"] for r in distinct.select_columns(["gh"]).take_all()],
+        dtype=np.int64,
+    )
+    bench_sorted = np.sort(ghs.view(np.uint64))
+    ref = ray.put(bench_sorted)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        texts = batch.column("text").to_pylist()
+        gh, counts = _gram_hashes(texts, n)
+        if len(bench) and len(gh):
+            pos = np.searchsorted(bench, gh)
+            hit = (pos < len(bench)) & (
+                bench[np.minimum(pos, len(bench) - 1)] == gh
+            )
+        else:
+            hit = np.zeros(len(gh), dtype=bool)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        n_hits = np.bincount(
+            doc_idx[hit], minlength=len(texts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pa.array(counts),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow")

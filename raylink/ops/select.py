@@ -402,6 +402,38 @@ def ordered_prefix_sum(ds, key_col: str, value_col: str, out_col: str = "prefix"
     )
 
 
+def latest_by_key(ds, key_col: str, order_col: str, id_col: str):
+    """Keep the single newest row per ``key_col`` value: max ``order_col``,
+    ties broken by ``id_col`` ASC (fully deterministic) — the crawl-dedup
+    shape ("keep the latest capture per url") over any table. Returns the
+    input columns unchanged, one row per distinct key.
+
+    Shape: ``group_topk(k=1)`` on an int64 view of the order column — the
+    per-batch pre-reduce means at most one row per key per batch reaches
+    the single coarse-bucket shuffle; a key's winner is the winner of its
+    per-batch winners. Timestamps order by their epoch integer (timezone
+    is a display attribute; the stored instant is what compares)."""
+    drop = ["_ord", "rk"]
+
+    def ordv(batch: pa.Table) -> pa.Table:
+        col = batch.column(order_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("_ord", pa.array(v))
+
+    top = group_topk(
+        ds.map_batches(ordv, batch_format="pyarrow"),
+        key_col=key_col, score_col="_ord", k=1, id_col=id_col,
+    )
+    return top.map_batches(
+        lambda b: b.drop_columns(drop), batch_format="pyarrow"
+    )
+
+
 def pack_windows(ds, key_col: str, tokens_col: str, budget: int,
                  num_buckets: int = 256):
     """Token-bucket sharding for training-sequence packing: assign each

@@ -207,6 +207,56 @@ def token_topk(docs_ds, k: int = 100):
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
 
 
+def bigram_topk(docs_ds, k: int = 100):
+    """Global top-k most frequent ADJACENT lowercase word pairs -> Dataset
+    (bigram "w1 w2", cnt), ordered (cnt desc, bigram asc) — the n-gram LM /
+    collocation-mining primitive next to ``token_topk``.
+
+    Shape identical to ``token_topk``: per-batch partial counts keyed on
+    packed dictionary-code pairs (one row per distinct pair per batch, the
+    pair STRING built once per distinct pair, never per occurrence) -> one
+    vocabulary-sized groupby sum -> distributed sort + limit. Adjacency
+    falls out of ``_word_codes``' flattened order (document order), pairs
+    never straddle documents."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        doc_idx, codes, dic = _word_codes(text)
+        if len(doc_idx) < 2:
+            return pa.table(
+                {"bigram": pa.array([], type=pa.string()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        adj = doc_idx[1:] == doc_idx[:-1]
+        V = np.int64(len(dic))
+        pid = codes[:-1][adj] * V + codes[1:][adj]
+        upid, c = np.unique(pid, return_counts=True)
+        left = dic.take(pa.array(upid // V))
+        right = dic.take(pa.array(upid % V))
+        return pa.table(
+            {
+                "bigram": pc.binary_join_element_wise(
+                    pc.cast(left, pa.string()), pc.cast(right, pa.string()), " "
+                ),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("c")
+        .map_batches(
+            lambda b: pa.table(
+                {"bigram": b.column("bigram"), "cnt": b.column("sum(c)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return agg.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
+
+
 def rolling_hash(texts) -> np.ndarray:
     """Vectorized Horner rolling hash h = (h*257 + byte) mod 2^61-1.
 

@@ -264,6 +264,61 @@ FROM fwd e1 JOIN fwd e2 ON e2.a = e1.b JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.
     )
 
 
+def clustering_coeff_sql() -> str:
+    """Mirrors algos.triangles.local_clustering: per-vertex triangle count
+    (each a<b<c triangle credits all three) and 2*tri/(deg*(deg-1))."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """fwd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM fwd e1 JOIN fwd e2 ON e2.a = e1.b
+  JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.b),
+pv AS (SELECT v, count(*) AS tri FROM (
+  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+) GROUP BY v),
+ud AS (SELECT v, count(*) AS deg FROM (
+  SELECT a AS v FROM fwd UNION ALL SELECT b AS v FROM fwd
+) GROUP BY v)""",
+        )
+        + """
+SELECT verts.vid::BIGINT AS vid,
+       COALESCE(ud.deg, 0)::BIGINT AS deg,
+       COALESCE(pv.tri, 0)::BIGINT AS tri,
+       CASE WHEN COALESCE(ud.deg, 0) >= 2
+            THEN ROUND(2.0 * COALESCE(pv.tri, 0) / (ud.deg * (ud.deg - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM verts LEFT JOIN ud ON ud.v = verts.vid LEFT JOIN pv ON pv.v = verts.vid"""
+    )
+
+
+def assortativity_sql() -> str:
+    """Mirrors algos.triangles.degree_assortativity: with both edge
+    orientations in the sample, Sx=Sy and Sxx=Syy, so
+    r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2); integer sums, one double div."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """fwd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst),
+ud AS (SELECT v, count(*) AS deg FROM (
+  SELECT a AS v FROM fwd UNION ALL SELECT b AS v FROM fwd
+) GROUP BY v),
+s AS (SELECT 2*count(*) AS n, SUM(du.deg + dv.deg) AS sx,
+             2*SUM(du.deg * dv.deg) AS sxy,
+             SUM(du.deg*du.deg + dv.deg*dv.deg) AS sxx
+      FROM fwd JOIN ud du ON du.v = fwd.a JOIN ud dv ON dv.v = fwd.b)""",
+        )
+        + """
+SELECT CASE WHEN n*sxx - sx*sx = 0 THEN 0.0
+            ELSE ROUND((n*sxy - sx*sx)::DOUBLE / ((n*sxx - sx*sx)::DOUBLE), 6)
+       END AS assortativity,
+       (n / 2)::BIGINT AS n_edges
+FROM s"""
+    )
+
+
 def degrees_sql() -> str:
     return (
         _with(GRAPH_CTES)
@@ -1259,3 +1314,46 @@ SELECT doc_id, n_tokens,
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         // {budget})::BIGINT AS shard
 FROM t"""
+
+
+def bigram_topk_sql(k: int = 100) -> str:
+    """Mirrors ops.textstats.bigram_topk: adjacent [a-z]+ word pairs of
+    lower(text), pairs never straddle documents, count ALL occurrences."""
+    return f"""
+SELECT ws[i] || ' ' || ws[i+1] AS bigram, count(*)::BIGINT AS cnt
+FROM (SELECT regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+      FROM documents),
+     unnest(generate_series(1, len(ws) - 1)) AS t(i)
+WHERE len(ws) >= 2
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT {k}"""
+
+
+def events_latest_sql() -> str:
+    """Mirrors ops.select.latest_by_key(user_id, ts, event_id): the single
+    newest event per user, ties by event_id ASC."""
+    return """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1"""
+
+
+def decontaminate_sql(n: int = 8, bench_mod: int = 101, bench_rem: int = 7) -> str:
+    """Mirrors ops.dedup.decontaminate over the doc_id % mod == rem
+    pseudo-benchmark: words = [a-z0-9]+ of lower(text), gram = n
+    consecutive words space-joined; n_hits counts all window occurrences."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n)).replace("ws[i+0]", "ws[i]")
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (
+  SELECT doc_id, {gram} AS gram
+  FROM w, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
+  WHERE len(ws) >= {n}
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {bench_mod} = {bench_rem}),
+hits AS (SELECT g.doc_id, count(*) AS h FROM g JOIN bench USING (gram) GROUP BY 1)
+SELECT w.doc_id,
+       greatest(len(w.ws) - {n - 1}, 0)::BIGINT AS n_grams,
+       COALESCE(hits.h, 0)::BIGINT AS n_hits,
+       COALESCE(hits.h, 0) > 0 AS contaminated
+FROM w LEFT JOIN hits ON hits.doc_id = w.doc_id"""

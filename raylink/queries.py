@@ -198,6 +198,24 @@ def q_triangles(sf_dir: str):
     return pa.table({"triangles": pa.array([t], type=pa.int64())})
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-vertex triangle counts + local clustering coefficient over the
+    page graph (isolated vertices included with deg=tri=0, coeff=0)."""
+    from raylink.algos.triangles import local_clustering
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    return local_clustering(edges, verts_ds=verts)
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity (Pearson degree-degree correlation, both
+    orientations) of the undirected page graph."""
+    from raylink.algos.triangles import degree_assortativity
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return degree_assortativity(edges)
+
+
 def q_degrees(sf_dir: str):
     _, edges, verts, _ = page_edge_tables(sf_dir)
     return degree_table(distinct_edges(edges), verts)
@@ -842,6 +860,29 @@ def q_token_topk(sf_dir: str):
     return token_topk(_docs(sf_dir), k=100)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark-contamination flags: the 'benchmark' is the deterministic
+    pseudo-eval-set doc_id % 101 == 7; a doc is contaminated iff it shares
+    any verbatim 8-word-gram with a benchmark doc."""
+    from raylink.ops.dedup import decontaminate
+
+    docs = _docs(sf_dir)
+
+    def bench_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 101 == 7))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return decontaminate(docs, bench, n=8)
+
+
+def q_bigram_topk(sf_dir: str):
+    """Top-100 adjacent word pairs (cnt desc, bigram asc tie-break)."""
+    from raylink.ops.textstats import bigram_topk
+
+    return bigram_topk(_docs(sf_dir), k=100)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup resolution: connected components over the n-gram Jaccard
     pair graph -> one cluster id (min doc_id) per document. Composes the
@@ -1000,6 +1041,18 @@ def q_events_sessionize(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
     )
     return sessionize(ev, gap_sec=1800)
+
+
+def q_events_latest(sf_dir: str):
+    """Newest event per user (ties by event_id asc) — the crawl-dedup
+    keep-latest-capture shape exercised on the events table."""
+    import ray.data as rd
+
+    from raylink.ops.select import latest_by_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return latest_by_key(ev, key_col="user_id", order_col="ts",
+                         id_col="event_id")
 
 
 def q_events_asof(sf_dir: str):

@@ -503,3 +503,89 @@ def test_hits(edge_data, engine, tmp_path):
     np.testing.assert_allclose(pdf["auth"].to_numpy(), ea, rtol=0, atol=1e-12)
     np.testing.assert_allclose(pdf["hub"].to_numpy(), eh, rtol=0, atol=1e-12)
     assert abs(pdf["auth"].sum() - 1.0) < 1e-9 and abs(pdf["hub"].sum() - 1.0) < 1e-9
+
+
+def test_local_clustering(edge_data):
+    from raylink.algos.triangles import local_clustering
+
+    edges, edges_ds, verts_ds = edge_data
+    got = (
+        local_clustering(edges_ds, verts_ds=verts_ds)
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    assert (got["vid"].to_numpy() == np.arange(N)).all()
+
+    nbrs = [set() for _ in range(N)]
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    exp_deg = np.array([len(x) for x in nbrs], dtype=np.int64)
+    exp_tri = np.zeros(N, dtype=np.int64)
+    for v in range(N):
+        for u in nbrs[v]:
+            for w in nbrs[v]:
+                if u < w and w in nbrs[u]:
+                    exp_tri[v] += 1
+    np.testing.assert_array_equal(got["deg"].to_numpy(), exp_deg)
+    np.testing.assert_array_equal(got["tri"].to_numpy(), exp_tri)
+    m = exp_deg >= 2
+    exp_coeff = np.zeros(N)
+    exp_coeff[m] = 2.0 * exp_tri[m] / (exp_deg[m] * (exp_deg[m] - 1))
+    np.testing.assert_allclose(
+        got["coeff"].to_numpy(), np.round(exp_coeff, 6), atol=1e-9
+    )
+    assert exp_tri.sum() > 0, "fixture should contain triangles"
+
+
+def test_local_clustering_forced_shuffle(edge_data):
+    """The pair_attach degree path must agree with the broadcast path."""
+    from raylink.algos.triangles import local_clustering
+
+    _, edges_ds, _ = edge_data
+    a = local_clustering(edges_ds).to_pandas().sort_values("vid").reset_index(drop=True)
+    b = (
+        local_clustering(edges_ds, force="shuffle")
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_assortativity(edge_data):
+    from raylink.algos.triangles import degree_assortativity
+
+    edges, edges_ds, _ = edge_data
+    got = degree_assortativity(edges_ds).to_pandas()
+
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    deg = np.zeros(N, dtype=np.int64)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    xs = np.array([deg[a] for a, b in und] + [deg[b] for a, b in und], dtype=np.float64)
+    ys = np.array([deg[b] for a, b in und] + [deg[a] for a, b in und], dtype=np.float64)
+    exp = np.corrcoef(xs, ys)[0, 1]
+    assert got["n_edges"].iloc[0] == len(und)
+    np.testing.assert_allclose(got["assortativity"].iloc[0], exp, atol=1e-6)
+
+
+def test_assortativity_degenerate(ray_session):
+    """Constant-degree graph (a cycle): zero variance -> r defined as 0."""
+    import ray.data as rd
+
+    from raylink.algos.triangles import degree_assortativity
+
+    n = 10
+    src = np.arange(n, dtype=np.int64)
+    dst = (src + 1) % n
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    got = degree_assortativity(ds).to_pandas()
+    assert got["assortativity"].iloc[0] == 0.0
+    assert got["n_edges"].iloc[0] == n

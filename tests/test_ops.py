@@ -1034,3 +1034,121 @@ def test_repetition_stats():
         assert got.dup_char_frac[i] == r8(dc / tc if tc else 0.0)
         assert got.top_bigram_frac[i] == r8(
             max(bg.values()) / (nw - 1) if bg else 0.0)
+
+
+def test_latest_by_key(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.select import latest_by_key
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "ts": pa.array([10, 30, 30, 5, 7, 7], type=pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 2], type=pa.int64()),
+            "val": pa.array(["a", "b", "c", "d", "e", "f"]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    got = (
+        latest_by_key(ds, "user_id", "ts", "event_id")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    # user 1: ts 30 tie -> event_id 2 wins; user 2: ts 7 tie -> event_id 5
+    assert got["event_id"].tolist() == [2, 5]
+    assert got["val"].tolist() == ["b", "e"]
+    assert sorted(got.columns) == ["event_id", "ts", "user_id", "val"]
+
+
+def test_latest_by_key_timestamp(ray_session):
+    """Timestamp order column orders by instant."""
+    import ray.data as rd
+
+    from raylink.ops.select import latest_by_key
+
+    ts = pa.array([1_000_000, 2_000_000, 1_500_000], type=pa.timestamp("us"))
+    t = pa.table(
+        {"event_id": pa.array([1, 2, 3], type=pa.int64()),
+         "ts": ts,
+         "user_id": pa.array([7, 7, 7], type=pa.int64())}
+    )
+    got = latest_by_key(rd.from_arrow(t), "user_id", "ts", "event_id").to_pandas()
+    assert got["event_id"].tolist() == [2]
+
+
+def test_bigram_topk(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.textstats import bigram_topk
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat sat. the cat ran",   # "the cat" x2, "cat sat", "sat the", "cat ran"
+                    "the cat sat",                 # "the cat", "cat sat"
+                    "zz",                          # no bigram
+                ]
+            ),
+        }
+    )
+    got = bigram_topk(rd.from_arrow(docs).repartition(2), k=3).to_pandas()
+    assert got["bigram"].tolist() == ["the cat", "cat sat", "cat ran"]
+    assert got["cnt"].tolist() == [3, 2, 1]
+
+
+def test_decontaminate(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.dedup import decontaminate
+
+    w = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 words
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    w,                               # the benchmark doc itself
+                    f"intro {w} outro words here",   # contains the bench gram once
+                    f"{w} and {w}",                  # contains it twice (+ bridging grams)
+                    "completely clean text with many different words and no overlap",
+                ]
+            ),
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(2)
+    bench = rd.from_arrow(docs.slice(0, 1))
+    got = (
+        decontaminate(ds, bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["contaminated"].tolist() == [True, True, True, False]
+    assert got["n_hits"].tolist()[0] == 1
+    assert got["n_hits"].tolist()[1] == 1
+    assert got["n_hits"].tolist()[2] == 2
+    # n_grams = max(words - 7, 0): 8, 12, 17, 10 words
+    assert got["n_grams"].tolist() == [1, 5, 10, 3]
+
+
+def test_decontaminate_empty_bench(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.dedup import decontaminate
+
+    docs = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()),
+         "text": pa.array(["some words that are definitely long enough here"])}
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], type=pa.int64()),
+         "text": pa.array([], type=pa.string())}
+    )
+    got = decontaminate(
+        rd.from_arrow(docs), rd.from_arrow(empty), n=8
+    ).to_pandas()
+    assert got["contaminated"].tolist() == [False]
