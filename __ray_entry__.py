@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degrees": q.q_degrees,
         "clustering_coeff": q.q_clustering_coeff,
         "assortativity": q.q_assortativity,
+        "edge_support": q.q_edge_support,
+        "random_walks": q.q_random_walks,
         "subgraphs": q.q_subgraphs,
         "meta_graph": q.q_meta_graph,
         "sssp": q.q_sssp,
@@ -114,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.q_events_asof,
         "events_latest": q.q_events_latest,
         "bigram_topk": q.q_bigram_topk,
+        "postings": q.q_postings,
         "doc_sample": q.q_doc_sample,
         "source_topk": q.q_source_topk,
         "source_sample": q.q_source_sample,
@@ -150,6 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "degrees": o.degrees_sql(),
         "clustering_coeff": o.clustering_coeff_sql(),
         "assortativity": o.assortativity_sql(),
+        "edge_support": o.edge_support_sql(),
+        "random_walks": o.random_walks_sql(walk_len=6, seed=0),
         "subgraphs": o.subgraphs_sql(),
         "meta_graph": o.meta_graph_sql(),
         "sssp": o.sssp_sql(source=0),
@@ -178,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": o.events_asof_sql(),
         "events_latest": o.events_latest_sql(),
         "bigram_topk": o.bigram_topk_sql(k=100),
+        "postings": o.postings_sql(min_df=2, max_df=400),
         "doc_sample": o.stratified_sample_sql(0.2, 7, {"en": 0.5}),
         "source_topk": o.source_topk_sql(3),
         "source_sample": o.sample_k_per_group_sql(5, 11),

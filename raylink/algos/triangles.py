@@ -434,3 +434,128 @@ def degree_assortativity(edges_ds, num_buckets: int = 32) -> pa.Table:
             "n_edges": pa.array([n // 2], type=pa.int64()),
         }
     )
+
+
+def edge_support(
+    edges_ds,
+    num_buckets: int = 32,
+    broadcast_threshold: int | None = None,
+    force: str | None = None,
+):
+    """Per-edge triangle support (the k-truss primitive) -> Dataset
+    (src, dst, support) over the canonical undirected distinct edges
+    (src < dst), support = number of triangles containing the edge
+    (0-support edges included).
+
+    Same wedge dataflow as ``local_clustering``; a closed wedge
+    (apex; u, v) credits all THREE of its edges — the closing edge (u, v)
+    and the two wings (apex, u), (apex, v) — re-canonicalized to vid order
+    before the per-bucket partial reduce, so the final exchange is one
+    edge-sized groupby-sum that the 0-support edge rows ride along."""
+    oriented, _ = _oriented_edges(
+        edges_ds, num_buckets, broadcast_threshold, force
+    )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        ddst = group.column("ddst").to_numpy(zero_copy_only=False)
+        order_ = np.argsort(src, kind="stable")
+        src, dst, ddst = src[order_], dst[order_], ddst[order_]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        keys, apexes = [], []
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            nbr = dst[st:en]
+            d = ddst[st:en]
+            nbr = nbr[np.lexsort((nbr, d))]
+            ii, jj = np.triu_indices(len(nbr), k=1)
+            keys.append((nbr[ii] << np.int64(32)) | nbr[jj])
+            apexes.append(np.full(len(ii), src[st], dtype=np.int64))
+        if not keys:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()),
+                 "apex": pa.array([], type=pa.int64()),
+                 "kb": pa.array([], type=pa.int32())}
+            )
+        key = np.concatenate(keys)
+        apex = np.concatenate(apexes)
+        kb = (splitmix64(key.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {"key": pa.array(key), "apex": pa.array(apex), "kb": pa.array(kb)}
+        )
+
+    cands = oriented.groupby("bucket").map_groups(wedges, batch_format="pyarrow")
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        key = (s << np.int64(32)) | d
+        kb = (splitmix64(key.astype(np.uint64)) % np.uint64(num_buckets)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "apex": pa.array(np.full(len(key), -1, dtype=np.int64)),
+                "kb": pa.array(kb),
+            }
+        )
+
+    both = cands.union(oriented.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def close(group: pa.Table) -> pa.Table:
+        """Per key-bucket: closed wedges credit their three edges; edges
+        present in this bucket also emit 0-support base rows (every
+        canonical edge lands in exactly one key bucket, so the union below
+        is complete and duplicate-free)."""
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        apex = group.column("apex").to_numpy(zero_copy_only=False)
+        is_edge = apex < 0
+        edge_keys = np.unique(key[is_edge])
+        wk, wa = key[~is_edge], apex[~is_edge]
+        if len(edge_keys) and len(wk):
+            pos = np.searchsorted(edge_keys, wk)
+            hit = (pos < len(edge_keys)) & (
+                edge_keys[np.minimum(pos, len(edge_keys) - 1)] == wk
+            )
+        else:
+            hit = np.zeros(len(wk), dtype=bool)
+        hk, ha = wk[hit], wa[hit]
+        # wedge/edge keys are packed in (degree, vid)-RANK order; the
+        # output edge identity is vid-canonical — re-order every credit
+        u, v = hk >> np.int64(32), hk & np.int64(0xFFFFFFFF)
+        ea = np.concatenate([np.minimum(u, v), np.minimum(ha, u),
+                             np.minimum(ha, v)])
+        eb = np.concatenate([np.maximum(u, v), np.maximum(ha, u),
+                             np.maximum(ha, v)])
+        ek, ec = np.unique((ea << np.int64(32)) | eb, return_counts=True)
+        # base rows keep 0-support edges in the output
+        bu, bv = edge_keys >> np.int64(32), edge_keys & np.int64(0xFFFFFFFF)
+        bk = (np.minimum(bu, bv) << np.int64(32)) | np.maximum(bu, bv)
+        allk = np.concatenate([ek, bk])
+        allc = np.concatenate([ec.astype(np.int64),
+                               np.zeros(len(bk), dtype=np.int64)])
+        return pa.table({"ekey": pa.array(allk), "sup": pa.array(allc)})
+
+    summed = both.groupby("kb").map_groups(close, batch_format="pyarrow") \
+        .groupby("ekey").sum("sup")
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("ekey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(k >> np.int64(32)),
+                "dst": pa.array(k & np.int64(0xFFFFFFFF)),
+                "support": pa.array(
+                    batch.column("sum(sup)").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    return summed.map_batches(unpack, batch_format="pyarrow")

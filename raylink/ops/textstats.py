@@ -257,6 +257,77 @@ def bigram_topk(docs_ds, k: int = 100):
     return agg.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
 
 
+def postings(docs_ds, min_df: int = 1, max_df: int | None = None,
+             num_buckets: int = 64):
+    """Inverted-index build: token -> sorted posting list -> Dataset
+    (token, df, postings) with ``postings`` the comma-joined ascending
+    doc_id list (a string column hashes/compares stably across engines;
+    a consumer splits it or writes it to a list<int64> parquet column).
+
+    ``min_df``/``max_df`` bound the index: ``max_df`` drops stopword-class
+    tokens whose posting lists would be corpus-sized (the same DF cut as
+    ``ops.dedup.ngram_pairs``) — at crawl scale an uncut 'the' row would
+    be one multi-GB value.
+
+    Shape: per-batch distinct (token, doc_id) rows (each document lives in
+    exactly one batch row, so batch-distinct IS globally distinct) ->
+    ONE hash-bucket groupby on the token -> per-bucket fully-Arrow list
+    assembly (lexsort + ``pc.binary_join`` over a ListArray; no per-token
+    python string building)."""
+    import pyarrow.compute as pc
+
+    from raylink.util import splitmix64, text_hash64
+
+    B = np.uint64(num_buckets)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx, codes, dic = _word_codes(text)
+        ukey = np.unique((doc_idx << np.int64(32)) | codes)
+        udoc = (ukey >> np.int64(32)).astype(np.int64)
+        ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+        terms = pc.cast(dic, pa.string()).take(pa.array(ucode))
+        b = (splitmix64(text_hash64(dic.to_pylist())[ucode]) % B).astype(
+            np.int32
+        )
+        return pa.table(
+            {"b": pa.array(b), "token": terms,
+             "doc_id": pa.array(doc_ids[udoc])}
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        enc = group.column("token").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, codes))
+        cs, ds_ = codes[order], docs[order]
+        seg = np.r_[True, cs[1:] != cs[:-1]]
+        starts = np.flatnonzero(seg)
+        offsets = np.r_[starts, len(cs)].astype(np.int32)
+        df = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        keep = df >= min_df
+        if max_df is not None:
+            keep &= df <= max_df
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets), pc.cast(pa.array(ds_), pa.string())
+        )
+        out = pa.table(
+            {
+                "token": enc.dictionary.take(pa.array(cs[starts])),
+                "df": pa.array(df),
+                "postings": pc.binary_join(lists, ","),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return (
+        docs_ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
 def rolling_hash(texts) -> np.ndarray:
     """Vectorized Horner rolling hash h = (h*257 + byte) mod 2^61-1.
 

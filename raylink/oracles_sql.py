@@ -293,6 +293,30 @@ FROM verts LEFT JOIN ud ON ud.v = verts.vid LEFT JOIN pv ON pv.v = verts.vid"""
     )
 
 
+def edge_support_sql() -> str:
+    """Mirrors algos.triangles.edge_support: each x<y<z triangle credits
+    its three (already vid-canonical) edges; 0-support edges kept."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """fwd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM fwd e1 JOIN fwd e2 ON e2.a = e1.b
+  JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.b),
+es AS (SELECT a, b, count(*) AS c FROM (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+) GROUP BY a, b)""",
+        )
+        + """
+SELECT fwd.a::BIGINT AS src, fwd.b::BIGINT AS dst,
+       COALESCE(es.c, 0)::BIGINT AS support
+FROM fwd LEFT JOIN es ON es.a = fwd.a AND es.b = fwd.b"""
+    )
+
+
 def assortativity_sql() -> str:
     """Mirrors algos.triangles.degree_assortativity: with both edge
     orientations in the sample, Sx=Sy and Sxx=Syy, so
@@ -1357,3 +1381,47 @@ SELECT w.doc_id,
        COALESCE(hits.h, 0)::BIGINT AS n_hits,
        COALESCE(hits.h, 0) > 0 AS contaminated
 FROM w LEFT JOIN hits ON hits.doc_id = w.doc_id"""
+
+
+def postings_sql(min_df: int = 2, max_df: int = 400) -> str:
+    """Mirrors ops.textstats.postings: sorted ascending doc_id posting
+    lists, comma-joined; df bounds inclusive."""
+    return f"""
+SELECT token, count(DISTINCT doc_id)::BIGINT AS df,
+       array_to_string(list_sort(array_agg(DISTINCT doc_id)), ',') AS postings
+FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS token
+      FROM documents)
+GROUP BY token
+HAVING count(DISTINCT doc_id) BETWEEN {min_df} AND {max_df}"""
+
+
+def random_walks_sql(walk_len: int = 6, seed: int = 0) -> str:
+    """Mirrors algos.walks.random_walks bit-for-bit: one walker per
+    distinct source vertex; step s moves to the out-neighbour minimizing
+    (splitmix64(walker ^ (s+1)*K1 ^ dst*K2 ^ seed), dst); sink vertices
+    end the walk. Steps unrolled like the PageRank oracle."""
+    K1, K2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9
+    ctes = [GRAPH_CTES,
+            "w0 AS (SELECT DISTINCT src AS walker, src AS vid FROM edges)"]
+    for s in range(walk_len):
+        c1 = ((s + 1) * K1) % (1 << 64)  # constant folded in python
+        mix = (
+            f"xor(xor(xor(CAST(w.walker AS UBIGINT), "
+            f"CAST({c1} AS UBIGINT)), "
+            + _mul64("CAST(e.dst AS UBIGINT)", f"CAST({K2} AS UBIGINT)")
+            + f"), CAST({seed} AS UBIGINT))"
+        )
+        # mix as a named column so _sm64's ~8x operand expansion stays small
+        ctes.append(
+            f"""w{s + 1} AS (SELECT walker, vid FROM (
+  SELECT walker, vid,
+         row_number() OVER (PARTITION BY walker
+                            ORDER BY {_sm64('mx')}, vid) AS rn
+  FROM (SELECT w.walker, e.dst AS vid, {mix} AS mx
+        FROM w{s} w JOIN edges e ON e.src = w.vid)) WHERE rn = 1)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walker::BIGINT AS walker, {s}::BIGINT AS step, vid::BIGINT AS vid FROM w{s}"
+        for s in range(walk_len + 1)
+    )
+    return _with(*ctes) + "\n" + union

@@ -207,6 +207,23 @@ def q_clustering_coeff(sf_dir: str):
     return local_clustering(edges, verts_ds=verts)
 
 
+def q_random_walks(sf_dir: str):
+    """Deterministic hash-driven 6-step walks from every source vertex of
+    the directed page graph."""
+    from raylink.algos.walks import random_walks
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return random_walks(edges, walk_len=6, seed=0)
+
+
+def q_edge_support(sf_dir: str):
+    """Per-edge triangle support (k-truss primitive) over the page graph."""
+    from raylink.algos.triangles import edge_support
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return edge_support(edges)
+
+
 def q_assortativity(sf_dir: str):
     """Degree assortativity (Pearson degree-degree correlation, both
     orientations) of the undirected page graph."""
@@ -874,6 +891,14 @@ def q_decontaminate(sf_dir: str):
 
     bench = docs.map_batches(bench_filter, batch_format="pyarrow")
     return decontaminate(docs, bench, n=8)
+
+
+def q_postings(sf_dir: str):
+    """Inverted index over the documents table, df in [2, 400] (the max_df
+    cut drops the corpus-wide stopword rows)."""
+    from raylink.ops.textstats import postings
+
+    return postings(_docs(sf_dir), min_df=2, max_df=400)
 
 
 def q_bigram_topk(sf_dir: str):

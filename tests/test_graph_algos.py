@@ -589,3 +589,35 @@ def test_assortativity_degenerate(ray_session):
     got = degree_assortativity(ds).to_pandas()
     assert got["assortativity"].iloc[0] == 0.0
     assert got["n_edges"].iloc[0] == n
+
+
+def test_edge_support(edge_data):
+    from raylink.algos.triangles import edge_support
+
+    edges, edges_ds, _ = edge_data
+    got = (
+        edge_support(edges_ds)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+    nbrs = [set() for _ in range(N)]
+    und = set()
+    for s, d in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+            und.add((min(s, d), max(s, d)))
+    exp = {}
+    for a, b in sorted(und):
+        exp[(a, b)] = len(nbrs[a] & nbrs[b])
+    assert len(got) == len(und)
+    got_map = {
+        (int(r.src), int(r.dst)): int(r.support) for r in got.itertuples()
+    }
+    assert got_map == exp
+    # cross-check: per-edge support sums to 3x the triangle count
+    from oracles import triangle_oracle
+
+    assert sum(exp.values()) == 3 * triangle_oracle(N, edges)

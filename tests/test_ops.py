@@ -1152,3 +1152,85 @@ def test_decontaminate_empty_bench(ray_session):
         rd.from_arrow(docs), rd.from_arrow(empty), n=8
     ).to_pandas()
     assert got["contaminated"].tolist() == [False]
+
+
+def test_postings(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.textstats import postings
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([5, 2, 9], type=pa.int64()),
+            "text": pa.array(
+                ["the cat sat", "The dog and the cat", "a dog barks"]
+            ),
+        }
+    )
+    got = (
+        postings(rd.from_arrow(docs).repartition(2))
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    exp = {
+        "a": "9", "and": "2", "barks": "9", "cat": "2,5", "dog": "2,9",
+        "sat": "5", "the": "2,5",
+    }
+    assert dict(zip(got["token"], got["postings"])) == exp
+    assert dict(zip(got["token"], got["df"])) == {
+        k: len(v.split(",")) for k, v in exp.items()
+    }
+    # df bounds
+    cut = postings(rd.from_arrow(docs), min_df=2).to_pandas()
+    assert sorted(cut["token"]) == ["cat", "dog", "the"]
+
+
+def test_random_walks(ray_session):
+    import ray.data as rd
+
+    from raylink.algos.walks import random_walks
+    from raylink.util import splitmix64
+
+    # fixed digraph with a sink (3) and a branch at 0
+    src = np.array([0, 0, 1, 2, 4, 4], dtype=np.int64)
+    dst = np.array([1, 2, 3, 3, 0, 3], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    L, seed = 4, 0
+    got = (
+        random_walks(ds, walk_len=L, seed=seed)
+        .to_pandas()
+        .sort_values(["walker", "step"])
+        .reset_index(drop=True)
+    )
+
+    K1 = np.uint64(0x9E3779B97F4A7C15)
+    K2 = np.uint64(0xBF58476D1CE4E5B9)
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+
+    exp_rows = []
+    for w in sorted(set(src.tolist())):
+        v = w
+        exp_rows.append((w, 0, v))
+        for step in range(L):
+            if v not in adj:
+                break
+            cands = adj[v]
+            with np.errstate(over="ignore"):
+                hs = splitmix64(
+                    np.uint64(w)
+                    ^ (np.uint64(step + 1) * K1)
+                    ^ (np.array(cands, dtype=np.uint64) * K2)
+                    ^ np.uint64(seed)
+                )
+            v = min(zip(hs.tolist(), cands))[1]
+            exp_rows.append((w, step + 1, v))
+    assert (
+        sorted(map(tuple, got[["walker", "step", "vid"]].to_numpy().tolist()))
+        == sorted(exp_rows)
+    )
+    # walker 1 reaches sink 3 at step 1 and ends there
+    w1 = got[got.walker == 1]
+    assert w1["vid"].tolist() == [1, 3]
