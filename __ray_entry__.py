@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_edges": q.q_page_edges,
         "pagerank": q.q_pagerank,
         "pagerank_converged": q.q_pagerank_converged,
+        "weighted_pagerank": q.q_weighted_pagerank,
         "seeded_pagerank": q.q_seeded_pagerank,
         "connected_components": q.q_connected_components,
         "label_propagation": q.q_label_propagation,
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": q.q_clustering_coeff,
         "assortativity": q.q_assortativity,
         "edge_support": q.q_edge_support,
+        "ktruss": q.q_ktruss,
         "random_walks": q.q_random_walks,
         "subgraphs": q.q_subgraphs,
         "meta_graph": q.q_meta_graph,
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_urgent": o.customers_no_urgent_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "pagerank_converged": o.pagerank_sql(iters=27),
+        "weighted_pagerank": o.weighted_pagerank_sql(iters=20),
         "seeded_pagerank": o.seeded_pagerank_sql(iters=30),
         "cooccur_pagerank": o.cooccur_pagerank_sql(iters=10),
         "hits": o.hits_sql(iters=8),
@@ -154,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": o.clustering_coeff_sql(),
         "assortativity": o.assortativity_sql(),
         "edge_support": o.edge_support_sql(),
+        "ktruss": o.ktruss_sql(k=3, rounds=10),
         "random_walks": o.random_walks_sql(walk_len=6, seed=0),
         "subgraphs": o.subgraphs_sql(),
         "meta_graph": o.meta_graph_sql(),

@@ -62,29 +62,64 @@ class PageRank(Algorithm):
             rank = new_rank
             n_active = int(np.sum(np.abs(new_rank - state["rank"]) > eps))
         state = {"rank": rank}
-        # emit contributions rank/outdeg along out-edges, pre-summed per dst
+        out = self._emit(shard, ctx, rank)
+        return state, out, n_active, delta_max
+
+    def _emit(self, shard: dict, ctx: dict, rank: np.ndarray):
+        """Contributions rank/outdeg along out-edges, pre-summed per dst
+        (reduced in CSR edge order — deterministic)."""
+        indptr, indices = shard["indptr"], shard["indices"]
         deg = np.diff(indptr)
         has_out = deg > 0
-        if np.any(has_out):
-            contrib = np.repeat(
-                np.where(has_out, rank / np.maximum(deg, 1), 0.0), deg
-            )
-            # reduce per destination in CSR edge order (deterministic)
-            dsts, inv = np.unique(indices, return_inverse=True)
-            sums = np.zeros(len(dsts), dtype=np.float64)
-            np.add.at(sums, inv, contrib)
-            out = self.make_msgs(
-                route_parts(shard, ctx, dsts), dsts, val=sums
-            )
-        else:
-            out = None
-        return state, out, n_active, delta_max
+        if not np.any(has_out):
+            return None
+        contrib = np.repeat(
+            np.where(has_out, rank / np.maximum(deg, 1), 0.0), deg
+        )
+        dsts, inv = np.unique(indices, return_inverse=True)
+        sums = np.zeros(len(dsts), dtype=np.float64)
+        np.add.at(sums, inv, contrib)
+        return self.make_msgs(route_parts(shard, ctx, dsts), dsts, val=sums)
 
     def halted(self, agg: dict, s: int, ctx: dict) -> bool:
         iters = ctx.get("iters")
         if iters is not None:
             return s >= iters
         return s > 0 and agg["delta_max"] <= ctx.get("eps", 1e-6)
+
+
+class WeightedPageRank(PageRank):
+    """Edge-weighted PageRank: a vertex's rank is distributed over its
+    out-edges proportional to edge weight (rank * w/wsum instead of
+    rank/outdeg) — the web-graph variant where link prominence (e.g.
+    anchor position or link count) weights the transition matrix. Weights
+    come from the CSR-aligned ``shard['weights']`` persisted by
+    ``build_graph(weighted=True)``; zero-weight-sum vertices leak their
+    mass exactly like dangling vertices in the base rule."""
+
+    name = "weighted_pagerank"
+
+    def _emit(self, shard: dict, ctx: dict, rank: np.ndarray):
+        indptr, indices = shard["indptr"], shard["indices"]
+        w = shard.get("weights")
+        if w is None:
+            raise KeyError(
+                "shard has no edge weights — build the graph with "
+                "build_graph(weighted=True)"
+            )
+        deg = np.diff(indptr)
+        if not np.any(deg > 0):
+            return None
+        w = np.asarray(w, dtype=np.float64)
+        src_idx = np.repeat(np.arange(len(deg), dtype=np.int64), deg)
+        wsum = np.zeros(len(deg), dtype=np.float64)
+        np.add.at(wsum, src_idx, w)
+        safe = np.where(wsum > 0, wsum, 1.0)
+        contrib = rank[src_idx] * (w / safe[src_idx])
+        dsts, inv = np.unique(indices, return_inverse=True)
+        sums = np.zeros(len(dsts), dtype=np.float64)
+        np.add.at(sums, inv, contrib)
+        return self.make_msgs(route_parts(shard, ctx, dsts), dsts, val=sums)
 
 
 class SeededPageRank(PageRank):
@@ -180,12 +215,15 @@ def pagerank(
     resume: bool = True,
     ckpt_every: int = 1,
     engine: str = "dataset",
+    weighted: bool = False,
 ):
-    """Run PageRank; returns (BSPResult, ranks Dataset (vid, rank))."""
+    """Run PageRank; returns (BSPResult, ranks Dataset (vid, rank)).
+    ``weighted=True`` distributes rank proportional to edge weights
+    (requires a weighted graph)."""
     if g is None:
         g = build_graph(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
-            directed=True,
+            directed=True, weighted=weighted,
         )
     ctx = {
         "alpha": alpha,
@@ -195,9 +233,10 @@ def pagerank(
         "partitioner": g.partitioner,
         "num_parts": g.num_parts,
     }
+    algo = WeightedPageRank() if weighted else PageRank()
     _run = run_bsp_tasks if engine == "tasks" else run_bsp
     res = _run(
-        g, PageRank(), ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir,
+        g, algo, ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir,
         resume=resume,
     )
     ranks = res.state_dataset().select_columns(["vid", "rank"])

@@ -559,3 +559,41 @@ def edge_support(
         )
 
     return summed.map_batches(unpack, batch_format="pyarrow")
+
+
+def ktruss(edges_ds, k: int, num_buckets: int = 32, max_rounds: int = 64):
+    """k-truss subgraph: iteratively delete edges in fewer than ``k-2``
+    triangles until none drop -> Dataset (src, dst, support) of surviving
+    canonical edges with their support in the FINAL subgraph.
+
+    Each round is one ``edge_support`` dataflow over the surviving edge
+    set; the driver sees only the per-round edge count (convergence check).
+    Rounds are data-dependent (classic truss peeling); ``max_rounds``
+    bounds pathological chains. Requires k >= 3."""
+    if k < 3:
+        raise ValueError("ktruss requires k >= 3")
+    thresh = k - 2
+
+    def canon_pairs(batch: pa.Table) -> pa.Table:
+        a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    edges, _ = _distinct_and_degrees(edges_ds)
+    edges = edges.map_batches(canon_pairs, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        sup = edge_support(edges, num_buckets=num_buckets)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            s = batch.column("support").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(s >= thresh))
+
+        kept = sup.map_batches(keep, batch_format="pyarrow").materialize()
+        n_kept = kept.count()
+        if n_kept == n_edges:
+            return kept
+        n_edges = n_kept
+        edges = kept.select_columns(["src", "dst"]).materialize()
+        if n_edges == 0:
+            return kept
+    return kept

@@ -1425,3 +1425,71 @@ def random_walks_sql(walk_len: int = 6, seed: int = 0) -> str:
         for s in range(walk_len + 1)
     )
     return _with(*ctes) + "\n" + union
+
+
+def weighted_pagerank_sql(iters: int = 20, decimals: int = 8) -> str:
+    """Mirrors algos.pagerank.WeightedPageRank over the deterministic edge
+    weight 1 + (7*src + 13*dst) % 5: rank flows proportional to w/wsum;
+    zero-out-weight vertices leak mass like dangling ones. Unrolled like
+    pagerank_sql; float association differences absorbed by ROUND."""
+    ctes = [
+        GRAPH_CTES,
+        "ew AS (SELECT src, dst, 1.0 + (src*7 + dst*13) % 5 AS w FROM edges)",
+        "ws AS (SELECT src AS vid, SUM(w) AS s FROM ew GROUP BY src)",
+        "wpr0 AS (SELECT vid, 1.0 / nn.n AS rank FROM verts, nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""wpr{t} AS MATERIALIZED (
+  SELECT v.vid, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(m.ms, 0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.rank * (e.w / w.s)) AS ms
+    FROM wpr{t - 1} p JOIN ws w ON w.vid = p.vid JOIN ew e ON e.src = p.vid
+    GROUP BY e.dst
+  ) m ON m.vid = v.vid)"""
+        )
+    return (
+        _with(*ctes)
+        + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, {decimals}) AS rank FROM wpr{iters}"
+    )
+
+
+def ktruss_sql(k: int = 3, rounds: int = 10) -> str:
+    """Mirrors algos.triangles.ktruss: per round, keep edges in >= k-2
+    triangles of the CURRENT subgraph; unrolled ``rounds`` times (rounds
+    past the fixpoint are no-ops, so any rounds >= the engine's actual
+    round count yields the identical fixpoint). Output = surviving edges
+    with their support in the final subgraph."""
+    t = k - 2
+    ctes = [
+        GRAPH_CTES,
+        """ke0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+    ]
+    for r in range(rounds):
+        # MATERIALIZED throughout: multiply-referenced un-materialized CTEs
+        # would inline and blow up exponentially across rounds
+        ctes.append(
+            f"""kt{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ke{r} e1 JOIN ke{r} e2 ON e2.a = e1.b
+  JOIN ke{r} e3 ON e3.a = e1.a AND e3.b = e2.b)""",
+        )
+        ctes.append(
+            f"""ks{r} AS MATERIALIZED (SELECT a, b, count(*) AS c FROM (
+  SELECT x AS a, y AS b FROM kt{r}
+  UNION ALL SELECT x, z FROM kt{r}
+  UNION ALL SELECT y, z FROM kt{r}
+) GROUP BY a, b)""",
+        )
+        ctes.append(
+            f"""ke{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM ke{r} e
+  JOIN ks{r} s ON s.a = e.a AND s.b = e.b WHERE s.c >= {t})"""
+        )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT s.a::BIGINT AS src, s.b::BIGINT AS dst, s.c::BIGINT AS support
+FROM ks{rounds - 1} s JOIN ke{rounds} e ON e.a = s.a AND e.b = s.b"""
+    )

@@ -89,6 +89,44 @@ def q_pagerank(sf_dir: str):
     return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_weighted_pagerank(sf_dir: str):
+    """Edge-weighted PageRank (rank distributed proportional to the
+    deterministic edge weight 1 + (7*src + 13*dst) % 5), 20 fixed
+    iterations, ranks rounded to 8 decimals like q_pagerank."""
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        w = 1.0 + (s * 7 + d * 13) % 5
+        return batch.append_column("weight", pa.array(w.astype(np.float64)))
+
+    eds = distinct_edges(edges).map_batches(
+        add_w, batch_format="pyarrow"
+    ).materialize()
+    g = build_graph(eds, verts, num_parts=8, partitioner="mod",
+                    directed=True, weighted=True)
+    _, ranks = pagerank(
+        g=g, iters=20, engine="tasks", weighted=True,
+        ckpt_dir=_ckpt("weighted_pagerank", sf_dir, 20),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(batch.column("rank").to_numpy(zero_copy_only=False), 8)
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_pagerank_converged(sf_dir: str):
     """eps-convergence mode (north-rule 1e-6). The halt round is a
     deterministic function of the input (tasks engine halts exactly at the
@@ -222,6 +260,15 @@ def q_edge_support(sf_dir: str):
 
     _, edges, _, _ = page_edge_tables(sf_dir)
     return edge_support(edges)
+
+
+def q_ktruss(sf_dir: str):
+    """3-truss of the page graph: edges supported by >= 1 triangle after
+    iterated peeling, with final-subgraph support."""
+    from raylink.algos.triangles import ktruss
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return ktruss(edges, k=3)
 
 
 def q_assortativity(sf_dir: str):

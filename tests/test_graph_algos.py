@@ -621,3 +621,78 @@ def test_edge_support(edge_data):
     from oracles import triangle_oracle
 
     assert sum(exp.values()) == 3 * triangle_oracle(N, edges)
+
+
+def test_weighted_pagerank(edge_data):
+    from raylink.algos import pagerank
+
+    edges, _, verts_ds = edge_data
+    import ray.data as rd
+
+    und = sorted({(int(s), int(d)) for s, d in edges if s != d})
+    src = np.array([a for a, _ in und], dtype=np.int64)
+    dst = np.array([b for _, b in und], dtype=np.int64)
+    w = (1.0 + (src * 7 + dst * 13) % 5).astype(np.float64)
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst),
+                  "weight": pa.array(w)})
+    )
+    _, ranks = pagerank(eds, vertices_ds=verts_ds, num_parts=4, iters=10,
+                        weighted=True)
+    got = _sorted_state(ranks, "rank")
+
+    wsum = np.zeros(N)
+    np.add.at(wsum, src, w)
+    r = np.full(N, 1.0 / N)
+    for _ in range(10):
+        nxt = np.zeros(N)
+        np.add.at(nxt, dst, r[src] * (w / wsum[src]))
+        r = 0.15 / N + 0.85 * nxt
+    np.testing.assert_allclose(got, r, rtol=0, atol=1e-12)
+    # weighting actually changes the answer vs uniform PageRank
+    _, uranks = pagerank(eds, vertices_ds=verts_ds, num_parts=4, iters=10)
+    assert not np.allclose(got, _sorted_state(uranks, "rank"), atol=1e-9)
+
+
+def test_ktruss(edge_data):
+    from raylink.algos.triangles import ktruss
+
+    edges, edges_ds, _ = edge_data
+    got = (
+        ktruss(edges_ds, k=3)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+    und = {(min(int(s), int(d)), max(int(s), int(d)))
+           for s, d in edges if s != d}
+    cur = set(und)
+    while True:
+        nbrs = {}
+        for a, b in cur:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        sup = {e: len(nbrs[e[0]] & nbrs[e[1]]) for e in cur}
+        kept = {e for e, s in sup.items() if s >= 1}
+        if kept == cur:
+            break
+        cur = kept
+    assert len(got) == len(cur)
+    got_map = {(int(r.src), int(r.dst)): int(r.support) for r in got.itertuples()}
+    assert got_map == {e: sup[e] for e in cur}
+    assert len(cur) > 0, "fixture 3-truss should be non-empty"
+
+
+def test_ktruss_requires_k3(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from raylink.algos.triangles import ktruss
+
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array([0], type=pa.int64()),
+                  "dst": pa.array([1], type=pa.int64())})
+    )
+    with _pytest.raises(ValueError):
+        ktruss(ds, k=2)
