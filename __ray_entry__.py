@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest": q.q_events_latest,
         "bigram_topk": q.q_bigram_topk,
         "postings": q.q_postings,
+        "pii_scan": q.q_pii_scan,
+        "cooccurrence": q.q_cooccurrence,
         "doc_sample": q.q_doc_sample,
         "source_topk": q.q_source_topk,
         "source_sample": q.q_source_sample,
@@ -188,6 +190,8 @@ def oracle_sql() -> dict[str, str]:
         "events_latest": o.events_latest_sql(),
         "bigram_topk": o.bigram_topk_sql(k=100),
         "postings": o.postings_sql(min_df=2, max_df=400),
+        "pii_scan": o.pii_scan_sql(),
+        "cooccurrence": o.cooccurrence_sql(window=3, k=100),
         "doc_sample": o.stratified_sample_sql(0.2, 7, {"en": 0.5}),
         "source_topk": o.source_topk_sql(3),
         "source_sample": o.sample_k_per_group_sql(5, 11),

@@ -257,6 +257,43 @@ def bigram_topk(docs_ds, k: int = 100):
     return agg.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
 
 
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_LONGNUM = r"\b[0-9]{9,16}\b"  # SSN/CC/phone-class digit runs
+
+
+def pii_scan(docs_ds):
+    """PII-pattern counts per document -> (doc_id, n_emails, n_ipv4,
+    n_longnums, has_pii) — the pre-redaction scan of a curation pipeline
+    (flag or route docs containing contact/identifier strings).
+
+    Patterns are RE2-safe (no backrefs/lookarounds) and evaluated with
+    Arrow's ``count_substring_regex`` — fully vectorized over the batch,
+    shuffle-free, and mirrored verbatim in the DuckDB oracle (both engines
+    run RE2 semantics, so counts agree exactly)."""
+    import pyarrow.compute as pc
+
+    def scan(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        em = pc.count_substring_regex(text, pattern=PII_EMAIL) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ip = pc.count_substring_regex(text, pattern=PII_IPV4) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = pc.count_substring_regex(text, pattern=PII_LONGNUM) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": pa.array(em),
+                "n_ipv4": pa.array(ip),
+                "n_longnums": pa.array(ln),
+                "has_pii": pa.array((em + ip + ln) > 0),
+            }
+        )
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow")
+
+
 def postings(docs_ds, min_df: int = 1, max_df: int | None = None,
              num_buckets: int = 64):
     """Inverted-index build: token -> sorted posting list -> Dataset
@@ -326,6 +363,76 @@ def postings(docs_ds, min_df: int = 1, max_df: int | None = None,
         .groupby("b")
         .map_groups(assemble, batch_format="pyarrow")
     )
+
+
+def cooccurrence_topk(docs_ds, window: int = 3, k: int = 100):
+    """Top-k co-occurring word pairs within ``window`` positions (the
+    skip-gram statistic embedding training consumes) -> Dataset
+    (pair "w1 w2" with w1 <= w2 lexicographic, cnt), ordered
+    (cnt desc, pair asc). Every ordered occurrence (i, i+d), d=1..window,
+    counts once; pairs never straddle documents.
+
+    Same shape as ``bigram_topk``: per-batch counts on packed canonical
+    code pairs (codes mapped through the batch dictionary's lexicographic
+    rank so min/max on ranks IS string LEAST/GREATEST), pair strings built
+    once per distinct pair per batch -> vocabulary-sized groupby sum ->
+    distributed sort + limit."""
+    import pyarrow.compute as pc
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        doc_idx, codes, dic = _word_codes(text)
+        empty = pa.table(
+            {"pair": pa.array([], type=pa.string()),
+             "c": pa.array([], type=pa.int64())}
+        )
+        if len(doc_idx) < 2:
+            return empty
+        # lexicographic rank of the batch vocabulary (ascii [a-z]+ words:
+        # numpy codepoint order == SQL binary collation)
+        words = np.asarray(dic.to_pylist())
+        order = np.argsort(words)
+        rank = np.empty(len(words), dtype=np.int64)
+        rank[order] = np.arange(len(words), dtype=np.int64)
+        r = rank[codes]
+        V = np.int64(len(words))
+        pids = []
+        for d in range(1, window + 1):
+            if len(doc_idx) <= d:
+                break
+            same = doc_idx[d:] == doc_idx[:-d]
+            a, b = r[:-d][same], r[d:][same]
+            pids.append(np.minimum(a, b) * V + np.maximum(a, b))
+        if not pids:
+            return empty
+        upid, c = np.unique(np.concatenate(pids), return_counts=True)
+        inv = order  # rank -> dictionary code
+        left = dic.take(pa.array(inv[upid // V]))
+        right = dic.take(pa.array(inv[upid % V]))
+        return pa.table(
+            {
+                "pair": pc.binary_join_element_wise(
+                    pc.cast(left, pa.string()), pc.cast(right, pa.string()), " "
+                ),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .sum("c")
+        .map_batches(
+            lambda b: pa.table(
+                {"pair": b.column("pair"), "cnt": b.column("sum(c)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return agg.sort(["cnt", "pair"], descending=[True, False]).limit(k)
 
 
 def rolling_hash(texts) -> np.ndarray:

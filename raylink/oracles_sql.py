@@ -1493,3 +1493,42 @@ def ktruss_sql(k: int = 3, rounds: int = 10) -> str:
 SELECT s.a::BIGINT AS src, s.b::BIGINT AS dst, s.c::BIGINT AS support
 FROM ks{rounds - 1} s JOIN ke{rounds} e ON e.a = s.a AND e.b = s.b"""
     )
+
+
+def pii_scan_sql() -> str:
+    """Mirrors queries.q_pii_scan: the deterministic PII planting (mod
+    7/11/13) and ops.textstats.pii_scan's RE2 patterns, verbatim."""
+    planted = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact admin' || doc_id || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' ' || (1000000000 + doc_id) ELSE '' END"
+    )
+    em = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    ip = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    ln = r"\b[0-9]{9,16}\b"
+    return f"""
+SELECT doc_id,
+       len(regexp_extract_all(t, '{em}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{ip}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '{ln}'))::BIGINT AS n_longnums,
+       (len(regexp_extract_all(t, '{em}'))
+        + len(regexp_extract_all(t, '{ip}'))
+        + len(regexp_extract_all(t, '{ln}'))) > 0 AS has_pii
+FROM (SELECT doc_id, {planted} AS t FROM documents)"""
+
+
+def cooccurrence_sql(window: int = 3, k: int = 100) -> str:
+    """Mirrors ops.textstats.cooccurrence_topk: unordered pairs within
+    ``window`` positions, canonicalized lexicographically (binary
+    collation == numpy codepoint order on the ascii [a-z]+ words)."""
+    return f"""
+SELECT pair, count(*)::BIGINT AS cnt FROM (
+  SELECT CASE WHEN ws[i] <= ws[i+d] THEN ws[i] || ' ' || ws[i+d]
+              ELSE ws[i+d] || ' ' || ws[i] END AS pair
+  FROM (SELECT regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+        FROM documents),
+       unnest(generate_series(1, len(ws) - 1)) AS a(i),
+       unnest(generate_series(1, {window})) AS b(d)
+  WHERE i + d <= len(ws))
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT {k}"""

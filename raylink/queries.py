@@ -940,6 +940,49 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=8)
 
 
+def q_pii_scan(sf_dir: str):
+    """PII-pattern counts. The synthetic corpus is digit-free, so the query
+    plants deterministic PII (an email / an IPv4 / a long number on doc_id
+    mod 7/11/13 == 0 rows, mirrored verbatim in the SQL) — the scan itself
+    (`ops.textstats.pii_scan`) is generic and pattern-only."""
+    from raylink.ops.textstats import pii_scan
+
+    import pyarrow.compute as pc
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False)
+        s = lambda a: pc.cast(a, pa.string())  # noqa: E731
+        j = pc.binary_join_element_wise
+        empty = pa.scalar("", type=pa.string())
+        em = pc.if_else(
+            pa.array(idn % 7 == 0),
+            j(" contact admin", s(ids), "@example.com", ""), empty,
+        )
+        ip = pc.if_else(
+            pa.array(idn % 11 == 0),
+            j(" 10.", s(pa.array(idn % 256)), ".0.", s(pa.array(idn % 100)), ""),
+            empty,
+        )
+        ln = pc.if_else(
+            pa.array(idn % 13 == 0),
+            j(" ", s(pa.array(1000000000 + idn)), ""), empty,
+        )
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        return pa.table(
+            {"doc_id": ids, "text": j(text, em, ip, ln, "")}
+        )
+
+    return pii_scan(_docs(sf_dir).map_batches(plant, batch_format="pyarrow"))
+
+
+def q_cooccurrence(sf_dir: str):
+    """Top-100 window-3 skip-gram word pairs over the documents table."""
+    from raylink.ops.textstats import cooccurrence_topk
+
+    return cooccurrence_topk(_docs(sf_dir), window=3, k=100)
+
+
 def q_postings(sf_dir: str):
     """Inverted index over the documents table, df in [2, 400] (the max_df
     cut drops the corpus-wide stopword rows)."""

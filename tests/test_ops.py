@@ -1234,3 +1234,63 @@ def test_random_walks(ray_session):
     # walker 1 reaches sink 3 at step 1 and ends there
     w1 = got[got.walker == 1]
     assert w1["vid"].tolist() == [1, 3]
+
+
+def test_pii_scan(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.textstats import pii_scan
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "write to alice@example.org or bob.smith+x@mail.co today",
+                    "server at 192.168.0.1 and card 4111111111111111",
+                    "clean text with no identifiers at all",
+                    "short num 12345678 is too short to flag",  # 8 digits < 9
+                ]
+            ),
+        }
+    )
+    got = (
+        pii_scan(rd.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["n_emails"].tolist() == [2, 0, 0, 0]
+    assert got["n_ipv4"].tolist() == [0, 1, 0, 0]
+    assert got["n_longnums"].tolist() == [0, 1, 0, 0]
+    assert got["has_pii"].tolist() == [True, True, False, False]
+
+
+def test_cooccurrence_topk(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from raylink.ops.textstats import cooccurrence_topk
+
+    texts = ["a b c a", "b a zz", "c c"]
+    docs = pa.table(
+        {"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    W = 2
+    exp = {}
+    for t in texts:
+        ws = t.split()
+        for i in range(len(ws)):
+            for d in range(1, W + 1):
+                if i + d < len(ws):
+                    p = " ".join(sorted((ws[i], ws[i + d])))
+                    exp[p] = exp.get(p, 0) + 1
+    got = cooccurrence_topk(
+        rd.from_arrow(docs).repartition(2), window=W, k=100
+    ).to_pandas()
+    assert dict(zip(got["pair"], got["cnt"])) == exp
+    # ordering: cnt desc then pair asc
+    rows = list(zip(got["cnt"].tolist(), got["pair"].tolist()))
+    assert rows == sorted(rows, key=lambda r: (-r[0], r[1]))
