@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangles,
         "degrees": q.q_degrees,
+        "degree_histogram": q.q_degree_histogram,
         "clustering_coeff": q.q_clustering_coeff,
         "assortativity": q.q_assortativity,
         "edge_support": q.q_edge_support,
@@ -156,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),
         "degrees": o.degrees_sql(),
+        "degree_histogram": o.degree_histogram_sql(),
         "clustering_coeff": o.clustering_coeff_sql(),
         "assortativity": o.assortativity_sql(),
         "edge_support": o.edge_support_sql(),

@@ -567,6 +567,60 @@ def run_rayspin_bench() -> dict:
     return out
 
 
+def run_graphops_bench() -> dict:
+    """Round-4 graph/curation operator walls at sf0.1 (medians of 3 for
+    the sub-15s ops): per-vertex clustering, per-edge support, 3-truss,
+    6-step walks, decontamination, inverted-index build."""
+    import statistics
+
+    import pyarrow as pa
+
+    ray = _init_ray()
+    import ray.data as rd
+
+    from raylink.algos.triangles import edge_support, ktruss, local_clustering
+    from raylink.algos.walks import random_walks
+    from raylink.ops.dedup import decontaminate
+    from raylink.ops.textstats import postings
+    from raylink.pipelines import page_edge_tables
+
+    _, edges, verts, n = page_edge_tables(SF_DIR)
+    edges = edges.materialize()
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()
+
+    def med(fn, reps=3):
+        walls = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            walls.append(time.perf_counter() - t0)
+        return round(statistics.median(walls), 2)
+
+    out = {"num_cpus": NUM_CPUS, "sf": SF_DIR, "n_edges": edges.count()}
+    out["clustering_coeff_sec"] = med(
+        lambda: local_clustering(edges, verts_ds=verts).count()
+    )
+    out["edge_support_sec"] = med(lambda: edge_support(edges).count())
+    out["ktruss3_sec"] = med(lambda: ktruss(edges, k=3).count(), reps=1)
+    out["walks6_sec"] = med(
+        lambda: random_walks(edges, walk_len=6).count(), reps=1
+    )
+
+    def bench_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 101 == 7))
+
+    bench_docs = docs.map_batches(bench_filter, batch_format="pyarrow")
+    out["decontaminate_sec"] = med(
+        lambda: decontaminate(docs, bench_docs, n=8).count()
+    )
+    out["postings_sec"] = med(lambda: postings(docs, min_df=2).count())
+    ray.shutdown()
+    return out
+
+
 def run_annjoin_bench() -> dict:
     """Dataset-sized-query ANN throughput: every vector is a query
     (``knn_join`` self-join) over a deterministic clustered embedding
@@ -776,5 +830,7 @@ if __name__ == "__main__":
         print(json.dumps(run_annjoin_bench()))
     elif "--relational-bench" in sys.argv:
         print(json.dumps(run_relational_bench()))
+    elif "--graphops-bench" in sys.argv:
+        print(json.dumps(run_graphops_bench()))
     else:
         print(json.dumps(run_bench()))

@@ -59,17 +59,22 @@ def random_walks(edges_ds, walk_len: int = 6, seed: int = 0,
     adj = edges_ds.map_batches(tag_edges, batch_format="pyarrow").materialize()
 
     def starts(batch: pa.Table) -> pa.Table:
-        v = np.unique(batch.column("src").to_numpy(zero_copy_only=False))
-        return pa.table({"walker": pa.array(v.astype(np.int64)),
-                         "vid": pa.array(v.astype(np.int64))})
+        v = np.unique(
+            batch.column("src").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"b": pa.array(_bucket(v, num_buckets)),
+                         "walker": pa.array(v)})
 
-    # distinct start vertices (per-batch unique -> vertex-sized groupby)
+    def dedupe(group: pa.Table) -> pa.Table:
+        v = np.unique(group.column("walker").to_numpy(zero_copy_only=False))
+        return pa.table({"walker": pa.array(v), "vid": pa.array(v)})
+
+    # distinct start vertices: per-batch unique -> ONE coarse-bucket
+    # groupby (B python groups, not one per walker)
     frontier = (
         edges_ds.map_batches(starts, batch_format="pyarrow")
-        .groupby("walker")
-        .map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow"
-        )
+        .groupby("b")
+        .map_groups(dedupe, batch_format="pyarrow")
         .materialize()
     )
 

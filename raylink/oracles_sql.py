@@ -1532,3 +1532,24 @@ SELECT pair, count(*)::BIGINT AS cnt FROM (
        unnest(generate_series(1, {window})) AS b(d)
   WHERE i + d <= len(ws))
 GROUP BY pair ORDER BY cnt DESC, pair LIMIT {k}"""
+
+
+def degree_histogram_sql() -> str:
+    """Mirrors queries.q_degree_histogram: vertices per distinct out-/in-
+    degree value (rows where both counts are zero don't exist)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """d AS (SELECT v.vid, COALESCE(o.c, 0) AS od, COALESCE(i.c, 0) AS idg
+  FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON o.src = v.vid
+  LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON i.dst = v.vid),
+ho AS (SELECT od AS degree, count(*) AS n FROM d GROUP BY od),
+hi AS (SELECT idg AS degree, count(*) AS n FROM d GROUP BY idg)""",
+        )
+        + """
+SELECT COALESCE(ho.degree, hi.degree)::BIGINT AS degree,
+       COALESCE(ho.n, 0)::BIGINT AS n_out,
+       COALESCE(hi.n, 0)::BIGINT AS n_in
+FROM ho FULL JOIN hi ON hi.degree = ho.degree"""
+    )

@@ -236,6 +236,43 @@ def q_triangles(sf_dir: str):
     return pa.table({"triangles": pa.array([t], type=pa.int64())})
 
 
+def q_degree_histogram(sf_dir: str):
+    """Degree distribution (the power-law check): one row per distinct
+    degree value with the number of vertices having that out-/in-degree.
+    Per-batch bincount partials -> one degree-cardinality groupby."""
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    deg = degree_table(distinct_edges(edges), verts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        od = batch.column("out_degree").to_numpy(zero_copy_only=False)
+        idg = batch.column("in_degree").to_numpy(zero_copy_only=False)
+        m = int(max(od.max(initial=0), idg.max(initial=0))) + 1
+        no = np.bincount(od, minlength=m).astype(np.int64)
+        ni = np.bincount(idg, minlength=m).astype(np.int64)
+        keep = (no > 0) | (ni > 0)
+        return pa.table(
+            {
+                "degree": pa.array(np.flatnonzero(keep).astype(np.int64)),
+                "o": pa.array(no[keep]),
+                "i": pa.array(ni[keep]),
+            }
+        )
+
+    return (
+        deg.map_batches(partial, batch_format="pyarrow")
+        .groupby("degree")
+        .sum(["o", "i"])
+        .map_batches(
+            lambda b: pa.table(
+                {"degree": b.column("degree"),
+                 "n_out": b.column("sum(o)"),
+                 "n_in": b.column("sum(i)")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_clustering_coeff(sf_dir: str):
     """Per-vertex triangle counts + local clustering coefficient over the
     page graph (isolated vertices included with deg=tri=0, coeff=0)."""
