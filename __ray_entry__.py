@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # graph engine over the synthetic page corpus
         "page_text": q.q_page_text,
+        "warc_roundtrip": q.q_warc_roundtrip,
         "page_edges": q.q_page_edges,
         "pagerank": q.q_pagerank,
         "pagerank_converged": q.q_pagerank_converged,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "page_text": o.page_text_sql(),
+        "warc_roundtrip": o.warc_roundtrip_sql(),
         "page_edges": o.page_edges_sql(),
         "link_positions": o.link_positions_sql(),
         "dense_remap": o.dense_remap_sql(),

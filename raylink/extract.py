@@ -141,8 +141,9 @@ class ExtractPages:
             "links": pa.array(links_all, type=pa.list_(pa.string())),
             "n_links": pa.array(n_links),
         }
-        if "lang" in batch.column_names:
-            cols["lang"] = batch.column("lang")
+        for passthrough in ("lang", "warc_ts"):
+            if passthrough in batch.column_names:
+                cols[passthrough] = batch.column(passthrough)
         return pa.table(cols)
 
 

@@ -90,6 +90,33 @@ FROM k"""
     )
 
 
+def warc_roundtrip_sql() -> str:
+    """page_text plus the WARC-Date timestamp: warc_ts(i) = 2024-01-01 +
+    i seconds (synth.make_pages_batch), serialized to a WARC header and
+    parsed back — must survive the container roundtrip exactly."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """k AS (
+  SELECT d.doc_id, d.text,
+    CASE WHEN d.doc_id < p.m
+         THEN (d.doc_id % 5) + 1 + CASE WHEN d.doc_id % 7 = 3 THEN 1 ELSE 0 END
+         ELSE 0 END AS nlinks
+  FROM documents d, mm p)""",
+        )
+        + """
+SELECT 'https://site' || (doc_id % 97) || '.example/d/' || doc_id AS url,
+       TIMESTAMP '2024-01-01 00:00:00'
+         + to_microseconds(doc_id * 1000000) AS warc_ts,
+       'Document ' || doc_id || chr(10)
+       || replace(replace(text, chr(13), ' '), chr(10), ' ')
+       || CASE WHEN nlinks > 0
+               THEN chr(10) || rtrim(repeat('link' || chr(10), nlinks), chr(10))
+               ELSE '' END AS text
+FROM k"""
+    )
+
+
 def page_edges_sql() -> str:
     return _with(GRAPH_CTES) + "\nSELECT src::BIGINT AS src, dst::BIGINT AS dst FROM edges"
 
@@ -1412,8 +1439,12 @@ def random_walks_sql(walk_len: int = 6, seed: int = 0) -> str:
             + f"), CAST({seed} AS UBIGINT))"
         )
         # mix as a named column so _sm64's ~8x operand expansion stays small
+        # MATERIALIZED: each w{s} is referenced twice (next step + the final
+        # UNION); inlining would duplicate the plan subtree per step —
+        # exponential in walk_len — and DuckDB's retained buffer blocks for
+        # the blown-up plan can exhaust vm.max_map_count for the process.
         ctes.append(
-            f"""w{s + 1} AS (SELECT walker, vid FROM (
+            f"""w{s + 1} AS MATERIALIZED (SELECT walker, vid FROM (
   SELECT walker, vid,
          row_number() OVER (PARTITION BY walker
                             ORDER BY {_sm64('mx')}, vid) AS rn

@@ -44,6 +44,27 @@ def q_page_text(sf_dir: str):
     return extracted.select_columns(["url", "text"])
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """Crawl on-ramp end-to-end: pages -> WARC container files (one gzip
+    member per record, Common-Crawl layout) -> ``read_warc`` (actor-pool
+    parse) -> actor-pool HTML extraction -> (url, warc_ts, text). The oracle
+    checks both the byte-identical extracted text AND the WARC-Date
+    timestamp surviving serialize/parse."""
+    from raylink.extract import ExtractPages
+    from raylink.synth import pages_dataset
+    from raylink.warc import read_warc, write_warc
+
+    warc_dir = os.path.join("/tmp/raylink/warc", cache_key("warc", sf_dir))
+    if not os.path.isdir(warc_dir) or not os.listdir(warc_dir):
+        pages, _ = pages_dataset(sf_dir, include_golden=False)
+        write_warc(pages.select_columns(["url", "warc_ts", "html"]), warc_dir)
+    ds = read_warc(warc_dir)
+    extracted = ds.drop_columns(["n_skipped"]).map_batches(
+        ExtractPages, batch_format="pyarrow", batch_size=512, concurrency=(1, 4)
+    )
+    return extracted.select_columns(["url", "warc_ts", "text"])
+
+
 def q_page_edges(sf_dir: str):
     _, edges, _, _ = page_edge_tables(sf_dir)
     return distinct_edges(edges)

@@ -87,6 +87,12 @@ def main() -> int:
     import __ray_entry__ as e
 
     con = duckdb.connect()
+    # bound the oracle side: DuckDB retains freed buffer blocks up to
+    # memory_limit, and tens of thousands of retained blocks can exhaust
+    # the process's vm.max_map_count (mmap ceiling) — after which RAY-side
+    # calls fail with "can't start new thread" (thread stacks are mmaps)
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET threads TO 8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
