@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q.q_dedup_simhash,
         "token_count": q.q_token_count,
         "token_topk": q.q_token_topk,
+        "distinct_hll": q.q_distinct_hll,
         "doc_top_terms": q.q_doc_top_terms,
         "dedup_clusters": q.q_dedup_clusters,
         "decontaminate": q.q_decontaminate,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": o.media_frames_sql(),
         "token_count": o.token_count_sql(),
         "token_topk": o.token_topk_sql(k=100),
+        "distinct_hll": o.distinct_hll_sql(p=12),
         "doc_top_terms": o.doc_top_terms_sql(3),
         "dedup_clusters": o.dedup_clusters_sql(tau=0.5),
         "decontaminate": o.decontaminate_sql(n=8),

@@ -1,0 +1,129 @@
+"""Mergeable sketches for crawl-scale cardinality estimation.
+
+At 10^12 documents, exact ``COUNT(DISTINCT token)`` is an all-to-all shuffle
+of the full vocabulary; a HyperLogLog register table is 2^p integers that
+merge with elementwise MAX — one bounded-cardinality groupby, no vocabulary
+ever shuffles. This is the "novel sketch as a custom operator" row of the
+builder brief: partial registers per batch (map-only), MAX-merge groupby
+(2^p rows), estimate from the merged table.
+
+Everything is bit-exactly SQL-mirrorable (oracles_sql.distinct_hll_sql):
+the item hash is splitmix64(FNV-1a(word)) — the same mirrored kernels every
+dedup oracle uses — and the register sum is carried as an INTEGER
+(sum of 2^(32 - min(rank,32)) <= 2^44, exact in int64/pandas), so the only
+float ops are the final estimate expression, written as the identical IEEE
+sequence on both sides and rounded.
+
+Reference analog: none (the reference has no sketches); the operator shape
+follows the public HyperLogLog paper (Flajolet et al. 2007) with the
+standard linear-counting small-range correction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.util import splitmix64, text_hash64
+
+RANK_CAP = 32  # T = 2^(32 - min(rank, 32)): keeps the register sum exact int64
+
+
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 (0 -> 0). Integer-only (float log2
+    is unsafe above 2^53)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl[w > 0] += 1
+    return bl
+
+
+def hll_ranks(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes -> (register int64, rank int64). Register = low p bits;
+    rank = 1 + leading-zero count of the remaining 64-p bits (1..64-p+1)."""
+    h = hashes.astype(np.uint64, copy=False)
+    reg = (h & np.uint64((1 << p) - 1)).astype(np.int64)
+    w = h >> np.uint64(p)
+    rank = (64 - p) - _bitlen_u64(w) + 1
+    return reg, rank
+
+
+class HllWordsPartial:
+    """Actor-pool map_batches stage: documents batch -> per-batch register
+    partial (reg, rank) with at most 2^p rows — the shuffle after this
+    stage is bounded by 2^p * n_blocks regardless of corpus size."""
+
+    def __init__(self, p: int = 12, column: str = "text") -> None:
+        self.p = p
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raylink.ops.textstats import _word_codes
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch.column(self.column).combine_chunks(), "")
+        _, _, dictionary = _word_codes(text)
+        if len(dictionary) == 0:
+            return pa.table({"reg": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64())})
+        h = splitmix64(text_hash64(dictionary))
+        reg, rank = hll_ranks(h, self.p)
+        m = 1 << self.p
+        regmax = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regmax, reg, rank)
+        nz = np.flatnonzero(regmax)
+        return pa.table({"reg": pa.array(nz, type=pa.int64()),
+                         "rank": pa.array(regmax[nz], type=pa.int64())})
+
+
+def hll_estimate_from_registers(max_ranks: np.ndarray, p: int) -> dict:
+    """Merged register table (len 2^p, 0 = empty) -> estimate fields.
+
+    The register sum is integer-exact: S = sum 2^(RANK_CAP - min(rank, CAP))
+    (<= 2^(p + RANK_CAP), exact in int64 for p <= 30). The estimate is the
+    standard HLL formula with linear counting below 2.5m; the float
+    expression order matches distinct_hll_sql token for token."""
+    m = 1 << p
+    capped = np.minimum(max_ranks, RANK_CAP)
+    sum_t = int((np.int64(1) << (RANK_CAP - capped)).sum())
+    n_zero = int((max_ranks == 0).sum())
+    est = (
+        0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << RANK_CAP) / sum_t
+    )
+    if est <= 2.5 * m and n_zero > 0:
+        est = m * float(np.log(m / n_zero))
+    from raylink.util import round_half_away
+
+    return {
+        "n_registers": m,
+        "n_zero": n_zero,
+        "sum_t": sum_t,
+        "distinct_est": float(round_half_away(est, 6)),
+    }
+
+
+def hll_distinct_words(ds, p: int = 12, column: str = "text",
+                       concurrency=(1, 4)) -> pa.Table:
+    """Distinct-[a-z]+-word estimate over a documents Dataset.
+
+    pipeline: map_batches partial (<= 2^p rows out per block) ->
+    groupby(reg).max(rank) (bounded 2^p-row shuffle) -> driver estimate
+    from the 2^p-row merged table (O(2^p) driver pull — the sketch, not
+    the data). Returns a 1-row pyarrow Table."""
+    partials = ds.map_batches(
+        HllWordsPartial,
+        fn_constructor_kwargs={"p": p, "column": column},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    merged = partials.groupby("reg").max("rank")
+    rows = merged.take_all()  # <= 2^p rows by construction
+    max_ranks = np.zeros(1 << p, dtype=np.int64)
+    for r in rows:
+        max_ranks[int(r["reg"])] = int(r["max(rank)"])
+    f = hll_estimate_from_registers(max_ranks, p)
+    return pa.table({k: pa.array([v]) for k, v in f.items()})

@@ -509,6 +509,39 @@ SELECT token, count(*)::BIGINT AS cnt FROM (
 GROUP BY token ORDER BY cnt DESC, token LIMIT {k}"""
 
 
+def distinct_hll_sql(p: int = 12) -> str:
+    """HyperLogLog distinct-word estimate, mirrored register-for-register
+    (ops/sketch.py): item hash = splitmix64(fnv1a(word)) — the shared
+    mirrored kernels — register = low p bits, rank = 1 + clz of the top
+    64-p bits (bit length via bin()); the register sum is INTEGER
+    (2^(32-min(rank,32)) terms, <= 2^44 total) so only the final estimate
+    expression is float, written in the engine's exact IEEE order."""
+    m = 1 << p
+    wbits = 64 - p
+    raw = f"0.7213 / (1.0 + 1.079 / {m}) * {m} * {m} * 4294967296.0 / sum_t"
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+  FROM documents),
+hh AS MATERIALIZED (SELECT {_sm64(_fnv64("word"))} AS h FROM words),
+rr AS (SELECT CAST(h & CAST({m - 1} AS UBIGINT) AS BIGINT) AS reg,
+              CASE WHEN (h >> {p}) = CAST(0 AS UBIGINT) THEN {wbits + 1}
+                   ELSE {wbits} - length(bin(h >> {p})) + 1 END AS rank
+       FROM hh),
+regs AS (SELECT reg, MAX(rank) AS mr FROM rr GROUP BY reg),
+allr AS (SELECT t.r AS reg, COALESCE(regs.mr, 0) AS mr
+         FROM unnest(generate_series(0, {m - 1})) AS t(r)
+         LEFT JOIN regs ON regs.reg = t.r),
+agg AS (SELECT SUM(CAST(1 AS BIGINT) << (32 - LEAST(mr, 32)))::BIGINT AS sum_t,
+               SUM(CASE WHEN mr = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+        FROM allr)
+SELECT {m}::BIGINT AS n_registers, n_zero, sum_t,
+       ROUND(CASE WHEN ({raw}) <= {2.5 * m} AND n_zero > 0
+                  THEN {m} * ln({float(m)} / n_zero)
+                  ELSE {raw} END, 6) AS distinct_est
+FROM agg"""
+
+
 def dedup_clusters_sql(n: int = 3, tau: float = 0.5) -> str:
     """Connected components over the n-gram Jaccard pair graph (mirrors
     queries.q_dedup_clusters): cluster = min doc_id reachable via pairs."""

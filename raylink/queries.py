@@ -982,6 +982,15 @@ def q_token_topk(sf_dir: str):
     return token_topk(_docs(sf_dir), k=100)
 
 
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog (p=12) distinct-word estimate over documents — the
+    mergeable-sketch path for crawl-scale cardinality (vs token_topk's
+    exact vocabulary shuffle)."""
+    from raylink.ops.sketch import hll_distinct_words
+
+    return hll_distinct_words(_docs(sf_dir), p=12)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark-contamination flags: the 'benchmark' is the deterministic
     pseudo-eval-set doc_id % 101 == 7; a doc is contaminated iff it shares

@@ -1,0 +1,90 @@
+"""HyperLogLog sketch (ops/sketch.py): register parity with a brute-force
+replica, accuracy in the HLL regime, and the distributed merge path."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raylink.ops.sketch import (
+    RANK_CAP,
+    hll_estimate_from_registers,
+    hll_ranks,
+    _bitlen_u64,
+)
+from raylink.util import splitmix64, text_hash64
+
+
+def _letters(i: int) -> str:
+    """Distinct all-letter word per i (digits would split under [a-z]+)."""
+    s = ""
+    i += 1
+    while i:
+        s += chr(ord("a") + i % 26)
+        i //= 26
+    return s
+
+
+def test_bitlen():
+    w = np.array([0, 1, 2, 3, 4, 2**52, 2**52 + 1, 2**63, 2**64 - 1],
+                 dtype=np.uint64)
+    assert _bitlen_u64(w).tolist() == [0, 1, 2, 2, 3, 53, 53, 64, 64]
+
+
+def test_ranks_bounds():
+    h = np.array([0, 1, 2**63, 2**64 - 1], dtype=np.uint64)
+    reg, rank = hll_ranks(h, 12)
+    assert reg.tolist() == [0, 1, 0, 4095]
+    # h=0 and h=1: top 52 bits zero -> rank 53; h with MSB set -> rank 1
+    assert rank.tolist() == [53, 53, 1, 1]
+
+
+def test_estimate_accuracy_hll_regime():
+    n = 30_000
+    words = [_letters(i) for i in range(n)]
+    assert len(set(words)) == n
+    h = splitmix64(text_hash64(words))
+    reg, rank = hll_ranks(h, 12)
+    mr = np.zeros(4096, dtype=np.int64)
+    np.maximum.at(mr, reg, rank)
+    f = hll_estimate_from_registers(mr, 12)
+    # 1.04/sqrt(4096) ~ 1.6% standard error; allow 5%
+    assert abs(f["distinct_est"] - n) / n < 0.05
+    assert f["n_zero"] == 0 or f["distinct_est"] > 2.5 * 4096  # HLL branch
+
+
+def test_merge_equals_global():
+    """MAX-merge of per-shard registers == registers of the union (the
+    property the groupby relies on)."""
+    a = [_letters(i) for i in range(0, 5000)]
+    b = [_letters(i) for i in range(2500, 9000)]  # overlap
+    def regs(ws):
+        h = splitmix64(text_hash64(ws))
+        reg, rank = hll_ranks(h, 10)
+        m = np.zeros(1024, dtype=np.int64)
+        np.maximum.at(m, reg, rank)
+        return m
+    merged = np.maximum(regs(a), regs(b))
+    assert (merged == regs(sorted(set(a) | set(b)))).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_distinct_words_dataset():
+    """Distributed path == pure-python replica on the same rows."""
+    import ray.data as rd
+
+    from raylink.ops.sketch import hll_distinct_words
+
+    texts = ["the quick brown fox", "jumps over the lazy dog",
+             " ".join(_letters(i) for i in range(800)), ""]
+    docs = rd.from_arrow(pa.table({"text": texts})).repartition(3)
+    out = hll_distinct_words(docs, p=12)
+    import re
+
+    vocab = sorted(set(w for t in texts for w in re.findall("[a-z]+", t)))
+    h = splitmix64(text_hash64(vocab))
+    reg, rank = hll_ranks(h, 12)
+    mr = np.zeros(4096, dtype=np.int64)
+    np.maximum.at(mr, reg, rank)
+    want = hll_estimate_from_registers(mr, 12)
+    got = {k: out.column(k)[0].as_py() for k in out.column_names}
+    assert got == want
