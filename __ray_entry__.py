@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": q.q_weighted_pagerank,
         "seeded_pagerank": q.q_seeded_pagerank,
         "connected_components": q.q_connected_components,
+        "scc": q.q_scc,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangles,
         "degrees": q.q_degrees,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_pagerank": o.cooccur_pagerank_sql(iters=10),
         "hits": o.hits_sql(iters=8),
         "connected_components": o.cc_sql(),
+        "scc": o.scc_sql(),
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),
         "degrees": o.degrees_sql(),

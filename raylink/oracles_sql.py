@@ -271,6 +271,28 @@ def cc_sql() -> str:
     )
 
 
+def scc_sql() -> str:
+    """SCC via mutual reachability over the directed closure; scc = MAX vid
+    of the component (algos/scc.py root-id convention)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+mut AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+        JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)""",
+            recursive=True,
+        )
+        + """
+SELECT v.vid::BIGINT AS vid,
+       GREATEST(v.vid, COALESCE(MAX(m.u), v.vid))::BIGINT AS scc
+FROM verts v LEFT JOIN mut m ON m.v = v.vid
+GROUP BY v.vid"""
+    )
+
+
 def lpa_sql() -> str:
     return (
         _with(GRAPH_CTES, CC_CTE, recursive=True)

@@ -241,6 +241,28 @@ def q_connected_components(sf_dir: str):
     return comps.map_batches(cast, batch_format="pyarrow")
 
 
+def q_scc(sf_dir: str):
+    """Strongly connected components of the DIRECTED page graph (scc = max
+    vid of the component — FB-coloring root convention)."""
+    from raylink import storage
+    from raylink.algos.scc import scc, scc_edges
+    from raylink.graph import LinkGraph, build_graph
+    from raylink.pipelines import GRAPH_ROOT
+
+    gdir = storage.join(GRAPH_ROOT, cache_key("scc_graph", sf_dir))
+    if storage.exists(storage.join(gdir, "manifest.json")):
+        g = LinkGraph.load(gdir)
+    else:
+        _, edges, verts, _ = page_edge_tables(sf_dir)
+        g = build_graph(
+            scc_edges(edges.materialize()), verts, num_parts=8,
+            partitioner="mod", directed=True, edge_cols=["dirmask"],
+            graph_dir=gdir,
+        )
+    _, comps = scc(g=g, ckpt_dir=_ckpt("scc", sf_dir))
+    return comps
+
+
 def q_label_propagation(sf_dir: str):
     from raylink.algos import label_propagation
 

@@ -96,3 +96,18 @@ def kcore_oracle(n, edges, k):
                 alive[v] = False
                 changed = True
     return alive
+
+
+def scc_oracle(n, edges):
+    """scc_id(v) = MAX vid of v's strongly connected component (matches
+    algos.scc's root-id convention), via boolean-closure matrix squaring."""
+    import numpy as np
+
+    A = np.eye(n, dtype=bool)
+    for s, d in edges:
+        A[int(s), int(d)] = True
+    for _ in range(max(1, int(np.ceil(np.log2(max(n, 2)))))):
+        A = A | (A @ A)
+    mutual = A & A.T
+    return np.array([np.flatnonzero(mutual[v]).max() for v in range(n)],
+                    dtype=np.int64)
