@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q.q_hits,
         "link_positions": q.q_link_positions,
         "dense_remap": q.q_dense_remap,
+        "crawl_diff": q.q_crawl_diff,
         # relational layer over the TPC-H-shaped tables
         "pricing_summary": q.q_pricing_summary,
         "shipping_priority": q.q_shipping_priority,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "page_edges": o.page_edges_sql(),
         "link_positions": o.link_positions_sql(),
         "dense_remap": o.dense_remap_sql(),
+        "crawl_diff": o.crawl_diff_sql(),
         "pricing_summary": o.pricing_summary_sql(),
         "shipping_priority": o.shipping_priority_sql(),
         "nation_revenue": o.nation_revenue_sql(),

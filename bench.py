@@ -208,6 +208,33 @@ def run_bench() -> dict:
     scan_wall = time.perf_counter() - t0
     queries["rel_lineitem_scan_16x"] = round(scan_wall, 3)
 
+    # 6. WARC leg (r4): container parse -> extract throughput. Write the
+    # corpus as WARC once (untimed; idempotent file names, so re-runs reuse
+    # nothing stale), then time read_warc (actor-pool gzip+record parse) ->
+    # ExtractPages — the crawl on-ramp the north star starts from.
+    import shutil
+
+    from raylink.warc import read_warc, write_warc
+
+    warc_dir = "/tmp/raylink/bench_warc"
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    write_warc(
+        pages.select_columns(["url", "warc_ts", "html"]), warc_dir,
+        batch_size=2048,
+    )
+    t0 = time.perf_counter()
+    n_parsed = (
+        read_warc(warc_dir, concurrency=(1, NUM_CPUS))
+        .drop_columns(["n_skipped"])
+        .map_batches(ExtractPages, batch_format="pyarrow", batch_size=1024,
+                     concurrency=(1, NUM_CPUS // 2))
+        .count()
+    )
+    warc_wall = time.perf_counter() - t0
+    queries["warc_parse_extract"] = round(warc_wall, 3)
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    assert n_parsed == n, (n_parsed, n)
+
     # same-run host-health probe (pure-python mp.Pool spin, 8 vs 32 procs):
     # the flagship medians above are only comparable across rounds next to
     # the box's deliverable-CPU number at measurement time
@@ -231,6 +258,7 @@ def run_bench() -> dict:
         "rep_detail": rep_detail,
         "machine_parallel_ceiling_8_to_32": machine["machine_ceiling"],
         "lineitem_scan_rows_per_sec": round(scan_rows / scan_wall),
+        "warc_pages_per_sec": round(n / warc_wall),
         "total_sec": round(time.perf_counter() - t_total0, 3),
     }
     ray.shutdown()

@@ -121,6 +121,24 @@ def page_edges_sql() -> str:
     return _with(GRAPH_CTES) + "\nSELECT src::BIGINT AS src, dst::BIGINT AS dst FROM edges"
 
 
+def crawl_diff_sql() -> str:
+    """Mirrors queries.q_crawl_diff: capture A = edges with even src,
+    capture B = edges with src % 3 != 0; NOT EXISTS both ways."""
+    return (
+        _with(
+            GRAPH_CTES,
+            "a AS (SELECT src, dst FROM edges WHERE src % 2 = 0)",
+            "b AS (SELECT src, dst FROM edges WHERE src % 3 <> 0)",
+        )
+        + """
+SELECT b.src::BIGINT AS src, b.dst::BIGINT AS dst, 'added' AS change
+FROM b WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.src = b.src AND a.dst = b.dst)
+UNION ALL
+SELECT a.src::BIGINT, a.dst::BIGINT, 'removed'
+FROM a WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.src = a.src AND b.dst = a.dst)"""
+    )
+
+
 def dense_remap_sql(num_buckets: int = 16) -> str:
     """Mirrors queries.q_dense_remap: vid = hash64_str(url_of(v)) (FNV-1a ->
     splitmix64 -> >>1), bucket = splitmix64(vid) % B, dense = rank over

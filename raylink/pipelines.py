@@ -155,6 +155,56 @@ def distinct_edges(edges_ds):
     )
 
 
+def diff_edges(edges_a, edges_b):
+    """Crawl-snapshot edge diff: distinct edges of capture B minus capture A
+    ('added') plus A minus B ('removed'), as (src, dst, change) rows.
+
+    Shape: packed-key distinct on each side (one groupby each), then two
+    distributed anti-joins (``join.anti_join`` — bucketed by splitmix64,
+    nothing driver-side). The same 32-bit packing contract as
+    ``distinct_edges`` (guard raises, dense_id_remap is the cure)."""
+    from raylink.join import anti_join
+
+    def pack(batch: pa.Table) -> pa.Table:
+        from raylink.util import assert_packable
+
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        assert_packable(s, "diff_edges src")
+        assert_packable(d, "diff_edges dst")
+        return pa.table({"key": pa.array(np.unique((s << np.int64(32)) | d))})
+
+    def unpack(change: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column("key").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "src": pa.array(k >> np.int64(32)),
+                    "dst": pa.array(k & np.int64(0xFFFFFFFF)),
+                    "change": pa.array([change] * len(k), type=pa.string()),
+                }
+            )
+
+        return fn
+
+    def distinct_keys(e):
+        return (
+            e.map_batches(pack, batch_format="pyarrow")
+            .groupby("key")
+            .count()
+            .select_columns(["key"])
+        )
+
+    ka, kb = distinct_keys(edges_a), distinct_keys(edges_b)
+    added = anti_join(kb, ka, on="key", left_cols={}).map_batches(
+        unpack("added"), batch_format="pyarrow"
+    )
+    removed = anti_join(ka, kb, on="key", left_cols={}).map_batches(
+        unpack("removed"), batch_format="pyarrow"
+    )
+    return added.union(removed)
+
+
 def degree_table(edges_ds, verts_ds):
     """(vid, out_degree, in_degree) including zero-degree vertices — one
     groupby over stacked per-batch partial counts."""

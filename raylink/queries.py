@@ -70,6 +70,29 @@ def q_page_edges(sf_dir: str):
     return distinct_edges(edges)
 
 
+def q_crawl_diff(sf_dir: str):
+    """Two-capture crawl diff: capture A = out-links of even-doc pages,
+    capture B = out-links of doc_id % 3 != 0 pages (deterministic snapshot
+    membership); output = edges added / removed between captures via the
+    distributed anti-joins (``pipelines.diff_edges``)."""
+    from raylink.pipelines import diff_edges
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    edges = edges.materialize()  # referenced by both capture filters
+
+    def cap(mod: int, keep_rem_ne: int | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            m = (s % mod) == 0 if keep_rem_ne is None else (s % mod) != keep_rem_ne
+            return batch.filter(pa.array(m))
+
+        return fn
+
+    a = edges.map_batches(cap(2, None), batch_format="pyarrow")
+    b = edges.map_batches(cap(3, 0), batch_format="pyarrow")
+    return diff_edges(a, b)
+
+
 def q_dense_remap(sf_dir: str):
     """Production-id-regime remap: page edges with hash64_str(url) vids
     (63-bit — unpackable for (a<<32)|b keys) -> ``dense_id_remap`` ->

@@ -170,22 +170,29 @@ def write_warc(pages_ds, out_dir: str, compress: bool = True,
 
 
 def _gunzip_salvage(data: bytes) -> bytes:
-    """Decompress a (possibly truncated) multi-member gzip stream,
-    salvaging every byte that decodes. A truncated final member yields its
-    partial plaintext; the record loop then drops the partial record."""
+    """Decompress a (possibly truncated/garbage-tailed) multi-member gzip
+    stream, salvaging every byte that decodes. Streamed in bounded chunks —
+    each input byte is touched once (a Common-Crawl file has ~10^5 members;
+    restarting the decompressor on a copy of the remaining buffer per
+    member would be quadratic). A truncated final member yields its partial
+    plaintext; the record loop then drops the partial record."""
     import zlib
 
     out: list[bytes] = []
+    d = zlib.decompressobj(31)
     view = memoryview(data)
-    while len(view):
-        d = zlib.decompressobj(31)
-        try:
-            out.append(d.decompress(bytes(view)))
-        except zlib.error:
-            break
-        if not d.eof:  # truncated member: keep the partial plaintext
-            break
-        view = memoryview(d.unused_data)
+    chunk_sz = 1 << 20
+    try:
+        for pos in range(0, len(view), chunk_sz):
+            buf = view[pos : pos + chunk_sz]
+            out.append(d.decompress(buf))
+            # member boundary inside the chunk: chain to the next member
+            while d.eof and d.unused_data:
+                rest = d.unused_data
+                d = zlib.decompressobj(31)
+                out.append(d.decompress(rest))
+    except zlib.error:  # garbage/truncated tail: keep what decoded
+        pass
     return b"".join(out)
 
 

@@ -281,3 +281,33 @@ def test_semi_anti_join_paths_agree(ray_session):
     empty = rd.from_arrow(pa.table({"k": pa.array([], type=pa.int64())}))
     assert semi_join(left, empty, "k", {"v": pa.float64()}, n_key_rows=0).count() == 0
     assert anti_join(left, empty, "k", {"v": pa.float64()}).count() == 300
+
+
+def test_diff_edges(ray_session):
+    """Crawl-snapshot edge diff == set difference both ways (python oracle);
+    identical snapshots -> empty diff."""
+    import ray.data as rd
+
+    from raylink.pipelines import diff_edges
+
+    rng = np.random.default_rng(5)
+    ea = np.unique(rng.integers(0, 40, size=(300, 2)), axis=0)
+    eb = np.unique(rng.integers(0, 40, size=(300, 2)), axis=0)
+
+    def ds(e):
+        return rd.from_arrow(pa.table({
+            "src": pa.array(e[:, 0].astype(np.int64)),
+            "dst": pa.array(e[:, 1].astype(np.int64)),
+        })).repartition(3)
+
+    got = diff_edges(ds(ea), ds(eb)).to_pandas()
+    sa = {tuple(r) for r in ea.tolist()}
+    sb = {tuple(r) for r in eb.tolist()}
+    want_added = sb - sa
+    want_removed = sa - sb
+    g_added = {(r.src, r.dst) for r in got.itertuples() if r.change == "added"}
+    g_removed = {(r.src, r.dst) for r in got.itertuples() if r.change == "removed"}
+    assert g_added == want_added and g_removed == want_removed
+    assert len(got) == len(want_added) + len(want_removed)  # no dup rows
+
+    assert diff_edges(ds(ea), ds(ea)).count() == 0
