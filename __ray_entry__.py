@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_pagerank": q.q_seeded_pagerank,
         "connected_components": q.q_connected_components,
         "scc": q.q_scc,
+        "harmonic": q.q_harmonic,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangles,
         "degrees": q.q_degrees,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_positions": q.q_link_positions,
         "dense_remap": q.q_dense_remap,
         "crawl_diff": q.q_crawl_diff,
+        "url_canon": q.q_url_canon,
         # relational layer over the TPC-H-shaped tables
         "pricing_summary": q.q_pricing_summary,
         "shipping_priority": q.q_shipping_priority,
@@ -148,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "link_positions": o.link_positions_sql(),
         "dense_remap": o.dense_remap_sql(),
         "crawl_diff": o.crawl_diff_sql(),
+        "url_canon": o.url_canon_sql(),
         "pricing_summary": o.pricing_summary_sql(),
         "shipping_priority": o.shipping_priority_sql(),
         "nation_revenue": o.nation_revenue_sql(),
@@ -161,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": o.hits_sql(iters=8),
         "connected_components": o.cc_sql(),
         "scc": o.scc_sql(),
+        "harmonic": o.harmonic_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),
         "degrees": o.degrees_sql(),

@@ -218,15 +218,21 @@ def scc(
     ckpt_dir: str | None = None,
     resume: bool = True,
     graph_dir: str | None = None,
+    engine: str = "dataset",
 ):
     """Strongly connected components of a directed edge Dataset.
 
     Returns (BSPResult, Dataset (vid, scc)) with scc = MAX vid of the
     vertex's strongly connected component. Pass either ``edges_ds``
     (+ optional ``vertices_ds`` for isolated vertices) or a prebuilt dual
-    graph ``g`` (must carry ``e_dirmask``)."""
+    graph ``g`` (must carry ``e_dirmask``). ``engine="tasks"`` uses the
+    raw-task exchange fast path — FB-coloring runs many cheap rounds, so
+    the fixed per-round Dataset overhead dominates on the default engine
+    (both engines evaluate ``halted`` per round, so phase flips and the
+    resume replay behave identically)."""
     from raylink import storage
     from raylink.superstep import Checkpoint
+    from raylink.superstep_tasks import run_bsp_tasks
 
     if g is None:
         g = build_graph(
@@ -252,7 +258,8 @@ def scc(
             ctx["phase"], ctx["phase_start"] = SCCColoring.replay_phase(
                 man.get("history", [])
             )
-    res = run_bsp(
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
         g, algo, ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir,
         resume=resume,
     )

@@ -121,6 +121,53 @@ def page_edges_sql() -> str:
     return _with(GRAPH_CTES) + "\nSELECT src::BIGINT AS src, dst::BIGINT AS dst FROM edges"
 
 
+def url_canon_sql() -> str:
+    """Mirrors queries.q_url_canon: the planted messy urls and the RE2
+    canonicalization pipeline (ops/urls.py) step for step — both engines
+    run RE2 GlobalReplace, so even overlap-skip behavior is identical."""
+    plant = r"""
+raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0
+          THEN 'HTTPS://SITE' || (doc_id % 97) || '.EXAMPLE'
+          ELSE 'https://site' || (doc_id % 97) || '.example' END
+     || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+     || CASE WHEN doc_id % 5 = 0 THEN '/d/./' || doc_id
+             WHEN doc_id % 7 = 0 THEN '/d/x/../' || doc_id
+             WHEN doc_id % 11 = 0 THEN '/d//' || doc_id
+             ELSE '/d/' || doc_id END
+     || CASE WHEN doc_id % 13 = 0 THEN '#s' || doc_id ELSE '' END
+    ) AS url_raw
+  FROM documents)"""
+    return (
+        "WITH "
+        + plant
+        + r""",
+u1 AS (SELECT doc_id, url_raw,
+              regexp_replace(url_raw, '#.*$', '', 'g') AS u
+       FROM raw),
+hr AS (SELECT doc_id, url_raw,
+              lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS head,
+              regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS rest
+       FROM u1),
+h2 AS (SELECT doc_id, url_raw,
+              regexp_replace(regexp_replace(head,
+                '^(https://[^/:]*):443$', '\1'),
+                '^(http://[^/:]*):80$', '\1') AS head,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(rest,
+                  '/\./', '/', 'g'),
+                  '/\./', '/', 'g'),
+                  '/\.$', '/'),
+                  '/[^/?#]+/\.\./', '/', 'g'),
+                  '/[^/?#]+/\.\./', '/', 'g'),
+                  '/[^/?#]+/\.\.$', '/'),
+                  '//+', '/', 'g') AS rest
+       FROM hr)
+SELECT doc_id, url_raw, head || rest AS url_canon FROM h2"""
+    )
+
+
 def crawl_diff_sql() -> str:
     """Mirrors queries.q_crawl_diff: capture A = edges with even src,
     capture B = edges with src % 3 != 0; NOT EXISTS both ways."""
@@ -454,6 +501,40 @@ def sssp_sql(source: int = 0, cap: int = 64) -> str:
         + """
 SELECT v.vid::BIGINT AS vid, COALESCE(MIN(x.d), -1)::BIGINT AS dist
 FROM verts v LEFT JOIN dists x ON x.vid = v.vid GROUP BY v.vid"""
+    )
+
+
+def harmonic_sql(seeds=(0, 1, 2, 7), cap: int = 64) -> str:
+    """Seed-sampled harmonic centrality: one recursive BFS CTE per seed
+    over the DIRECTED edges; harmonic = the same left-associated IEEE sum
+    the engine computes (algos/centrality.py finish), so floats are exact."""
+    ctes = [GRAPH_CTES]
+    for j, seed in enumerate(seeds):
+        ctes.append(
+            f"""b{j} AS (
+  SELECT CAST({seed} AS BIGINT) AS vid, 0 AS d
+  UNION
+  SELECT e.dst, x.d + 1 FROM b{j} x JOIN edges e ON e.src = x.vid WHERE x.d < {cap}
+)"""
+        )
+        ctes.append(
+            f"m{j} AS (SELECT vid, MIN(d) AS d FROM b{j} GROUP BY vid)"
+        )
+    dcols = ", ".join(
+        f"COALESCE(m{j}.d, -1)::BIGINT AS d{j}" for j in range(len(seeds))
+    )
+    hsum = " + ".join(
+        f"(CASE WHEN m{j}.d > 0 THEN 1.0 / m{j}.d ELSE 0.0 END)"
+        for j in range(len(seeds))
+    )
+    joins = " ".join(
+        f"LEFT JOIN m{j} ON m{j}.vid = v.vid" for j in range(len(seeds))
+    )
+    return (
+        _with(*ctes, recursive=True)
+        + f"""
+SELECT v.vid::BIGINT AS vid, {dcols}, {hsum} AS harmonic
+FROM verts v {joins}"""
     )
 
 

@@ -70,6 +70,62 @@ def q_page_edges(sf_dir: str):
     return distinct_edges(edges)
 
 
+def q_url_canon(sf_dir: str):
+    """URL canonicalization over a deterministically-messied corpus: for
+    each doc, a raw url with planted case/port/dot-segment/dup-slash/
+    fragment noise (mod rules below, mirrored in SQL), canonicalized by the
+    Arrow RE2 pipeline (ops/urls.py). Output (doc_id, url_raw, url_canon)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.ops.urls import canonicalize_urls
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        i = batch.column("doc_id")
+        s = pc.cast(i, pa.string())
+        site = pc.cast(pc.subtract(i, pc.multiply(pc.divide(i, 97), 97)), pa.string())
+
+        def mod0(m):
+            return pc.equal(pc.subtract(i, pc.multiply(pc.divide(i, m), m)), 0)
+
+        head = pc.if_else(
+            mod0(2),
+            pc.binary_join_element_wise("HTTPS://SITE", site, ".EXAMPLE", ""),
+            pc.binary_join_element_wise("https://site", site, ".example", ""),
+        )
+        head = pc.binary_join_element_wise(
+            head, pc.if_else(mod0(3), ":443", ""), ""
+        )
+        path = pc.if_else(
+            mod0(5),
+            pc.binary_join_element_wise("/d/./", s, ""),
+            pc.if_else(
+                mod0(7),
+                pc.binary_join_element_wise("/d/x/../", s, ""),
+                pc.if_else(
+                    mod0(11),
+                    pc.binary_join_element_wise("/d//", s, ""),
+                    pc.binary_join_element_wise("/d/", s, ""),
+                ),
+            ),
+        )
+        frag = pc.if_else(
+            mod0(13), pc.binary_join_element_wise("#s", s, ""), ""
+        )
+        raw = pc.binary_join_element_wise(head, path, frag, "")
+        return pa.table(
+            {
+                "doc_id": i,
+                "url_raw": raw,
+                "url_canon": canonicalize_urls(raw),
+            }
+        )
+
+    return docs.map_batches(plant, batch_format="pyarrow")
+
+
 def q_crawl_diff(sf_dir: str):
     """Two-capture crawl diff: capture A = out-links of even-doc pages,
     capture B = out-links of doc_id % 3 != 0 pages (deterministic snapshot
@@ -282,8 +338,24 @@ def q_scc(sf_dir: str):
             partitioner="mod", directed=True, edge_cols=["dirmask"],
             graph_dir=gdir,
         )
-    _, comps = scc(g=g, ckpt_dir=_ckpt("scc", sf_dir))
+    _, comps = scc(g=g, ckpt_dir=_ckpt("scc", sf_dir), engine="tasks")
     return comps
+
+
+HARMONIC_SEEDS = [0, 1, 2, 7]
+
+
+def q_harmonic(sf_dir: str):
+    """Seed-sampled harmonic centrality (directed BFS from the three hubs +
+    a non-hub) — k BFS trees in one BSP job."""
+    from raylink.algos.centrality import harmonic_centrality
+
+    g = page_graph(sf_dir, directed=True)
+    _, out = harmonic_centrality(
+        g, HARMONIC_SEEDS, engine="tasks",
+        ckpt_dir=_ckpt("harmonic", sf_dir, *HARMONIC_SEEDS),
+    )
+    return out
 
 
 def q_label_propagation(sf_dir: str):

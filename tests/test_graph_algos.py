@@ -696,3 +696,36 @@ def test_ktruss_requires_k3(ray_session):
     )
     with _pytest.raises(ValueError):
         ktruss(ds, k=2)
+
+
+def test_harmonic_centrality(edge_data, tmp_path):
+    """Multi-source BFS harmonic vs a directed numpy BFS per seed."""
+    from raylink.algos.centrality import harmonic_centrality
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    seeds = [0, 1, 2, 7]
+    g = build_graph(edges_ds, verts_ds, num_parts=4, partitioner="hash",
+                    directed=True)
+    _, out = harmonic_centrality(g, seeds, ckpt_dir=str(tmp_path / "h"))
+    pdf = out.to_pandas().sort_values("vid").reset_index(drop=True)
+
+    adj = [[] for _ in range(N)]
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+    import collections
+
+    h = np.zeros(N)
+    for j, seed in enumerate(seeds):
+        dist = np.full(N, -1, dtype=np.int64)
+        dist[seed] = 0
+        q = collections.deque([seed])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        np.testing.assert_array_equal(pdf[f"d{j}"].to_numpy(), dist)
+        h = h + np.where(dist > 0, 1.0 / np.maximum(dist, 1), 0.0)
+    np.testing.assert_array_equal(pdf["harmonic"].to_numpy(), h)

@@ -92,3 +92,19 @@ def test_scc_resume_phase_replay(edge_data, tmp_path):
     a = full.to_pandas().sort_values("vid").reset_index(drop=True)
     b = resumed.to_pandas().sort_values("vid").reset_index(drop=True)
     np.testing.assert_array_equal(a["scc"].to_numpy(), b["scc"].to_numpy())
+
+
+def test_scc_engines_agree(edge_data, tmp_path):
+    """Dataset-shuffle and raw-task BSP engines produce identical SCC ids
+    (phase flips are evaluated per round in both)."""
+    edges, edges_ds, verts_ds = edge_data
+    from raylink.algos.scc import scc, scc_edges
+    from raylink.graph import build_graph
+
+    g = build_graph(scc_edges(edges_ds), verts_ds, num_parts=4,
+                    partitioner="hash", directed=True, edge_cols=["dirmask"])
+    _, a = scc(g=g, ckpt_dir=str(tmp_path / "ds"), engine="dataset")
+    _, b = scc(g=g, ckpt_dir=str(tmp_path / "tk"), engine="tasks")
+    pa_ = a.to_pandas().sort_values("vid").reset_index(drop=True)
+    pb = b.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_array_equal(pa_["scc"].to_numpy(), pb["scc"].to_numpy())

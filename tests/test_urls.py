@@ -1,0 +1,61 @@
+"""URL canonicalization (ops/urls.py): rule-by-rule cases, idempotence,
+and parity with the DuckDB RE2 mirror on the planted corpus shapes."""
+
+import duckdb
+import pyarrow as pa
+
+from raylink.ops.urls import canonicalize_batch, canonicalize_urls
+
+CASES = {
+    "HTTPS://SITE5.EXAMPLE:443/d/./5#frag": "https://site5.example/d/5",
+    "https://site7.example/d/x/../7": "https://site7.example/d/7",
+    "http://A.Example:80/p": "http://a.example/p",
+    "http://a.example:8080/p": "http://a.example:8080/p",  # non-default kept
+    "https://a.example:443/": "https://a.example/",
+    "http://a.example:443/p": "http://a.example:443/p",  # wrong-scheme port kept
+    "https://a.example/d//9?q=1#x": "https://a.example/d/9?q=1",
+    "https://a.example/a/b/../../c": "https://a.example/c",  # two passes
+    "https://a.example/d/.": "https://a.example/d/",
+    "https://a.example/d/x/..": "https://a.example/d/",
+    "https://a.example/d/5": "https://a.example/d/5",
+    "no-scheme#f": "no-scheme",  # no authority: fragment strip only
+    "": "",
+}
+
+
+def test_rules():
+    got = canonicalize_urls(pa.array(list(CASES))).to_pylist()
+    assert got == list(CASES.values())
+
+
+def test_idempotent():
+    once = canonicalize_urls(pa.array(list(CASES)))
+    assert canonicalize_urls(once).to_pylist() == once.to_pylist()
+
+
+def test_nulls_and_batch():
+    t = pa.table({"url": pa.array(["https://A.B/x#f", None])})
+    out = canonicalize_batch(t)
+    assert out.column("url_canon").to_pylist() == ["https://a.b/x", ""]
+
+
+def test_sql_mirror_parity():
+    """The DuckDB side of url_canon_sql (same RE2 pipeline) agrees on every
+    rule case — the cross-engine property the oracle relies on."""
+    sql = r"""
+SELECT head || rest FROM (
+  SELECT regexp_replace(regexp_replace(
+           lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+           '^(https://[^/:]*):443$', '\1'), '^(http://[^/:]*):80$', '\1') AS head,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+             '/\./', '/', 'g'), '/\./', '/', 'g'), '/\.$', '/'),
+             '/[^/?#]+/\.\./', '/', 'g'), '/[^/?#]+/\.\./', '/', 'g'),
+             '/[^/?#]+/\.\.$', '/'), '//+', '/', 'g') AS rest
+  FROM (SELECT regexp_replace(?, '#.*$', '', 'g') AS u))"""
+    con = duckdb.connect()
+    for raw, want in CASES.items():
+        if "://" not in raw:
+            continue  # SQL mirror is only used on scheme-ful planted urls
+        assert con.execute(sql, [raw]).fetchone()[0] == want, raw
