@@ -634,10 +634,16 @@ def q_pricing_summary(sf_dir: str, lineitem_paths: list[str] | None = None):
     import pyarrow.compute as pc
     import ray.data as rd
 
+    # row filter pushed to the parquet scanner (row-group statistics prune
+    # IO before a byte leaves storage — the 100-TB design point); the
+    # in-batch filter below stays as the exactness guarantee (pushdown is
+    # also exact, so it is a no-op on the surviving rows)
     li = rd.read_parquet(
         lineitem_paths or f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
                  "l_returnflag", "l_linestatus", "l_shipdate"],
+        filter=pc.field("l_shipdate")
+        <= pa.scalar(_SHIP_CUTOFF.item(), type=pa.timestamp("us")),
     )
 
     def partial(b: pa.Table) -> pa.Table:
@@ -756,7 +762,8 @@ def q_shipping_priority(sf_dir: str, broadcast_threshold: int | None = None):
     if broadcast_threshold is None:
         broadcast_threshold = BROADCAST_THRESHOLD
     cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
     ).map_batches(
         lambda b: b.filter(pc.equal(b.column("c_mktsegment"), pa.scalar("BUILDING")))
         .select(["c_custkey"]),
@@ -766,6 +773,7 @@ def q_shipping_priority(sf_dir: str, broadcast_threshold: int | None = None):
     orders_raw = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < d1,  # scanner-level row pruning
     )
 
     if _parquet_rows(sf_dir, "customer") <= broadcast_threshold:
@@ -825,6 +833,7 @@ def q_shipping_priority(sf_dir: str, broadcast_threshold: int | None = None):
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > d1,  # scanner-level row pruning
     ).map_batches(li_f, batch_format="pyarrow")
 
     def rev_final(b: pa.Table) -> pa.Table:
