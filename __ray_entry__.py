@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_converged": q.q_pagerank_converged,
         "weighted_pagerank": q.q_weighted_pagerank,
         "seeded_pagerank": q.q_seeded_pagerank,
+        "incremental_pagerank": q.q_incremental_pagerank,
         "connected_components": q.q_connected_components,
         "scc": q.q_scc,
         "harmonic": q.q_harmonic,
@@ -160,6 +161,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": o.pagerank_sql(iters=27),
         "weighted_pagerank": o.weighted_pagerank_sql(iters=20),
         "seeded_pagerank": o.seeded_pagerank_sql(iters=30),
+        # incremental PR converges to the plain-PR fixpoint; same deep-
+        # unrolled oracle + r6 tolerance argument as subgraph_rank
+        "incremental_pagerank": o.subgraph_rank_sql(),
         "cooccur_pagerank": o.cooccur_pagerank_sql(iters=10),
         "hits": o.hits_sql(iters=8),
         "connected_components": o.cc_sql(),

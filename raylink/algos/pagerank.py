@@ -40,6 +40,12 @@ class PageRank(Algorithm):
         return (1.0 - ctx.get("alpha", 0.85)) / ctx["n_vertices"]
 
     def init(self, shard: dict, ctx: dict) -> dict:
+        col = ctx.get("init_ranks")
+        if col is not None:
+            # warm start from a persisted vertex value (incremental PR on a
+            # recrawl: seed with the previous snapshot's ranks — same
+            # fixpoint, fewer supersteps to eps)
+            return {"rank": shard[f"v_{col}"].astype(np.float64, copy=True)}
         n_local = len(shard["vids"])
         rank0 = 1.0 / ctx["n_vertices"]
         return {"rank": np.full(n_local, rank0, dtype=np.float64)}
@@ -216,10 +222,14 @@ def pagerank(
     ckpt_every: int = 1,
     engine: str = "dataset",
     weighted: bool = False,
+    init_ranks: str | None = None,
 ):
     """Run PageRank; returns (BSPResult, ranks Dataset (vid, rank)).
     ``weighted=True`` distributes rank proportional to edge weights
-    (requires a weighted graph)."""
+    (requires a weighted graph). ``init_ranks`` names a vertex value column
+    persisted at build time (``build_graph(vertex_cols=[col])``) to warm-
+    start from — incremental recompute on a recrawl (same fixpoint, fewer
+    supersteps)."""
     if g is None:
         g = build_graph(
             edges_ds, vertices_ds, num_parts=num_parts, partitioner=partitioner,
@@ -233,6 +243,8 @@ def pagerank(
         "partitioner": g.partitioner,
         "num_parts": g.num_parts,
     }
+    if init_ranks is not None:
+        ctx["init_ranks"] = init_ranks
     algo = WeightedPageRank() if weighted else PageRank()
     _run = run_bsp_tasks if engine == "tasks" else run_bsp
     res = _run(

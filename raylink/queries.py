@@ -1633,6 +1633,68 @@ def q_subgraph_rank(sf_dir: str):
     return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_incremental_pagerank(sf_dir: str):
+    """Recrawl-incremental PageRank: rank snapshot A (the full graph minus
+    the ~2% of edges with (src+dst) % 50 == 0 — a realistic recrawl delta),
+    persist those ranks as a vertex value on the full graph, warm-start PR
+    from them (``init_ranks``). Same fixpoint as a cold run — the oracle is
+    the deep-unrolled PR fixpoint at r6 (subgraph_rank_sql's tolerance
+    argument) — in fewer supersteps (asserted in pytest; a warm start only
+    pays off when the snapshots are CLOSE — seeding from a structurally
+    different graph converges slower than cold, which the test also
+    documents)."""
+    import ray.data as rd
+
+    from raylink import storage
+    from raylink.algos import pagerank
+    from raylink.graph import LinkGraph, build_graph
+    from raylink.pipelines import GRAPH_ROOT
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    edges = edges.materialize()
+
+    def drop_delta(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((s + d) % 50 != 0))
+
+    prev = edges.map_batches(drop_delta, batch_format="pyarrow")
+    g_a = build_graph(prev, verts, num_parts=8, partitioner="mod", directed=True)
+    _, ranks_a = pagerank(
+        g=g_a, eps=1e-8, engine="tasks", ckpt_dir=_ckpt("incpr_a", sf_dir)
+    )
+    verts_b = ranks_a.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"), "rank0": b.column("rank")}),
+        batch_format="pyarrow",
+    )
+    gdir = storage.join(GRAPH_ROOT, cache_key("incpr_graph", sf_dir))
+    if storage.exists(storage.join(gdir, "manifest.json")):
+        g_b = LinkGraph.load(gdir)
+    else:
+        g_b = build_graph(
+            edges, verts_b, num_parts=8, partitioner="mod", directed=True,
+            vertex_cols=["rank0"], graph_dir=gdir,
+        )
+    _, ranks = pagerank(
+        g=g_b, eps=1e-12, engine="tasks", init_ranks="rank0",
+        ckpt_dir=_ckpt("incpr_b", sf_dir),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(
+                        batch.column("rank").to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_spanning_forest(sf_dir: str):
     """Per-component BFS spanning forest; rows-only, invariant-tested in
     pytest (test_spanning_forest)."""
