@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q.q_doc_top_terms,
         "dedup_clusters": q.q_dedup_clusters,
         "decontaminate": q.q_decontaminate,
+        "bloom_decontaminate": q.q_bloom_decontaminate,
         "domain_stats": q.q_domain_stats,
         "curation_funnel": q.q_curation_funnel,
         "text_stats": q.q_text_stats,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": o.doc_top_terms_sql(3),
         "dedup_clusters": o.dedup_clusters_sql(tau=0.5),
         "decontaminate": o.decontaminate_sql(n=8),
+        "bloom_decontaminate": o.bloom_decontaminate_sql(n=8, m_bits=16, k=4),
         "domain_stats": o.domain_stats_sql(),
         "curation_funnel": o.curation_funnel_sql(),
         "text_stats": o.text_stats_sql(),

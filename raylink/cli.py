@@ -133,7 +133,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="raylink", description=__doc__)
     p.add_argument("algorithm", choices=[
         "pagerank", "seeded_pagerank", "subgraphrank", "cc", "lpa", "sssp",
-        "kcore", "coreness", "triangles", "forest", "kmeans",
+        "kcore", "coreness", "triangles", "forest", "kmeans", "scc",
     ])
     p.add_argument("--edges", required=True, help="parquet glob / text / jsonl path")
     p.add_argument("--vertices", help="optional vertex parquet (vid[, value cols])")
@@ -206,6 +206,16 @@ def main(argv=None) -> int:
             kw.update(eps=args.eps)
             kw.pop("ckpt_every", None)
         res, result = fn(g=g, **kw)
+        summary.update(supersteps=res.supersteps_run, wall_sec=round(res.wall_sec, 2))
+    elif args.algorithm == "scc":
+        from raylink.algos.scc import scc
+
+        edges, verts = _load_edges(args)
+        res, result = scc(
+            edges, vertices_ds=verts, num_parts=args.num_parts,
+            partitioner=args.partitioner, ckpt_dir=args.ckpt_dir,
+            graph_dir=args.graph_dir, engine=args.engine,
+        )
         summary.update(supersteps=res.supersteps_run, wall_sec=round(res.wall_sec, 2))
     elif args.algorithm == "kmeans":
         from raylink.algos import graph_kmeans

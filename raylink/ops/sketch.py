@@ -106,6 +106,88 @@ def hll_estimate_from_registers(max_ranks: np.ndarray, p: int) -> dict:
     }
 
 
+GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def bloom_positions(gh: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n,) uint64 gram hashes -> (n, k) int64 bit positions:
+    pos_j = splitmix64(gh XOR j*GOLDEN) & (2^m_bits - 1). Mirrored
+    bit-for-bit in SQL (bloom_decontaminate_sql)."""
+    mask = np.uint64((1 << m_bits) - 1)
+    out = np.empty((len(gh), k), dtype=np.int64)
+    for j in range(k):
+        out[:, j] = (
+            splitmix64(gh ^ (np.uint64(j) * GOLDEN)) & mask
+        ).astype(np.int64)
+    return out
+
+
+def bloom_decontaminate(docs_ds, bench_ds, n: int = 8, m_bits: int = 16,
+                        k: int = 4):
+    """Benchmark decontamination through a Bloom filter — the
+    BOUNDED-broadcast variant of ``ops.dedup.decontaminate``.
+
+    The exact pass broadcasts the benchmark's distinct gram hashes
+    (unbounded: grows with the eval suite); this broadcasts a FIXED 2^m_bits
+    bitset (64 KiB at m_bits=19) no matter how large the suite gets — the
+    trade is a documented false-positive rate (1-e^(-k*n/m))^k, and Bloom
+    FPs only ever OVER-flag (safe direction for decontamination).
+
+    Every probe position is a mirrored hash (FNV-1a gram -> splitmix64 with
+    per-probe XOR constants), so the SQL oracle reproduces the EXACT output
+    including which grams false-positive — the sketch itself is under the
+    correctness gate, not just its happy path.
+
+    Build side: distinct bench gram hashes (distributed) -> positions ->
+    distinct positions (bounded by 2^m_bits rows) -> driver bitset ->
+    ``ray.put``. Scan side: shuffle-free map_batches membership test.
+    Returns Dataset (doc_id, n_grams, n_bloom_hits, contaminated_bloom).
+    """
+    import pyarrow as pa
+    import ray
+
+    from raylink.ops.dedup import _gram_hashes
+
+    m = 1 << m_bits
+
+    def bench_pos(batch: pa.Table) -> pa.Table:
+        gh, _ = _gram_hashes(batch.column("text").to_pylist(), n)
+        pos = bloom_positions(np.unique(gh), k, m_bits)
+        return pa.table({"pos": pa.array(np.unique(pos))})
+
+    distinct_pos = (
+        bench_ds.map_batches(bench_pos, batch_format="pyarrow")
+        .groupby("pos")
+        .count()
+    )
+    bits = np.zeros(m, dtype=bool)
+    for r in distinct_pos.select_columns(["pos"]).take_all():  # <= 2^m_bits
+        bits[int(r["pos"])] = True
+    ref = ray.put(bits)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        filt = ray.get(ref)
+        texts = batch.column("text").to_pylist()
+        gh, counts = _gram_hashes(texts, n)
+        if len(gh):
+            pos = bloom_positions(gh, k, m_bits)
+            hit = filt[pos].all(axis=1)
+        else:
+            hit = np.zeros(0, dtype=bool)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        n_hits = np.bincount(doc_idx[hit], minlength=len(texts)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pa.array(counts),
+                "n_bloom_hits": pa.array(n_hits),
+                "contaminated_bloom": pa.array(n_hits > 0),
+            }
+        )
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow")
+
+
 def hll_distinct_words(ds, p: int = 12, column: str = "text",
                        concurrency=(1, 4)) -> pa.Table:
     """Distinct-[a-z]+-word estimate over a documents Dataset.

@@ -1564,6 +1564,49 @@ SELECT w.doc_id,
 FROM w LEFT JOIN hits ON hits.doc_id = w.doc_id"""
 
 
+def bloom_decontaminate_sql(n: int = 8, m_bits: int = 16, k: int = 4,
+                            bench_mod: int = 101, bench_rem: int = 7) -> str:
+    """Mirrors ops.sketch.bloom_decontaminate bit-for-bit: gram FNV-1a ->
+    k probe positions splitmix64(gh XOR j*GOLDEN) & (2^m_bits - 1); the
+    bench bitset is the distinct position set; a gram occurrence is flagged
+    iff ALL k of its positions are set — INCLUDING false positives, which
+    the mirror reproduces exactly."""
+    m = 1 << m_bits
+    golden = 0x9E3779B97F4A7C15
+    consts = ", ".join(
+        f"({j}, CAST({(j * golden) % (1 << 64)} AS UBIGINT))" for j in range(k)
+    )
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n)).replace("ws[i+0]", "ws[i]")
+    pos_expr = (
+        f"CAST({_sm64('xor(g2.gh, c.cj)')} & CAST({m - 1} AS UBIGINT) AS BIGINT)"
+    )
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (
+  SELECT doc_id, i, {gram} AS gram
+  FROM w, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
+  WHERE len(ws) >= {n}
+),
+g2 AS MATERIALIZED (SELECT doc_id, i, {_fnv64("gram")} AS gh FROM g),
+consts(j, cj) AS (VALUES {consts}),
+bits AS MATERIALIZED (
+  SELECT DISTINCT {pos_expr} AS pos
+  FROM (SELECT DISTINCT gh FROM g2 WHERE doc_id % {bench_mod} = {bench_rem}) g2,
+       consts c
+),
+cpos AS (SELECT g2.doc_id, g2.i, c.j, {pos_expr} AS pos FROM g2, consts c),
+flagged AS (
+  SELECT doc_id, i FROM cpos JOIN bits USING (pos)
+  GROUP BY doc_id, i HAVING count(*) = {k}
+),
+hits AS (SELECT doc_id, count(*) AS h FROM flagged GROUP BY doc_id)
+SELECT w.doc_id,
+       greatest(len(w.ws) - {n - 1}, 0)::BIGINT AS n_grams,
+       COALESCE(hits.h, 0)::BIGINT AS n_bloom_hits,
+       COALESCE(hits.h, 0) > 0 AS contaminated_bloom
+FROM w LEFT JOIN hits ON hits.doc_id = w.doc_id"""
+
+
 def postings_sql(min_df: int = 2, max_df: int = 400) -> str:
     """Mirrors ops.textstats.postings: sorted ascending doc_id posting
     lists, comma-joined; df bounds inclusive."""

@@ -1133,6 +1133,23 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(docs, bench, n=8)
 
 
+def q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination (fixed 2^16-bit broadcast bitset, k=4
+    probes) over the same doc_id % 101 == 7 pseudo-benchmark — the
+    bounded-broadcast variant of `decontaminate`; the oracle reproduces the
+    sketch's false positives exactly."""
+    from raylink.ops.sketch import bloom_decontaminate
+
+    docs = _docs(sf_dir)
+
+    def bench_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 101 == 7))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return bloom_decontaminate(docs, bench, n=8, m_bits=16, k=4)
+
+
 def q_pii_scan(sf_dir: str):
     """PII-pattern counts. The synthetic corpus is digit-free, so the query
     plants deterministic PII (an email / an IPv4 / a long number on doc_id

@@ -87,3 +87,28 @@ def test_cli_named_query(tmp_path):
     assert r2.returncode == 2
     out = json.loads(r2.stdout.strip().splitlines()[-1])
     assert "pricing_summary" in out["available"]
+
+
+def test_cli_scc(tmp_path):
+    """scc via the CLI on adjacency input; ids match the closure oracle."""
+    from oracles import scc_oracle
+
+    edges = expected_edges(N)
+    adj = {i: [] for i in range(N)}
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+    gfile = tmp_path / "g.txt"
+    with open(gfile, "w") as f:
+        for i in range(N):
+            f.write(" ".join([str(i)] + [str(t) for t in adj[i]]) + "\n")
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "raylink.cli", "scc", "--edges", str(gfile),
+         "--format", "adjacency", "--out", str(out), "--num-parts", "4",
+         "--engine", "tasks", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    parts = sorted(glob.glob(str(out / "part=*" / "data.parquet")))
+    df = pd.concat([pq.read_table(p).to_pandas() for p in parts]).sort_values("vid")
+    np.testing.assert_array_equal(df["scc"].to_numpy(), scc_oracle(N, edges))

@@ -88,3 +88,38 @@ def test_hll_distinct_words_dataset():
     want = hll_estimate_from_registers(mr, 12)
     got = {k: out.column(k)[0].as_py() for k in out.column_names}
     assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_decontaminate_superset_of_exact():
+    """Bloom flags are a SUPERSET of the exact pass (FPs only over-flag,
+    never miss); a tight filter (m_bits=8) actually produces FPs on this
+    input while a roomy one (m_bits=18) matches the exact pass."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import decontaminate
+    from raylink.ops.sketch import bloom_decontaminate
+
+    leak = " ".join(_letters(i) for i in range(40, 52))
+    texts = [leak] + [
+        " ".join(_letters(j) for j in range(i, i + 30)) for i in range(100, 400, 3)
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })).repartition(4)
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10_000], type=pa.int64()),
+        "text": pa.array([leak + " " + _letters(999)]),
+    }))
+    exact = decontaminate(docs, bench, n=8).to_pandas().set_index("doc_id")
+    assert exact["contaminated"].sum() == 1  # only the planted leak doc
+
+    tight = bloom_decontaminate(docs, bench, n=8, m_bits=8, k=2) \
+        .to_pandas().set_index("doc_id")
+    roomy = bloom_decontaminate(docs, bench, n=8, m_bits=18, k=4) \
+        .to_pandas().set_index("doc_id")
+    for blm in (tight, roomy):
+        assert (blm["n_bloom_hits"] >= exact["n_hits"]).all()  # superset
+    assert roomy["contaminated_bloom"].equals(exact["contaminated"])
+    assert tight["contaminated_bloom"].sum() > exact["contaminated"].sum()  # FPs
