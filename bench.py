@@ -222,12 +222,22 @@ def run_bench() -> dict:
         pages.select_columns(["url", "warc_ts", "html"]), warc_dir,
         batch_size=2048,
     )
+    # tasks, not actor pools: this one-shot leg is seconds long, and an
+    # autoscaling pool's ramp-up (starts at its minimum) would be the whole
+    # measurement; at crawl scale (minutes per file) actors amortize and
+    # read_warc's default applies
+    # batch_size=None: the extract fuses with the parse into one task per
+    # WARC file. An explicit batch_size here would become the FUSED
+    # operator's input-bundling target, counted in upstream rows — and the
+    # parse's inputs are 1-row file blocks, so batch_size=1024 would bundle
+    # 1024 FILES into a single task (measured: the whole corpus in 1 task,
+    # 7s serial).
     t0 = time.perf_counter()
     n_parsed = (
-        read_warc(warc_dir, concurrency=(1, NUM_CPUS))
+        read_warc(warc_dir, use_actors=False)
         .drop_columns(["n_skipped"])
-        .map_batches(ExtractPages, batch_format="pyarrow", batch_size=1024,
-                     concurrency=(1, NUM_CPUS // 2))
+        .map_batches(ExtractPages().__call__, batch_format="pyarrow",
+                     batch_size=None)
         .count()
     )
     warc_wall = time.perf_counter() - t0

@@ -114,8 +114,9 @@ def warcinfo_bytes(filename: str, compress: bool = True) -> bytes:
 
 def _fnv64(data: bytes) -> int:
     h = np.uint64(0xCBF29CE484222325)
-    for b in data:
-        h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the point
+        for b in data:
+            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
     return int(h)
 
 
@@ -289,16 +290,28 @@ class WarcParser:
         )
 
 
-def read_warc(paths: str | list[str], concurrency=(1, 8)):
+def read_warc(paths: str | list[str], concurrency=(1, 8),
+              use_actors: bool = True):
     """WARC files -> pages Dataset (url, warc_ts, html, n_skipped).
 
-    One file = one unit of parallelism (see module docstring)."""
+    One file = one unit of parallelism (see module docstring).
+    ``use_actors=True`` (default) runs the parser as an autoscaling actor
+    pool — right for crawl-scale jobs (minutes per ~1 GiB file; per-actor
+    setup amortizes, and real deployments hook detector/codec state in
+    ``WarcParser.__init__``). For SHORT jobs the pool's ramp-up dominates
+    (it starts at the tuple minimum); ``use_actors=False`` schedules plain
+    tasks — full cluster width immediately, one parser construction per
+    batch (free: the parser holds no state in this repo)."""
     import ray.data as rd
 
     files = rd.read_binary_files(paths)
+    if use_actors:
+        return files.map_batches(
+            WarcParser,
+            batch_format="pyarrow",
+            batch_size=1,  # a WARC file is ~1 GiB at crawl scale: one per task
+            concurrency=concurrency,
+        )
     return files.map_batches(
-        WarcParser,
-        batch_format="pyarrow",
-        batch_size=1,  # a WARC file is ~1 GiB at crawl scale: one per task
-        concurrency=concurrency,
+        lambda b: WarcParser()(b), batch_format="pyarrow", batch_size=1
     )
