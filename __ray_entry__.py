@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         "pagerank_converged": q.q_pagerank_converged,
         "weighted_pagerank": q.q_weighted_pagerank,
+        "host_rank": q.q_host_rank,
         "seeded_pagerank": q.q_seeded_pagerank,
         "incremental_pagerank": q.q_incremental_pagerank,
         "connected_components": q.q_connected_components,
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": o.pagerank_sql(iters=30),
         "pagerank_converged": o.pagerank_sql(iters=27),
         "weighted_pagerank": o.weighted_pagerank_sql(iters=20),
+        "host_rank": o.host_rank_sql(iters=20),
         "seeded_pagerank": o.seeded_pagerank_sql(iters=30),
         # incremental PR converges to the plain-PR fixpoint; same deep-
         # unrolled oracle + r6 tolerance argument as subgraph_rank

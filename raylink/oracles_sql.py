@@ -1682,6 +1682,36 @@ def weighted_pagerank_sql(iters: int = 20, decimals: int = 8) -> str:
     )
 
 
+def host_rank_sql(iters: int = 20, decimals: int = 8) -> str:
+    """Mirrors queries.q_host_rank: host graph = distinct page edges
+    grouped by (src%97, dst%97) with count weights; weighted PR unrolled
+    like weighted_pagerank_sql (ROUND absorbs float association)."""
+    ctes = [
+        GRAPH_CTES,
+        """he AS MATERIALIZED (
+  SELECT src % 97 AS hs, dst % 97 AS hd, count(*)::DOUBLE AS w
+  FROM edges GROUP BY 1, 2)""",
+        "hv AS (SELECT DISTINCT v FROM (SELECT hs AS v FROM he UNION ALL SELECT hd FROM he))",
+        "hn AS (SELECT count(*)::BIGINT AS n FROM hv)",
+        "hws AS (SELECT hs AS v, SUM(w) AS s FROM he GROUP BY hs)",
+        "hpr0 AS (SELECT v, 1.0 / hn.n AS rank FROM hv, hn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""hpr{t} AS MATERIALIZED (
+  SELECT hv.v, 0.15 / (SELECT n FROM hn) + 0.85 * COALESCE(m.ms, 0) AS rank
+  FROM hv LEFT JOIN (
+    SELECT e.hd AS v, SUM(p.rank * (e.w / s.s)) AS ms
+    FROM hpr{t - 1} p JOIN hws s ON s.v = p.v JOIN he e ON e.hs = p.v
+    GROUP BY e.hd
+  ) m ON m.v = hv.v)"""
+        )
+    return (
+        _with(*ctes)
+        + f"\nSELECT v::BIGINT AS host, ROUND(rank, {decimals}) AS rank FROM hpr{iters}"
+    )
+
+
 def ktruss_sql(k: int = 3, rounds: int = 10) -> str:
     """Mirrors algos.triangles.ktruss: per round, keep edges in >= k-2
     triangles of the CURRENT subgraph; unrolled ``rounds`` times (rounds

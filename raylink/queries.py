@@ -227,6 +227,87 @@ def q_weighted_pagerank(sf_dir: str):
     return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_host_rank(sf_dir: str):
+    """Host-level authority: coarsen the page graph to the host graph
+    (edge weight = number of distinct page links between the hosts, packed
+    host-pair key groupby) and run edge-weighted PageRank over it — the
+    domain-ranking pass of a crawl pipeline. Output (host, rank@r8)."""
+    from raylink.algos import pagerank
+    from raylink.graph import build_graph
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    de = distinct_edges(edges)
+
+    def to_host(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False) % 97
+        d = b.column("dst").to_numpy(zero_copy_only=False) % 97
+        key = s * 97 + d
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uk), "w": pa.array(cnt.astype(np.int64))})
+
+    hed = (
+        de.map_batches(to_host, batch_format="pyarrow")
+        .groupby("key")
+        .sum("w")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": pa.array(
+                        b.column("key").to_numpy(zero_copy_only=False) // 97
+                    ),
+                    "dst": pa.array(
+                        b.column("key").to_numpy(zero_copy_only=False) % 97
+                    ),
+                    "weight": pa.array(
+                        b.column("sum(w)")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # tiny (<= 97*97 rows); referenced twice below
+    )
+    hverts = hed.map_batches(
+        lambda b: pa.table(
+            {
+                "vid": pa.array(
+                    np.unique(
+                        np.concatenate(
+                            [
+                                b.column("src").to_numpy(zero_copy_only=False),
+                                b.column("dst").to_numpy(zero_copy_only=False),
+                            ]
+                        )
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).groupby("vid").count().select_columns(["vid"])
+    g = build_graph(hed, hverts, num_parts=4, partitioner="mod",
+                    directed=True, weighted=True)
+    _, ranks = pagerank(
+        g=g, iters=20, engine="tasks", weighted=True,
+        ckpt_dir=_ckpt("host_rank", sf_dir, 20),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(
+                        batch.column("rank").to_numpy(zero_copy_only=False), 8
+                    )
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_pagerank_converged(sf_dir: str):
     """eps-convergence mode (north-rule 1e-6). The halt round is a
     deterministic function of the input (tasks engine halts exactly at the
