@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q.q_connected_components,
         "scc": q.q_scc,
         "harmonic": q.q_harmonic,
+        "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangles,
         "degrees": q.q_degrees,
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": o.cc_sql(),
         "scc": o.scc_sql(),
         "harmonic": o.harmonic_sql(seeds=tuple(q.HARMONIC_SEEDS)),
+        "betweenness": o.betweenness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),
         "degrees": o.degrees_sql(),

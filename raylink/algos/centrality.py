@@ -107,6 +107,253 @@ class MultiSourceBFS(Algorithm):
         return new_state, out, n_active, 0.0
 
 
+def _det_segment_sum(dst_pos, seed, val, shape):
+    """Deterministic float accumulation into ``acc[pos, seed]``: terms are
+    lexsorted by (seed, pos, val) first, so the summation order is a pure
+    function of the multiset of terms — identical across runs, resumes and
+    partitionings (message arrival order is not)."""
+    acc = np.zeros(shape, dtype=np.float64)
+    if len(dst_pos):
+        order = np.lexsort((val, dst_pos, seed))
+        np.add.at(acc, (dst_pos[order], seed[order]), val[order])
+    return acc
+
+
+class BetweennessSampled(Algorithm):
+    """Brandes betweenness from k sampled seeds, both phases in ONE BSP job
+    (public algorithm: Brandes 2001 + the standard source-sampling
+    estimator). Runs on the DUAL graph (``e_dirmask`` — scc_edges): the
+    forward sigma-BFS pushes along original edges, the backward dependency
+    accumulation pushes along reversed edges to shortest-path predecessors.
+
+    Phase machine (driver-side, like algos.scc): FWD rounds are BFS levels;
+    when the BFS quiesces the driver records Lmax = #levels and flips to
+    BWD, where a vertex at depth d sends its (1+delta)/sigma term at round
+    bwd_start + (Lmax - d) — successors (d+1) always send exactly one round
+    earlier, so every dependency has arrived. Receivers accept a term only
+    if sender_dist == own_dist + 1 for that seed (shortest-path DAG edge).
+    Resume replays the manifest history through the same transition rule.
+
+    sigma (shortest-path counts) are float64 — exact up to 2^53 paths, the
+    standard Brandes trade. All float accumulations go through
+    ``_det_segment_sum`` (lexsorted terms), so results are bit-identical
+    across partitionings; cross-engine float association still differs,
+    which is why the query output is rounded (and the SQL-free pytest
+    oracle compares allclose)."""
+
+    name = "betweenness"
+    msg_fields = [("seed", pa.int64()), ("dist", pa.int64()),
+                  ("val", pa.float64())]
+
+    def init(self, shard: dict, ctx: dict) -> dict:
+        vids = shard["vids"]
+        k = len(ctx["seeds"])
+        state = {}
+        for j, seed in enumerate(ctx["seeds"]):
+            d = np.full(len(vids), INF, dtype=np.int64)
+            pos = np.searchsorted(vids, seed)
+            if pos < len(vids) and vids[pos] == seed:
+                d[pos] = 0
+            state[f"d{j}"] = d
+            state[f"sg{j}"] = (d == 0).astype(np.float64)
+            state[f"ac{j}"] = np.zeros(len(vids), dtype=np.float64)
+            state[f"dl{j}"] = np.zeros(len(vids), dtype=np.float64)
+        return state
+
+    @staticmethod
+    def _masks(shard):
+        m = shard["e_dirmask"].astype(np.int64)
+        return (m & 1) == 1, (m & 2) == 2
+
+    def _send(self, shard, ctx, sel_v, seed_j, dist_arr, val_arr, use_fwd):
+        """Emit (dst, seed, sender_dist, val) along fwd or bwd CSR edges of
+        the selected vertices; val/dist are per-vertex arrays."""
+        indptr, indices = shard["indptr"], shard["indices"]
+        fwd_e, bwd_e = self._masks(shard)
+        deg = np.diff(indptr)
+        sel = np.repeat(sel_v, deg) & (fwd_e if use_fwd else bwd_e)
+        dst = indices[sel]
+        if not len(dst):
+            return None
+        return (
+            dst,
+            np.full(len(dst), seed_j, dtype=np.int64),
+            np.repeat(dist_arr, deg)[sel],
+            np.repeat(val_arr, deg)[sel],
+        )
+
+    def step(self, s: int, shard: dict, state: dict, msgs: pa.Table, ctx: dict):
+        vids = shard["vids"]
+        k = len(ctx["seeds"])
+        nv = len(vids)
+        phase = ctx["phase"]
+        out_parts: list = []
+        if msgs.num_rows:
+            md = msgs.column("dst").to_numpy(zero_copy_only=False)
+            mseed = msgs.column("seed").to_numpy(zero_copy_only=False)
+            mdist = msgs.column("dist").to_numpy(zero_copy_only=False)
+            mval = msgs.column("val").to_numpy(zero_copy_only=False)
+            mpos = np.searchsorted(vids, md)
+        n_active = 0
+
+        if phase == "fwd":
+            level = s - ctx["phase_start"]  # vertices set this round get dist=level... (level r sets dist r)
+            for j in range(k):
+                dist = np.asarray(state[f"d{j}"], dtype=np.int64)
+                sigma = np.asarray(state[f"sg{j}"], dtype=np.float64)
+                newly = np.zeros(nv, dtype=bool)
+                if s == ctx["phase_start"]:
+                    newly = dist == 0
+                elif msgs.num_rows:
+                    sel = (mseed == j) & (dist[mpos] == INF)
+                    if sel.any():
+                        contrib = _det_segment_sum(
+                            mpos[sel], np.zeros(int(sel.sum()), np.int64),
+                            mval[sel], (nv, 1),
+                        )[:, 0]
+                        hit = contrib > 0
+                        dist = np.where(hit, np.int64(level), dist)
+                        sigma = np.where(hit, contrib, sigma)
+                        newly = hit
+                state[f"d{j}"] = dist
+                state[f"sg{j}"] = sigma
+                if newly.any():
+                    n_active += int(newly.sum())
+                    p = self._send(shard, ctx, newly, j, dist, sigma, True)
+                    if p is not None:
+                        out_parts.append(p)
+            # the backward phase is still owed: never report global-idle
+            # during fwd, or the engine halts at the BFS fixpoint before
+            # halted() can flip the phase (same device as algos.scc, where
+            # the unassigned count plays this role)
+            n_active += 1
+        else:  # bwd dependency accumulation
+            jlev = s - ctx["bwd_start"]
+            target = ctx["lmax"] - jlev  # depth sending THIS round
+            for j in range(k):
+                dist = np.asarray(state[f"d{j}"], dtype=np.int64)
+                sigma = np.asarray(state[f"sg{j}"], dtype=np.float64)
+                accum = np.asarray(state[f"ac{j}"], dtype=np.float64).copy()
+                if msgs.num_rows:
+                    # accept only shortest-path DAG edges: sender one level
+                    # deeper than the receiver (for this seed)
+                    sel = (mseed == j) & (dist[mpos] == mdist - 1)
+                    if sel.any():
+                        accum += _det_segment_sum(
+                            mpos[sel], np.zeros(int(sel.sum()), np.int64),
+                            mval[sel], (nv, 1),
+                        )[:, 0]
+                state[f"ac{j}"] = accum
+                ready = (dist == target) & (dist != INF)
+                if target >= 0 and ready.any():
+                    delta = np.where(ready, sigma * accum, 0.0)
+                    dl = np.asarray(state[f"dl{j}"], dtype=np.float64).copy()
+                    dl[ready] = delta[ready]
+                    state[f"dl{j}"] = dl
+                    if target > 0:  # seeds (dist 0) have no predecessors to pay
+                        safe = np.where(sigma > 0, sigma, 1.0)
+                        term = np.where(ready, (1.0 + delta) / safe, 0.0)
+                        p = self._send(shard, ctx, ready, j, dist, term, False)
+                        if p is not None:
+                            out_parts.append(p)
+                n_active += int((dist < target).sum()) if target > 0 else 0
+
+        out = None
+        if out_parts:
+            dst = np.concatenate([p[0] for p in out_parts])
+            seed = np.concatenate([p[1] for p in out_parts])
+            sdist = np.concatenate([p[2] for p in out_parts])
+            val = np.concatenate([p[3] for p in out_parts])
+            # pre-combine per (dst, seed, sender_dist): float sums lexsorted
+            key = dst * np.int64(64) + seed
+            order = np.lexsort((val, sdist, key))
+            key, sdist, val = key[order], sdist[order], val[order]
+            kk = key * np.int64(1 << 20) + sdist  # dist < 2^20 by construction
+            uk, inv = np.unique(kk, return_inverse=True)
+            sums = np.zeros(len(uk), dtype=np.float64)
+            np.add.at(sums, inv, val)
+            udst = (uk >> np.int64(20)) // np.int64(64)
+            useed = (uk >> np.int64(20)) % np.int64(64)
+            udist = uk % np.int64(1 << 20)
+            out = self.make_msgs(
+                route_parts(shard, ctx, udst), udst, seed=useed,
+                dist=udist, val=sums,
+            )
+        return state, out, n_active, 0.0
+
+    @staticmethod
+    def _transition(ctx: dict, agg: dict, s: int) -> bool:
+        """Apply the phase machine for round ``s``'s metrics; returns True
+        when the whole job is done. Shared by halted() and resume replay."""
+        if ctx["phase"] == "fwd" and agg["msgs_out"] == 0:
+            ctx["phase"] = "bwd"
+            ctx["bwd_start"] = s + 1
+            # rounds phase_start..s ran levels 0..(s-phase_start); the last
+            # round set nothing (msgs_out==0 means no frontier grew), so the
+            # deepest occupied level is s - phase_start - 1... except the
+            # seed-only graph case; a too-large lmax only idles rounds.
+            ctx["lmax"] = max(s - ctx["phase_start"] - 1, 0)
+            return False
+        if ctx["phase"] == "bwd":
+            return s >= ctx["bwd_start"] + ctx["lmax"]
+        return False
+
+    def halted(self, agg: dict, s: int, ctx: dict) -> bool:
+        return self._transition(ctx, agg, s)
+
+    @classmethod
+    def replay_phase(cls, ctx: dict, history: list[dict]) -> None:
+        for h in history:
+            cls._transition(ctx, h, int(h["superstep"]))
+
+
+def betweenness_sampled(
+    g: LinkGraph,
+    seeds: list[int],
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    max_supersteps: int = 400,
+    engine: str = "dataset",
+):
+    """Sampled betweenness centrality from ``seeds`` over a DUAL graph
+    (build with ``algos.scc.scc_edges`` + ``edge_cols=['dirmask']``).
+    Returns (BSPResult, Dataset (vid, bc))."""
+    from raylink.superstep import Checkpoint
+    from raylink.superstep_tasks import run_bsp_tasks
+
+    assert len(seeds) <= 64, "seed-index packing uses 6 bits"
+    ctx = {
+        "partitioner": g.partitioner,
+        "num_parts": g.num_parts,
+        "seeds": [int(x) for x in seeds],
+        "phase": "fwd",
+        "phase_start": 0,
+        "ckpt_every": 1,
+    }
+    algo = BetweennessSampled()
+    if resume and ckpt_dir is not None:
+        man = Checkpoint(ckpt_dir, g.filesystem).read_manifest()
+        if man is not None and man.get("algo") == algo.name:
+            BetweennessSampled.replay_phase(ctx, man.get("history", []))
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
+        g, algo, ctx, max_supersteps=max_supersteps, ckpt_dir=ckpt_dir,
+        resume=resume,
+    )
+    k = len(seeds)
+    seed_arr = np.array(seeds, dtype=np.int64)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False)
+        bc = np.zeros(batch.num_rows, dtype=np.float64)
+        for j in range(k):
+            dl = batch.column(f"dl{j}").to_numpy(zero_copy_only=False)
+            bc = bc + np.where(vid == seed_arr[j], 0.0, dl)
+        return pa.table({"vid": batch.column("vid"), "bc": pa.array(bc)})
+
+    return res, res.state_dataset().map_batches(finish, batch_format="pyarrow")
+
+
 def harmonic_centrality(
     g: LinkGraph,
     seeds: list[int],

@@ -401,26 +401,60 @@ def q_connected_components(sf_dir: str):
     return comps.map_batches(cast, batch_format="pyarrow")
 
 
-def q_scc(sf_dir: str):
-    """Strongly connected components of the DIRECTED page graph (scc = max
-    vid of the component — FB-coloring root convention)."""
+def _dual_graph(sf_dir: str):
+    """Cached dual-direction page graph (e_dirmask; algos.scc.scc_edges) —
+    shared by scc and betweenness."""
     from raylink import storage
-    from raylink.algos.scc import scc, scc_edges
+    from raylink.algos.scc import scc_edges
     from raylink.graph import LinkGraph, build_graph
     from raylink.pipelines import GRAPH_ROOT
 
     gdir = storage.join(GRAPH_ROOT, cache_key("scc_graph", sf_dir))
     if storage.exists(storage.join(gdir, "manifest.json")):
-        g = LinkGraph.load(gdir)
-    else:
-        _, edges, verts, _ = page_edge_tables(sf_dir)
-        g = build_graph(
-            scc_edges(edges.materialize()), verts, num_parts=8,
-            partitioner="mod", directed=True, edge_cols=["dirmask"],
-            graph_dir=gdir,
-        )
-    _, comps = scc(g=g, ckpt_dir=_ckpt("scc", sf_dir), engine="tasks")
+        return LinkGraph.load(gdir)
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    return build_graph(
+        scc_edges(edges.materialize()), verts, num_parts=8,
+        partitioner="mod", directed=True, edge_cols=["dirmask"],
+        graph_dir=gdir,
+    )
+
+
+def q_scc(sf_dir: str):
+    """Strongly connected components of the DIRECTED page graph (scc = max
+    vid of the component — FB-coloring root convention)."""
+    from raylink.algos.scc import scc
+
+    _, comps = scc(g=_dual_graph(sf_dir), ckpt_dir=_ckpt("scc", sf_dir),
+                   engine="tasks")
     return comps
+
+
+def q_betweenness(sf_dir: str):
+    """Sampled Brandes betweenness from the harmonic seeds over the
+    directed page graph (dual-graph BSP: forward sigma BFS + backward
+    dependency accumulation), rounded to 6 decimals (cross-engine float
+    association; both sides < 1e-10 apart, the subgraph_rank argument)."""
+    from raylink.algos.centrality import betweenness_sampled
+
+    _, out = betweenness_sampled(
+        _dual_graph(sf_dir), HARMONIC_SEEDS, engine="tasks",
+        ckpt_dir=_ckpt("betweenness", sf_dir, *HARMONIC_SEEDS),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "bc": pa.array(
+                    round_half_away(
+                        batch.column("bc").to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+            }
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 HARMONIC_SEEDS = [0, 1, 2, 7]

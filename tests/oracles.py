@@ -111,3 +111,39 @@ def scc_oracle(n, edges):
     mutual = A & A.T
     return np.array([np.flatnonzero(mutual[v]).max() for v in range(n)],
                     dtype=np.int64)
+
+
+def betweenness_oracle(n, edges, seeds):
+    """Brandes betweenness from a seed sample (directed, unweighted):
+    bc(v) = sum over seeds s of delta_s(v), v != s."""
+    import collections
+
+    import numpy as np
+
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+    bc = np.zeros(n, dtype=np.float64)
+    for s in seeds:
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.float64)
+        dist[s], sigma[s] = 0, 1.0
+        order = [s]
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                    order.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = np.zeros(n, dtype=np.float64)
+        for w in reversed(order):
+            for x in adj[w]:
+                if dist[x] == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[x] * (1.0 + delta[x])
+            if w != s:
+                bc[w] += delta[w]
+    return bc

@@ -765,3 +765,33 @@ def test_incremental_pagerank_warm_start(edge_data, tmp_path):
         _sorted_state(ranks_warm, "rank"), _sorted_state(ranks_cold, "rank"),
         rtol=0, atol=1e-9,
     )
+
+
+def test_betweenness_sampled(edge_data, tmp_path):
+    """Sampled Brandes betweenness vs the numpy oracle (allclose: the
+    engine's lexsorted float accumulation order differs from the oracle's
+    BFS order), plus cross-partitioning agreement at 1e-12 (sender-side
+    pre-combining makes the float partials partition-dependent — like
+    PageRank, bit-equality holds across cpu counts/resumes at a FIXED
+    partitioning, not across different P; the query output rounds at r6)."""
+    from oracles import betweenness_oracle
+    from raylink.algos.centrality import betweenness_sampled
+    from raylink.algos.scc import scc_edges
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    seeds = [0, 1, 2, 7, 40]
+    g = build_graph(scc_edges(edges_ds), verts_ds, num_parts=4,
+                    partitioner="hash", directed=True, edge_cols=["dirmask"])
+    _, out = betweenness_sampled(g, seeds, ckpt_dir=str(tmp_path / "b4"))
+    pdf = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    want = betweenness_oracle(N, edges, seeds)
+    np.testing.assert_allclose(pdf["bc"].to_numpy(), want, rtol=1e-9, atol=1e-12)
+
+    g2 = build_graph(scc_edges(edges_ds), verts_ds, num_parts=7,
+                     partitioner="mod", directed=True, edge_cols=["dirmask"])
+    _, out2 = betweenness_sampled(g2, seeds, ckpt_dir=str(tmp_path / "b7"))
+    pdf2 = out2.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_allclose(
+        pdf["bc"].to_numpy(), pdf2["bc"].to_numpy(), rtol=0, atol=1e-12
+    )
