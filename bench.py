@@ -655,6 +655,28 @@ def run_graphops_bench() -> dict:
         lambda: decontaminate(docs, bench_docs, n=8).count()
     )
     out["postings_sec"] = med(lambda: postings(docs, min_df=2).count())
+
+    # r4 second half: dual-graph BSP ops (fresh uuid ckpt dir per call —
+    # no resume reuse), tasks engine (many cheap rounds)
+    from raylink.algos.centrality import betweenness_sampled, harmonic_centrality
+    from raylink.algos.scc import scc, scc_edges
+    from raylink.graph import build_graph
+
+    g_dual = build_graph(scc_edges(edges), verts, num_parts=8,
+                         partitioner="hash", directed=True,
+                         edge_cols=["dirmask"])
+    out["scc_sec"] = med(lambda: scc(g=g_dual, engine="tasks")[1].count(),
+                         reps=1)
+    out["betweenness4_sec"] = med(
+        lambda: betweenness_sampled(g_dual, [0, 1, 2, 7], engine="tasks")[1].count(),
+        reps=1,
+    )
+    g_dir = build_graph(edges, verts, num_parts=8, partitioner="hash",
+                        directed=True)
+    out["harmonic4_sec"] = med(
+        lambda: harmonic_centrality(g_dir, [0, 1, 2, 7], engine="tasks")[1].count(),
+        reps=1,
+    )
     ray.shutdown()
     return out
 

@@ -112,13 +112,13 @@ def test_bloom_decontaminate_superset_of_exact():
         "doc_id": pa.array([10_000], type=pa.int64()),
         "text": pa.array([leak + " " + _letters(999)]),
     }))
-    exact = decontaminate(docs, bench, n=8).to_pandas().set_index("doc_id")
+    exact = decontaminate(docs, bench, n=8).to_pandas().set_index("doc_id").sort_index()
     assert exact["contaminated"].sum() == 1  # only the planted leak doc
 
     tight = bloom_decontaminate(docs, bench, n=8, m_bits=8, k=2) \
-        .to_pandas().set_index("doc_id")
+        .to_pandas().set_index("doc_id").sort_index()
     roomy = bloom_decontaminate(docs, bench, n=8, m_bits=18, k=4) \
-        .to_pandas().set_index("doc_id")
+        .to_pandas().set_index("doc_id").sort_index()
     for blm in (tight, roomy):
         assert (blm["n_bloom_hits"] >= exact["n_hits"]).all()  # superset
     assert roomy["contaminated_bloom"].equals(exact["contaminated"])
