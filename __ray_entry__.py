@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangles,
+        "four_cycles": q.q_four_cycles,
         "degrees": q.q_degrees,
         "degree_histogram": q.q_degree_histogram,
         "clustering_coeff": q.q_clustering_coeff,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": o.betweenness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),
+        "four_cycles": o.four_cycles_sql(),
         "degrees": o.degrees_sql(),
         "degree_histogram": o.degree_histogram_sql(),
         "clustering_coeff": o.clustering_coeff_sql(),

@@ -378,6 +378,25 @@ FROM fwd e1 JOIN fwd e2 ON e2.a = e1.b JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.
     )
 
 
+def four_cycles_sql() -> str:
+    """Mirrors algos.triangles.four_cycle_count: C4 = (1/2) sum over
+    canonical pairs of C(common_neighbours, 2) on the undirected simple
+    graph."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """u4 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            "adj4 AS (SELECT a AS v, b AS n FROM u4 UNION ALL SELECT b, a FROM u4)",
+            """wp4 AS (SELECT x.n AS u, y.n AS w
+  FROM adj4 x JOIN adj4 y ON x.v = y.v AND x.n < y.n)""",
+            "k4 AS (SELECT u, w, count(*)::BIGINT AS c FROM wp4 GROUP BY u, w)",
+        )
+        + """
+SELECT (COALESCE(SUM(c * (c - 1) / 2), 0) / 2)::BIGINT AS four_cycles FROM k4"""
+    )
+
+
 def clustering_coeff_sql() -> str:
     """Mirrors algos.triangles.local_clustering: per-vertex triangle count
     (each a<b<c triangle credits all three) and 2*tri/(deg*(deg-1))."""

@@ -570,6 +570,16 @@ def q_assortativity(sf_dir: str):
     return degree_assortativity(edges)
 
 
+def q_four_cycles(sf_dir: str):
+    """Exact global 4-cycle count of the undirected page graph (diagonal
+    identity over common-neighbour pairs)."""
+    from raylink.algos.triangles import four_cycle_count
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    n = four_cycle_count(edges)
+    return pa.table({"four_cycles": pa.array([n], type=pa.int64())})
+
+
 def q_degrees(sf_dir: str):
     _, edges, verts, _ = page_edge_tables(sf_dir)
     return degree_table(distinct_edges(edges), verts)

@@ -147,3 +147,21 @@ def betweenness_oracle(n, edges, seeds):
             if w != s:
                 bc[w] += delta[w]
     return bc
+
+
+def four_cycle_oracle(n, edges):
+    """Brute 4-cycle count: C4 = 1/2 * sum over u<w of C(common_nbrs, 2)
+    on the undirected simple graph."""
+    import numpy as np
+
+    A = np.zeros((n, n), dtype=bool)
+    for s, d in edges:
+        if s != d:
+            A[int(s), int(d)] = A[int(d), int(s)] = True
+    total = 0
+    for u in range(n):
+        for w in range(u + 1, n):
+            k = int((A[u] & A[w]).sum())
+            total += k * (k - 1) // 2
+    assert total % 2 == 0
+    return total // 2

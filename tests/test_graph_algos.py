@@ -795,3 +795,25 @@ def test_betweenness_sampled(edge_data, tmp_path):
     np.testing.assert_allclose(
         pdf["bc"].to_numpy(), pdf2["bc"].to_numpy(), rtol=0, atol=1e-12
     )
+
+
+def test_four_cycles(edge_data, ray_session):
+    from oracles import four_cycle_oracle
+    from raylink.algos.triangles import four_cycle_count
+
+    edges, edges_ds, _ = edge_data
+    want = four_cycle_oracle(N, edges)
+    assert want > 0
+    assert four_cycle_count(edges_ds) == want
+    # hand graphs: a square (1 cycle), K4 (3 cycles)
+    import ray.data as rd
+
+    def ds(e):
+        a = np.array(e, dtype=np.int64)
+        return rd.from_arrow(pa.table({"src": pa.array(a[:, 0]),
+                                       "dst": pa.array(a[:, 1])}))
+
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert four_cycle_count(ds(square)) == 1
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert four_cycle_count(ds(k4)) == 3
