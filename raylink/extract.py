@@ -115,8 +115,10 @@ def extract_html(doc: str) -> tuple[str, list[str]]:
 class ExtractPages:
     """Actor-pool ``map_batches`` stage: pages batch -> extracted batch.
 
-    Input columns:  url:string, html:binary (utf-8), [lang:string passthrough]
+    Input columns:  url:string, html:binary (utf-8)
+                    [+ lang:string / warc_ts:timestamp passthrough]
     Output columns: url:string, text:string, links:list<string>, n_links:int32
+                    [+ passthroughs]
     """
 
     def __init__(self) -> None:
