@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_pagerank": q.q_incremental_pagerank,
         "connected_components": q.q_connected_components,
         "scc": q.q_scc,
+        "scc_sizes": q.q_scc_sizes,
         "harmonic": q.q_harmonic,
         "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": o.hits_sql(iters=8),
         "connected_components": o.cc_sql(),
         "scc": o.scc_sql(),
+        "scc_sizes": o.scc_sizes_sql(),
         "harmonic": o.harmonic_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "betweenness": o.betweenness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "label_propagation": o.lpa_sql(),

@@ -358,6 +358,27 @@ GROUP BY v.vid"""
     )
 
 
+def scc_sizes_sql() -> str:
+    """Size distribution of the SCCs (bow-tie measurement)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+mut AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+        JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+sccm AS (SELECT v.vid, GREATEST(v.vid, COALESCE(MAX(m.u), v.vid)) AS scc
+         FROM verts v LEFT JOIN mut m ON m.v = v.vid GROUP BY v.vid),
+szs AS (SELECT scc, count(*)::BIGINT AS size FROM sccm GROUP BY scc)""",
+            recursive=True,
+        )
+        + """
+SELECT size, count(*)::BIGINT AS n_components FROM szs GROUP BY size"""
+    )
+
+
 def lpa_sql() -> str:
     return (
         _with(GRAPH_CTES, CC_CTE, recursive=True)

@@ -430,6 +430,27 @@ def q_scc(sf_dir: str):
     return comps
 
 
+def q_scc_sizes(sf_dir: str):
+    """SCC size distribution (size, n_components) — the bow-tie
+    measurement of a web graph (how much of the crawl sits in the giant
+    strongly connected core vs. IN/OUT tendrils). Two bounded groupbys
+    over the scc labels."""
+    from raylink.algos.scc import scc
+
+    _, comps = scc(g=_dual_graph(sf_dir), ckpt_dir=_ckpt("scc", sf_dir),
+                   engine="tasks")
+    sizes = comps.groupby("scc").count().map_batches(
+        lambda b: pa.table({"size": b.column("count()")}),
+        batch_format="pyarrow",
+    )
+    return sizes.groupby("size").count().map_batches(
+        lambda b: pa.table(
+            {"size": b.column("size"), "n_components": b.column("count()")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_betweenness(sf_dir: str):
     """Sampled Brandes betweenness from the harmonic seeds over the
     directed page graph (dual-graph BSP: forward sigma BFS + backward
