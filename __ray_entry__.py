@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_remap": q.q_dense_remap,
         "crawl_diff": q.q_crawl_diff,
         "url_canon": q.q_url_canon,
+        "link_prediction": q.q_link_prediction,
+        "mirrors": q.q_mirrors,
         # relational layer over the TPC-H-shaped tables
         "pricing_summary": q.q_pricing_summary,
         "shipping_priority": q.q_shipping_priority,
@@ -133,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": q.q_bigram_topk,
         "postings": q.q_postings,
         "pii_scan": q.q_pii_scan,
+        "boilerplate": q.q_boilerplate,
         "cooccurrence": q.q_cooccurrence,
         "doc_sample": q.q_doc_sample,
         "source_topk": q.q_source_topk,
@@ -157,6 +160,8 @@ def oracle_sql() -> dict[str, str]:
         "dense_remap": o.dense_remap_sql(),
         "crawl_diff": o.crawl_diff_sql(),
         "url_canon": o.url_canon_sql(),
+        "link_prediction": o.link_prediction_sql(),
+        "mirrors": o.mirrors_sql(),
         "pricing_summary": o.pricing_summary_sql(),
         "shipping_priority": o.shipping_priority_sql(),
         "nation_revenue": o.nation_revenue_sql(),
@@ -219,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": o.bigram_topk_sql(k=100),
         "postings": o.postings_sql(min_df=2, max_df=400),
         "pii_scan": o.pii_scan_sql(),
+        "boilerplate": o.boilerplate_sql(min_docs=q.BOILER_MIN_DOCS),
         "cooccurrence": o.cooccurrence_sql(window=3, k=100),
         "doc_sample": o.stratified_sample_sql(0.2, 7, {"en": 0.5}),
         "source_topk": o.source_topk_sql(3),

@@ -599,23 +599,21 @@ def ktruss(edges_ds, k: int, num_buckets: int = 32, max_rounds: int = 64):
     return kept
 
 
-def four_cycle_count(edges_ds, num_buckets: int = 64) -> int:
-    """Exact 4-cycle count of the undirected simple graph via the diagonal
-    identity: C4 = (1/2) * sum over canonical vertex pairs {u < w} of
-    C(k_uw, 2), where k_uw = # common neighbours — each quadrilateral is
-    counted once per diagonal (exactly two). Dataflow: canonical distinct
-    edges -> adjacency rows bucketed by the wedge MIDDLE vertex -> per-group
-    vectorized neighbour-pair generation with per-group pre-combine ->
-    one packed-pair groupby (k_uw across buckets) -> integer partial
-    C(k,2) sums -> driver holds ONE scalar. Wedge volume is O(sum deg^2) —
-    the same skew surface as any common-neighbour operator; hubs should be
-    degree-capped upstream at crawl scale (documented, like the reference's
-    preprocessing snapToMetisInput.py)."""
+def _common_neighbor_counts(distinct, num_buckets: int = 64):
+    """Common-neighbour counts k_uw for every canonical vertex pair {u < w}
+    with k_uw >= 1 over the undirected simple graph, from the canonical
+    distinct edge keys: adjacency rows bucketed by the wedge MIDDLE vertex
+    -> per-group vectorized rank-ordered neighbour-pair generation with
+    per-group pre-combine -> one packed-pair groupby. -> Dataset
+    (key, sum(c)). Wedge volume is O(sum deg^2) — the same skew surface as
+    any common-neighbour operator; hubs should be degree-capped upstream at
+    crawl scale (documented, like the reference's preprocessing
+    snapToMetisInput.py). Shared by ``four_cycle_count`` and
+    ``link_prediction``."""
     import pyarrow as pa
 
     from raylink.util import splitmix64
 
-    distinct, _ = _distinct_and_degrees(edges_ds)
     B = np.uint64(num_buckets)
 
     def adj_rows(batch: pa.Table) -> pa.Table:
@@ -655,7 +653,7 @@ def four_cycle_count(edges_ds, num_buckets: int = 64) -> int:
         uk, cnt = np.unique(keys, return_counts=True)
         return pa.table({"key": pa.array(uk), "c": pa.array(cnt.astype(np.int64))})
 
-    pair_counts = (
+    return (
         distinct.map_batches(adj_rows, batch_format="pyarrow")
         .groupby("bkt")
         .map_groups(wedge_pairs, batch_format="pyarrow")
@@ -663,9 +661,67 @@ def four_cycle_count(edges_ds, num_buckets: int = 64) -> int:
         .sum("c")
     )
 
+
+def four_cycle_count(edges_ds, num_buckets: int = 64) -> int:
+    """Exact 4-cycle count of the undirected simple graph via the diagonal
+    identity: C4 = (1/2) * sum over canonical vertex pairs {u < w} of
+    C(k_uw, 2), where k_uw = # common neighbours — each quadrilateral is
+    counted once per diagonal (exactly two). Dataflow:
+    ``_common_neighbor_counts`` (one packed-pair groupby) -> integer partial
+    C(k,2) sums -> driver holds ONE scalar."""
+    import pyarrow as pa
+
+    distinct, _ = _distinct_and_degrees(edges_ds)
+    pair_counts = _common_neighbor_counts(distinct, num_buckets)
+
     def c4_partial(batch: pa.Table) -> pa.Table:
         c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
         return pa.table({"p": pa.array([int((c * (c - 1) // 2).sum())])})
 
     total2 = pair_counts.map_batches(c4_partial, batch_format="pyarrow").sum("p")
     return int(total2) // 2
+
+
+def link_prediction(edges_ds, k: int = 50, num_buckets: int = 64):
+    """Common-neighbour link prediction: the k NON-adjacent vertex pairs
+    {u < w} with the most common neighbours in the undirected simple graph
+    -> Dataset (src, dst, common) ordered by (common DESC, src, dst) — the
+    classic integer-exact link-prediction score (Adamic-Adar's 1/log(deg)
+    weighting is deliberately avoided: libm logs are not bit-portable
+    across engines, counts are).
+
+    Dataflow: ``_common_neighbor_counts`` (wedge generation, one packed-pair
+    groupby) -> distributed anti-join against the canonical edge-key set
+    (NOT EXISTS, ``raylink.join.anti_join`` — pairs that ARE edges score
+    triangles, not predictions) -> distributed sort + limit(k). The driver
+    never holds more than the k result rows; the wedge-volume skew note on
+    ``_common_neighbor_counts`` applies."""
+    import pyarrow as pa
+
+    from raylink.join import anti_join
+
+    distinct, _ = _distinct_and_degrees(edges_ds)
+    pair_counts = _common_neighbor_counts(distinct, num_buckets)
+    nonedges = anti_join(
+        pair_counts,
+        distinct,
+        on="key",
+        left_cols={"sum(c)": pa.int64()},
+        num_buckets=num_buckets,
+    )
+
+    def unpack_out(batch: pa.Table) -> pa.Table:
+        u, w = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "src": pa.array(u),
+                "dst": pa.array(w),
+                "common": batch.column("sum(c)"),
+            }
+        )
+
+    return (
+        nonedges.map_batches(unpack_out, batch_format="pyarrow")
+        .sort(["common", "src", "dst"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -627,3 +627,94 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
             "top_bigram_frac": frac(top_bigram, n_bigrams),
         }
     )
+
+
+def remove_boilerplate(docs_ds, min_docs: int, text_col: str = "text"):
+    """CCNet-style boilerplate-line removal: drop every LINE (newline-split
+    segment) that occurs verbatim in >= ``min_docs`` DISTINCT documents —
+    the template/nav/footer cut that runs before any document-level dedup in
+    a crawl curation funnel. -> Dataset (doc_id, clean_text, n_removed,
+    n_lines); ``clean_text`` is the kept lines re-joined with newlines in
+    original order ('' when every line is boilerplate).
+
+    Shape (two passes over the corpus, ONE bounded shuffle, zero shuffles on
+    the removal side):
+      1. per-batch: split -> FNV-1a per line (``util.text_hash64``, one
+         vectorized kernel over the flattened Arrow line buffer) -> per-doc
+         dedup -> per-batch partial document-frequency rows (line_hash, df);
+      2. one groupby-sum over the line-hash partials (shuffle carries at
+         most the distinct-line vocabulary, never the text), filter
+         df >= min_docs; the frequent-hash list lands on the driver bounded
+         by total_lines / min_docs and is ``ray.put`` ONCE (the
+         ``ops.dedup.decontaminate`` broadcast pattern);
+      3. corpus scan: membership via sorted-array searchsorted, kept lines
+         re-assembled per doc with ``pc.binary_join`` — fully Arrow, no
+         per-row python, no shuffle.
+    Hash equality stands in for line equality (~2^-64 false-drop per
+    distinct line pair — the documented trade of every hashed op here; a
+    collision can only over-remove, never corrupt kept text)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from raylink.util import text_hash64
+
+    def split_lines(batch: pa.Table):
+        text = pc.fill_null(batch.column(text_col), "").combine_chunks()
+        lines = pc.split_pattern(text.cast(pa.large_string()), "\n")
+        flat = pc.list_flatten(lines)
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        h = text_hash64(flat)
+        return lines, flat, n_lines.astype(np.int64), h
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, _, n_lines, h = split_lines(batch)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_lines)
+        # distinct (doc, line) within the batch (docs are whole per batch)
+        order = np.lexsort((h, doc_idx))
+        hs, ds_ = h[order], doc_idx[order]
+        first = np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
+        uh, c = np.unique(hs[first], return_counts=True)
+        return pa.table(
+            {"h": pa.array(uh.view(np.int64)), "df": pa.array(c.astype(np.int64))}
+        )
+
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("sum(df)"), min_docs)
+        return batch.filter(m).select(["h"])
+
+    freq = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("h")
+        .sum("df")
+        .map_batches(keep_frequent, batch_format="pyarrow")
+    )
+    hs = np.array([r["h"] for r in freq.take_all()], dtype=np.int64)
+    boiler = ray.put(np.sort(hs.view(np.uint64)))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        b = ray.get(boiler)
+        _, flat, n_lines, h = split_lines(batch)
+        if len(b) and len(h):
+            pos = np.searchsorted(b, h)
+            hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == h)
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_lines)
+        keep = ~hit
+        kept_per_doc = np.bincount(doc_idx[keep], minlength=len(batch))
+        offsets = np.r_[np.int64(0), np.cumsum(kept_per_doc)]
+        kept_lines = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), flat.filter(pa.array(keep))
+        )
+        clean = pc.binary_join(kept_lines, pa.scalar("\n", type=pa.large_string()))
+        n_removed = np.bincount(doc_idx[hit], minlength=len(batch))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": clean.cast(pa.string()),
+                "n_removed": pa.array(n_removed.astype(np.int64)),
+                "n_lines": pa.array(n_lines),
+            }
+        )
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow")

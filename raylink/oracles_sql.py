@@ -1925,3 +1925,79 @@ SELECT COALESCE(ho.degree, hi.degree)::BIGINT AS degree,
        COALESCE(hi.n, 0)::BIGINT AS n_in
 FROM ho FULL JOIN hi ON hi.degree = ho.degree"""
     )
+
+
+def link_prediction_sql(k: int = 50) -> str:
+    """Mirrors algos.triangles.link_prediction: common-neighbour counts for
+    canonical non-adjacent pairs on the undirected simple graph, top-k by
+    (common DESC, src, dst)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            "adjp AS (SELECT a AS v, b AS n FROM ue UNION ALL SELECT b, a FROM ue)",
+            """wpp AS (SELECT x.n AS u, y.n AS w
+  FROM adjp x JOIN adjp y ON x.v = y.v AND x.n < y.n)""",
+            "kp AS (SELECT u, w, count(*)::BIGINT AS c FROM wpp GROUP BY u, w)",
+            """nep AS (SELECT u, w, c FROM kp
+  WHERE NOT EXISTS (SELECT 1 FROM ue WHERE ue.a = kp.u AND ue.b = kp.w))""",
+        )
+        + f"""
+SELECT u AS src, w AS dst, c AS common FROM nep
+ORDER BY c DESC, src, dst LIMIT {k}"""
+    )
+
+
+def mirrors_sql() -> str:
+    """Mirrors queries.q_mirrors: plant (s % 10 == 6 outlink sets copied to
+    s+1, s+1's own edges dropped), then group pages by identical distinct
+    outlink sets; groups of >= 2 only."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """e2 AS (SELECT src, dst FROM edges WHERE src % 10 <> 7
+  UNION ALL SELECT src + 1, dst FROM edges WHERE src % 10 = 6)""",
+            """olm AS (SELECT src, array_to_string(list_sort(list(DISTINCT dst)), ',') AS sig
+  FROM e2 GROUP BY src)""",
+            """gm AS (SELECT sig, min(src) AS rep, count(*)::BIGINT AS n
+  FROM olm GROUP BY sig HAVING count(*) >= 2)""",
+        )
+        + """
+SELECT o.src AS vid, gm.rep AS mirror_rep, gm.n AS n_mirrors
+FROM olm o JOIN gm ON o.sig = gm.sig"""
+    )
+
+
+def boilerplate_sql(min_docs: int = 20) -> str:
+    """Mirrors queries.q_boilerplate + ops.textstats.remove_boilerplate:
+    plant the promo header / 8-word-head / remainder lines, then drop every
+    line occurring in >= min_docs distinct docs and re-join kept lines in
+    order (engine hash equality == line equality up to the documented
+    ~2^-64 FNV collision trade)."""
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+planted AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0
+          THEN 'promo variant ' || (doc_id % 3)::VARCHAR || chr(10)
+          ELSE '' END)
+    || array_to_string(ws[1:8], ' ') || chr(10) || array_to_string(ws[9:], ' ')
+    AS t2
+  FROM base),
+l AS (
+  SELECT doc_id, unnest(string_split(t2, chr(10))) AS line,
+         generate_subscripts(string_split(t2, chr(10)), 1) AS i
+  FROM planted),
+freq AS (SELECT line FROM l GROUP BY line
+         HAVING count(DISTINCT doc_id) >= {min_docs}),
+kept AS (SELECT doc_id, i, line FROM l
+         WHERE line NOT IN (SELECT line FROM freq)),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       (t.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
+       t.n_lines::BIGINT AS n_lines
+FROM tot t LEFT JOIN agg a USING (doc_id)"""

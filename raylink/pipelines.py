@@ -242,3 +242,92 @@ def degree_table(edges_ds, verts_ds):
     return (
         stacked.groupby("vid").sum(["o", "i"]).map_batches(finish, batch_format="pyarrow")
     )
+
+
+def mirror_groups(edges_ds, num_buckets: int = 64):
+    """Mirror detection: group pages whose DISTINCT outlink sets are
+    IDENTICAL — the crawl mirror/alias shape (the same document served from
+    two urls links to exactly the same targets; CC-style crawls dedup these
+    before ranking). -> Dataset (vid, mirror_rep, n_mirrors), one row per
+    member of every group of >= 2 pages, where ``mirror_rep`` is the group's
+    min vid. Pages with no outlinks are NOT grouped (an empty outlink set is
+    not evidence of mirroring).
+
+    Shape: per-batch distinct (src, dst) -> bucket by splitmix64(src) so
+    every edge of a src lands in ONE group -> per-group sorted-outlink
+    fingerprint (FNV-1a over the ascending dsts' little-endian int64 bytes,
+    ``util.fnv1a_ranges`` — one kernel over the whole group, no per-src
+    python) -> one coarse-bucketed fingerprint groupby -> groups of >= 2
+    emitted. Fingerprint+degree equality stands in for set equality
+    (~2^-64 false-merge per pair — the documented trade of every hashed op
+    here, same as ``ops.dedup``). Both shuffles carry one row per page,
+    never the outlink lists themselves."""
+    from raylink.util import fnv1a_ranges, splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        # per-batch distinct (src, dst) pre-combine before the shuffle
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "b": pa.array((splitmix64(s.astype(np.uint64)) % B).astype(np.int32)),
+                "src": pa.array(s),
+                "dst": pa.array(d),
+            }
+        )
+
+    def fingerprint(group: pa.Table) -> pa.Table:
+        s = group.column("src").to_numpy(zero_copy_only=False)
+        d = group.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, s))  # ascending dsts per src
+        s, d = s[order], d[order]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (d[1:] != d[:-1])]
+        s, d = s[keep], d[keep]
+        first = np.r_[True, s[1:] != s[:-1]]
+        starts = np.flatnonzero(first)
+        degs = np.diff(np.r_[starts, len(s)])
+        data = np.ascontiguousarray(d, dtype=np.int64).view(np.uint8)
+        fp = fnv1a_ranges(data, starts * 8, degs * 8).view(np.int64)
+        return pa.table(
+            {
+                "fb": pa.array(
+                    (splitmix64(fp.view(np.uint64)) % B).astype(np.int32)
+                ),
+                "vid": pa.array(s[first]),
+                "fp": pa.array(fp),
+                "deg": pa.array(degs.astype(np.int64)),
+            }
+        )
+
+    def groups(group: pa.Table) -> pa.Table:
+        v = group.column("vid").to_numpy(zero_copy_only=False)
+        fp = group.column("fp").to_numpy(zero_copy_only=False)
+        dg = group.column("deg").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, dg, fp))
+        v, fp, dg = v[order], fp[order], dg[order]
+        first = np.r_[True, (fp[1:] != fp[:-1]) | (dg[1:] != dg[:-1])]
+        seg = np.cumsum(first) - 1
+        sizes = np.bincount(seg)
+        keep = sizes[seg] >= 2  # groups of >= 2 only
+        reps = v[np.flatnonzero(first)]  # min vid per group (v sorted in seg)
+        return pa.table(
+            {
+                "vid": pa.array(v[keep]),
+                "mirror_rep": pa.array(reps[seg[keep]]),
+                "n_mirrors": pa.array(sizes[seg[keep]].astype(np.int64)),
+            }
+        )
+
+    return (
+        edges_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(fingerprint, batch_format="pyarrow")
+        .groupby("fb")
+        .map_groups(groups, batch_format="pyarrow")
+    )

@@ -2116,3 +2116,90 @@ def q_pack_windows(sf_dir: str):
         TextStats, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
     ).select_columns(["doc_id", "n_tokens"])
     return pack_windows(toks, "doc_id", "n_tokens", budget=PACK_BUDGET)
+
+
+def q_link_prediction(sf_dir: str):
+    """Common-neighbour link prediction: the top-50 NON-adjacent page pairs
+    by shared-neighbour count on the undirected page graph (integer-exact
+    score; deterministic (common DESC, src, dst) order). Wedge dataflow
+    shared with four_cycles + distributed anti-join against the edge set +
+    distributed sort/limit — the driver holds only the 50 result rows."""
+    from raylink.algos.triangles import link_prediction
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return link_prediction(edges, k=50)
+
+
+def q_mirrors(sf_dir: str):
+    """Mirror/alias detection over a deterministically planted edge set
+    (the pii_scan precedent — the closed-form synthetic graph has no
+    natural mirrors): every source s with s % 10 == 6 has its outlink set
+    copied to s+1, and (s+1)'s own edges dropped ((s+1) % 10 == 7), so
+    each such (s, s+1) is a planted mirror pair. ``mirror_groups`` then
+    groups pages whose DISTINCT outlink sets are identical. Output
+    (vid, mirror_rep, n_mirrors), groups of >= 2 only."""
+    from raylink.pipelines import mirror_groups
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s % 10 != 7
+        copy = s % 10 == 6
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s[keep], s[copy] + 1])),
+                "dst": pa.array(np.concatenate([d[keep], d[copy]])),
+            }
+        )
+
+    return mirror_groups(edges.map_batches(plant, batch_format="pyarrow"))
+
+
+BOILER_MIN_DOCS = 20
+
+
+def q_boilerplate(sf_dir: str):
+    """CCNet-style boilerplate-line removal over a deterministically
+    line-structured corpus (the documents table has no newlines, so lines
+    are planted — the pii_scan precedent): even doc_ids get a shared promo
+    header line 'promo variant <doc_id % 3>', and every doc's body splits
+    into its first-8-words line plus the remainder line.
+    ``remove_boilerplate(min_docs=20)`` then drops every line shared by
+    >= 20 distinct docs (the three promo variants; an incidentally shared
+    body line would be dropped identically by engine and oracle). Output
+    (doc_id, clean_text, n_removed, n_lines)."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.textstats import remove_boilerplate
+
+    def plant(batch: pa.Table) -> pa.Table:
+        text = (
+            pc.fill_null(batch.column("text"), "")
+            .combine_chunks()
+            .cast(pa.large_string())
+        )
+        ws = pc.split_pattern(text, " ")
+        sp = pa.scalar(" ", type=pa.large_string())
+        head = pc.binary_join(pc.list_slice(ws, 0, 8), sp)
+        tail = pc.binary_join(pc.list_slice(ws, 8), sp)
+        body = pc.binary_join_element_wise(
+            head, tail, pa.scalar("\n", type=pa.large_string())
+        )
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        variants = np.array(
+            ["promo variant 0\n", "promo variant 1\n", "promo variant 2\n"],
+            dtype=object,
+        )
+        promo = pa.array(
+            np.where(did % 2 == 0, variants[did % 3], ""),
+            type=pa.large_string(),
+        )
+        t2 = pc.binary_join_element_wise(
+            promo, body, pa.scalar("", type=pa.large_string())
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": t2})
+
+    planted = _docs(sf_dir).map_batches(plant, batch_format="pyarrow")
+    return remove_boilerplate(planted, min_docs=BOILER_MIN_DOCS)

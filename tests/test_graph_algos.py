@@ -817,3 +817,28 @@ def test_four_cycles(edge_data, ray_session):
     assert four_cycle_count(ds(square)) == 1
     k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
     assert four_cycle_count(ds(k4)) == 3
+
+
+def test_link_prediction(edge_data, ray_session):
+    from raylink.algos.triangles import link_prediction
+
+    edges, edges_ds, _ = edge_data
+    # brute-force oracle: symmetric simple adjacency, common = (A @ A)[u, w]
+    A = np.zeros((N, N), dtype=np.int64)
+    for s, d in edges:
+        if s != d:
+            A[s, d] = A[d, s] = 1
+    C = A @ A
+    cand = [
+        (int(C[u, w]), u, w)
+        for u in range(N)
+        for w in range(u + 1, N)
+        if C[u, w] > 0 and A[u, w] == 0
+    ]
+    cand.sort(key=lambda r: (-r[0], r[1], r[2]))
+    for k in (10, 50):
+        got = link_prediction(edges_ds, k=k).to_pandas()
+        assert [
+            (c, u, w)
+            for c, u, w in zip(got["common"], got["src"], got["dst"])
+        ] == cand[:k]

@@ -1294,3 +1294,71 @@ def test_cooccurrence_topk(ray_session):
     # ordering: cnt desc then pair asc
     rows = list(zip(got["cnt"].tolist(), got["pair"].tolist()))
     assert rows == sorted(rows, key=lambda r: (-r[0], r[1]))
+
+
+def test_remove_boilerplate(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.textstats import remove_boilerplate
+
+    texts = [
+        "hello\nfoo\nbar",
+        "hello\nbaz",
+        "hello\nqux\nhello",  # within-doc dup counts ONCE for df
+        "unique only",
+        "hello",  # every line boilerplate -> ''
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(5), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+    ).repartition(3)
+    got = (
+        remove_boilerplate(docs, min_docs=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 'hello' appears in docs {0,1,2,4} -> df 4 >= 4 -> dropped everywhere
+    assert got["clean_text"].tolist() == ["foo\nbar", "baz", "qux", "unique only", ""]
+    assert got["n_removed"].tolist() == [1, 1, 2, 0, 1]  # doc 2 loses BOTH copies
+    assert got["n_lines"].tolist() == [3, 2, 3, 1, 1]
+    # min_docs above every df -> identity
+    got5 = (
+        remove_boilerplate(docs, min_docs=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got5["clean_text"].tolist() == texts
+    assert got5["n_removed"].tolist() == [0] * 5
+
+
+def test_mirror_groups(ray_session):
+    import ray.data as rd
+
+    from raylink.pipelines import mirror_groups
+
+    edges = [
+        (0, 5), (0, 6), (0, 5),       # dup edge: distinct-set semantics
+        (1, 6), (1, 5),               # same set as 0 (order scrambled)
+        (2, 5), (2, 6), (2, 7),       # superset -> NOT grouped with {0,1}
+        (3, 5),
+        (7, 5),                       # {3,7} group on the singleton set {5}
+        (8, 6), (8, 7),               # same degree as 9, different set
+        (9, 6), (9, 8),
+    ]
+    a = np.array(edges, dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(a[:, 0]), "dst": pa.array(a[:, 1])})
+    ).repartition(3)
+    got = (
+        mirror_groups(ds)
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    assert got["vid"].tolist() == [0, 1, 3, 7]
+    assert got["mirror_rep"].tolist() == [0, 0, 3, 3]
+    assert got["n_mirrors"].tolist() == [2, 2, 2, 2]
