@@ -604,10 +604,13 @@ def _common_neighbor_counts(distinct, num_buckets: int = 64):
     with k_uw >= 1 over the undirected simple graph, from the canonical
     distinct edge keys: adjacency rows bucketed by the wedge MIDDLE vertex
     -> per-group vectorized rank-ordered neighbour-pair generation with
-    per-group pre-combine -> one packed-pair groupby. -> Dataset
-    (key, sum(c)). Wedge volume is O(sum deg^2) — the same skew surface as
-    any common-neighbour operator; hubs should be degree-capped upstream at
-    crawl scale (documented, like the reference's preprocessing
+    per-group pre-combine -> one COARSE-bucketed pair combine (splitmix64
+    of the packed key, vectorized np.unique+bincount per bucket — a per-key
+    ``groupby("key").sum()`` pays Ray's sort-based aggregate machinery per
+    distinct key: measured 14.9 s vs 0.9 s on the same 173k pair rows).
+    -> Dataset (key, sum(c)). Wedge volume is O(sum deg^2) — the same skew
+    surface as any common-neighbour operator; hubs should be degree-capped
+    upstream at crawl scale (documented, like the reference's preprocessing
     snapToMetisInput.py). Shared by ``four_cycle_count`` and
     ``link_prediction``."""
     import pyarrow as pa
@@ -637,7 +640,8 @@ def _common_neighbor_counts(distinct, num_buckets: int = 64):
         _, starts, counts = np.unique(v, return_index=True, return_counts=True)
         total = int((counts * (counts - 1) // 2).sum())
         if total == 0:
-            return pa.table({"key": pa.array([], type=pa.int64()),
+            return pa.table({"kb": pa.array([], type=pa.int32()),
+                             "key": pa.array([], type=pa.int64()),
                              "c": pa.array([], type=pa.int64())})
         # vectorized per-segment upper-triangle pair indices
         keys = np.empty(total, dtype=np.int64)
@@ -651,14 +655,30 @@ def _common_neighbor_counts(distinct, num_buckets: int = 64):
             keys[pos : pos + m] = (seg[iu] << np.int64(32)) | seg[iw]
             pos += m
         uk, cnt = np.unique(keys, return_counts=True)
-        return pa.table({"key": pa.array(uk), "c": pa.array(cnt.astype(np.int64))})
+        return pa.table(
+            {
+                "kb": pa.array(
+                    (splitmix64(uk.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "key": pa.array(uk),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def combine_pairs(group: pa.Table) -> pa.Table:
+        k = group.column("key").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"key": pa.array(uk), "sum(c)": pa.array(s)})
 
     return (
         distinct.map_batches(adj_rows, batch_format="pyarrow")
         .groupby("bkt")
         .map_groups(wedge_pairs, batch_format="pyarrow")
-        .groupby("key")
-        .sum("c")
+        .groupby("kb")
+        .map_groups(combine_pairs, batch_format="pyarrow")
     )
 
 
@@ -693,8 +713,10 @@ def link_prediction(edges_ds, k: int = 50, num_buckets: int = 64):
     Dataflow: ``_common_neighbor_counts`` (wedge generation, one packed-pair
     groupby) -> distributed anti-join against the canonical edge-key set
     (NOT EXISTS, ``raylink.join.anti_join`` — pairs that ARE edges score
-    triangles, not predictions) -> distributed sort + limit(k). The driver
-    never holds more than the k result rows; the wedge-volume skew note on
+    triangles, not predictions) -> per-block local top-k partials coalesced
+    into one final top-k block (a global ``ds.sort`` pays full
+    range-partition machinery for k rows of output). The driver never holds
+    more than the k result rows; the wedge-volume skew note on
     ``_common_neighbor_counts`` applies."""
     import pyarrow as pa
 
@@ -710,18 +732,35 @@ def link_prediction(edges_ds, k: int = 50, num_buckets: int = 64):
         num_buckets=num_buckets,
     )
 
-    def unpack_out(batch: pa.Table) -> pa.Table:
+    def unpack_topk(batch: pa.Table) -> pa.Table:
         u, w = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
+        # (common DESC, src, dst) — ties are unique by (src, dst), so the
+        # two-level partial/final top-k is deterministic
+        order = np.lexsort((w, u, -c))[:k]
         return pa.table(
             {
-                "src": pa.array(u),
-                "dst": pa.array(w),
-                "common": batch.column("sum(c)"),
+                "src": pa.array(u[order]),
+                "dst": pa.array(w[order]),
+                "common": pa.array(c[order]),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        u = batch.column("src").to_numpy(zero_copy_only=False)
+        w = batch.column("dst").to_numpy(zero_copy_only=False)
+        c = batch.column("common").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u, -c))[:k]
+        return pa.table(
+            {
+                "src": pa.array(u[order]),
+                "dst": pa.array(w[order]),
+                "common": pa.array(c[order]),
             }
         )
 
     return (
-        nonedges.map_batches(unpack_out, batch_format="pyarrow")
-        .sort(["common", "src", "dst"], descending=[True, False, False])
-        .limit(k)
+        nonedges.map_batches(unpack_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
     )
