@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon": q.q_url_canon,
         "link_prediction": q.q_link_prediction,
         "mirrors": q.q_mirrors,
+        "egonet": q.q_egonet,
         # relational layer over the TPC-H-shaped tables
         "pricing_summary": q.q_pricing_summary,
         "shipping_priority": q.q_shipping_priority,
@@ -112,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q.q_token_count,
         "token_topk": q.q_token_topk,
         "distinct_hll": q.q_distinct_hll,
+        "cms_topk": q.q_cms_topk,
         "doc_top_terms": q.q_doc_top_terms,
         "dedup_clusters": q.q_dedup_clusters,
         "decontaminate": q.q_decontaminate,
@@ -162,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canon": o.url_canon_sql(),
         "link_prediction": o.link_prediction_sql(),
         "mirrors": o.mirrors_sql(),
+        "egonet": o.egonet_sql(seeds=tuple(q.EGO_SEEDS), k=2),
         "pricing_summary": o.pricing_summary_sql(),
         "shipping_priority": o.shipping_priority_sql(),
         "nation_revenue": o.nation_revenue_sql(),
@@ -205,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": o.token_count_sql(),
         "token_topk": o.token_topk_sql(k=100),
         "distinct_hll": o.distinct_hll_sql(p=12),
+        "cms_topk": o.cms_topk_sql(k=50),
         "doc_top_terms": o.doc_top_terms_sql(3),
         "dedup_clusters": o.dedup_clusters_sql(tau=0.5),
         "decontaminate": o.decontaminate_sql(n=8),

@@ -209,3 +209,66 @@ def hll_distinct_words(ds, p: int = 12, column: str = "text",
         max_ranks[int(r["reg"])] = int(r["max(rank)"])
     f = hll_estimate_from_registers(max_ranks, p)
     return pa.table({k: pa.array([v]) for k, v in f.items()})
+
+
+def cms_word_topk(docs_ds, k: int = 50, depth: int = 4, width_bits: int = 12):
+    """Count-min-sketch word-frequency estimation: the depth x 2^width_bits
+    register table is built DISTRIBUTED (per-batch register partials ->
+    one bounded combine over <= depth * 2^width_bits rows — the sketch
+    never grows with the corpus), then the exact top-k tokens (the
+    ``token_topk`` dataflow) are reported with their CMS estimates ->
+    Dataset (token, cnt, est). ``est >= cnt`` always (the CMS one-sided
+    error); ``est - cnt`` is the hash-collision overcount. Register
+    position j of word w = splitmix64(fnv1a(w) XOR j*GOLDEN) &
+    (2^width_bits - 1) — the shared bloom probe scheme
+    (``bloom_positions``), mirrored bit-for-bit in SQL (cms_topk_sql).
+
+    At 100 TB: the registers are the ONLY reduced state (depth * 2^b int64
+    = 128 KiB at the defaults), collected once (bounded by sketch size, the
+    HLL precedent) and ``ray.put``-broadcast for the estimate pass — any
+    candidate word set can then be estimated with zero vocabulary shuffle.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from raylink.join import tree_groupby_sum
+    from raylink.ops.textstats import _word_codes, token_topk
+    from raylink.util import text_hash64
+
+    size = depth << width_bits
+    jbase = np.arange(depth, dtype=np.int64) << width_bits  # row offsets
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        _, codes, dic = _word_codes(text)
+        cnt = np.bincount(codes, minlength=len(dic)).astype(np.int64)
+        wh = text_hash64(pc.cast(dic, pa.string()))
+        pos = bloom_positions(wh, depth, width_bits)  # (V, depth)
+        flat = (pos + jbase).ravel(order="F")  # j-major
+        r = np.zeros(size, dtype=np.int64)
+        np.add.at(r, flat, np.tile(cnt, depth))
+        nz = np.flatnonzero(r)
+        return pa.table({"r": pa.array(nz), "cnt": pa.array(r[nz])})
+
+    regs = tree_groupby_sum(
+        docs_ds.map_batches(reg_partial, batch_format="pyarrow"), ["r"], ["cnt"]
+    )
+    reg = np.zeros(size, dtype=np.int64)
+    for row in regs.take_all():  # <= depth * 2^width_bits rows by construction
+        reg[int(row["r"])] = int(row["sum(cnt)"])
+    ref = ray.put(reg)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        wh = text_hash64(batch.column("token"))
+        pos = bloom_positions(wh, depth, width_bits)  # (n, depth)
+        est = r[pos + jbase].min(axis=1)
+        return pa.table(
+            {
+                "token": batch.column("token"),
+                "cnt": batch.column("cnt"),
+                "est": pa.array(est),
+            }
+        )
+
+    return token_topk(docs_ds, k).map_batches(estimate, batch_format="pyarrow")

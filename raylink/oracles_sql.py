@@ -2001,3 +2001,55 @@ SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
        (t.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
        t.n_lines::BIGINT AS n_lines
 FROM tot t LEFT JOIN agg a USING (doc_id)"""
+
+
+def cms_topk_sql(k: int = 50, depth: int = 4, width_bits: int = 12) -> str:
+    """Mirrors ops.sketch.cms_word_topk register-for-register: register
+    (j, pos) sums the TRUE counts of every word with
+    splitmix64(fnv1a(word) XOR j*GOLDEN) & (2^width_bits - 1) == pos; the
+    estimate is the MIN over the word's depth registers."""
+    golden = 0x9E3779B97F4A7C15
+    m = (1 << width_bits) - 1
+    consts = ", ".join(
+        f"({j}, CAST({(j * golden) % (1 << 64)} AS UBIGINT))" for j in range(depth)
+    )
+    pos_w = f"CAST({_sm64('xor(wh.h, c.cj)')} & CAST({m} AS UBIGINT) AS BIGINT)"
+    pos_t = f"CAST({_sm64('xor(t.h, c2.cj)')} & CAST({m} AS UBIGINT) AS BIGINT)"
+    return f"""
+WITH wc AS MATERIALIZED (
+  SELECT token, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS token
+    FROM documents) GROUP BY token),
+wh AS MATERIALIZED (SELECT token, cnt, {_fnv64("token")} AS h FROM wc),
+consts(j, cj) AS (VALUES {consts}),
+reg AS MATERIALIZED (
+  SELECT c.j AS j, {pos_w} AS pos, SUM(wh.cnt)::BIGINT AS r
+  FROM wh, consts c GROUP BY 1, 2),
+topk AS (SELECT token, cnt, h FROM wh ORDER BY cnt DESC, token LIMIT {k})
+SELECT t.token, t.cnt, MIN(reg.r)::BIGINT AS est
+FROM topk t CROSS JOIN consts c2
+JOIN reg ON reg.j = c2.j AND reg.pos = {pos_t}
+GROUP BY t.token, t.cnt"""
+
+
+def egonet_sql(seeds=(17, 123), k: int = 2) -> str:
+    """Mirrors pipelines.khop_egonet: recursive BFS to depth k over the
+    symmetric adjacency, induced canonical simple edges."""
+    vals = ", ".join(f"({s})" for s in seeds)
+    return (
+        _with(
+            GRAPH_CTES,
+            f"seedse(vid) AS (VALUES {vals})",
+            f"""bfse(vid, d) AS (
+  SELECT vid, 0 FROM seedse
+  UNION
+  SELECT e.dst, b.d + 1 FROM bfse b JOIN und e ON e.src = b.vid WHERE b.d < {k})""",
+            "vise AS (SELECT DISTINCT vid FROM bfse)",
+            """ece AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            recursive=True,
+        )
+        + """
+SELECT ece.a AS src, ece.b AS dst
+FROM ece JOIN vise v1 ON v1.vid = ece.a JOIN vise v2 ON v2.vid = ece.b"""
+    )

@@ -331,3 +331,69 @@ def mirror_groups(edges_ds, num_buckets: int = 64):
         .groupby("fb")
         .map_groups(groups, batch_format="pyarrow")
     )
+
+
+def khop_egonet(edges_ds, seeds: list[int], k: int):
+    """Induced subgraph of the k-hop UNDIRECTED neighbourhood of a seed
+    set: the canonical simple edges (src < dst, self-loops dropped) whose
+    BOTH endpoints lie within hop distance <= k of any seed -> Dataset
+    (src, dst) — the subgraph-extraction primitive (debug slices, ego-net
+    sampling, community close-ups).
+
+    Shape: k rounds of frontier expansion, each ONE distributed semi-join
+    over the symmetric adjacency (``join.semi_join``: all rows of a vertex
+    land in one bucket group) + a distinct groupby; then two semi-joins
+    keep edges with both endpoints visited. The driver holds only the seed
+    list; frontiers, the visited set and the result stay Datasets. Rounds
+    are k sequential shuffles — fine for the small k an ego-net means
+    (use the BSP engine's BFS for deep traversals)."""
+    import ray.data as rd
+
+    from raylink.algos.triangles import _canon, _unpack
+    from raylink.join import semi_join
+
+    canon = edges_ds.map_batches(_canon, batch_format="pyarrow")
+    distinct = canon.groupby("key").count().select_columns(["key"]).materialize()
+
+    def und_rows(batch: pa.Table) -> pa.Table:
+        a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "v": pa.array(np.concatenate([a, b])),
+                "n": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    und = distinct.map_batches(und_rows, batch_format="pyarrow").materialize()
+    visited = rd.from_arrow(
+        pa.table({"v": pa.array(np.asarray(sorted(set(seeds)), dtype=np.int64))})
+    )
+    for _ in range(k):
+        reached = semi_join(und, visited, on="v", left_cols={"n": pa.int64()})
+        nxt = reached.map_batches(
+            lambda b: pa.table({"v": b.column("n")}), batch_format="pyarrow"
+        )
+        visited = (
+            visited.union(nxt).groupby("v").count().select_columns(["v"]).materialize()
+        )
+
+    def unpack_edges(batch: pa.Table) -> pa.Table:
+        a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    def as_col(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({name: batch.column("v")})
+
+        return fn
+
+    vis_src = visited.map_batches(as_col("src"), batch_format="pyarrow")
+    vis_dst = visited.map_batches(as_col("dst"), batch_format="pyarrow")
+    both = distinct.map_batches(unpack_edges, batch_format="pyarrow")
+    both = semi_join(both, vis_src, on="src", left_cols={"dst": pa.int64()})
+    from raylink.join import with_typed_empty
+
+    return with_typed_empty(
+        semi_join(both, vis_dst, on="dst", left_cols={"src": pa.int64()}),
+        {"dst": pa.int64(), "src": pa.int64()},
+    )

@@ -2203,3 +2203,25 @@ def q_boilerplate(sf_dir: str):
 
     planted = _docs(sf_dir).map_batches(plant, batch_format="pyarrow")
     return remove_boilerplate(planted, min_docs=BOILER_MIN_DOCS)
+
+
+def q_cms_topk(sf_dir: str):
+    """Count-min-sketch word-frequency estimation: exact top-50 tokens with
+    their CMS estimates (register table built distributed, bounded by the
+    sketch size; est >= cnt one-sided error surfaced as a column)."""
+    from raylink.ops.sketch import cms_word_topk
+
+    return cms_word_topk(_docs(sf_dir), k=50)
+
+
+EGO_SEEDS = [17, 123]
+
+
+def q_egonet(sf_dir: str):
+    """2-hop ego-net extraction: the induced canonical edges of the 2-hop
+    undirected neighbourhood of seeds {17, 123} — k rounds of distributed
+    semi-join frontier expansion, nothing driver-side."""
+    from raylink.pipelines import khop_egonet
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return khop_egonet(edges, EGO_SEEDS, k=2)

@@ -842,3 +842,34 @@ def test_link_prediction(edge_data, ray_session):
             (c, u, w)
             for c, u, w in zip(got["common"], got["src"], got["dst"])
         ] == cand[:k]
+
+
+def test_khop_egonet(edge_data, ray_session):
+    from raylink.pipelines import khop_egonet
+
+    edges, edges_ds, _ = edge_data
+    # python oracle: BFS over the symmetric simple adjacency
+    adj = {}
+    canon = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+        canon.add((min(s, d), max(s, d)))
+
+    def oracle(seeds, k):
+        vis = set(seeds)
+        frontier = set(seeds)
+        for _ in range(k):
+            frontier = {n for v in frontier for n in adj.get(v, ())} - vis
+            vis |= frontier
+        return sorted((a, b) for a, b in canon if a in vis and b in vis)
+
+    for seeds, k in ([[7], 1], [[7, 30], 2], [[1], 0]):
+        got = khop_egonet(edges_ds, seeds, k).to_pandas()
+        want = oracle(seeds, k)
+        if len(got) == 0:  # ray to_pandas drops columns on 0-row datasets
+            assert want == []
+        else:
+            assert sorted(zip(got["src"], got["dst"])) == want

@@ -123,3 +123,38 @@ def test_bloom_decontaminate_superset_of_exact():
         assert (blm["n_bloom_hits"] >= exact["n_hits"]).all()  # superset
     assert roomy["contaminated_bloom"].equals(exact["contaminated"])
     assert tight["contaminated_bloom"].sum() > exact["contaminated"].sum()  # FPs
+
+
+def test_cms_word_topk(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from raylink.ops.sketch import cms_word_topk
+
+    texts = [
+        "apple banana apple cherry",
+        "banana apple durian durian durian",
+        "elderberry fig grape apple banana",
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    true = {}
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            true[w] = true.get(w, 0) + 1
+    # roomy sketch (few words, 2^16 buckets): collisions ~0 -> est == cnt
+    got = cms_word_topk(docs, k=10, depth=4, width_bits=16).to_pandas()
+    assert dict(zip(got["token"], got["cnt"])) == dict(
+        sorted(true.items(), key=lambda r: (-r[1], r[0]))[:10]
+    )
+    assert (got["est"] == got["cnt"]).all()
+    # tight sketch (16 buckets, 1 row): collisions certain across batches,
+    # but the one-sided bound must hold and totals must be conserved
+    tight = cms_word_topk(docs, k=10, depth=1, width_bits=2).to_pandas()
+    assert (tight["est"] >= tight["cnt"]).all()
+    assert dict(zip(tight["token"], tight["cnt"])) == dict(
+        sorted(true.items(), key=lambda r: (-r[1], r[0]))[:10]
+    )
