@@ -562,3 +562,33 @@ def pair_attach(cand_ds, values_ds, value_fields: dict,
         .map_groups(attach, batch_format="pyarrow")
     )
     return attached.groupby("kb").map_groups(pairup, batch_format="pyarrow")
+
+
+def bucketed_distinct(ds, col: str, num_buckets: int = 32):
+    """Distributed DISTINCT over one int64 column as a coarse-bucket
+    groupby + vectorized per-bucket ``np.unique`` — Ray's per-key
+    ``groupby(col).count()`` pays the sort-based aggregate machinery per
+    distinct key (the same overhead ``tree_groupby_sum`` documents), which
+    adds seconds per call even on thousand-row inputs. All rows of a value
+    land in one bucket, so the result is exact. -> Dataset (col,)."""
+    B = np.uint64(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        u = np.unique(v)  # per-batch pre-dedup before the shuffle
+        return pa.table(
+            {
+                "db": pa.array((splitmix64(u.astype(np.uint64)) % B).astype(np.int32)),
+                col: pa.array(u),
+            }
+        )
+
+    def uniq(group: pa.Table) -> pa.Table:
+        v = group.column(col).to_numpy(zero_copy_only=False)
+        return pa.table({col: pa.array(np.unique(v))})
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(uniq, batch_format="pyarrow")
+    )

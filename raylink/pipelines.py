@@ -342,18 +342,20 @@ def khop_egonet(edges_ds, seeds: list[int], k: int):
 
     Shape: k rounds of frontier expansion, each ONE distributed semi-join
     over the symmetric adjacency (``join.semi_join``: all rows of a vertex
-    land in one bucket group) + a distinct groupby; then two semi-joins
-    keep edges with both endpoints visited. The driver holds only the seed
-    list; frontiers, the visited set and the result stay Datasets. Rounds
-    are k sequential shuffles — fine for the small k an ego-net means
-    (use the BSP engine's BFS for deep traversals)."""
+    land in one bucket group) + a bucketed distinct
+    (``join.bucketed_distinct`` — per-key groupby machinery costs seconds
+    even on tiny inputs); then two semi-joins keep edges with both
+    endpoints visited. The driver holds only the seed list; frontiers, the
+    visited set and the result stay Datasets. Rounds are k sequential
+    shuffles — fine for the small k an ego-net means (use the BSP engine's
+    BFS for deep traversals)."""
     import ray.data as rd
 
     from raylink.algos.triangles import _canon, _unpack
-    from raylink.join import semi_join
+    from raylink.join import bucketed_distinct, semi_join
 
     canon = edges_ds.map_batches(_canon, batch_format="pyarrow")
-    distinct = canon.groupby("key").count().select_columns(["key"]).materialize()
+    distinct = bucketed_distinct(canon, "key").materialize()
 
     def und_rows(batch: pa.Table) -> pa.Table:
         a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
@@ -368,14 +370,20 @@ def khop_egonet(edges_ds, seeds: list[int], k: int):
     visited = rd.from_arrow(
         pa.table({"v": pa.array(np.asarray(sorted(set(seeds)), dtype=np.int64))})
     )
+    n_visited = visited.count()
     for _ in range(k):
-        reached = semi_join(und, visited, on="v", left_cols={"n": pa.int64()})
+        # visited is materialized each round, so its row count is free
+        # metadata — the thresholded broadcast-vs-hash semi-join choice
+        # costs no extra execution (the attach_lookup pattern)
+        reached = semi_join(
+            und, visited, on="v", left_cols={"n": pa.int64()},
+            n_key_rows=n_visited,
+        )
         nxt = reached.map_batches(
             lambda b: pa.table({"v": b.column("n")}), batch_format="pyarrow"
         )
-        visited = (
-            visited.union(nxt).groupby("v").count().select_columns(["v"]).materialize()
-        )
+        visited = bucketed_distinct(visited.union(nxt), "v").materialize()
+        n_visited = visited.count()
 
     def unpack_edges(batch: pa.Table) -> pa.Table:
         a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
@@ -390,10 +398,16 @@ def khop_egonet(edges_ds, seeds: list[int], k: int):
     vis_src = visited.map_batches(as_col("src"), batch_format="pyarrow")
     vis_dst = visited.map_batches(as_col("dst"), batch_format="pyarrow")
     both = distinct.map_batches(unpack_edges, batch_format="pyarrow")
-    both = semi_join(both, vis_src, on="src", left_cols={"dst": pa.int64()})
+    both = semi_join(
+        both, vis_src, on="src", left_cols={"dst": pa.int64()},
+        n_key_rows=n_visited,
+    )
     from raylink.join import with_typed_empty
 
     return with_typed_empty(
-        semi_join(both, vis_dst, on="dst", left_cols={"src": pa.int64()}),
+        semi_join(
+            both, vis_dst, on="dst", left_cols={"src": pa.int64()},
+            n_key_rows=n_visited,
+        ),
         {"dst": pa.int64(), "src": pa.int64()},
     )
