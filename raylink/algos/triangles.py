@@ -52,25 +52,23 @@ def _distinct_and_degrees(edges_ds):
     """Canonical distinct undirected edges (packed (min,max) key Dataset)
     plus the undirected distinct-neighbour degree table (vid, deg); both
     materialized (each is consumed by more than one downstream stage)."""
+    from raylink.join import bucketed_distinct, bucketed_sum
+
     edges = edges_ds.map_batches(_canon, batch_format="pyarrow")
-    # distinct canonical edges (hash-partitioned exact dedup on the packed key)
-    distinct = edges.groupby("key").count().select_columns(["key"]).materialize()
+    # distinct canonical edges: coarse-bucket exact dedup on the packed key
+    # (a per-key groupby("key").count() pays sort-aggregate machinery per
+    # distinct edge — the bucketed_distinct rationale)
+    distinct = bucketed_distinct(edges, "key", num_buckets=64).materialize()
 
     def endpoints(batch: pa.Table) -> pa.Table:
         a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
         v, c = np.unique(np.concatenate([a, b]), return_counts=True)
-        return pa.table({"vid": pa.array(v), "c": pa.array(c)})
+        return pa.table({"vid": pa.array(v), "c": pa.array(c.astype(np.int64))})
 
-    deg_ds = (
-        distinct.map_batches(endpoints, batch_format="pyarrow")
-        .groupby("vid")
-        .sum("c")
-        .map_batches(
-            lambda b: pa.table({"vid": b.column("vid"), "deg": b.column("sum(c)")}),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    deg_ds = bucketed_sum(
+        distinct.map_batches(endpoints, batch_format="pyarrow"),
+        "vid", "c", out_val="deg",
+    ).materialize()
     return distinct, deg_ds
 
 

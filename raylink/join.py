@@ -592,3 +592,45 @@ def bucketed_distinct(ds, col: str, num_buckets: int = 32):
         .groupby("db")
         .map_groups(uniq, batch_format="pyarrow")
     )
+
+
+def bucketed_sum(ds, key: str, val: str, out_val: str | None = None,
+                 num_buckets: int = 32):
+    """Exact per-key int64 SUM over an int64 key column as a coarse-bucket
+    groupby + vectorized per-bucket ``np.unique``/``np.add.at`` — the
+    unbounded-cardinality sibling of ``tree_groupby_sum`` (same rationale
+    as ``bucketed_distinct``: Ray's sort-based aggregate pays per-key
+    machinery). All rows of a key land in one bucket, so sums are exact
+    and complete. -> Dataset (key, out_val) — out_val defaults to
+    ``f"sum({val})"`` for drop-in ``groupby(key).sum(val)`` replacement."""
+    out_val = out_val or f"sum({val})"
+    B = np.uint64(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False)
+        v = batch.column(val).to_numpy(zero_copy_only=False)
+        # per-batch pre-combine before the shuffle
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, v.astype(np.int64))
+        return pa.table(
+            {
+                "sb": pa.array((splitmix64(uk.astype(np.uint64)) % B).astype(np.int32)),
+                key: pa.array(uk),
+                val: pa.array(s),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        k = group.column(key).to_numpy(zero_copy_only=False)
+        v = group.column(val).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({key: pa.array(uk), out_val: pa.array(s)})
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(combine, batch_format="pyarrow")
+    )

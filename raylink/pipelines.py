@@ -146,13 +146,11 @@ def distinct_edges(edges_ds):
             }
         )
 
-    return (
-        edges_ds.map_batches(pack, batch_format="pyarrow")
-        .groupby("key")
-        .count()
-        .select_columns(["key"])
-        .map_batches(unpack, batch_format="pyarrow")
-    )
+    from raylink.join import bucketed_distinct
+
+    return bucketed_distinct(
+        edges_ds.map_batches(pack, batch_format="pyarrow"), "key", num_buckets=64
+    ).map_batches(unpack, batch_format="pyarrow")
 
 
 def diff_edges(edges_a, edges_b):
