@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": q.q_link_prediction,
         "mirrors": q.q_mirrors,
         "egonet": q.q_egonet,
+        "mis": q.q_mis,
         # relational layer over the TPC-H-shaped tables
         "pricing_summary": q.q_pricing_summary,
         "shipping_priority": q.q_shipping_priority,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": o.link_prediction_sql(),
         "mirrors": o.mirrors_sql(),
         "egonet": o.egonet_sql(seeds=tuple(q.EGO_SEEDS), k=2),
+        "mis": o.mis_sql(rounds=16, seed=0),
         "pricing_summary": o.pricing_summary_sql(),
         "shipping_priority": o.shipping_priority_sql(),
         "nation_revenue": o.nation_revenue_sql(),

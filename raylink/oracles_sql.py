@@ -2053,3 +2053,49 @@ def egonet_sql(seeds=(17, 123), k: int = 2) -> str:
 SELECT ece.a AS src, ece.b AS dst
 FROM ece JOIN vise v1 ON v1.vid = ece.a JOIN vise v2 ON v2.vid = ece.b"""
     )
+
+
+def mis_sql(rounds: int = 16, seed: int = 0) -> str:
+    """Mirrors algos.mis.maximal_independent_set bit-for-bit: priority =
+    splitmix64(vid XOR seed); per round, alive vertices beating every alive
+    neighbour's priority (or with no alive neighbour) join, their alive
+    neighbours are removed. Unrolled like the k-truss oracle — rounds past
+    the engine's convergence are empty no-ops."""
+
+    def p(x: str) -> str:
+        return _sm64(f"xor(CAST({x} AS UBIGINT), CAST({seed} AS UBIGINT))")
+
+    ctes = [
+        GRAPH_CTES,
+        """alv0 AS MATERIALIZED (
+  SELECT DISTINCT src AS vid FROM und WHERE src <> dst)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""mn{r} AS MATERIALIZED (
+  SELECT e.src AS vid, MIN({p('e.dst')}) AS mp
+  FROM und e JOIN alv{r} x ON x.vid = e.src JOIN alv{r} y ON y.vid = e.dst
+  WHERE e.src <> e.dst GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""wn{r} AS MATERIALIZED (
+  SELECT a.vid FROM alv{r} a LEFT JOIN mn{r} m ON m.vid = a.vid
+  WHERE m.mp IS NULL OR {p('a.vid')} < m.mp)"""
+        )
+        ctes.append(
+            f"""rm{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS vid
+  FROM und e JOIN wn{r} w ON w.vid = e.src JOIN alv{r} y ON y.vid = e.dst
+  WHERE e.src <> e.dst)"""
+        )
+        ctes.append(
+            f"""alv{r + 1} AS MATERIALIZED (
+  SELECT vid FROM alv{r}
+  WHERE vid NOT IN (SELECT vid FROM wn{r})
+    AND vid NOT IN (SELECT vid FROM rm{r}))"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT vid, CAST({r} AS BIGINT) AS mis_round FROM wn{r}"
+        for r in range(rounds)
+    )
+    return _with(*ctes) + "\n" + union

@@ -2225,3 +2225,12 @@ def q_egonet(sf_dir: str):
 
     _, edges, _, _ = page_edge_tables(sf_dir)
     return khop_egonet(edges, EGO_SEEDS, k=2)
+
+
+def q_mis(sf_dir: str):
+    """Deterministic maximal independent set (Luby with splitmix64
+    priorities) over the undirected page graph -> (vid, mis_round)."""
+    from raylink.algos.mis import maximal_independent_set
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return maximal_independent_set(edges, seed=0)

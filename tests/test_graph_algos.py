@@ -873,3 +873,39 @@ def test_khop_egonet(edge_data, ray_session):
             assert want == []
         else:
             assert sorted(zip(got["src"], got["dst"])) == want
+
+
+def test_maximal_independent_set(edge_data, ray_session):
+    from raylink.algos.mis import maximal_independent_set
+    from raylink.util import splitmix64
+
+    edges, edges_ds, _ = edge_data
+    adj = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+
+    def pri(v):
+        return int(splitmix64(np.array([v], dtype=np.uint64))[0])
+
+    # python Luby oracle (priority variant, same rule)
+    alive, mis, r = set(adj), {}, 0
+    while alive:
+        w = {v for v in alive
+             if all(pri(v) < pri(u) for u in adj[v] if u in alive)}
+        mis.update({v: r for v in w})
+        rem = {u for v in w for u in adj[v] if u in alive}
+        alive -= w | rem
+        r += 1
+
+    got = maximal_independent_set(edges_ds, seed=0).to_pandas()
+    assert sorted(zip(got["vid"], got["mis_round"])) == sorted(mis.items())
+    # independence + maximality, independently of the oracle
+    m = set(got["vid"])
+    assert all(not (adj[v] & m) for v in m)
+    assert all(v in m or (adj[v] & m) for v in adj)
+    # partitioning invariance
+    got2 = maximal_independent_set(edges_ds.repartition(7), seed=0).to_pandas()
+    assert sorted(zip(got2["vid"], got2["mis_round"])) == sorted(mis.items())
