@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": q.q_bigram_topk,
         "postings": q.q_postings,
         "pii_scan": q.q_pii_scan,
+        "pii_redact": q.q_pii_redact,
         "boilerplate": q.q_boilerplate,
         "cooccurrence": q.q_cooccurrence,
         "doc_sample": q.q_doc_sample,
@@ -230,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": o.bigram_topk_sql(k=100),
         "postings": o.postings_sql(min_df=2, max_df=400),
         "pii_scan": o.pii_scan_sql(),
+        "pii_redact": o.pii_redact_sql(),
         "boilerplate": o.boilerplate_sql(min_docs=q.BOILER_MIN_DOCS),
         "cooccurrence": o.cooccurrence_sql(window=3, k=100),
         "doc_sample": o.stratified_sample_sql(0.2, 7, {"en": 0.5}),

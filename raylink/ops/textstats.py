@@ -718,3 +718,38 @@ def remove_boilerplate(docs_ds, min_docs: int, text_col: str = "text"):
         )
 
     return docs_ds.map_batches(scan, batch_format="pyarrow")
+
+
+def pii_redact(docs_ds):
+    """PII redaction: emails -> ``<EMAIL>``, IPv4s -> ``<IP>``, long digit
+    runs -> ``<NUM>`` (in that fixed order — each pattern is counted on the
+    text AS IT STANDS before its own replacement, so the stage order is
+    part of the contract and mirrored verbatim in SQL). -> Dataset
+    (doc_id, redacted_text, n_redactions). Arrow RE2 ``replace/
+    count_substring_regex`` kernels — fully vectorized, shuffle-free, the
+    redaction sibling of ``pii_scan``."""
+    import pyarrow.compute as pc
+
+    def redact(batch: pa.Table) -> pa.Table:
+        t0 = pc.fill_null(batch.column("text").combine_chunks(), "")
+        em = pc.count_substring_regex(t0, pattern=PII_EMAIL) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t1 = pc.replace_substring_regex(t0, pattern=PII_EMAIL,
+                                        replacement="<EMAIL>")
+        ip = pc.count_substring_regex(t1, pattern=PII_IPV4) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t2 = pc.replace_substring_regex(t1, pattern=PII_IPV4,
+                                        replacement="<IP>")
+        ln = pc.count_substring_regex(t2, pattern=PII_LONGNUM) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t3 = pc.replace_substring_regex(t2, pattern=PII_LONGNUM,
+                                        replacement="<NUM>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "redacted_text": t3,
+                "n_redactions": pa.array(em + ip + ln),
+            }
+        )
+
+    return docs_ds.map_batches(redact, batch_format="pyarrow")

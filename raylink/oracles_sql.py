@@ -2099,3 +2099,30 @@ def mis_sql(rounds: int = 16, seed: int = 0) -> str:
         for r in range(rounds)
     )
     return _with(*ctes) + "\n" + union
+
+
+def pii_redact_sql() -> str:
+    """Mirrors queries.q_pii_redact + ops.textstats.pii_redact: the same
+    planting as pii_scan_sql, then the fixed three-stage RE2 global
+    replacement (each pattern counted on the text as it stands before its
+    own replacement)."""
+    planted = (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact admin' || doc_id || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' ' || (1000000000 + doc_id) ELSE '' END"
+    )
+    em = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+    ip = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+    ln = r"\b[0-9]{9,16}\b"
+    return f"""
+WITH t0 AS (SELECT doc_id, {planted} AS t FROM documents),
+t1 AS (SELECT doc_id, len(regexp_extract_all(t, '{em}'))::BIGINT AS n_em,
+              regexp_replace(t, '{em}', '<EMAIL>', 'g') AS t FROM t0),
+t2 AS (SELECT doc_id, n_em, len(regexp_extract_all(t, '{ip}'))::BIGINT AS n_ip,
+              regexp_replace(t, '{ip}', '<IP>', 'g') AS t FROM t1),
+t3 AS (SELECT doc_id, n_em, n_ip,
+              len(regexp_extract_all(t, '{ln}'))::BIGINT AS n_ln,
+              regexp_replace(t, '{ln}', '<NUM>', 'g') AS t FROM t2)
+SELECT doc_id, t AS redacted_text, (n_em + n_ip + n_ln)::BIGINT AS n_redactions
+FROM t3"""

@@ -1296,40 +1296,49 @@ def q_bloom_decontaminate(sf_dir: str):
     return bloom_decontaminate(docs, bench, n=8, m_bits=16, k=4)
 
 
-def q_pii_scan(sf_dir: str):
-    """PII-pattern counts. The synthetic corpus is digit-free, so the query
-    plants deterministic PII (an email / an IPv4 / a long number on doc_id
-    mod 7/11/13 == 0 rows, mirrored verbatim in the SQL) — the scan itself
-    (`ops.textstats.pii_scan`) is generic and pattern-only."""
-    from raylink.ops.textstats import pii_scan
-
+def _plant_pii(batch: pa.Table) -> pa.Table:
+    """Deterministic PII planting shared by q_pii_scan / q_pii_redact (the
+    synthetic corpus is digit-free): an email / an IPv4 / a long number on
+    doc_id mod 7/11/13 == 0 rows, mirrored verbatim in the SQL oracles."""
     import pyarrow.compute as pc
 
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").combine_chunks()
-        idn = ids.to_numpy(zero_copy_only=False)
-        s = lambda a: pc.cast(a, pa.string())  # noqa: E731
-        j = pc.binary_join_element_wise
-        empty = pa.scalar("", type=pa.string())
-        em = pc.if_else(
-            pa.array(idn % 7 == 0),
-            j(" contact admin", s(ids), "@example.com", ""), empty,
-        )
-        ip = pc.if_else(
-            pa.array(idn % 11 == 0),
-            j(" 10.", s(pa.array(idn % 256)), ".0.", s(pa.array(idn % 100)), ""),
-            empty,
-        )
-        ln = pc.if_else(
-            pa.array(idn % 13 == 0),
-            j(" ", s(pa.array(1000000000 + idn)), ""), empty,
-        )
-        text = pc.fill_null(batch.column("text").combine_chunks(), "")
-        return pa.table(
-            {"doc_id": ids, "text": j(text, em, ip, ln, "")}
-        )
+    ids = batch.column("doc_id").combine_chunks()
+    idn = ids.to_numpy(zero_copy_only=False)
+    s = lambda a: pc.cast(a, pa.string())  # noqa: E731
+    j = pc.binary_join_element_wise
+    empty = pa.scalar("", type=pa.string())
+    em = pc.if_else(
+        pa.array(idn % 7 == 0),
+        j(" contact admin", s(ids), "@example.com", ""), empty,
+    )
+    ip = pc.if_else(
+        pa.array(idn % 11 == 0),
+        j(" 10.", s(pa.array(idn % 256)), ".0.", s(pa.array(idn % 100)), ""),
+        empty,
+    )
+    ln = pc.if_else(
+        pa.array(idn % 13 == 0),
+        j(" ", s(pa.array(1000000000 + idn)), ""), empty,
+    )
+    text = pc.fill_null(batch.column("text").combine_chunks(), "")
+    return pa.table({"doc_id": ids, "text": j(text, em, ip, ln, "")})
 
-    return pii_scan(_docs(sf_dir).map_batches(plant, batch_format="pyarrow"))
+
+def q_pii_scan(sf_dir: str):
+    """PII-pattern counts over the deterministically planted corpus — the
+    scan itself (`ops.textstats.pii_scan`) is generic and pattern-only."""
+    from raylink.ops.textstats import pii_scan
+
+    return pii_scan(_docs(sf_dir).map_batches(_plant_pii, batch_format="pyarrow"))
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction over the same planted corpus: emails/IPv4s/long digit
+    runs replaced by <EMAIL>/<IP>/<NUM> placeholders in a fixed stage
+    order -> (doc_id, redacted_text, n_redactions)."""
+    from raylink.ops.textstats import pii_redact
+
+    return pii_redact(_docs(sf_dir).map_batches(_plant_pii, batch_format="pyarrow"))
 
 
 def q_cooccurrence(sf_dir: str):

@@ -1362,3 +1362,30 @@ def test_mirror_groups(ray_session):
     assert got["vid"].tolist() == [0, 1, 3, 7]
     assert got["mirror_rep"].tolist() == [0, 0, 3, 3]
     assert got["n_mirrors"].tolist() == [2, 2, 2, 2]
+
+
+def test_pii_redact(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.textstats import pii_redact
+
+    texts = [
+        "write to bob.smith+x@mail.example.org today",
+        "server at 192.168.1.250 answered",
+        "card 4111111111111111 expired; call 5551234567890",
+        "clean text with no identifiers",
+        "a@b.io and 10.0.0.1 and 123456789",
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    got = pii_redact(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["redacted_text"].tolist() == [
+        "write to <EMAIL> today",
+        "server at <IP> answered",
+        "card <NUM> expired; call <NUM>",
+        "clean text with no identifiers",
+        "<EMAIL> and <IP> and <NUM>",
+    ]
+    assert got["n_redactions"].tolist() == [1, 1, 2, 0, 3]
