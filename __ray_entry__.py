@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "doc_repetition": q.q_doc_repetition,
         "pack_windows": q.q_pack_windows,
+        "chunk_docs": q.q_chunk_docs,
         "knn": q.q_knn,
         "ann_lsh": q.q_ann_lsh,
         "ann_ivf": q.q_ann_ivf,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "postings": o.postings_sql(min_df=2, max_df=400),
         "pii_scan": o.pii_scan_sql(),
         "pii_redact": o.pii_redact_sql(),
+        "chunk_docs": o.chunk_docs_sql(chunk=64, overlap=16),
         "boilerplate": o.boilerplate_sql(min_docs=q.BOILER_MIN_DOCS),
         "cooccurrence": o.cooccurrence_sql(window=3, k=100),
         "doc_sample": o.stratified_sample_sql(0.2, 7, {"en": 0.5}),

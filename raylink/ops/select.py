@@ -461,3 +461,69 @@ def pack_windows(ds, key_col: str, tokens_col: str, budget: int,
         )
 
     return pref.map_batches(fin, batch_format="pyarrow")
+
+
+def chunk_docs(docs_ds, chunk: int = 64, overlap: int = 16):
+    """Fixed-size word chunking with overlap — the RAG / pretraining
+    chunker: each doc's ``[a-z]+`` words (the shared ``WORD_PATTERN`` rule)
+    split into windows of ``chunk`` words starting every ``chunk - overlap``
+    words -> Dataset (doc_id, chunk_idx, chunk_text, n_tokens). Chunk
+    starts are 0, C-O, 2(C-O), ... while start < n_words (the final chunk
+    may be short); 0-word docs yield no rows. Deterministic and exactly
+    SQL-mirrorable (list slicing + generate_series).
+
+    Shape: map-only and shuffle-free — a doc is whole within its batch, so
+    every chunk assembles locally: word occurrences explode to (chunk,
+    word) pairs (each word lands in <= ceil(C/(C-O)) chunks), then one
+    vectorized ListArray re-join per batch. 100-TB note: output size is
+    input x ~C/(C-O); the stage streams and never holds more than a batch.
+    """
+    import pyarrow.compute as pc
+
+    from raylink.ops.textstats import _word_codes
+
+    if not (0 <= overlap < chunk):
+        raise ValueError("require 0 <= overlap < chunk")
+    step = chunk - overlap
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        doc_idx, codes, dic = _word_codes(text)
+        n = len(batch)
+        n_words = np.bincount(doc_idx, minlength=n)
+        # word position within its doc
+        starts_doc = np.r_[0, np.cumsum(n_words)[:-1]]
+        pos = np.arange(len(doc_idx), dtype=np.int64) - starts_doc[doc_idx]
+        # chunks containing word at pos p: k in [ceil((p-C+1)/step), p//step]
+        k_lo = np.maximum(-(-(pos - chunk + 1) // step), 0)
+        k_hi = pos // step  # inclusive; start k*step <= pos always valid
+        reps = (k_hi - k_lo + 1).astype(np.int64)
+        w_rep = np.repeat(np.arange(len(doc_idx), dtype=np.int64), reps)
+        offs = np.cumsum(reps) - reps
+        k_of = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(offs, reps) \
+            + np.repeat(k_lo, reps)
+        d_of = doc_idx[w_rep]
+        # order rows by (doc, chunk, pos): w_rep is pos-ordered per doc, so a
+        # stable sort on (doc, chunk) keeps word order inside each chunk
+        order = np.lexsort((w_rep, k_of, d_of))
+        d_s, k_s, w_s = d_of[order], k_of[order], w_rep[order]
+        seg = np.r_[True, (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])]
+        seg_id = np.cumsum(seg) - 1
+        seg_len = np.bincount(seg_id)
+        words = dic.take(pa.array(codes[w_s]))
+        la = pa.LargeListArray.from_arrays(
+            pa.array(np.r_[np.int64(0), np.cumsum(seg_len)], type=pa.int64()),
+            words,
+        )
+        joined = pc.binary_join(la, pa.scalar(" ", type=words.type))
+        first = np.flatnonzero(seg)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").take(pa.array(d_s[first])),
+                "chunk_idx": pa.array(k_s[first]),
+                "chunk_text": pc.cast(joined, pa.string()),
+                "n_tokens": pa.array(seg_len.astype(np.int64)),
+            }
+        )
+
+    return docs_ds.map_batches(chunks, batch_format="pyarrow")

@@ -2126,3 +2126,19 @@ t3 AS (SELECT doc_id, n_em, n_ip,
               regexp_replace(t, '{ln}', '<NUM>', 'g') AS t FROM t2)
 SELECT doc_id, t AS redacted_text, (n_em + n_ip + n_ln)::BIGINT AS n_redactions
 FROM t3"""
+
+
+def chunk_docs_sql(chunk: int = 64, overlap: int = 16) -> str:
+    """Mirrors ops.select.chunk_docs: [a-z]+ words, windows of ``chunk``
+    words starting every ``chunk - overlap``; starts < n_words; 0-word docs
+    yield no rows."""
+    step = chunk - overlap
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+           FROM documents)
+SELECT doc_id, k AS chunk_idx,
+       array_to_string(ws[k*{step}+1 : k*{step}+{chunk}], ' ') AS chunk_text,
+       LEAST(len(ws) - k*{step}, {chunk})::BIGINT AS n_tokens
+FROM w, unnest(generate_series(0,
+       CAST(CEIL(len(ws) * 1.0 / {step}) AS BIGINT) - 1)) AS t(k)
+WHERE len(ws) > 0"""

@@ -2243,3 +2243,11 @@ def q_mis(sf_dir: str):
 
     _, edges, _, _ = page_edge_tables(sf_dir)
     return maximal_independent_set(edges, seed=0)
+
+
+def q_chunk_docs(sf_dir: str):
+    """RAG/pretraining chunking: 64-word windows starting every 48 words
+    (16-word overlap) -> (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    from raylink.ops.select import chunk_docs
+
+    return chunk_docs(_docs(sf_dir), chunk=64, overlap=16)

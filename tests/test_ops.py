@@ -1389,3 +1389,37 @@ def test_pii_redact(ray_session):
         "<EMAIL> and <IP> and <NUM>",
     ]
     assert got["n_redactions"].tolist() == [1, 1, 2, 0, 3]
+
+
+def test_chunk_docs(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from raylink.ops.select import chunk_docs
+
+    texts = [
+        " ".join(f"tok{i}xx" for i in range(150)),
+        "short doc only five words here",
+        "",
+        " ".join(f"ay{i}b" for i in range(64)),  # exactly one chunk of C
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(2)
+    C, O = 64, 16
+    rows = []
+    for did, t in enumerate(texts):
+        ws = re.findall("[a-z]+", t.lower())
+        k = 0
+        while k * (C - O) < len(ws):
+            seg = ws[k * (C - O): k * (C - O) + C]
+            rows.append((did, k, " ".join(seg), len(seg)))
+            k += 1
+    got = chunk_docs(docs, chunk=C, overlap=O).to_pandas()
+    have = sorted(zip(got["doc_id"], got["chunk_idx"],
+                      got["chunk_text"], got["n_tokens"]))
+    assert have == sorted(rows)
+    with pytest.raises(ValueError):
+        chunk_docs(docs, chunk=8, overlap=8)
