@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirrors": q.q_mirrors,
         "egonet": q.q_egonet,
         "mis": q.q_mis,
+        "mst": q.q_mst,
         # relational layer over the TPC-H-shaped tables
         "pricing_summary": q.q_pricing_summary,
         "shipping_priority": q.q_shipping_priority,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "mirrors": o.mirrors_sql(),
         "egonet": o.egonet_sql(seeds=tuple(q.EGO_SEEDS), k=2),
         "mis": o.mis_sql(rounds=16, seed=0),
+        "mst": o.mst_sql(rounds=14),
         "pricing_summary": o.pricing_summary_sql(),
         "shipping_priority": o.shipping_priority_sql(),
         "nation_revenue": o.nation_revenue_sql(),

@@ -2142,3 +2142,67 @@ SELECT doc_id, k AS chunk_idx,
 FROM w, unnest(generate_series(0,
        CAST(CEIL(len(ws) * 1.0 / {step}) AS BIGINT) - 1)) AS t(k)
 WHERE len(ws) > 0"""
+
+
+def mst_sql(rounds: int = 14) -> str:
+    """Mirrors algos.mst.minimum_spanning_forest + queries.q_mst: Boruvka
+    unrolled ``rounds`` times (components at least halve per round; rounds
+    past convergence are empty no-ops). Per round: cross edges under the
+    current labels, per-component min edge by the (w, a, b) total order
+    (ROW_NUMBER), then a recursive min-label closure over the selected
+    component graph for the relabel — label VALUES differ from the
+    engine's 2-cycle roots but the vertex partition is identical, and the
+    forest output carries no labels."""
+    ctes = [
+        GRAPH_CTES,
+        """wea AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         MIN(1 + (7*src + 13*dst) % 5) AS w
+  FROM edges WHERE src <> dst GROUP BY 1, 2)""",
+        """cmp0 AS MATERIALIZED (
+  SELECT vid, vid AS comp FROM (
+    SELECT a AS vid FROM wea UNION SELECT b FROM wea))""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""ce{r} AS MATERIALIZED (
+  SELECT e.a, e.b, e.w, ca.comp AS ca, cb.comp AS cb
+  FROM wea e JOIN cmp{r} ca ON ca.vid = e.a JOIN cmp{r} cb ON cb.vid = e.b
+  WHERE ca.comp <> cb.comp)"""
+        )
+        ctes.append(
+            f"""sel{r} AS MATERIALIZED (
+  SELECT c, p, a, b, w FROM (
+    SELECT c, p, a, b, w,
+           ROW_NUMBER() OVER (PARTITION BY c ORDER BY w, a, b) AS rn
+    FROM (SELECT ca AS c, cb AS p, a, b, w FROM ce{r}
+          UNION ALL SELECT cb, ca, a, b, w FROM ce{r}))
+  WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""su{r} AS MATERIALIZED (
+  SELECT c, p FROM sel{r} UNION SELECT p, c FROM sel{r})"""
+        )
+        ctes.append(
+            f"""cl{r} AS (
+  SELECT DISTINCT c, c AS l FROM su{r}
+  UNION
+  SELECT e.p, x.l FROM cl{r} x JOIN su{r} e ON e.c = x.c)"""
+        )
+        ctes.append(
+            f"rt{r} AS MATERIALIZED (SELECT c, MIN(l) AS l FROM cl{r} GROUP BY c)"
+        )
+        ctes.append(
+            f"""cmp{r + 1} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(rt.l, v.comp) AS comp
+  FROM cmp{r} v LEFT JOIN rt{r} rt ON rt.c = v.comp)"""
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT a, b, w FROM sel{r}" for r in range(rounds)
+    )
+    return (
+        _with(*ctes, recursive=True)
+        + f"""
+SELECT a::BIGINT AS src, b::BIGINT AS dst, CAST(w AS DOUBLE) AS weight
+FROM (SELECT DISTINCT a, b, w FROM ({union}))"""
+    )

@@ -2251,3 +2251,24 @@ def q_chunk_docs(sf_dir: str):
     from raylink.ops.select import chunk_docs
 
     return chunk_docs(_docs(sf_dir), chunk=64, overlap=16)
+
+
+def q_mst(sf_dir: str):
+    """Minimum spanning forest of the page graph under deterministic
+    planted weights w = 1 + (7*src + 13*dst) % 5 (the synthetic graph is
+    unweighted — the test_weighted_sssp planting precedent), tie-broken by
+    the (weight, src, dst) total order -> (src, dst, weight)."""
+    from raylink.algos.mst import minimum_spanning_forest
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        w = (1.0 + (7 * s + 13 * d) % 5).astype(np.float64)
+        return pa.table(
+            {"src": batch.column("src"), "dst": batch.column("dst"),
+             "weight": pa.array(w)}
+        )
+
+    return minimum_spanning_forest(edges.map_batches(add_w, batch_format="pyarrow"))

@@ -909,3 +909,60 @@ def test_maximal_independent_set(edge_data, ray_session):
     # partitioning invariance
     got2 = maximal_independent_set(edges_ds.repartition(7), seed=0).to_pandas()
     assert sorted(zip(got2["vid"], got2["mis_round"])) == sorted(mis.items())
+
+
+def test_minimum_spanning_forest(edge_data, ray_session):
+    import ray.data as rd
+
+    from raylink.algos.mst import minimum_spanning_forest
+
+    def kruskal(edges, w):
+        und = {}
+        for (s, d), wt in zip(edges, w):
+            if s == d:
+                continue
+            a, b = int(min(s, d)), int(max(s, d))
+            if (a, b) not in und or wt < und[(a, b)]:
+                und[(a, b)] = float(wt)
+        par = {}
+
+        def find(x):
+            while par.get(x, x) != x:
+                par[x] = par.get(par[x], par[x])
+                x = par[x]
+            return x
+
+        out = []
+        for wt, a, b in sorted((wt, a, b) for (a, b), wt in und.items()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                par[ra] = rb
+                out.append((a, b, wt))
+        return sorted(out)
+
+    edges, edges_ds, _ = edge_data
+    w = (1.0 + (edges[:, 0] * 7 + edges[:, 1] * 13) % 5).astype(np.float64)
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(edges[:, 0]), "dst": pa.array(edges[:, 1]),
+                  "weight": pa.array(w)})
+    )
+    got = minimum_spanning_forest(ds).to_pandas()
+    assert sorted(zip(got["src"], got["dst"], got["weight"])) == kruskal(edges, w)
+
+    # forced-shuffle contraction path must agree bit-for-bit (small graph:
+    # every hash-path round pays real all-to-all machinery)
+    from raylink.synth import expected_edges
+
+    e31 = expected_edges(31)
+    w31 = (1.0 + (e31[:, 0] * 7 + e31[:, 1] * 13) % 5).astype(np.float64)
+    ds31 = rd.from_arrow(
+        pa.table({"src": pa.array(e31[:, 0]), "dst": pa.array(e31[:, 1]),
+                  "weight": pa.array(w31)})
+    )
+    a31 = minimum_spanning_forest(ds31).to_pandas()
+    b31 = minimum_spanning_forest(
+        ds31, num_buckets=4, broadcast_threshold=0
+    ).to_pandas()
+    assert sorted(zip(a31["src"], a31["dst"], a31["weight"])) == sorted(
+        zip(b31["src"], b31["dst"], b31["weight"])
+    ) == kruskal(e31, w31)
