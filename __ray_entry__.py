@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "egonet": q.q_egonet,
         "mis": q.q_mis,
         "mst": q.q_mst,
+        "negative_samples": q.q_negative_samples,
         # relational layer over the TPC-H-shaped tables
         "pricing_summary": q.q_pricing_summary,
         "shipping_priority": q.q_shipping_priority,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "egonet": o.egonet_sql(seeds=tuple(q.EGO_SEEDS), k=2),
         "mis": o.mis_sql(rounds=16, seed=0),
         "mst": o.mst_sql(rounds=14),
+        "negative_samples": o.negative_samples_sql(k=3, seed=0),
         "pricing_summary": o.pricing_summary_sql(),
         "shipping_priority": o.shipping_priority_sql(),
         "nation_revenue": o.nation_revenue_sql(),

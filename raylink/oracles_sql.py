@@ -2206,3 +2206,35 @@ def mst_sql(rounds: int = 14) -> str:
 SELECT a::BIGINT AS src, b::BIGINT AS dst, CAST(w AS DOUBLE) AS weight
 FROM (SELECT DISTINCT a, b, w FROM ({union}))"""
     )
+
+
+def negative_samples_sql(k: int = 3, seed: int = 0) -> str:
+    """Mirrors pipelines.negative_samples bit-for-bit: candidate
+    w = splitmix64(u XOR (j+1)*GOLDEN XOR seed) % n, kept iff w != u and
+    {u, w} is not a canonical edge."""
+    golden = 0x9E3779B97F4A7C15
+    consts = ", ".join(
+        f"({j}, CAST({((j + 1) * golden) % (1 << 64)} AS UBIGINT))"
+        for j in range(k)
+    )
+    h = _sm64(f"xor(xor(CAST(v.vid AS UBIGINT), c.cj), CAST({seed} AS UBIGINT))")
+    return (
+        _with(
+            GRAPH_CTES,
+            f"nconsts(j, cj) AS (VALUES {consts})",
+            """nue AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            f"""ncand AS (
+  SELECT v.vid AS src,
+         CAST(({h}) % (SELECT CAST(n AS UBIGINT) FROM nn) AS BIGINT) AS dst,
+         c.j AS slot
+  FROM verts v CROSS JOIN nconsts c)""",
+        )
+        + """
+SELECT src, dst, slot FROM ncand
+WHERE dst <> src
+  AND NOT EXISTS (SELECT 1 FROM nue
+                  WHERE nue.a = LEAST(src, dst)
+                    AND nue.b = GREATEST(src, dst))"""
+    )

@@ -186,11 +186,10 @@ def diff_edges(edges_a, edges_b):
         return fn
 
     def distinct_keys(e):
-        return (
-            e.map_batches(pack, batch_format="pyarrow")
-            .groupby("key")
-            .count()
-            .select_columns(["key"])
+        from raylink.join import bucketed_distinct
+
+        return bucketed_distinct(
+            e.map_batches(pack, batch_format="pyarrow"), "key", num_buckets=64
         )
 
     ka, kb = distinct_keys(edges_a), distinct_keys(edges_b)
@@ -408,4 +407,74 @@ def khop_egonet(edges_ds, seeds: list[int], k: int):
             n_key_rows=n_visited,
         ),
         {"dst": pa.int64(), "src": pa.int64()},
+    )
+
+
+def negative_samples(edges_ds, n_vertices: int, k: int = 5, seed: int = 0):
+    """Deterministic negative-edge sampling (link-prediction / GNN training
+    needs non-edges in ~k : 1 ratio to edges): for every vertex u in the
+    DENSE id space [0, n_vertices) and slot j in [0, k), candidate
+    w = splitmix64(u XOR (j+1)*GOLDEN XOR seed) % n_vertices; the row
+    survives iff w != u and {u, w} is not an edge -> Dataset
+    (src, dst, slot). Fully replay-invariant (pure hash of (u, j)) and
+    mirrored bit-for-bit in SQL.
+
+    Shape: one vectorized map over the vertex table (k candidates per
+    vertex, no RNG state) + ONE distributed anti-join against the canonical
+    edge keys — nothing driver-side. Requires dense ids
+    (``ids.dense_id_remap`` for hash-id corpora) and vids < 2^32 (packed
+    keys; the ``assert_packable`` guard in ``_canon`` raises otherwise)."""
+    import ray.data as rd
+
+    from raylink.algos.triangles import _canon
+    from raylink.join import anti_join, bucketed_distinct
+    from raylink.util import splitmix64
+
+    GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+    sd = np.uint64(seed)
+    nv = np.uint64(n_vertices)
+
+    edge_keys = bucketed_distinct(
+        edges_ds.map_batches(_canon, batch_format="pyarrow"), "key"
+    )
+    verts = rd.from_arrow(
+        pa.table({"vid": pa.array(np.arange(n_vertices, dtype=np.int64))})
+    )
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        u = batch.column("vid").to_numpy(zero_copy_only=False)
+        us, ws, js = [], [], []
+        for j in range(k):
+            w = (
+                splitmix64(u.astype(np.uint64) ^ (np.uint64(j + 1) * GOLDEN) ^ sd)
+                % nv
+            ).astype(np.int64)
+            keep = w != u
+            us.append(u[keep])
+            ws.append(w[keep])
+            js.append(np.full(int(keep.sum()), j, dtype=np.int64))
+        uu = np.concatenate(us)
+        ww = np.concatenate(ws)
+        a = np.minimum(uu, ww)
+        b = np.maximum(uu, ww)
+        return pa.table(
+            {
+                "key": pa.array((a << np.int64(32)) | b),
+                "src": pa.array(uu),
+                "dst": pa.array(ww),
+                "slot": pa.array(np.concatenate(js)),
+            }
+        )
+
+    return anti_join(
+        verts.map_batches(candidates, batch_format="pyarrow"),
+        edge_keys,
+        on="key",
+        left_cols={"src": pa.int64(), "dst": pa.int64(), "slot": pa.int64()},
+    ).map_batches(
+        lambda b: pa.table(
+            {"src": b.column("src"), "dst": b.column("dst"),
+             "slot": b.column("slot")}
+        ),
+        batch_format="pyarrow",
     )

@@ -2272,3 +2272,12 @@ def q_mst(sf_dir: str):
         )
 
     return minimum_spanning_forest(edges.map_batches(add_w, batch_format="pyarrow"))
+
+
+def q_negative_samples(sf_dir: str):
+    """Deterministic negative-edge sampling over the page graph (3 slots
+    per vertex, non-edges only) -> (src, dst, slot)."""
+    from raylink.pipelines import negative_samples
+
+    _, edges, _, n = page_edge_tables(sf_dir)
+    return negative_samples(edges, n_vertices=n, k=3, seed=0)

@@ -966,3 +966,29 @@ def test_minimum_spanning_forest(edge_data, ray_session):
     assert sorted(zip(a31["src"], a31["dst"], a31["weight"])) == sorted(
         zip(b31["src"], b31["dst"], b31["weight"])
     ) == kruskal(e31, w31)
+
+
+def test_negative_samples(edge_data, ray_session):
+    from raylink.pipelines import negative_samples
+    from raylink.util import splitmix64
+
+    edges, edges_ds, _ = edge_data
+    K, GOLDEN = 4, np.uint64(0x9E3779B97F4A7C15)
+    got = negative_samples(edges_ds, n_vertices=N, k=K, seed=0).to_pandas()
+    es = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    # python mirror of the candidate rule
+    want = []
+    for u in range(N):
+        for j in range(K):
+            w = int(
+                splitmix64(
+                    np.array([u, 0], dtype=np.uint64)[:1]
+                    ^ (np.uint64(j + 1) * GOLDEN)
+                )[0]
+            ) % N  # python-int modulo: uint64 % python-int upcasts to f64
+            if w != u and (min(u, w), max(u, w)) not in es:
+                want.append((u, w, j))
+    assert sorted(zip(got["src"], got["dst"], got["slot"])) == sorted(want)
+    # every sample is a genuine non-edge and non-self
+    assert all((min(s, d), max(s, d)) not in es and s != d
+               for s, d in zip(got["src"], got["dst"]))
