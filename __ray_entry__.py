@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": q.q_nation_revenue,
         "order_priority": q.q_order_priority,
         "customers_no_urgent": q.q_customers_no_urgent,
+        "customer_distribution": q.q_customer_distribution,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
@@ -136,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs": q.q_embedding_pairs,
         "embedding_pairs_lsh": q.q_embedding_pairs_lsh,
         "events_window": q.q_events_window,
+        "events_sliding": q.q_events_sliding,
         "events_asof": q.q_events_asof,
         "events_latest": q.q_events_latest,
         "bigram_topk": q.q_bigram_topk,
@@ -178,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": o.nation_revenue_sql(),
         "order_priority": o.order_priority_sql(),
         "customers_no_urgent": o.customers_no_urgent_sql(),
+        "customer_distribution": o.customer_distribution_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "pagerank_converged": o.pagerank_sql(iters=27),
         "weighted_pagerank": o.weighted_pagerank_sql(iters=20),
@@ -231,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "knn": o.knn_sql(k=5, n_queries=10),
         "embedding_pairs": o.embedding_pairs_sql(tau=0.4),
         "events_window": o.events_window_sql(3600),
+        "events_sliding": o.sliding_window_sql(size_sec=3600, slide_sec=900),
         "events_asof": o.events_asof_sql(),
         "events_latest": o.events_latest_sql(),
         "bigram_topk": o.bigram_topk_sql(k=100),

@@ -120,3 +120,64 @@ def sessionize(events_ds, gap_sec: int = 1800, num_buckets: int = 64):
         .groupby("b")
         .map_groups(sessions, batch_format="pyarrow")
     )
+
+
+def sliding_window(events_ds, size_sec: int = 3600, slide_sec: int = 900):
+    """Sliding (hopping) window aggregate: every event lands in each window
+    [ws, ws + size_sec) with ws a multiple of ``slide_sec`` containing its
+    timestamp -> Dataset (user_id, window_start:int64 epoch sec, n_events,
+    sum_value r6) — the overlap sibling of ``tumbling_window`` (trend /
+    rate monitoring). Expansion factor is ~size/slide per event; the
+    per-event window list is generated vectorized (the chunk_docs repeat
+    trick) and pre-aggregated per batch before one groupby shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[s]").astype(np.int64)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        k_hi = epoch // slide_sec
+        k_lo = (epoch - size_sec) // slide_sec + 1
+        reps = (k_hi - k_lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(epoch), dtype=np.int64), reps)
+        offs = np.cumsum(reps) - reps
+        k = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(offs, reps) \
+            + np.repeat(k_lo, reps)
+        df = pd.DataFrame(
+            {"user_id": uid[idx], "window_start": k * slide_sec,
+             "value": val[idx]}
+        )
+        agg = df.groupby(["user_id", "window_start"], sort=True).agg(
+            n=("value", "size"), s=("value", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(agg["user_id"].to_numpy(np.int64)),
+                "window_start": pa.array(
+                    agg["window_start"].to_numpy(np.int64)
+                ),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+                "s": pa.array(agg["s"].to_numpy(np.float64)),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "window_start": batch.column("window_start"),
+                "n_events": batch.column("sum(n)"),
+                "sum_value": pa.array(
+                    round_half_away(
+                        batch.column("sum(s)").to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .sum(["n", "s"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

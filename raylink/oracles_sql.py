@@ -2238,3 +2238,34 @@ WHERE dst <> src
                   WHERE nue.a = LEAST(src, dst)
                     AND nue.b = GREATEST(src, dst))"""
     )
+
+
+def customer_distribution_sql() -> str:
+    """Mirrors queries.q_customer_distribution (TPC-H Q13 shape): LEFT
+    OUTER JOIN customer x filtered order counts, histogram over the count
+    including the zero bin."""
+    return """
+WITH oc AS (SELECT o_custkey, count(*) AS c_count FROM orders
+            WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+FROM (SELECT COALESCE(oc.c_count, 0) AS c_count
+      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey)
+GROUP BY 1"""
+
+
+def sliding_window_sql(size_sec: int = 3600, slide_sec: int = 900) -> str:
+    """Mirrors ops.windows.sliding_window: window starts k*slide for k in
+    [floor((e - size)/slide) + 1, floor(e/slide)] (epochs positive, so
+    float floor-division is exact below 2^53)."""
+    return f"""
+SELECT user_id::BIGINT AS user_id,
+       (k * {slide_sec})::BIGINT AS window_start,
+       count(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM (
+  SELECT user_id, value,
+         unnest(generate_series(
+           CAST(floor((epoch(ts) - {size_sec}) / {slide_sec}) AS BIGINT) + 1,
+           CAST(floor(epoch(ts) / {slide_sec}) AS BIGINT))) AS k
+  FROM events)
+GROUP BY 1, 2"""

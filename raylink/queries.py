@@ -2281,3 +2281,73 @@ def q_negative_samples(sf_dir: str):
 
     _, edges, _, n = page_edge_tables(sf_dir)
     return negative_samples(edges, n_vertices=n, k=3, seed=0)
+
+
+def q_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: distribution of customers by order count (urgent
+    orders excluded) INCLUDING the zero-order bin — the classic LEFT OUTER
+    JOIN + double GROUP BY, re-expressed join-free: per-customer counts
+    from one bucketed sum over the filtered orders scan, the histogram via
+    the bounded combine tree, and the zero bin by arithmetic
+    (n_customers - customers_with_orders) off the customer parquet FOOTER
+    row count — the left side is never scanned at all."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from raylink.join import bucketed_sum, tree_groupby_sum
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def part(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("o_orderpriority"), "1-URGENT")
+        ck = batch.filter(keep).column("o_custkey").to_numpy(zero_copy_only=False)
+        uc, c = np.unique(ck, return_counts=True)
+        return pa.table(
+            {"o_custkey": pa.array(uc), "c": pa.array(c.astype(np.int64))}
+        )
+
+    oc = bucketed_sum(
+        orders.map_batches(part, batch_format="pyarrow"),
+        "o_custkey", "c", out_val="c_count",
+    )
+
+    def hist_part(batch: pa.Table) -> pa.Table:
+        v, n = np.unique(
+            batch.column("c_count").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {"c_count": pa.array(v), "h": pa.array(n.astype(np.int64))}
+        )
+
+    hist = tree_groupby_sum(
+        oc.map_batches(hist_part, batch_format="pyarrow"), ["c_count"], ["h"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # tree_groupby_sum ends single-block, so the zero bin appends once
+        v = batch.column("c_count").to_numpy(zero_copy_only=False)
+        h = batch.column("sum(h)").to_numpy(zero_copy_only=False)
+        zero = n_cust - int(h.sum())
+        if zero > 0:
+            v = np.r_[np.int64(0), v]
+            h = np.r_[np.int64(zero), h]
+        return pa.table({"c_count": pa.array(v), "custdist": pa.array(h)})
+
+    return hist.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding-window (1 h window, 15 min hop) per-user event aggregate."""
+    import ray.data as rd
+
+    from raylink.ops.windows import sliding_window
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return sliding_window(ev, size_sec=3600, slide_sec=900)

@@ -1423,3 +1423,39 @@ def test_chunk_docs(ray_session):
     assert have == sorted(rows)
     with pytest.raises(ValueError):
         chunk_docs(docs, chunk=8, overlap=8)
+
+
+def test_sliding_window(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.windows import sliding_window
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = np.array([0, 100, 899, 900, 1799, 3600, 5401], dtype="timedelta64[s]")
+    ts = base + offs.astype("timedelta64[us]")
+    uid = np.array([1, 1, 1, 1, 2, 2, 2], dtype=np.int64)
+    val = np.arange(7, dtype=np.float64) + 0.5
+    ev = rd.from_arrow(
+        pa.table({"user_id": pa.array(uid), "ts": pa.array(ts),
+                  "value": pa.array(val)})
+    ).repartition(3)
+    size, slide = 3600, 900
+    got = sliding_window(ev, size, slide).to_pandas()
+    # python oracle
+    exp = {}
+    ep = (np.datetime64("1970-01-01T00:00:00", "s") + offs
+          + (base - np.datetime64("1970-01-01T00:00:00", "us"))
+          .astype("timedelta64[s]")).astype(np.int64)
+    for e, u, v in zip(ep, uid, val):
+        k = int(e) // slide
+        while k * slide > e - size:
+            exp.setdefault((u, k * slide), [0, 0.0])
+            exp[(u, k * slide)][0] += 1
+            exp[(u, k * slide)][1] += v
+            k -= 1
+    have = {(u, w): (n, s) for u, w, n, s in
+            zip(got["user_id"], got["window_start"],
+                got["n_events"], got["sum_value"])}
+    assert have == {k: (n, round(s, 6)) for k, (n, s) in exp.items()}
+    # every event covered by exactly size/slide windows
+    assert got["n_events"].sum() == len(uid) * (size // slide)
