@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pairs_lsh": q.q_embedding_pairs_lsh,
         "events_window": q.q_events_window,
         "events_sliding": q.q_events_sliding,
+        "table_profile": q.q_table_profile,
+        "dataset_checksum": q.q_dataset_checksum,
         "events_asof": q.q_events_asof,
         "events_latest": q.q_events_latest,
         "bigram_topk": q.q_bigram_topk,
@@ -235,6 +237,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pairs": o.embedding_pairs_sql(tau=0.4),
         "events_window": o.events_window_sql(3600),
         "events_sliding": o.sliding_window_sql(size_sec=3600, slide_sec=900),
+        "table_profile": o.table_profile_sql(),
+        "dataset_checksum": o.dataset_checksum_sql(),
         "events_asof": o.events_asof_sql(),
         "events_latest": o.events_latest_sql(),
         "bigram_topk": o.bigram_topk_sql(k=100),

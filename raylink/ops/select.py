@@ -527,3 +527,100 @@ def chunk_docs(docs_ds, chunk: int = 64, overlap: int = 16):
         )
 
     return docs_ds.map_batches(chunks, batch_format="pyarrow")
+
+
+def table_profile(ds, num_cols: list[str]):
+    """Data-quality profile of numeric columns -> Dataset
+    (column, n, n_null, min, max) — the pre-training validation pass (row
+    counts, null rates, range sanity) as one streaming scan: per-batch
+    partials (one tiny row per column per batch), a single-block combine.
+    min/max are exact for any numeric type (carried as float64)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mns, mxs = [], [], [], [], []
+        for c in num_cols:
+            col = batch.column(c)
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(col.null_count)
+            v = col.drop_null()
+            mns.append(
+                float(pc.min(v).as_py()) if len(v) else np.inf
+            )
+            mxs.append(
+                float(pc.max(v).as_py()) if len(v) else -np.inf
+            )
+        return pa.table(
+            {
+                "column": pa.array(names, type=pa.string()),
+                "n": pa.array(np.array(ns, dtype=np.int64)),
+                "n_null": pa.array(np.array(nulls, dtype=np.int64)),
+                "mn": pa.array(np.array(mns, dtype=np.float64)),
+                "mx": pa.array(np.array(mxs, dtype=np.float64)),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        agg = df.groupby("column", sort=True).agg(
+            n=("n", "sum"), n_null=("n_null", "sum"),
+            mn=("mn", "min"), mx=("mx", "max"),
+        ).reset_index()
+        return pa.table(
+            {
+                "column": pa.array(agg["column"], type=pa.string()),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+                "n_null": pa.array(agg["n_null"].to_numpy(np.int64)),
+                "min": pa.array(agg["mn"].to_numpy(np.float64)),
+                "max": pa.array(agg["mx"].to_numpy(np.float64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def dataset_checksum(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Order-invariant content checksum -> one row (n_rows, checksum):
+    checksum = XOR over rows of splitmix64(fnv1a(text) XOR uint64(id)) —
+    the integrity check for resumable pipelines (same rows in any order /
+    partitioning produce the same value; any changed, dropped or
+    duplicated-an-even-number-of-times row flips it). Per-batch XOR
+    partials, one single-block fold; mirrored bit-for-bit in SQL
+    (bit_xor)."""
+    from raylink.util import splitmix64, text_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = text_hash64(batch.column(text_col))
+        i = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = np.bitwise_xor.reduce(splitmix64(h ^ i)) if len(h) else np.uint64(0)
+        return pa.table(
+            {
+                "n": pa.array([len(h)], type=pa.int64()),
+                "x": pa.array([np.int64(x.astype(np.int64))]),
+            }
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_rows": pa.array([int(n.sum())], type=pa.int64()),
+                "checksum": pa.array(
+                    [np.int64(np.bitwise_xor.reduce(x.view(np.uint64)).astype(np.int64))]
+                ),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    )

@@ -2269,3 +2269,31 @@ FROM (
            CAST(floor(epoch(ts) / {slide_sec}) AS BIGINT))) AS k
   FROM events)
 GROUP BY 1, 2"""
+
+
+def table_profile_sql() -> str:
+    """Mirrors ops.select.table_profile over the events numeric columns."""
+    parts = []
+    for c in ("event_id", "user_id", "value"):
+        parts.append(
+            f"""SELECT '{c}' AS "column", count(*)::BIGINT AS n,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       CAST(min({c}) AS DOUBLE) AS "min", CAST(max({c}) AS DOUBLE) AS "max"
+FROM events"""
+        )
+    return "\nUNION ALL ".join(parts)
+
+
+def dataset_checksum_sql() -> str:
+    """Mirrors ops.select.dataset_checksum bit-for-bit: per-row hash =
+    splitmix64(fnv1a(text) XOR uint64(doc_id)), folded with bit_xor
+    (order-invariant), reinterpreted as two's-complement BIGINT."""
+    h = _sm64(f"xor({_fnv64('text')}, CAST(doc_id AS UBIGINT))")
+    return f"""
+WITH hx AS (SELECT {h} AS x FROM documents),
+fx AS (SELECT count(*)::BIGINT AS n_rows, bit_xor(x) AS xr FROM hx)
+SELECT n_rows,
+       CASE WHEN xr >= 9223372036854775808
+            THEN CAST(xr - 18446744073709551616 AS BIGINT)
+            ELSE CAST(xr AS BIGINT) END AS checksum
+FROM fx"""

@@ -2351,3 +2351,24 @@ def q_events_sliding(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
     return sliding_window(ev, size_sec=3600, slide_sec=900)
+
+
+def q_table_profile(sf_dir: str):
+    """Data-quality profile of the events table's numeric columns
+    (row counts, null counts, min/max) — the pre-training validation scan."""
+    import ray.data as rd
+
+    from raylink.ops.select import table_profile
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return table_profile(ev, ["event_id", "user_id", "value"])
+
+
+def q_dataset_checksum(sf_dir: str):
+    """Order-invariant documents checksum (XOR of per-row hashes) — the
+    integrity check a resumable 100-TB pipeline runs after every stage."""
+    from raylink.ops.select import dataset_checksum
+
+    return dataset_checksum(_docs(sf_dir))

@@ -1459,3 +1459,43 @@ def test_sliding_window(ray_session):
     assert have == {k: (n, round(s, 6)) for k, (n, s) in exp.items()}
     # every event covered by exactly size/slide windows
     assert got["n_events"].sum() == len(uid) * (size // slide)
+
+
+def test_dataset_checksum_invariance(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.select import dataset_checksum
+
+    docs = pa.table(
+        {"doc_id": pa.array(range(6), type=pa.int64()),
+         "text": pa.array([f"doc {i} body" for i in range(6)])}
+    )
+    a = dataset_checksum(rd.from_arrow(docs)).to_pandas()
+    # order/partitioning invariance
+    perm = docs.take(pa.array([5, 2, 0, 4, 1, 3]))
+    b = dataset_checksum(rd.from_arrow(perm).repartition(3)).to_pandas()
+    assert a["checksum"][0] == b["checksum"][0] and a["n_rows"][0] == 6
+    # any single changed row flips the checksum
+    mut = docs.set_column(1, "text", pa.array(
+        [("DOC 0 body" if i == 0 else f"doc {i} body") for i in range(6)]))
+    c = dataset_checksum(rd.from_arrow(mut)).to_pandas()
+    assert c["checksum"][0] != a["checksum"][0]
+
+
+def test_table_profile(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.select import table_profile
+
+    t = pa.table(
+        {"a": pa.array([1, None, 3, -7], type=pa.int64()),
+         "b": pa.array([0.5, 2.5, None, None], type=pa.float64())}
+    )
+    got = (
+        table_profile(rd.from_arrow(t).repartition(2), ["a", "b"])
+        .to_pandas().sort_values("column").reset_index(drop=True)
+    )
+    assert got["n"].tolist() == [4, 4]
+    assert got["n_null"].tolist() == [1, 2]
+    assert got["min"].tolist() == [-7.0, 0.5]
+    assert got["max"].tolist() == [3.0, 2.5]
