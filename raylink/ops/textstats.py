@@ -629,7 +629,9 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     )
 
 
-def remove_boilerplate(docs_ds, min_docs: int, text_col: str = "text"):
+def remove_boilerplate(docs_ds, min_docs: int, text_col: str = "text",
+                       broadcast_threshold: int | None = None,
+                       num_buckets: int = 64):
     """CCNet-style boilerplate-line removal: drop every LINE (newline-split
     segment) that occurs verbatim in >= ``min_docs`` DISTINCT documents —
     the template/nav/footer cut that runs before any document-level dedup in
@@ -637,26 +639,32 @@ def remove_boilerplate(docs_ds, min_docs: int, text_col: str = "text"):
     n_lines); ``clean_text`` is the kept lines re-joined with newlines in
     original order ('' when every line is boilerplate).
 
-    Shape (two passes over the corpus, ONE bounded shuffle, zero shuffles on
-    the removal side):
+    Shape (two passes over the corpus):
       1. per-batch: split -> FNV-1a per line (``util.text_hash64``, one
          vectorized kernel over the flattened Arrow line buffer) -> per-doc
          dedup -> per-batch partial document-frequency rows (line_hash, df);
       2. one groupby-sum over the line-hash partials (shuffle carries at
          most the distinct-line vocabulary, never the text), filter
-         df >= min_docs; the frequent-hash list lands on the driver bounded
-         by total_lines / min_docs and is ``ray.put`` ONCE (the
-         ``ops.dedup.decontaminate`` broadcast pattern);
-      3. corpus scan: membership via sorted-array searchsorted, kept lines
-         re-assembled per doc with ``pc.binary_join`` — fully Arrow, no
-         per-row python, no shuffle.
+         df >= min_docs;
+      3. removal, THRESHOLDED like every attach in the engine: while the
+         frequent-hash set is small (<= broadcast_threshold — the common
+         case: template lines are few by definition) it is ``ray.put`` once
+         and the scan is a zero-shuffle sorted-membership pass; above the
+         threshold (a permissive min_docs over a vast corpus) the lines
+         anti-join the frequent set distributed (rows carry the line text
+         once) and docs re-assemble in a doc-bucketed groupby — identical
+         output, path-agreement tested.
     Hash equality stands in for line equality (~2^-64 false-drop per
     distinct line pair — the documented trade of every hashed op here; a
     collision can only over-remove, never corrupt kept text)."""
     import pyarrow.compute as pc
     import ray
 
-    from raylink.util import text_hash64
+    from raylink.join import BROADCAST_THRESHOLD, anti_join
+    from raylink.util import splitmix64, text_hash64
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD
 
     def split_lines(batch: pa.Table):
         text = pc.fill_null(batch.column(text_col), "").combine_chunks()
@@ -687,37 +695,137 @@ def remove_boilerplate(docs_ds, min_docs: int, text_col: str = "text"):
         .groupby("h")
         .sum("df")
         .map_batches(keep_frequent, batch_format="pyarrow")
+        .materialize()
     )
-    hs = np.array([r["h"] for r in freq.take_all()], dtype=np.int64)
-    boiler = ray.put(np.sort(hs.view(np.uint64)))
+    n_freq = freq.count()
 
-    def scan(batch: pa.Table) -> pa.Table:
-        b = ray.get(boiler)
+    if n_freq <= broadcast_threshold:
+        hs = np.array([r["h"] for r in freq.take_all()], dtype=np.int64)
+        boiler = ray.put(np.sort(hs.view(np.uint64)))
+
+        def scan(batch: pa.Table) -> pa.Table:
+            b = ray.get(boiler)
+            _, flat, n_lines, h = split_lines(batch)
+            if len(b) and len(h):
+                pos = np.searchsorted(b, h)
+                hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == h)
+            else:
+                hit = np.zeros(len(h), dtype=bool)
+            doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_lines)
+            keep = ~hit
+            kept_per_doc = np.bincount(doc_idx[keep], minlength=len(batch))
+            offsets = np.r_[np.int64(0), np.cumsum(kept_per_doc)]
+            kept_lines = pa.LargeListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()), flat.filter(pa.array(keep))
+            )
+            clean = pc.binary_join(
+                kept_lines, pa.scalar("\n", type=pa.large_string())
+            )
+            n_removed = np.bincount(doc_idx[hit], minlength=len(batch))
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "clean_text": clean.cast(pa.string()),
+                    "n_removed": pa.array(n_removed.astype(np.int64)),
+                    "n_lines": pa.array(n_lines),
+                }
+            )
+
+        return docs_ds.map_batches(scan, batch_format="pyarrow")
+
+    # distributed path: line rows anti-join the frequent set, docs
+    # re-assemble in a doc-bucketed groupby. Every doc also emits one
+    # pos=-1 marker row carrying (doc_id, n_lines) whose hash is
+    # splitmix64(doc_id) — it survives the anti-join unless it collides
+    # with a frequent line hash (the same ~2^-64 trade as the hashes
+    # themselves), so all-lines-removed docs still produce a row.
+    B = np.uint64(num_buckets)
+
+    def line_rows(batch: pa.Table) -> pa.Table:
         _, flat, n_lines, h = split_lines(batch)
-        if len(b) and len(h):
-            pos = np.searchsorted(b, h)
-            hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == h)
-        else:
-            hit = np.zeros(len(h), dtype=bool)
-        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_lines)
-        keep = ~hit
-        kept_per_doc = np.bincount(doc_idx[keep], minlength=len(batch))
-        offsets = np.r_[np.int64(0), np.cumsum(kept_per_doc)]
-        kept_lines = pa.LargeListArray.from_arrays(
-            pa.array(offsets, type=pa.int64()), flat.filter(pa.array(keep))
-        )
-        clean = pc.binary_join(kept_lines, pa.scalar("\n", type=pa.large_string()))
-        n_removed = np.bincount(doc_idx[hit], minlength=len(batch))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, n_lines)
+        starts = np.r_[np.int64(0), np.cumsum(n_lines)[:-1]]
+        pos = np.arange(len(doc), dtype=np.int64) - starts.repeat(n_lines)
+        nl = np.repeat(n_lines, n_lines)
+        marker_h = splitmix64(ids.astype(np.uint64)).view(np.int64)
+        empty = pa.array([""] * len(ids), type=pa.large_string())
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "clean_text": clean.cast(pa.string()),
-                "n_removed": pa.array(n_removed.astype(np.int64)),
-                "n_lines": pa.array(n_lines),
+                "h": pa.array(np.concatenate([h.view(np.int64), marker_h])),
+                "doc_id": pa.array(np.concatenate([doc, ids])),
+                "pos": pa.array(
+                    np.concatenate([pos, np.full(len(ids), -1, np.int64)])
+                ),
+                "nl": pa.array(np.concatenate([nl, n_lines])),
+                "line": pa.concat_arrays(
+                    [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray)
+                     else flat, empty]
+                ),
             }
         )
 
-    return docs_ds.map_batches(scan, batch_format="pyarrow")
+    kept = anti_join(
+        docs_ds.map_batches(line_rows, batch_format="pyarrow"),
+        freq,
+        on="h",
+        left_cols={"doc_id": pa.int64(), "pos": pa.int64(),
+                   "nl": pa.int64(), "line": pa.large_string()},
+        n_key_rows=n_freq,
+        broadcast_threshold=broadcast_threshold,
+        num_buckets=num_buckets,
+    )
+
+    def bucket_doc(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array(
+                    (splitmix64(d.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "doc_id": batch.column("doc_id"),
+                "pos": batch.column("pos"),
+                "nl": batch.column("nl"),
+                "line": batch.column("line"),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        p = group.column("pos").to_numpy(zero_copy_only=False)
+        nl = group.column("nl").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d, p, nl = d[order], p[order], nl[order]
+        lines = group.column("line").take(pa.array(order))
+        real = p >= 0  # markers excluded from the join
+        seg = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(seg)
+        doc_ids = d[starts]
+        doc_nl = nl[starts]
+        kept_per_doc = np.add.reduceat(real.astype(np.int64), starts)
+        keep_mask = pa.array(real)
+        offsets = np.r_[np.int64(0), np.cumsum(kept_per_doc)]
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            lines.filter(keep_mask).combine_chunks()
+            if isinstance(lines, pa.ChunkedArray)
+            else lines.filter(keep_mask),
+        )
+        clean = pc.binary_join(la, pa.scalar("\n", type=pa.large_string()))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "clean_text": clean.cast(pa.string()),
+                "n_removed": pa.array(doc_nl - kept_per_doc),
+                "n_lines": pa.array(doc_nl),
+            }
+        )
+
+    return (
+        kept.map_batches(bucket_doc, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
 
 
 def pii_redact(docs_ds):

@@ -1499,3 +1499,27 @@ def test_table_profile(ray_session):
     assert got["n_null"].tolist() == [1, 2]
     assert got["min"].tolist() == [-7.0, 0.5]
     assert got["max"].tolist() == [3.0, 2.5]
+
+
+def test_remove_boilerplate_distributed_path(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.textstats import remove_boilerplate
+
+    texts = [
+        "hello\nfoo\nbar",
+        "hello\nbaz",
+        "hello\nqux\nhello",
+        "unique only",
+        "hello",  # all lines removed -> must still emit a row
+    ]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).repartition(3)
+    a = (remove_boilerplate(docs, min_docs=4)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (remove_boilerplate(docs, min_docs=4, broadcast_threshold=0)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for col in ("doc_id", "clean_text", "n_removed", "n_lines"):
+        assert a[col].tolist() == b[col].tolist()
