@@ -77,7 +77,10 @@ def page_edge_tables(sf_dir: str, concurrency: int = 4, batch_size: int = 512):
     edges = extracted.map_batches(explode_links, batch_format="pyarrow").map_batches(
         _ids_from_urls, batch_format="pyarrow"
     )
-    verts = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+    # distributed vertex range — the driver never holds an O(V) table
+    verts = rd.range(n).map_batches(
+        lambda b: pa.table({"vid": b.column("id")}), batch_format="pyarrow"
+    )
     return extracted, edges, verts, n
 
 
@@ -437,8 +440,9 @@ def negative_samples(edges_ds, n_vertices: int, k: int = 5, seed: int = 0):
     edge_keys = bucketed_distinct(
         edges_ds.map_batches(_canon, batch_format="pyarrow"), "key"
     )
-    verts = rd.from_arrow(
-        pa.table({"vid": pa.array(np.arange(n_vertices, dtype=np.int64))})
+    # distributed vertex range — the driver never holds an O(V) table
+    verts = rd.range(n_vertices).map_batches(
+        lambda b: pa.table({"vid": b.column("id")}), batch_format="pyarrow"
     )
 
     def candidates(batch: pa.Table) -> pa.Table:
