@@ -562,8 +562,6 @@ def table_profile(ds, num_cols: list[str]):
         )
 
     def combine(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = batch.to_pandas()
         agg = df.groupby("column", sort=True).agg(
             n=("n", "sum"), n_null=("n_null", "sum"),
