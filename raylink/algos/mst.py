@@ -168,6 +168,85 @@ def minimum_spanning_forest(
         )
 
     forest_parts = []
+    n_comp0 = comp.count()
+    if n_comp0 <= broadcast_threshold:
+        # vertex->component map held DRIVER-side for the whole run (bounded
+        # by the broadcast threshold — the attach_lookup precedent; the
+        # distributed branch below covers crawl-scale V). Each round is then
+        # exactly TWO dataset executions: one broadcast attach+cross-filter
+        # map (barriered — it feeds count, the sel stage and the next
+        # round), and the per-component argmin groupby.
+        cdf = comp.to_pandas()
+        vids_s = cdf["vid"].to_numpy(np.int64)
+        order0 = np.argsort(vids_s)
+        vids_s = vids_s[order0]
+        comps_a = cdf["comp"].to_numpy(np.int64)[order0]
+        for rnd in range(max_rounds):
+            if alive.count() == 0:
+                break
+            ref = ray.put((vids_s, comps_a))
+
+            def attach_cross(batch: pa.Table) -> pa.Table:
+                vs, ca_map = ray.get(ref)
+                k = batch.column("key").to_numpy(zero_copy_only=False)
+                a = k >> np.int64(32)
+                b = k & np.int64(0xFFFFFFFF)
+                ca = ca_map[np.searchsorted(vs, a)]
+                cb = ca_map[np.searchsorted(vs, b)]
+                keep = ca != cb
+                sel_b = batch.filter(pa.array(keep))
+                return pa.table(
+                    {
+                        "key": sel_b.column("key"),
+                        "weight": sel_b.column("weight"),
+                        "ca": pa.array(ca[keep]),
+                        "cb": pa.array(cb[keep]),
+                    }
+                )
+
+            alive = loop_barrier(
+                alive.map_batches(attach_cross, batch_format="pyarrow"),
+                "mst-alive",
+            )
+            n_alive = alive.count()
+            if debug:
+                print(f"[mst] round {rnd}: cross edges {n_alive}", flush=True)
+            if n_alive == 0:
+                break
+            sel = (
+                alive.map_batches(comp_rows, batch_format="pyarrow")
+                .groupby("cbk")
+                .map_groups(
+                    lambda g: min_per_key(g, "c", extra=("p", "key")),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+            forest_parts.append(sel.select_columns(["key", "weight"]))
+            # contraction fully driver-side (sel is bounded by #components)
+            pdf = sel.select_columns(["c", "p"]).to_pandas()
+            c = pdf["c"].to_numpy(np.int64)
+            p = pdf["p"].to_numpy(np.int64)
+            order = np.argsort(c)
+            c, p = c[order], p[order]
+            fi = np.searchsorted(c, p)
+            ff = fi[fi]
+            is_root = (c[ff] == c) & (c < p)  # 2-cycle, lower endpoint
+            fi = np.where(is_root, np.arange(len(c)), fi)
+            while True:
+                f2 = fi[fi]
+                if (f2 == fi).all():
+                    break
+                fi = f2
+            roots = c[fi]
+            pos = np.searchsorted(c, comps_a)
+            hit = (pos < len(c)) & (
+                c[np.minimum(pos, max(len(c) - 1, 0))] == comps_a
+            )
+            comps_a = np.where(hit, roots[np.minimum(pos, len(c) - 1)],
+                               comps_a)
+        return _finish_forest(forest_parts, B)
+
     for rnd in range(max_rounds):
         if alive.count() == 0:
             break
@@ -379,6 +458,15 @@ def minimum_spanning_forest(
                 "minimum_spanning_forest: not converged — raise max_rounds"
             )
 
+    return _finish_forest(forest_parts, B)
+
+
+def _finish_forest(forest_parts, B: np.uint64):
+    """Union the per-round selected edges, dedupe the 2-cycle double picks
+    once (an edge is selectable in exactly one round), unpack to
+    (src, dst, weight)."""
+    from raylink.join import with_typed_empty
+
     empty = {"src": pa.int64(), "dst": pa.int64(), "weight": pa.float64()}
     if not forest_parts:
         import ray.data as rd
@@ -390,7 +478,6 @@ def minimum_spanning_forest(
     for part in forest_parts[1:]:
         out = out.union(part)
 
-    # one end-of-run dedupe (the per-round 2-cycle double pick) + unpack
     def fkey_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column("key").to_numpy(zero_copy_only=False)
         return pa.table(
