@@ -245,6 +245,11 @@ def minimum_spanning_forest(
             )
             comps_a = np.where(hit, roots[np.minimum(pos, len(c) - 1)],
                                comps_a)
+        else:
+            if alive.count() > 0:
+                raise RuntimeError(
+                    "minimum_spanning_forest: not converged — raise max_rounds"
+                )
         return _finish_forest(forest_parts, B)
 
     for rnd in range(max_rounds):
