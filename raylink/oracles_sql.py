@@ -2297,3 +2297,26 @@ SELECT n_rows,
             THEN CAST(xr - 18446744073709551616 AS BIGINT)
             ELSE CAST(xr AS BIGINT) END AS checksum
 FROM fx"""
+
+
+def redirects_sql() -> str:
+    """Mirrors queries.q_redirects: the planted functional redirect table
+    (doc_id % 32 != 0 AND doc_id >= 4 -> doc_id - 1 - doc_id % 3) chased to
+    its chain terminal by a recursive CTE; terminal = a target that is not
+    itself a redirect source. hops = exact chain length (matches the
+    pointer-doubling hop accounting)."""
+    return """
+WITH RECURSIVE r AS (
+  SELECT doc_id AS src, doc_id - 1 - (doc_id % 3) AS dst
+  FROM documents WHERE doc_id % 32 <> 0 AND doc_id >= 4
+),
+chase(src, cur, hops) AS (
+  SELECT src, dst, CAST(1 AS BIGINT) FROM r
+  UNION ALL
+  SELECT c.src, r2.dst, c.hops + 1
+  FROM chase c JOIN r r2 ON c.cur = r2.src
+)
+SELECT c.src AS src, c.cur AS final, c.hops AS hops
+FROM chase c
+WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.src = c.cur)
+ORDER BY src"""

@@ -482,3 +482,131 @@ def negative_samples(edges_ds, n_vertices: int, k: int = 5, seed: int = 0):
         ),
         batch_format="pyarrow",
     )
+
+
+def resolve_redirects(redirects_ds, num_buckets: int = 64, max_rounds: int = 40):
+    """Resolve redirect chains over a functional link table: ``redirects_ds``
+    has columns ``(src:int64, dst:int64)`` with each ``src`` appearing at
+    most once (a page redirects to exactly one target). Returns a Dataset
+    ``(src, final, hops)`` where ``final`` is the first target reached from
+    ``src`` that is not itself a redirect source and ``hops`` the exact
+    number of redirect steps taken — the crawl canonicalization pass that
+    rewrites every link to its chain-terminal destination.
+
+    Distributed POINTER DOUBLING: each round composes the current map with
+    itself — every row is emitted twice, once as a PROBE keyed by its
+    current target and once as an INDEX keyed by its source; a probe whose
+    target matches an index source jumps to that index row's target and adds
+    its hop count. One coarse-bucket groupby shuffle per round, and a chain
+    of length L resolves in ceil(log2 L) rounds, so 10^1..10^3-long chain
+    tails over 10^12 urls cost ~10 shuffles of 2x the redirect-table size —
+    never O(L) sequential lookups and nothing driver-side (the driver sees
+    one scalar per round). Rounds are snapshotted through ``loop_barrier``
+    (chained lineage re-executes exponentially in Ray 2.49 — see
+    join.loop_barrier). A redirect CYCLE never reaches a terminal; after
+    ``max_rounds`` (covering chains up to 2**max_rounds) unresolved rows
+    raise rather than return silently-wrong targets. Duplicate sources
+    raise inside the compose task (equal keys land in one bucket).
+
+    Reference analog: none — the reference loads pre-built adjacency lists
+    (hama/.../LongTextAdjacencyListReader.java:88-106); this is part of the
+    crawl-derivation layer the north rule adds in front of the graph build.
+    """
+    from raylink.join import loop_barrier
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def init(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "hops": pa.array(np.ones(n, np.int64)),
+                "jmp": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def tag(as_index: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column("src" if as_index else "dst").to_numpy(
+                zero_copy_only=False
+            )
+            return pa.table(
+                {
+                    "b": pa.array(
+                        (splitmix64(key.astype(np.uint64)) % B).astype(np.int32)
+                    ),
+                    "src": batch.column("src"),
+                    "dst": batch.column("dst"),
+                    "hops": batch.column("hops"),
+                    "_s": pa.array(
+                        np.full(len(batch), 1 if as_index else 0, np.int8)
+                    ),
+                }
+            )
+
+        return fn
+
+    def compose(group: pa.Table) -> pa.Table:
+        s = group.column("_s").to_numpy(zero_copy_only=False)
+        probe = group.filter(pa.array(s == 0))
+        idx = group.filter(pa.array(s == 1))
+        isrc = idx.column("src").to_numpy(zero_copy_only=False)
+        if len(np.unique(isrc)) != len(isrc):
+            raise ValueError(
+                "resolve_redirects: duplicate redirect source (not a "
+                "functional table)"
+            )
+        cur = probe.column("dst").to_numpy(zero_copy_only=False)
+        hops = probe.column("hops").to_numpy(zero_copy_only=False)
+        order = np.argsort(isrc)
+        ss = isrc[order]
+        pos = np.searchsorted(ss, cur)
+        if len(ss):
+            hit = (pos < len(ss)) & (ss[np.minimum(pos, len(ss) - 1)] == cur)
+        else:
+            hit = np.zeros(len(cur), dtype=bool)
+        take = order[pos[hit]]
+        idst = idx.column("dst").to_numpy(zero_copy_only=False)
+        ihops = idx.column("hops").to_numpy(zero_copy_only=False)
+        new_dst = cur.copy()
+        new_dst[hit] = idst[take]
+        new_hops = hops.copy()
+        new_hops[hit] = hops[hit] + ihops[take]
+        return pa.table(
+            {
+                "src": probe.column("src"),
+                "dst": pa.array(new_dst),
+                "hops": pa.array(new_hops),
+                "jmp": pa.array(hit.astype(np.int64)),
+            }
+        )
+
+    m = redirects_ds.map_batches(init, batch_format="pyarrow")
+    for _ in range(max_rounds):
+        both = m.map_batches(tag(False), batch_format="pyarrow").union(
+            m.map_batches(tag(True), batch_format="pyarrow")
+        )
+        m = loop_barrier(
+            both.groupby("b").map_groups(compose, batch_format="pyarrow"),
+            "redirects",
+        )
+        if not (m.sum("jmp") or 0):
+            break
+    else:
+        raise RuntimeError(
+            f"resolve_redirects: chains unresolved after {max_rounds} "
+            "doubling rounds (redirect cycle, or raise max_rounds)"
+        )
+    return m.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src"),
+                "final": b.column("dst"),
+                "hops": b.column("hops"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -2372,3 +2372,26 @@ def q_dataset_checksum(sf_dir: str):
     from raylink.ops.select import dataset_checksum
 
     return dataset_checksum(_docs(sf_dir))
+
+
+def q_redirects(sf_dir: str):
+    """Redirect-chain resolution over a deterministically planted redirect
+    table: every doc with ``doc_id % 32 != 0 and doc_id >= 4`` redirects to
+    ``doc_id - 1 - doc_id % 3`` (strictly decreasing -> acyclic; chains up
+    to ~31 single steps, resolved by ``pipelines.resolve_redirects`` in
+    ceil(log2 L) pointer-doubling rounds). Output (src, final, hops) —
+    the crawl canonicalization pass. Exact recursive-CTE oracle."""
+    import ray.data as rd
+
+    from raylink.pipelines import resolve_redirects
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        i = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (i % 32 != 0) & (i >= 4)
+        s = i[keep]
+        return pa.table({"src": pa.array(s), "dst": pa.array(s - 1 - s % 3)})
+
+    red = docs.map_batches(plant, batch_format="pyarrow")
+    return resolve_redirects(red).sort("src")

@@ -992,3 +992,53 @@ def test_negative_samples(edge_data, ray_session):
     # every sample is a genuine non-edge and non-self
     assert all((min(s, d), max(s, d)) not in es and s != d
                for s, d in zip(got["src"], got["dst"]))
+
+
+def test_resolve_redirects(ray_session):
+    """Pointer-doubling redirect resolution vs a python chain-chase oracle:
+    branching chains (shared targets), terminal-only hops=1, a long chain
+    (forces >1 doubling round), duplicate-source raise, cycle raise."""
+    import ray.data as rd
+
+    from raylink.pipelines import resolve_redirects
+
+    # chains: 7->6->5->1; 3->2->1; 4->2->1; 9->8 (terminal 8);
+    # long chain 20->19->...->10 (10 hops)
+    pairs = [(7, 6), (6, 5), (5, 1), (3, 2), (2, 1), (4, 2), (9, 8)]
+    pairs += [(i, i - 1) for i in range(11, 21)]
+    m = {s: d for s, d in pairs}
+
+    def chase(s):
+        cur, h = m[s], 1
+        while cur in m:
+            cur, h = m[cur], h + 1
+        return cur, h
+
+    expect = sorted((s, *chase(s)) for s in m)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([s for s, _ in pairs], pa.int64()),
+                "dst": pa.array([d for _, d in pairs], pa.int64()),
+            }
+        )
+    )
+    out = resolve_redirects(ds, num_buckets=4).sort("src").take_all()
+    got = sorted((r["src"], r["final"], r["hops"]) for r in out)
+    assert got == expect
+
+    # duplicate source -> functional-table violation raises
+    dup = rd.from_arrow(
+        pa.table({"src": pa.array([1, 1], pa.int64()),
+                  "dst": pa.array([2, 3], pa.int64())})
+    )
+    with pytest.raises(Exception, match="duplicate redirect source"):
+        resolve_redirects(dup, num_buckets=2).take_all()
+
+    # cycle -> bounded rounds raise rather than a silent wrong answer
+    cyc = rd.from_arrow(
+        pa.table({"src": pa.array([1, 2], pa.int64()),
+                  "dst": pa.array([2, 1], pa.int64())})
+    )
+    with pytest.raises(RuntimeError, match="unresolved"):
+        resolve_redirects(cyc, num_buckets=2, max_rounds=6)
