@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_positions": q.q_link_positions,
         "dense_remap": q.q_dense_remap,
         "crawl_diff": q.q_crawl_diff,
+        "graph_update": q.q_graph_update,
         "redirects": q.q_redirects,
         "url_canon": q.q_url_canon,
         "link_prediction": q.q_link_prediction,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "link_positions": o.link_positions_sql(),
         "dense_remap": o.dense_remap_sql(),
         "crawl_diff": o.crawl_diff_sql(),
+        "graph_update": o.graph_update_sql(),
         "redirects": o.redirects_sql(),
         "url_canon": o.url_canon_sql(),
         "link_prediction": o.link_prediction_sql(),

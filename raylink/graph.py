@@ -707,3 +707,360 @@ def meta_diameter(g: LinkGraph, n_seeds: int = 4) -> int:
         ).aggregate(Max("m"))["max(m)"]
         best = max(best, int(ecc))
     return best
+
+
+def _pairs_void(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """(src, dst) int64 pairs as a V16 view for vectorized pair membership
+    (np.isin) — works for ANY int64 id space, no packed-key 32-bit bound."""
+    a = np.empty(len(s), dtype=[("s", "<i8"), ("d", "<i8")])
+    a["s"], a["d"] = s, d
+    return a.view("V16").ravel()
+
+
+def apply_edge_updates(
+    g: LinkGraph,
+    adds=None,
+    dels=None,
+    out_dir: str | None = None,
+    weighted: bool | None = None,
+    vertex_cols: list | None = None,
+    edge_cols: list | None = None,
+) -> LinkGraph:
+    """Incremental recrawl update: new LinkGraph = (edges(g) \\ ``dels``)
+    ∪ ``adds``, with PARTITION-PRUNED rebuild — only partitions touched by
+    the delta are rebuilt; every other shard (CSR npz + boundary parquet)
+    is byte-copied by a Ray task. On a recrawl where the delta covers a
+    small fraction of the key space, the update costs O(touched shards),
+    not a full extract->build pass over 10^12 pages.
+
+    - ``adds``: Dataset (src, dst[, weight][, *edge_cols]) of new edges;
+      both endpoints are materialized as vertices (a new url enters its
+      hash partition; its vertex values default 0.0, matching a fresh
+      build whose ``vertices_ds`` lacks the row).
+    - ``dels``: Dataset (src, dst) — matching edges are removed whatever
+      their values; vertices are never dropped (urls persist).
+    - For an undirected graph both deltas are symmetrized with the same
+      ``undirect`` closure the build used.
+    - ``weighted``/``vertex_cols``/``edge_cols`` must restate the build's
+      flags (sniffed-and-verified against one shard's array names — a
+      mismatch raises instead of silently writing a differently-shaped
+      graph).
+
+    Parity: a rebuilt partition runs the exact ``_build_shard`` body on the
+    same row multiset a fresh ``build_graph`` of the updated edge table
+    would group there, so shards (CSR, sgids, boundary) are BIT-IDENTICAL
+    to a fresh build with the same ``num_parts`` — tested via PageRank /
+    subgraph equality. Reference analog: none (the reference reloads the
+    whole graph per job); this is the north-rule recrawl/lineage shape.
+    """
+    import ray.data as rd
+
+    if g.partitioner == "explicit":
+        raise ValueError("apply_edge_updates requires a hash-partitioned graph")
+    P, gfs = g.num_parts, g.filesystem
+    # verify the caller's schema flags against one shard's array names
+    probe = storage.load_npz(g.shard_path(g.parts[0]), gfs)
+    has_w = "weights" in probe
+    shard_ecols = sorted(k[2:] for k in probe if k.startswith("e_"))
+    shard_vcols = sorted(k[2:] for k in probe if k.startswith("v_"))
+    weighted = has_w if weighted is None else weighted
+    edge_cols = shard_ecols if edge_cols is None else list(edge_cols)
+    vertex_cols = shard_vcols if vertex_cols is None else list(vertex_cols)
+    if (weighted, sorted(edge_cols), sorted(vertex_cols)) != (
+        has_w, shard_ecols, shard_vcols
+    ):
+        raise ValueError(
+            f"apply_edge_updates: flags (weighted={weighted}, "
+            f"edge_cols={sorted(edge_cols)}, vertex_cols={sorted(vertex_cols)}) "
+            f"do not match the graph's shards (weighted={has_w}, "
+            f"edge_cols={shard_ecols}, vertex_cols={shard_vcols})"
+        )
+    if out_dir is None:
+        out_dir = storage.join(GRAPH_ROOT, uuid.uuid4().hex[:12])
+    storage.makedirs(out_dir, gfs)
+
+    if adds is not None and not g.directed:
+        adds = undirect(adds, weighted=weighted, edge_cols=edge_cols)
+    if dels is not None and not g.directed:
+        dels = undirect(dels, weighted=False)
+
+    part_of = PARTITIONERS[g.partitioner]
+
+    def delta_rows(is_add: bool):
+        """Delta -> tagged rows. Adds: one edge row (_op=1) at part(src) +
+        two vertex rows (_op=3) at part(endpoint). Dels: one del marker
+        (_op=2) at part(src)."""
+
+        def fn(batch: pa.Table) -> pa.Table:
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            n = len(s)
+            if is_add:
+                srcs = np.concatenate([s, s, d])
+                dsts = np.concatenate([d, np.full(2 * n, -1, np.int64)])
+                ops = np.concatenate(
+                    [np.ones(n, np.int8), np.full(2 * n, 3, np.int8)]
+                )
+                parts = part_of(
+                    np.concatenate([s, s, d]), P
+                ).astype(np.int32)
+            else:
+                srcs, dsts = s, d
+                ops = np.full(n, 2, np.int8)
+                parts = part_of(s, P).astype(np.int32)
+            cols = {
+                "part": pa.array(parts),
+                "src": pa.array(srcs),
+                "dst": pa.array(dsts),
+                "_op": pa.array(ops),
+            }
+            if weighted:
+                w = (
+                    batch.column("weight").to_numpy(zero_copy_only=False)
+                    if is_add and "weight" in batch.column_names
+                    else np.ones(n, np.float64)
+                )
+                cols["weight"] = pa.array(
+                    np.concatenate([w, np.full(2 * n, np.nan)])
+                    if is_add
+                    else np.full(n, np.nan)
+                )
+            for c in edge_cols:
+                v = (
+                    batch.column(c).to_numpy(zero_copy_only=False).astype(
+                        np.float64
+                    )
+                    if is_add
+                    else np.full(n, np.nan)
+                )
+                cols[c] = pa.array(
+                    np.concatenate([v, np.full(2 * n, np.nan)])
+                    if is_add
+                    else v
+                )
+            for c in vertex_cols:
+                cols[c] = pa.nulls(len(srcs), type=pa.float64())
+            return pa.table(cols)
+
+        return fn
+
+    deltas = []
+    if adds is not None:
+        deltas.append(
+            adds.map_batches(delta_rows(True), batch_format="pyarrow")
+        )
+    if dels is not None:
+        deltas.append(
+            dels.select_columns(["src", "dst"]).map_batches(
+                delta_rows(False), batch_format="pyarrow"
+            )
+        )
+    if not deltas:
+        raise ValueError("apply_edge_updates: neither adds nor dels given")
+    delta_ds = deltas[0]
+    for d in deltas[1:]:
+        delta_ds = delta_ds.union(d)
+    delta_ds = delta_ds.materialize()  # reused: touched-part scan + rebuild
+
+    touched = sorted(
+        int(r["part"])
+        for r in delta_ds.groupby("part").count().select_columns(["part"])
+        .take_all()
+    )
+    touched_set = set(touched)
+    untouched = [p for p in g.parts if p not in touched_set]
+
+    # ---- untouched partitions: byte-copy shard + boundary, report counts
+    src_dir = g.graph_dir
+
+    def copy_part(batch: pa.Table) -> pa.Table:
+        rows = {"part": [], "n_vids": [], "n_edges": [], "n_subgraphs": []}
+        for p in batch.column("p").to_pylist():
+            p = int(p)
+            storage.write_bytes_atomic(
+                storage.read_bytes(
+                    storage.join(src_dir, f"shard_{p}.npz"), gfs
+                ),
+                storage.join(out_dir, f"shard_{p}.npz"),
+                gfs,
+            )
+            bpath = storage.join(src_dir, "boundary", f"part-{p}.parquet")
+            if storage.exists(bpath, gfs):
+                storage.write_bytes_atomic(
+                    storage.read_bytes(bpath, gfs),
+                    storage.join(out_dir, "boundary", f"part-{p}.parquet"),
+                    gfs,
+                )
+            sh = load_shard(src_dir, p, gfs)
+            rows["part"].append(p)
+            rows["n_vids"].append(len(sh["vids"]))
+            rows["n_edges"].append(len(sh["indices"]))
+            rows["n_subgraphs"].append(len(np.unique(sh["sgid"])))
+        return pa.table(
+            {
+                "part": pa.array(rows["part"], pa.int32()),
+                "n_vids": pa.array(rows["n_vids"], pa.int64()),
+                "n_edges": pa.array(rows["n_edges"], pa.int64()),
+                "n_subgraphs": pa.array(rows["n_subgraphs"], pa.int64()),
+            }
+        )
+
+    reports = []
+    if untouched:
+        reports.append(
+            rd.from_arrow(pa.table({"p": pa.array(untouched, pa.int32())}))
+            .map_batches(copy_part, batch_format="pyarrow", batch_size=1)
+        )
+
+    # ---- touched partitions: reconstruct old rows, merge delta, rebuild
+    def recon_part(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("p").to_pylist():
+            p = int(p)
+            if not storage.exists(
+                storage.join(src_dir, f"shard_{p}.npz"), gfs
+            ):
+                continue  # brand-new partition: delta rows only
+            sh = load_shard(src_dir, p, gfs)
+            vids = sh["vids"]
+            deg = np.diff(sh["indptr"])
+            ne, nv = len(sh["indices"]), len(vids)
+            cols = {
+                "part": pa.array(
+                    np.full(ne + nv, p, np.int32)
+                ),
+                "src": pa.array(
+                    np.concatenate([np.repeat(vids, deg), vids])
+                ),
+                "dst": pa.array(
+                    np.concatenate(
+                        [sh["indices"], np.full(nv, -1, np.int64)]
+                    )
+                ),
+                "_op": pa.array(
+                    np.concatenate(
+                        [np.ones(ne, np.int8), np.zeros(nv, np.int8)]
+                    )
+                ),
+            }
+            if weighted:
+                cols["weight"] = pa.array(
+                    np.concatenate([sh["weights"], np.full(nv, np.nan)])
+                )
+            for c in edge_cols:
+                cols[c] = pa.array(
+                    np.concatenate([sh[f"e_{c}"], np.full(nv, np.nan)])
+                )
+            for c in vertex_cols:
+                cols[c] = pa.array(
+                    np.concatenate([np.full(ne, np.nan), sh[f"v_{c}"]])
+                )
+            out.append(pa.table(cols))
+        return (
+            pa.concat_tables(out)
+            if out
+            else pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "_op": pa.array([], pa.int8()),
+                    **(
+                        {"weight": pa.array([], pa.float64())}
+                        if weighted
+                        else {}
+                    ),
+                    **{c: pa.array([], pa.float64()) for c in edge_cols},
+                    **{c: pa.array([], pa.float64()) for c in vertex_cols},
+                }
+            )
+        )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        op = group.column("_op").to_numpy(zero_copy_only=False)
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(group), dtype=bool)
+        # remove del markers AND the edges they name
+        del_mask = op == 2
+        if del_mask.any():
+            dpairs = _pairs_void(src[del_mask], dst[del_mask])
+            edge_mask = op == 1
+            hit = np.zeros(len(group), dtype=bool)
+            hit[edge_mask] = np.isin(
+                _pairs_void(src[edge_mask], dst[edge_mask]), dpairs
+            )
+            keep &= ~(del_mask | hit)
+        # new-vertex rows: drop if the vid already has a stored vertex row;
+        # surviving genuinely-new vids get the fresh-build default (0.0)
+        new_v = op == 3
+        if new_v.any():
+            old_vids = np.unique(src[op == 0])
+            dup = np.isin(src, old_vids) & new_v
+            # also dedup repeated new-vertex rows for one vid
+            first = np.zeros(len(group), dtype=bool)
+            nv_idx = np.flatnonzero(new_v & ~dup)
+            if len(nv_idx):
+                o = nv_idx[np.argsort(src[nv_idx], kind="stable")]
+                f = np.ones(len(o), dtype=bool)
+                f[1:] = src[o][1:] != src[o][:-1]
+                first[o[f]] = True
+            keep &= ~(new_v & ~first)
+        clean = group.filter(pa.array(keep))
+        if vertex_cols:
+            # new-vertex rows carry null vertex values -> fresh-build 0.0
+            cols = {}
+            opk = clean.column("_op").to_numpy(zero_copy_only=False)
+            for name in clean.column_names:
+                if name in vertex_cols:
+                    v = clean.column(name).to_numpy(zero_copy_only=False)
+                    v = np.where(
+                        (opk == 3) & ~np.isfinite(v), 0.0, v
+                    )
+                    cols[name] = pa.array(v)
+                else:
+                    cols[name] = clean.column(name)
+            clean = pa.table(cols)
+        clean = clean.drop_columns(["_op"])
+        if len(clean) == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "n_vids": pa.array([], pa.int64()),
+                    "n_edges": pa.array([], pa.int64()),
+                    "n_subgraphs": pa.array([], pa.int64()),
+                    "n_boundary": pa.array([], pa.int64()),
+                }
+            )
+        return _build_shard(
+            clean, out_dir, P, g.partitioner, gfs, vertex_cols, edge_cols
+        )
+
+    recon = rd.from_arrow(
+        pa.table({"p": pa.array(touched, pa.int32())})
+    ).map_batches(recon_part, batch_format="pyarrow", batch_size=1)
+    rebuilt = (
+        recon.union(delta_ds)
+        .groupby("part")
+        .map_groups(rebuild, batch_format="pyarrow")
+    )
+    reports.append(rebuilt)
+    report = reports[0]
+    for r in reports[1:]:
+        report = report.union(r)
+    rp = report.select_columns(
+        ["part", "n_vids", "n_edges", "n_subgraphs"]
+    ).to_pandas()
+    g2 = LinkGraph(
+        graph_dir=out_dir,
+        num_parts=P,
+        partitioner=g.partitioner,
+        directed=g.directed,
+        n_vertices=int(rp["n_vids"].sum()),
+        n_edges=int(rp["n_edges"].sum()),
+        n_subgraphs=int(rp["n_subgraphs"].sum()),
+        parts=sorted(int(p) for p in rp["part"]),
+        filesystem=gfs,
+    )
+    g2.save_manifest()
+    return g2

@@ -2320,3 +2320,36 @@ SELECT c.src AS src, c.cur AS final, c.hops AS hops
 FROM chase c
 WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.src = c.cur)
 ORDER BY src"""
+
+
+def graph_update_sql(iters: int = 30, decimals: int = 8) -> str:
+    """Mirrors queries.q_graph_update: the recrawl edit (drop out-edges of
+    src % 13 == 5 pages, add (i, (7i+11) % m) for i % 29 == 1, self-loops
+    excluded) applied to the synthetic edge set, then the standard unrolled
+    PageRank CTEs over the EDITED graph."""
+    ctes = [
+        GRAPH_CTES,
+        """ed AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges WHERE src % 13 <> 5
+    UNION ALL
+    SELECT d.doc_id, (7 * d.doc_id + 11) % p.m FROM documents d, mm p
+    WHERE d.doc_id % 29 = 1 AND (7 * d.doc_id + 11) % p.m <> d.doc_id
+  ))""",
+        "deg2 AS (SELECT src AS vid, count(*)::BIGINT AS outdeg FROM ed GROUP BY src)",
+        "pr0 AS (SELECT vid, 1.0 / nn.n AS rank FROM verts, nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pr{t} AS MATERIALIZED (
+  SELECT v.vid, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.ms, 0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.rank / d.outdeg) AS ms
+    FROM pr{t - 1} p JOIN deg2 d ON d.vid = p.vid JOIN ed e ON e.src = p.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid)"""
+        )
+    return (
+        _with(*ctes)
+        + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, {decimals}) AS rank FROM pr{iters}"
+    )

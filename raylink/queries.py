@@ -2395,3 +2395,65 @@ def q_redirects(sf_dir: str):
 
     red = docs.map_batches(plant, batch_format="pyarrow")
     return resolve_redirects(red).sort("src")
+
+
+def q_graph_update(sf_dir: str):
+    """Incremental recrawl update: from the built page graph, delete every
+    out-edge of pages with ``src % 13 == 5`` (their links changed) and add
+    planted edges ``(i, (7*i + 11) % m)`` for ``i % 29 == 1`` (self-loops
+    excluded), via ``graph.apply_edge_updates`` (partition-pruned rebuild
+    — untouched shards byte-copied). Output = PageRank over the UPDATED
+    graph, 30 fixed iterations, rounded like q_pagerank. Exact oracle:
+    the same edge edit in SQL + the unrolled PR CTEs."""
+    import ray.data as rd
+
+    from raylink.algos import pagerank
+    from raylink.graph import apply_edge_updates, edge_table
+    from raylink.pipelines import cache_key
+    from raylink.graph import GRAPH_ROOT
+    from raylink import storage
+
+    g0 = page_graph(sf_dir, directed=True)
+    _, _, _, n = page_edge_tables(sf_dir)
+    m = n - (n % 3)
+
+    dels = edge_table(g0).map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b.column("src").to_numpy(zero_copy_only=False) % 13 == 5
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def plant_adds(batch: pa.Table) -> pa.Table:
+        i = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = i[i % 29 == 1]
+        d = (7 * s + 11) % m
+        keep = d != s
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    adds = docs.map_batches(plant_adds, batch_format="pyarrow")
+    out_dir = storage.join(
+        GRAPH_ROOT, f"upd-{cache_key('graph_update', sf_dir)}"
+    )
+    g1 = apply_edge_updates(g0, adds=adds, dels=dels, out_dir=out_dir)
+    _, ranks = pagerank(
+        g=g1, iters=PR_ITERS, engine="tasks",
+        ckpt_dir=_ckpt("graph_update_pr", sf_dir, PR_ITERS),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(
+                        batch.column("rank").to_numpy(zero_copy_only=False), 8
+                    )
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")

@@ -1042,3 +1042,136 @@ def test_resolve_redirects(ray_session):
     )
     with pytest.raises(RuntimeError, match="unresolved"):
         resolve_redirects(cyc, num_buckets=2, max_rounds=6)
+
+
+def _rows(ds, cols):
+    return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
+
+
+def test_apply_edge_updates(ray_session, tmp_path):
+    """Partition-pruned incremental update == fresh build of the updated
+    edge table: vertex table (incl. sgids), edge table, and PageRank all
+    bit-identical; untouched shards byte-copied; new vertices enter their
+    partitions; deletes can split subgraphs."""
+    import ray.data as rd
+
+    from raylink.algos import pagerank
+    from raylink.graph import apply_edge_updates, build_graph, edge_table, \
+        vertex_table
+
+    rng = np.random.RandomState(7)
+    n = 60
+    e = rng.randint(0, n, size=(150, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    base = [(int(a), int(b)) for a, b in e]
+    # a chain whose middle edge we will delete (splits its subgraph)
+    base += [(100, 101), (101, 102), (102, 103)]
+    base = sorted(set(base))
+
+    adds = [(200, 201), (201, 0), (5, 200)]       # new vertices 200/201
+    dels = [(101, 102)] + base[:3] + [(999, 998)]  # incl. a no-op delete
+
+    def eds(pairs):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([a for a, _ in pairs], pa.int64()),
+                    "dst": pa.array([b for _, b in pairs], pa.int64()),
+                }
+            )
+        )
+
+    g0 = build_graph(
+        eds(base), num_parts=8, directed=True,
+        graph_dir=str(tmp_path / "g0"),
+    )
+    g1 = apply_edge_updates(
+        g0, adds=eds(adds), dels=eds(dels), out_dir=str(tmp_path / "g1")
+    )
+    final = sorted((set(base) - set(dels)) | set(adds))
+    gf = build_graph(
+        eds(final), num_parts=8, directed=True,
+        graph_dir=str(tmp_path / "gf"),
+    )
+    # fresh build derives vertices from edges; the incremental graph keeps
+    # every old vertex (urls persist) — 101/102's edge deletion must not
+    # drop them, so compare against fresh + the old vertex universe
+    gfv = build_graph(
+        eds(final),
+        vertices_ds=vertex_table(g0).select_columns(["vid"]).union(
+            rd.from_arrow(pa.table({"vid": pa.array(
+                sorted({v for p in adds for v in p}), pa.int64())}))
+        ),
+        num_parts=8, directed=True, graph_dir=str(tmp_path / "gfv"),
+    )
+    cols = ["vid", "part", "sgid", "sg_minvid", "out_degree"]
+    assert _rows(vertex_table(g1), cols) == _rows(vertex_table(gfv), cols)
+    assert _rows(edge_table(g1), ["src", "dst"]) == _rows(
+        edge_table(gfv), ["src", "dst"]
+    )
+    assert (g1.n_vertices, g1.n_edges, g1.n_subgraphs) == (
+        gfv.n_vertices, gfv.n_edges, gfv.n_subgraphs
+    )
+    # PageRank bit-identical between incremental and fresh
+    _, r1 = pagerank(g=g1, iters=8)
+    _, rf = pagerank(g=gfv, iters=8)
+    assert _rows(r1, ["vid", "rank"]) == _rows(rf, ["vid", "rank"])
+    # the pure-edge fresh build agrees everywhere except the two
+    # edge-less-but-persisted vertices
+    vg1 = {r[0] for r in _rows(vertex_table(g1), ["vid"])}
+    vgf = {r[0] for r in _rows(vertex_table(gf), ["vid"])}
+    assert vg1 - vgf == ({101, 102} - {v for p in final for v in p})
+
+    # flag mismatch raises instead of writing a differently-shaped graph
+    with pytest.raises(ValueError, match="do not match"):
+        apply_edge_updates(
+            g0, adds=eds(adds), out_dir=str(tmp_path / "gbad"), weighted=True
+        )
+
+
+def test_apply_edge_updates_weighted_undirected(ray_session, tmp_path):
+    """Weighted + edge_cols + undirected variant: delta symmetrization and
+    value columns survive the partition-pruned rebuild bit-identically."""
+    import ray.data as rd
+
+    from raylink.graph import apply_edge_updates, build_graph, edge_table
+
+    def wds(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([r[0] for r in rows], pa.int64()),
+                    "dst": pa.array([r[1] for r in rows], pa.int64()),
+                    "weight": pa.array([r[2] for r in rows], pa.float64()),
+                    "pos": pa.array([r[3] for r in rows], pa.float64()),
+                }
+            )
+        )
+
+    base = [(0, 1, 2.0, 10.0), (1, 2, 3.0, 20.0), (2, 3, 1.0, 30.0),
+            (3, 4, 5.0, 40.0)]
+    g0 = build_graph(
+        wds(base), num_parts=4, directed=False, weighted=True,
+        edge_cols=["pos"], graph_dir=str(tmp_path / "g0"),
+    )
+    adds = [(4, 5, 7.0, 50.0)]
+    dels = [(1, 2)]
+    g1 = apply_edge_updates(
+        g0,
+        adds=wds(adds),
+        dels=rd.from_arrow(
+            pa.table({"src": pa.array([d[0] for d in dels], pa.int64()),
+                      "dst": pa.array([d[1] for d in dels], pa.int64())})
+        ),
+        out_dir=str(tmp_path / "g1"),
+    )
+    final = [r for r in base if (r[0], r[1]) not in dels] + adds
+    gf = build_graph(
+        wds(final), num_parts=4, directed=False, weighted=True,
+        edge_cols=["pos"], graph_dir=str(tmp_path / "gf"),
+    )
+    cols = ["src", "dst", "weight", "pos"]
+    assert _rows(edge_table(g1, ["pos"]), cols) == _rows(
+        edge_table(gf, ["pos"]), cols
+    )
+    assert (g1.n_vertices, g1.n_edges) == (gf.n_vertices, gf.n_edges)
