@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q.q_domain_stats,
         "curation_funnel": q.q_curation_funnel,
         "text_stats": q.q_text_stats,
+        "quality_score": q.q_quality_score,
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
         "doc_repetition": q.q_doc_repetition,
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": o.domain_stats_sql(),
         "curation_funnel": o.curation_funnel_sql(),
         "text_stats": o.text_stats_sql(),
+        "quality_score": o.quality_score_sql(),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
         "doc_repetition": o.doc_repetition_sql(),

@@ -861,3 +861,65 @@ def pii_redact(docs_ds):
         )
 
     return docs_ds.map_batches(redact, batch_format="pyarrow")
+
+
+class LinearScorer:
+    """Hashed-feature linear classifier scoring — the fastText-shaped
+    quality-model inference stage of a curation pipeline, as an actor-pool
+    ``map_batches`` class: the weight table (the "model") is built ONCE per
+    actor in ``__init__`` (the model-load pattern; reference analog: graph
+    parsed once per BSP peer, GraphJobRunner.java:105-182), scoring is one
+    vectorized pass per batch.
+
+    Model: feature index of a word = fnv1a(word) % dim; weight[j] =
+    (splitmix64(j XOR splitmix64(seed)) % 15) - 7 — deterministic integer
+    weights in [-7, 7], so the doc score (sum of weights over word
+    OCCURRENCES) is int64-exact and bit-mirrorable in SQL. A trained model
+    drops in by replacing ``_weights`` (e.g. np.load of an artifact) — the
+    plumbing (per-actor load, hashed lookup, per-doc bincount) is the
+    production shape; the arithmetic here is chosen for oracle exactness.
+
+    Output: (doc_id, score:int64, label:int8 = score > 0).
+    """
+
+    def __init__(self, dim: int = 1 << 16, seed: int = 1):
+        from raylink.util import splitmix64
+
+        self.dim = np.uint64(dim)
+        k = splitmix64(np.array([seed], dtype=np.uint64))[0]
+        j = np.arange(dim, dtype=np.uint64)
+        self._w = (splitmix64(j ^ k) % np.uint64(15)).astype(np.int64) - 7
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from raylink.util import text_hash64
+
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        n = len(batch)
+        doc_idx, codes, dictionary = _word_codes(text)
+        # hash the VOCABULARY once per batch, not every occurrence
+        wv = self._w[
+            (text_hash64(dictionary) % self.dim).astype(np.int64)
+        ]
+        score = np.zeros(n, dtype=np.int64)
+        np.add.at(score, doc_idx, wv[codes])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(score),
+                "label": pa.array((score > 0).astype(np.int8)),
+            }
+        )
+
+
+def linear_score(docs_ds, dim: int = 1 << 16, seed: int = 1,
+                 concurrency=(1, 8)):
+    """documents -> (doc_id, score, label) via the actor-pool
+    ``LinearScorer`` (shuffle-free scan)."""
+    return docs_ds.map_batches(
+        LinearScorer,
+        fn_constructor_kwargs={"dim": dim, "seed": seed},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -2353,3 +2353,29 @@ def graph_update_sql(iters: int = 30, decimals: int = 8) -> str:
         _with(*ctes)
         + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, {decimals}) AS rank FROM pr{iters}"
     )
+
+
+def quality_score_sql(dim: int = 1 << 16, seed_const: int = 10451216379200822465) -> str:
+    """Mirrors queries.q_quality_score bit-for-bit: weight of a word =
+    (splitmix64((fnv1a(word) % dim) XOR splitmix64(seed)) % 15) - 7 with
+    splitmix64(seed=1) inlined as a constant (10451216379200822465),
+    score = per-doc sum over occurrences, label = score > 0."""
+    j = f"{_fnv64('word')} % CAST({dim} AS UBIGINT)"
+    w = _sm64(f"xor({j}, CAST({seed_const} AS UBIGINT))")
+    return f"""
+WITH occ AS MATERIALIZED (
+  SELECT d.doc_id, unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS word
+  FROM documents d
+),
+wt AS MATERIALIZED (
+  SELECT word, CAST({w} % CAST(15 AS UBIGINT) AS BIGINT) - 7 AS w
+  FROM (SELECT DISTINCT word FROM occ)
+),
+sc AS (
+  SELECT o.doc_id, SUM(w.w)::BIGINT AS score
+  FROM occ o JOIN wt w ON w.word = o.word GROUP BY o.doc_id
+)
+SELECT d.doc_id, COALESCE(sc.score, 0)::BIGINT AS score,
+       CAST(CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE 0 END AS TINYINT) AS label
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id"""

@@ -2457,3 +2457,19 @@ def q_graph_update(sf_dir: str):
         )
 
     return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_quality_score(sf_dir: str):
+    """Hashed-feature linear model scoring (the curation pipeline's
+    quality-classifier inference stage): integer weights derived from
+    splitmix64(fnv1a(word) % dim XOR splitmix64(seed)), per-doc score =
+    int64 sum over word occurrences, label = score > 0. Actor-pool scan,
+    zero shuffle. Exact oracle (hash/weight formula mirrored in SQL)."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import linear_score
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return linear_score(docs).sort("doc_id")

@@ -1523,3 +1523,46 @@ def test_remove_boilerplate_distributed_path(ray_session):
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     for col in ("doc_id", "clean_text", "n_removed", "n_lines"):
         assert a[col].tolist() == b[col].tolist()
+
+
+def test_linear_score(ray_session):
+    """LinearScorer vs a per-word brute-force python mirror of the weight
+    formula; empty/null text scores 0; deterministic across runs."""
+    import re
+
+    import ray.data as rd
+
+    from raylink.ops.textstats import linear_score
+    from raylink.util import splitmix64, text_hash64_scalar
+
+    texts = ["the fast key", "spark group group", "", None, "A b2c d"]
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    dim, seed = 1 << 16, 1
+    k = splitmix64(np.array([seed], dtype=np.uint64))[0]
+
+    def brute(t):
+        if not t:
+            return 0
+        s = 0
+        for w in re.findall("[a-z]+", t.lower()):
+            h = text_hash64_scalar([w])[0]
+            j = np.uint64(h) % np.uint64(dim)
+            s += int(splitmix64(np.array([j ^ k], dtype=np.uint64))[0]
+                     % np.uint64(15)) - 7
+        return s
+
+    out = {r["doc_id"]: (r["score"], r["label"])
+           for r in linear_score(docs, dim=dim, seed=seed).take_all()}
+    for i, t in enumerate(texts):
+        s = brute(t)
+        assert out[i] == (s, int(s > 0)), (i, t, out[i], s)
+    out2 = {r["doc_id"]: (r["score"], r["label"])
+            for r in linear_score(docs, dim=dim, seed=seed).take_all()}
+    assert out == out2
