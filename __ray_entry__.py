@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q.q_table_profile,
         "dataset_checksum": q.q_dataset_checksum,
         "events_asof": q.q_events_asof,
+        "events_range": q.q_events_range,
         "events_latest": q.q_events_latest,
         "bigram_topk": q.q_bigram_topk,
         "postings": q.q_postings,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": o.table_profile_sql(),
         "dataset_checksum": o.dataset_checksum_sql(),
         "events_asof": o.events_asof_sql(),
+        "events_range": o.events_range_sql(),
         "events_latest": o.events_latest_sql(),
         "bigram_topk": o.bigram_topk_sql(k=100),
         "postings": o.postings_sql(min_df=2, max_df=400),

@@ -42,6 +42,12 @@ def with_typed_empty(ds, fields: dict):
     import ray.data as rd
 
     empty = pa.table({nm: pa.array([], type=t) for nm, t in fields.items()})
+    # Known Ray 2.49 caveat this cannot fix: map_batches STRIPS the schema
+    # from all-empty task outputs, and when every block of a dataset is
+    # empty AND one of them is schema-less, ``to_pandas`` loses the columns
+    # (``ds.schema()`` stays correct). Non-empty results are unaffected —
+    # one non-empty typed block wins the merge. Read fully-empty results
+    # via ``take_all``/``schema()`` rather than ``to_pandas`` columns.
     return rd.from_arrow(empty).union(ds)
 
 
@@ -442,6 +448,219 @@ def asof_join(
         right_ds.map_batches(tag(False), batch_format="pyarrow")
     )
     return both.groupby("b").map_groups(sweep, batch_format="pyarrow")
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    lo: str,
+    hi: str,
+    time: str,
+    left_cols: dict,
+    right_cols: dict,
+    key: str | None = None,
+    bucket_width: int | None = None,
+    num_buckets: int = 64,
+    max_span_buckets: int = 1024,
+):
+    """Distributed range (interval × point) join: every left row carries an
+    inclusive interval ``[lo, hi]``; it pairs with every right row whose
+    ``time`` falls inside it — optionally also requiring ``left.key ==
+    right.key``. Inner-join semantics: one output row per matched pair,
+    left rows with no match emit nothing.
+
+    Ray Data has no range join and the reference is graph-only — this is a
+    builder-brief (event-log / feature-window) operator. Shape: the time
+    axis is cut into fixed ``bucket_width`` buckets; each RIGHT point lands
+    in exactly one bucket, each LEFT interval replicates into every bucket
+    it overlaps (``hi//W - lo//W + 1`` rows — the documented replication
+    factor; intervals spanning more than ``max_span_buckets`` buckets raise
+    rather than silently exploding). A pair is generated only in the right
+    point's bucket, so no post-dedup pass exists. Buckets hash into
+    ``num_buckets`` coarse shuffle groups (group key mixes the time bucket
+    with the equality key, so a hot time range spreads across the key
+    space); inside a group the sweep is fully vectorized: each left
+    replica becomes an *open* probe at ``lo`` and a *close* probe at
+    ``hi``, all rows lexsort by ``(key, tbucket, t, open<right<close)``,
+    and a cumulative count of right rows between each open/close pair
+    yields the match counts — every row between the two probes provably
+    shares their ``(key, tbucket)`` prefix, so the matches are exact. Pair
+    expansion is the repeat/arange pattern; no per-key Python loop.
+
+    ``bucket_width`` is required (time-domain units, e.g. epoch micros):
+    pick it near the typical interval width so replication stays ~2×.
+    ``lo``/``hi``/``time`` must be int64-comparable (epoch ints or
+    timestamps — timestamps compare as int64 micros). ``left_cols`` /
+    ``right_cols`` as in ``hash_join`` (disjoint, excluding the
+    key/bound/time columns). Returns Dataset ``(key?, lo, hi, time,
+    *left_cols, *right_cols)`` with the bound/time columns as int64.
+    Output size is the true match count — inherently up to |L|×|R|;
+    bound it upstream (tighter intervals / pre-filters) not here.
+    """
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"range_join column collision: {sorted(overlap)}")
+    if bucket_width is None or bucket_width <= 0:
+        raise ValueError("range_join requires a positive bucket_width")
+    W = np.int64(bucket_width)
+    B = np.uint64(num_buckets)
+
+    def _i64(col) -> np.ndarray:
+        a = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(a.dtype, np.datetime64):
+            return a.astype("datetime64[us]").astype(np.int64)
+        return a.astype(np.int64)
+
+    def _grp(k: np.ndarray, tb: np.ndarray) -> pa.Array:
+        mix = splitmix64(tb.astype(np.uint64))
+        if key is not None:
+            mix ^= splitmix64(k.astype(np.uint64))
+        return pa.array((splitmix64(mix) % B).astype(np.int32))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        lov = _i64(batch.column(lo))
+        hiv = _i64(batch.column(hi))
+        valid = lov <= hiv  # empty intervals never match; drop them here
+        t = batch.filter(pa.array(valid))
+        lov, hiv = lov[valid], hiv[valid]
+        tb_lo = np.floor_divide(lov, W)
+        tb_hi = np.floor_divide(hiv, W)
+        span = tb_hi - tb_lo + 1
+        if len(span) and span.max(initial=0) > max_span_buckets:
+            raise ValueError(
+                f"range_join: an interval spans {int(span.max())} time "
+                f"buckets (> max_span_buckets={max_span_buckets}); raise "
+                "bucket_width or pre-split the interval"
+            )
+        n_out = int(span.sum())
+        src = np.repeat(np.arange(len(lov), dtype=np.int64), span)
+        offs = np.concatenate(([0], np.cumsum(span)[:-1]))
+        tb = (np.arange(n_out, dtype=np.int64) - offs[src]) + tb_lo[src]
+        rep = t.take(pa.array(src))
+        k = (
+            rep.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            if key is not None
+            else np.zeros(n_out, np.int64)
+        )
+        cols = {
+            "b": _grp(k, tb),
+            "_k": pa.array(k),
+            "_tb": pa.array(tb),
+            "_lo": pa.array(lov[src]),
+            "_hi": pa.array(hiv[src]),
+            "_t": pa.array(np.zeros(n_out, np.int64)),
+            "_s": pa.array(np.ones(n_out, np.int8)),
+        }
+        for nm, typ in left_cols.items():
+            cols[nm] = rep.column(nm)
+        for nm, typ in right_cols.items():
+            cols[nm] = pa.nulls(n_out, type=typ)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        tv = _i64(batch.column(time))
+        n = len(tv)
+        tb = np.floor_divide(tv, W)
+        k = (
+            batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            if key is not None
+            else np.zeros(n, np.int64)
+        )
+        cols = {
+            "b": _grp(k, tb),
+            "_k": pa.array(k),
+            "_tb": pa.array(tb),
+            "_lo": pa.array(np.zeros(n, np.int64)),
+            "_hi": pa.array(np.zeros(n, np.int64)),
+            "_t": pa.array(tv),
+            "_s": pa.array(np.zeros(n, np.int8)),
+        }
+        for nm, typ in left_cols.items():
+            cols[nm] = pa.nulls(n, type=typ)
+        for nm, typ in right_cols.items():
+            cols[nm] = batch.column(nm)
+        return pa.table(cols)
+
+    def sweep(group: pa.Table) -> pa.Table:
+        s = group.column("_s").to_numpy(zero_copy_only=False)
+        L = group.filter(pa.array(s == 1))
+        R = group.filter(pa.array(s == 0))
+        nl, nr = L.num_rows, R.num_rows
+
+        def empty() -> pa.Table:
+            cols = {}
+            if key is not None:
+                cols[key] = pa.array([], type=pa.int64())
+            cols[lo] = pa.array([], type=pa.int64())
+            cols[hi] = pa.array([], type=pa.int64())
+            cols[time] = pa.array([], type=pa.int64())
+            for nm, typ in left_cols.items():
+                cols[nm] = pa.array([], type=L.schema.field(nm).type)
+            for nm, typ in right_cols.items():
+                cols[nm] = pa.array([], type=R.schema.field(nm).type)
+            return pa.table(cols)
+
+        if nl == 0 or nr == 0:
+            return empty()
+        lk = L.column("_k").to_numpy(zero_copy_only=False)
+        ltb = L.column("_tb").to_numpy(zero_copy_only=False)
+        llo = L.column("_lo").to_numpy(zero_copy_only=False)
+        lhi = L.column("_hi").to_numpy(zero_copy_only=False)
+        rk = R.column("_k").to_numpy(zero_copy_only=False)
+        rtb = R.column("_tb").to_numpy(zero_copy_only=False)
+        rt = R.column("_t").to_numpy(zero_copy_only=False)
+        # open probes (order 0), right rows (order 1), close probes (order 2)
+        total = 2 * nl + nr
+        ck = np.concatenate((lk, lk, rk))
+        ctb = np.concatenate((ltb, ltb, rtb))
+        ct = np.concatenate((llo, lhi, rt))
+        cord = np.concatenate(
+            (np.zeros(nl, np.int8), np.full(nl, 2, np.int8), np.ones(nr, np.int8))
+        )
+        order = np.lexsort((cord, ct, ctb, ck))
+        is_right = cord[order] == 1
+        cum = np.cumsum(is_right)  # rights at-or-before each sorted position
+        pos_of = np.empty(total, np.int64)
+        pos_of[order] = np.arange(total, dtype=np.int64)
+        start_r = cum[pos_of[:nl]]  # open probe is not a right: strictly-before count
+        end_r = cum[pos_of[nl : 2 * nl]]
+        counts = end_r - start_r
+        total_m = int(counts.sum())
+        if total_m == 0:
+            return empty()
+        rpos_sorted = np.flatnonzero(is_right)  # sorted positions of rights
+        lrep = np.repeat(np.arange(nl, dtype=np.int64), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        rank = (np.arange(total_m, dtype=np.int64) - offs[lrep]) + start_r[lrep]
+        rorig = order[rpos_sorted[rank]] - 2 * nl  # back to R row index
+        lsel = L.take(pa.array(lrep))
+        rsel = R.take(pa.array(rorig))
+        cols = {}
+        if key is not None:
+            cols[key] = lsel.column("_k")
+        cols[lo] = lsel.column("_lo")
+        cols[hi] = lsel.column("_hi")
+        cols[time] = rsel.column("_t")
+        for nm in left_cols:
+            cols[nm] = lsel.column(nm)
+        for nm in right_cols:
+            cols[nm] = rsel.column(nm)
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
+    )
+    out_fields = {}
+    if key is not None:
+        out_fields[key] = pa.int64()
+    out_fields[lo] = pa.int64()
+    out_fields[hi] = pa.int64()
+    out_fields[time] = pa.int64()
+    out_fields.update(left_cols)
+    out_fields.update(right_cols)
+    return with_typed_empty(
+        both.groupby("b").map_groups(sweep, batch_format="pyarrow"), out_fields
+    )
 
 
 def pair_attach(cand_ds, values_ds, value_fields: dict,

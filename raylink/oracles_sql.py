@@ -1468,6 +1468,30 @@ ORDER BY c.event_id
 """
 
 
+def events_range_sql() -> str:
+    """Mirror of queries.q_events_range: every (view, click) pair of the
+    same user with click.ts in the inclusive two-day window after the
+    view. Times are epoch micros, matching the range_join comparison
+    domain."""
+    w = 2 * 24 * 3600 * 1_000_000
+    return f"""
+WITH v AS (SELECT user_id,
+                  epoch_us(ts) AS lo,
+                  epoch_us(ts) + {w} AS hi,
+                  event_id AS view_id
+           FROM events WHERE event_type = 'view'),
+     c AS (SELECT user_id,
+                  epoch_us(ts) AS ts,
+                  event_id AS click_id,
+                  value AS click_value
+           FROM events WHERE event_type = 'click')
+SELECT v.user_id, v.lo, v.hi, c.ts, v.view_id, c.click_id, c.click_value
+FROM v JOIN c
+  ON c.user_id = v.user_id AND c.ts >= v.lo AND c.ts <= v.hi
+ORDER BY v.view_id, c.click_id
+"""
+
+
 def stratified_sample_sql(
     fraction: float = 0.2, seed: int = 7, fractions: dict | None = None,
     by: str = "lang",

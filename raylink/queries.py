@@ -1574,6 +1574,58 @@ def q_events_asof(sf_dir: str):
     return out.sort("event_id")
 
 
+def q_events_range(sf_dir: str):
+    """Every click within two days AFTER a view by the same user (the
+    attribution-window shape): distributed ``range_join`` on
+    user_id × [view.ts, view.ts + 2d], bucket width = the window width so
+    each interval replicates into at most two time buckets. Times are
+    int64 epoch micros (the join's comparison domain)."""
+    import ray.data as rd
+
+    from raylink.join import range_join
+
+    W = 2 * 24 * 3600 * 1_000_000  # 2 days in epoch micros
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def views(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.compute.equal(b.column("event_type"), pa.scalar("view")))
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        ts = ts.astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "lo": pa.array(ts),
+                "hi": pa.array(ts + W),
+                "view_id": t.column("event_id"),
+            }
+        )
+
+    def clicks(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.compute.equal(b.column("event_type"), pa.scalar("click")))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "click_id": t.column("event_id"),
+                "click_value": t.column("value"),
+            }
+        )
+
+    out = range_join(
+        ev.map_batches(views, batch_format="pyarrow"),
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        lo="lo", hi="hi", time="ts",
+        left_cols={"view_id": pa.int64()},
+        right_cols={"click_id": pa.int64(), "click_value": pa.float64()},
+        key="user_id", bucket_width=W,
+    )
+    return out.sort(["view_id", "click_id"])
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic stratified Bernoulli sample of the documents table:
     50% of English docs, 20% of everything else, seed 7 — the keep

@@ -821,6 +821,119 @@ def test_asof_join_timestamps_random(ray_session):
             assert out["v"][j] == rv[best], j
 
 
+def test_range_join_random(ray_session):
+    """Randomized keyed + keyless range_join vs a per-row python oracle:
+    inclusive bounds both ends, invalid (lo>hi) intervals dropped,
+    intervals spanning several time buckets, negative times."""
+    import ray.data as rd
+
+    from raylink.join import range_join
+
+    rng = np.random.default_rng(5)
+    nl, nr = 900, 1100
+    lk = rng.integers(0, 18, nl).astype(np.int64)
+    lo = rng.integers(-1000, 1000, nl).astype(np.int64)
+    hi = lo + rng.integers(0, 400, nl).astype(np.int64) - 40  # some lo > hi
+    rk = rng.integers(0, 18, nr).astype(np.int64)
+    rt = rng.integers(-1200, 1200, nr).astype(np.int64)
+    left = pa.table({"k": pa.array(lk), "lo": pa.array(lo), "hi": pa.array(hi),
+                     "lid": pa.array(np.arange(nl, dtype=np.int64))})
+    right = pa.table({"k": pa.array(rk), "t": pa.array(rt),
+                      "rid": pa.array(np.arange(nr, dtype=np.int64))})
+
+    out = range_join(
+        rd.from_arrow(left).repartition(5), rd.from_arrow(right).repartition(7),
+        lo="lo", hi="hi", time="t",
+        left_cols={"lid": pa.int64()}, right_cols={"rid": pa.int64()},
+        key="k", bucket_width=96,
+    ).to_pandas()
+    want = {
+        (i, j)
+        for i in range(nl)
+        if lo[i] <= hi[i]
+        for j in np.flatnonzero((rk == lk[i]) & (rt >= lo[i]) & (rt <= hi[i]))
+    }
+    assert set(zip(out["lid"], out["rid"])) == want
+    # attached columns come from the right rows
+    sample = out.head(200)
+    assert (sample["k"].to_numpy() == lk[sample["lid"]]).all()
+    assert (sample["t"].to_numpy() == rt[sample["rid"]]).all()
+    assert (sample["lo"].to_numpy() == lo[sample["lid"]]).all()
+
+    out2 = range_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        lo="lo", hi="hi", time="t",
+        left_cols={"lid": pa.int64()}, right_cols={"rid": pa.int64()},
+        bucket_width=512,
+    ).to_pandas()
+    want2 = {
+        (i, j)
+        for i in range(nl)
+        if lo[i] <= hi[i]
+        for j in np.flatnonzero((rt >= lo[i]) & (rt <= hi[i]))
+    }
+    assert set(zip(out2["lid"], out2["rid"])) == want2
+
+
+def test_range_join_edges(ray_session):
+    """range_join edge cases: timestamp columns, exact inclusive
+    boundaries, span guard raises, empty result keeps len 0."""
+    import ray.data as rd
+
+    from raylink.join import range_join
+
+    left = pa.table({
+        "k": pa.array([1, 1], type=pa.int64()),
+        "lo": pa.array(np.array([100, 500], dtype="datetime64[us]")),
+        "hi": pa.array(np.array([200, 500], dtype="datetime64[us]")),
+        "lid": pa.array([0, 1], type=pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "t": pa.array(np.array([100, 200, 500, 150], dtype="datetime64[us]")),
+        "rid": pa.array([0, 1, 2, 3], type=pa.int64()),
+    })
+    out = range_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        lo="lo", hi="hi", time="t",
+        left_cols={"lid": pa.int64()}, right_cols={"rid": pa.int64()},
+        key="k", bucket_width=64,
+    ).to_pandas()
+    # lid 0 matches t=100 and t=200 inclusive; zero-width [500,500] matches
+    # t=500; rid 3 is key-isolated
+    assert set(zip(out["lid"], out["rid"])) == {(0, 0), (0, 1), (1, 2)}
+    assert out["t"].dtype == np.int64
+
+    # the guard fires inside the tag task, so Ray wraps the ValueError
+    with pytest.raises(Exception, match="max_span_buckets"):
+        wide = pa.table({"k": pa.array([1], type=pa.int64()),
+                         "lo": pa.array([0], type=pa.int64()),
+                         "hi": pa.array([10**9], type=pa.int64()),
+                         "lid": pa.array([0], type=pa.int64())})
+        range_join(
+            rd.from_arrow(wide), rd.from_arrow(right),
+            lo="lo", hi="hi", time="t",
+            left_cols={"lid": pa.int64()}, right_cols={"rid": pa.int64()},
+            key="k", bucket_width=10, max_span_buckets=100,
+        ).to_pandas()
+
+    none = range_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        lo="lo", hi="hi", time="t",
+        left_cols={"lid": pa.int64()}, right_cols={"rid": pa.int64()},
+        key="k", bucket_width=64, num_buckets=4,
+    )
+    # shifting every right key away empties the result
+    shifted = right.set_column(0, "k", pa.array([9, 9, 9, 9], type=pa.int64()))
+    none = range_join(
+        rd.from_arrow(left), rd.from_arrow(shifted),
+        lo="lo", hi="hi", time="t",
+        left_cols={"lid": pa.int64()}, right_cols={"rid": pa.int64()},
+        key="k", bucket_width=64,
+    )
+    assert none.count() == 0
+
+
 def test_doc_top_terms(ray_session):
     """tf/df top terms vs a pandas oracle: df counted across blocks, rank
     ties by term asc, per-doc k cut."""
