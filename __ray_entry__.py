@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": q.q_scc,
         "scc_sizes": q.q_scc_sizes,
         "harmonic": q.q_harmonic,
+        "hyperanf": q.q_hyperanf,
         "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
         "triangle_count": q.q_triangles,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": o.scc_sql(),
         "scc_sizes": o.scc_sizes_sql(),
         "harmonic": o.harmonic_sql(seeds=tuple(q.HARMONIC_SEEDS)),
+        "hyperanf": o.hyperanf_sql(p=6, rounds=q.ANF_ROUNDS),
         "betweenness": o.betweenness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "label_propagation": o.lpa_sql(),
         "triangle_count": o.triangles_sql(),

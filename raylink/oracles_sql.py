@@ -777,6 +777,53 @@ SELECT {m}::BIGINT AS n_registers, n_zero, sum_t,
 FROM agg"""
 
 
+def hyperanf_sql(p: int = 6, rounds: int = 8) -> str:
+    """HyperANF mirrored register-for-register (algos/anf.py): item hash =
+    splitmix64(vid), register/rank as in distinct_hll_sql; each round the
+    per-vertex sparse register set max-merges with the IN-neighbors' sets
+    (the engine pushes along out-edges, so v accumulates its in-ball);
+    absent registers count rank 0. Register sums are INTEGER; the estimate
+    is the engine's exact expression (incl. the linear-counting branch)."""
+    m = 1 << p
+    wbits = 64 - p
+    raw = f"0.7213 / (1.0 + 1.079 / {m}) * {m} * {m} * 4294967296.0 / sum_t"
+    ctes = [
+        GRAPH_CTES,
+        f"h0 AS (SELECT vid, {_sm64('CAST(vid AS UBIGINT)')} AS h FROM verts)",
+        f"""r0 AS (SELECT vid,
+  CAST(h & CAST({m - 1} AS UBIGINT) AS BIGINT) AS reg,
+  CASE WHEN (h >> {p}) = CAST(0 AS UBIGINT) THEN {wbits + 1}
+       ELSE {wbits} - length(bin(h >> {p})) + 1 END AS rank
+FROM h0)""",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT v AS vid, reg, MAX(rank) AS rank FROM (
+    SELECT vid AS v, reg, rank FROM r{t - 1}
+    UNION ALL
+    SELECT e.dst AS v, r.reg, r.rank FROM r{t - 1} r JOIN edges e ON e.src = r.vid
+  ) GROUP BY v, reg)"""
+        )
+    ctes.append(
+        f"""agg AS (
+  SELECT vid,
+         (SUM(CAST(1 AS BIGINT) << (32 - LEAST(rank, 32)))
+          + ({m} - COUNT(*)) * 4294967296)::BIGINT AS sum_t,
+         ({m} - COUNT(*))::BIGINT AS n_zero
+  FROM r{rounds} GROUP BY vid)"""
+    )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT vid::BIGINT AS vid, sum_t, n_zero,
+       ROUND(CASE WHEN ({raw}) <= {2.5 * m} AND n_zero > 0
+                  THEN {m} * ln({float(m)} / n_zero)
+                  ELSE {raw} END, 6) AS est
+FROM agg ORDER BY vid"""
+    )
+
+
 def dedup_clusters_sql(n: int = 3, tau: float = 0.5) -> str:
     """Connected components over the n-gram Jaccard pair graph (mirrors
     queries.q_dedup_clusters): cluster = min doc_id reachable via pairs."""

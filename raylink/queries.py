@@ -494,6 +494,25 @@ def q_harmonic(sf_dir: str):
     return out
 
 
+ANF_ROUNDS = 8
+
+
+def q_hyperanf(sf_dir: str):
+    """HyperANF in-ball estimates after ANF_ROUNDS merge rounds over the
+    directed page graph: per vertex the HLL register sum (integer-exact),
+    zero-register count, and the standard estimate — registers are
+    deterministic (splitmix64(vid) item hashes), so the oracle mirrors
+    them register-for-register through 8 unrolled max-merge rounds."""
+    from raylink.algos.anf import hyperanf
+
+    g = page_graph(sf_dir, directed=True)
+    _, balls = hyperanf(
+        g=g, p=6, rounds=ANF_ROUNDS, engine="tasks",
+        ckpt_dir=_ckpt("hyperanf", sf_dir, ANF_ROUNDS),
+    )
+    return balls.sort("vid")
+
+
 def q_label_propagation(sf_dir: str):
     from raylink.algos import label_propagation
 

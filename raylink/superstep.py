@@ -76,6 +76,16 @@ class Algorithm:
     def halted(self, agg: dict, s: int, ctx: dict) -> bool:
         return agg["n_active"] == 0 and agg["msgs_out"] == 0
 
+    def extra_metrics(self, state: dict, shard: dict, ctx: dict) -> dict:
+        """Optional per-partition float metrics computed from the
+        POST-step state, e.g. a partial sum a curve is built from
+        (HyperANF's per-round neighborhood-function partial). Written into
+        the round's metrics parquet and SUM-aggregated across partitions
+        into the manifest history — per-round aggregates therefore survive
+        checkpoint GC without retaining old state rounds. Keys must not
+        collide with the built-in metric names."""
+        return {}
+
     def msg_schema(self) -> pa.Schema:
         return pa.schema(MSG_BASE_FIELDS + list(self.msg_fields))
 
@@ -169,13 +179,18 @@ class Checkpoint:
         for p in parts:
             rows.append(self.read_table(self.metrics_path(s, p)))
         t = pa.concat_tables(rows)
-        return {
+        agg = {
             "n_active": int(pa.compute.sum(t.column("n_active")).as_py() or 0),
             "msgs_in": int(pa.compute.sum(t.column("msgs_in")).as_py() or 0),
             "msgs_out": int(pa.compute.sum(t.column("msgs_out")).as_py() or 0),
             "delta_max": float(pa.compute.max(t.column("delta_max")).as_py() or 0.0),
             "compute_ms": float(pa.compute.sum(t.column("compute_ms")).as_py() or 0.0),
         }
+        # algorithm extra_metrics columns: SUM across partitions
+        for c in t.column_names:
+            if c not in agg and c not in ("superstep", "part"):
+                agg[c] = float(pa.compute.sum(t.column(c)).as_py() or 0.0)
+        return agg
 
 
 # ------------------------------------------------------------------ the runner
@@ -225,20 +240,18 @@ class _StepRunner:
                 pa.table(aux_cols), self.ck.state_path(self.s, p) + ".aux"
             )
         ms = (time.perf_counter() - t0) * 1000.0
-        self.ck.write_atomic(
-            pa.table(
-                {
-                    "superstep": pa.array([self.s], type=pa.int64()),
-                    "part": pa.array([p], type=pa.int32()),
-                    "n_active": pa.array([int(n_active)], type=pa.int64()),
-                    "msgs_in": pa.array([msgs.num_rows], type=pa.int64()),
-                    "msgs_out": pa.array([msgs_out.num_rows], type=pa.int64()),
-                    "delta_max": pa.array([float(delta_max)], type=pa.float64()),
-                    "compute_ms": pa.array([ms], type=pa.float64()),
-                }
-            ),
-            self.ck.metrics_path(self.s, p),
-        )
+        mcols = {
+            "superstep": pa.array([self.s], type=pa.int64()),
+            "part": pa.array([p], type=pa.int32()),
+            "n_active": pa.array([int(n_active)], type=pa.int64()),
+            "msgs_in": pa.array([msgs.num_rows], type=pa.int64()),
+            "msgs_out": pa.array([msgs_out.num_rows], type=pa.int64()),
+            "delta_max": pa.array([float(delta_max)], type=pa.float64()),
+            "compute_ms": pa.array([ms], type=pa.float64()),
+        }
+        for k, v in self.algo.extra_metrics(state, shard, self.ctx).items():
+            mcols[k] = pa.array([float(v)], type=pa.float64())
+        self.ck.write_atomic(pa.table(mcols), self.ck.metrics_path(self.s, p))
         return msgs_out
 
 

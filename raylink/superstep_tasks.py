@@ -97,18 +97,19 @@ def _step_remote(
         ck.write_atomic(pa.table(aux_cols), ck.state_path(s, p) + ".aux")
     ms = (time.perf_counter() - t0) * 1000.0
     n_out = msgs_out.num_rows if msgs_out is not None else 0
-    metrics = pa.table(
-        {
-            "superstep": pa.array([s], type=pa.int64()),
-            "part": pa.array([p], type=pa.int32()),
-            "n_active": pa.array([int(n_active)], type=pa.int64()),
-            "msgs_in": pa.array([msgs.num_rows], type=pa.int64()),
-            "msgs_out": pa.array([n_out], type=pa.int64()),
-            "delta_max": pa.array([float(delta_max)], type=pa.float64()),
-            "compute_ms": pa.array([ms], type=pa.float64()),
-        }
-    )
-    ck.write_atomic(metrics, ck.metrics_path(s, p))
+    extra = {k: float(v) for k, v in algo.extra_metrics(state, shard, ctx).items()}
+    mcols = {
+        "superstep": pa.array([s], type=pa.int64()),
+        "part": pa.array([p], type=pa.int32()),
+        "n_active": pa.array([int(n_active)], type=pa.int64()),
+        "msgs_in": pa.array([msgs.num_rows], type=pa.int64()),
+        "msgs_out": pa.array([n_out], type=pa.int64()),
+        "delta_max": pa.array([float(delta_max)], type=pa.float64()),
+        "compute_ms": pa.array([ms], type=pa.float64()),
+    }
+    for k, v in extra.items():
+        mcols[k] = pa.array([v], type=pa.float64())
+    ck.write_atomic(pa.table(mcols), ck.metrics_path(s, p))
     return (
         {
             "n_active": int(n_active),
@@ -116,6 +117,7 @@ def _step_remote(
             "delta_max": float(delta_max),
             "compute_ms": ms,
             "msgs_in": msgs.num_rows,
+            **extra,
         },
         *_split_by_part(msgs_out, parts),
     )
@@ -212,6 +214,9 @@ def run_bsp_tasks(
                 "compute_ms": sum(m["compute_ms"] for m in ms),
                 "superstep": s + j,
             }
+            for mk in ms[0]:  # algorithm extra_metrics: SUM across parts
+                if mk not in agg:
+                    agg[mk] = sum(m[mk] for m in ms)
             rounds_metrics.append(agg)
             if algo.halted(agg, s + j, ctx) or (
                 agg["msgs_out"] == 0 and agg["n_active"] == 0

@@ -1175,3 +1175,69 @@ def test_apply_edge_updates_weighted_undirected(ray_session, tmp_path):
         edge_table(gf, ["pos"]), cols
     )
     assert (g1.n_vertices, g1.n_edges) == (gf.n_vertices, gf.n_edges)
+
+
+def test_hyperanf_bit_exact_both_engines(edge_data, tmp_path):
+    """HyperANF registers are deterministic: per-vertex (sum_t, n_zero,
+    est) must be BIT-identical to a dense numpy simulation of the same
+    max-merge recurrence on both engines; the history-borne N(t) curve
+    must equal the simulated per-round estimate sums; a re-run with the
+    same ckpt_dir resumes with 0 supersteps and identical output."""
+    from raylink.algos.anf import _estimate_cols, hyperanf, neighborhood_function
+    from raylink.ops.sketch import hll_ranks
+    from raylink.util import splitmix64
+
+    edges, edges_ds, verts_ds = edge_data
+    p, m, T = 6, 64, 6
+    sim = np.zeros((N, m), dtype=np.uint8)
+    reg, rank = hll_ranks(splitmix64(np.arange(N, dtype=np.int64).astype(np.uint64)), p)
+    sim[np.arange(N), reg] = rank
+    sim_curve = []
+    for t in range(T + 1):
+        if t > 0:
+            new = sim.copy()
+            for s_, d_ in edges:
+                new[d_] = np.maximum(new[d_], sim[s_])
+            sim = new
+        _, _, e = _estimate_cols(sim, p)
+        sim_curve.append(float(e.sum()))
+    sum_t, n_zero, est = _estimate_cols(sim, p)
+
+    outs = {}
+    for engine in ("dataset", "tasks"):
+        res, balls = hyperanf(
+            edges_ds=edges_ds, vertices_ds=verts_ds, num_parts=4, p=p,
+            rounds=T, ckpt_dir=str(tmp_path / engine), engine=engine,
+        )
+        out = balls.to_pandas().sort_values("vid").reset_index(drop=True)
+        assert (out["sum_t"].to_numpy() == sum_t).all(), engine
+        assert (out["n_zero"].to_numpy() == n_zero).all(), engine
+        np.testing.assert_array_equal(out["est"].to_numpy(), est)
+        curve, eff = neighborhood_function(res)
+        np.testing.assert_allclose(curve, sim_curve[: len(curve)], rtol=1e-12)
+        assert 0.0 <= eff <= T
+        outs[engine] = out
+    assert outs["dataset"].equals(outs["tasks"])
+
+    res2, balls2 = hyperanf(
+        edges_ds=edges_ds, vertices_ds=verts_ds, num_parts=4, p=p,
+        rounds=T, ckpt_dir=str(tmp_path / "tasks"), engine="tasks",
+    )
+    assert res2.supersteps_run == 0
+    assert balls2.to_pandas().sort_values("vid").reset_index(drop=True).equals(
+        outs["tasks"]
+    )
+
+
+def test_hyperanf_self_halt(edge_data, tmp_path):
+    """With a generous round budget the job halts by itself once no
+    register grows (bounded by the in-eccentricity), well short of the
+    budget on the 121-vertex fixture."""
+    from raylink.algos.anf import hyperanf
+
+    _, edges_ds, verts_ds = edge_data
+    res, _ = hyperanf(
+        edges_ds=edges_ds, vertices_ds=verts_ds, num_parts=4, p=6,
+        rounds=60, ckpt_dir=str(tmp_path / "halt"),
+    )
+    assert res.last_superstep < 60
