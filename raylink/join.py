@@ -663,6 +663,154 @@ def range_join(
     )
 
 
+def interval_join(
+    left_ds,
+    right_ds,
+    left_bounds: tuple,
+    right_bounds: tuple,
+    left_cols: dict,
+    right_cols: dict,
+    key: str | None = None,
+    bucket_width: int | None = None,
+    num_buckets: int = 64,
+    max_span_buckets: int = 1024,
+):
+    """Distributed interval-overlap join: left rows carry inclusive
+    ``[l_lo, l_hi]``, right rows ``[r_lo, r_hi]``; a pair is emitted iff
+    the intervals overlap (``l_lo <= r_hi and r_lo <= l_hi``), optionally
+    also requiring key equality. Inner-join semantics, one row per
+    overlapping pair.
+
+    Decomposes EXACTLY into two ``range_join`` passes on the overlap's
+    start point ``max(l_lo, r_lo)`` (each pair has one start, so no pair
+    is produced twice and none is missed):
+
+    - pass 1 (``r_lo >= l_lo``): right START points in left intervals —
+      ``r_lo in [l_lo, l_hi]`` implies overlap, and covers all such pairs;
+    - pass 2 (``r_lo < l_lo``, strict): left START points in right
+      intervals shifted to ``[r_lo + 1, r_hi]`` — integer time domain
+      makes ``r_lo < l_lo`` equivalent to ``l_lo >= r_lo + 1``; intervals
+      with ``r_lo + 1 > r_hi`` (width < 2) can have no strictly-later
+      overlap start and drop out as invalid.
+
+    Bounds must be int64-comparable (epoch ints / timestamps). Returns
+    Dataset ``(key?, l_lo, l_hi, r_lo, r_hi, *left_cols, *right_cols)``
+    with int64 bound columns. Same scale shape and parameters as
+    ``range_join`` (bucket replication, span guard, coarse hashed shuffle
+    groups, vectorized sweeps); output size is the true overlap count.
+    """
+    l_lo, l_hi = left_bounds
+    r_lo, r_hi = right_bounds
+    reserved = {l_lo, l_hi, r_lo, r_hi}
+    overlap = (set(left_cols) | set(right_cols)) & reserved
+    if overlap:
+        raise ValueError(f"interval_join column collision: {sorted(overlap)}")
+
+    def _i64arr(col) -> np.ndarray:
+        a = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(a.dtype, np.datetime64):
+            return a.astype("datetime64[us]").astype(np.int64)
+        return a.astype(np.int64)
+
+    kw = dict(
+        key=key, bucket_width=bucket_width, num_buckets=num_buckets,
+        max_span_buckets=max_span_buckets,
+    )
+
+    # pass 1: right rows become their start points, carrying r_hi.
+    # The point side of a range_join is not validity-checked, so empty
+    # (lo > hi) intervals must drop here, as they do on the interval side.
+    def r_points(b: pa.Table) -> pa.Table:
+        rl = _i64arr(b.column(r_lo))
+        rh = _i64arr(b.column(r_hi))
+        valid = rl <= rh
+        t = b.filter(pa.array(valid))
+        cols = {}
+        if key is not None:
+            cols[key] = t.column(key)
+        cols["_t"] = pa.array(rl[valid])
+        cols["_rhi"] = pa.array(rh[valid])
+        for nm in right_cols:
+            cols[nm] = t.column(nm)
+        return pa.table(cols)
+
+    p1 = range_join(
+        left_ds, right_ds.map_batches(r_points, batch_format="pyarrow"),
+        lo=l_lo, hi=l_hi, time="_t",
+        left_cols=left_cols,
+        right_cols={"_rhi": pa.int64(), **right_cols},
+        **kw,
+    )
+
+    def p1_norm(b: pa.Table) -> pa.Table:
+        cols = {}
+        if key is not None:
+            cols[key] = b.column(key)
+        cols[l_lo] = b.column(l_lo)
+        cols[l_hi] = b.column(l_hi)
+        cols[r_lo] = b.column("_t")
+        cols[r_hi] = b.column("_rhi")
+        for nm in left_cols:
+            cols[nm] = b.column(nm)
+        for nm in right_cols:
+            cols[nm] = b.column(nm)
+        return pa.table(cols)
+
+    # pass 2: right intervals shifted strict, left rows as start points
+    def r_shift(b: pa.Table) -> pa.Table:
+        cols = {}
+        if key is not None:
+            cols[key] = b.column(key)
+        rl = _i64arr(b.column(r_lo))
+        cols["_slo"] = pa.array(rl + 1)
+        cols["_shi"] = pa.array(_i64arr(b.column(r_hi)))
+        cols["_rlo"] = pa.array(rl)  # original start for the output
+        for nm in right_cols:
+            cols[nm] = b.column(nm)
+        return pa.table(cols)
+
+    def l_points(b: pa.Table) -> pa.Table:
+        ll = _i64arr(b.column(l_lo))
+        lh = _i64arr(b.column(l_hi))
+        valid = ll <= lh  # see r_points
+        t = b.filter(pa.array(valid))
+        cols = {}
+        if key is not None:
+            cols[key] = t.column(key)
+        cols["_t"] = pa.array(ll[valid])
+        cols["_lhi"] = pa.array(lh[valid])
+        for nm in left_cols:
+            cols[nm] = t.column(nm)
+        return pa.table(cols)
+
+    p2 = range_join(
+        right_ds.map_batches(r_shift, batch_format="pyarrow"),
+        left_ds.map_batches(l_points, batch_format="pyarrow"),
+        lo="_slo", hi="_shi", time="_t",
+        left_cols={"_rlo": pa.int64(), **right_cols},
+        right_cols={"_lhi": pa.int64(), **left_cols},
+        **kw,
+    )
+
+    def p2_norm(b: pa.Table) -> pa.Table:
+        cols = {}
+        if key is not None:
+            cols[key] = b.column(key)
+        cols[l_lo] = b.column("_t")
+        cols[l_hi] = b.column("_lhi")
+        cols[r_lo] = b.column("_rlo")
+        cols[r_hi] = b.column("_shi")
+        for nm in left_cols:
+            cols[nm] = b.column(nm)
+        for nm in right_cols:
+            cols[nm] = b.column(nm)
+        return pa.table(cols)
+
+    return p1.map_batches(p1_norm, batch_format="pyarrow").union(
+        p2.map_batches(p2_norm, batch_format="pyarrow")
+    )
+
+
 def pair_attach(cand_ds, values_ds, value_fields: dict,
                 carry_fields: dict | None = None, num_buckets: int = 64,
                 id_col: str = "doc_id"):

@@ -1539,6 +1539,24 @@ ORDER BY v.view_id, c.click_id
 """
 
 
+def events_overlap_sql() -> str:
+    """Mirror of queries.q_events_overlap: (view, purchase) pairs of the
+    same user whose one-day windows overlap (inclusive). Epoch micros."""
+    w = 24 * 3600 * 1_000_000
+    return f"""
+WITH v AS (SELECT user_id, epoch_us(ts) AS v_lo, epoch_us(ts) + {w} AS v_hi,
+                  event_id AS view_id
+           FROM events WHERE event_type = 'view'),
+     p AS (SELECT user_id, epoch_us(ts) AS p_lo, epoch_us(ts) + {w} AS p_hi,
+                  event_id AS purchase_id
+           FROM events WHERE event_type = 'purchase')
+SELECT v.user_id, v.v_lo, v.v_hi, p.p_lo, p.p_hi, v.view_id, p.purchase_id
+FROM v JOIN p
+  ON p.user_id = v.user_id AND v.v_lo <= p.p_hi AND p.p_lo <= v.v_hi
+ORDER BY v.view_id, p.purchase_id
+"""
+
+
 def stratified_sample_sql(
     fraction: float = 0.2, seed: int = 7, fractions: dict | None = None,
     by: str = "lang",

@@ -1645,6 +1645,51 @@ def q_events_range(sf_dir: str):
     return out.sort(["view_id", "click_id"])
 
 
+def q_events_overlap(sf_dir: str):
+    """Overlapping one-day activity windows between views and purchases of
+    the same user (the exposure-overlap shape): distributed
+    ``interval_join`` on user_id x [ts, ts + 1d] for both sides. Times are
+    int64 epoch micros."""
+    import ray.data as rd
+
+    from raylink.join import interval_join
+
+    W = 24 * 3600 * 1_000_000  # 1 day in epoch micros
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def windows(kind: str, lo: str, hi: str, idc: str):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.filter(pa.compute.equal(b.column("event_type"), pa.scalar(kind)))
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    lo: pa.array(ts),
+                    hi: pa.array(ts + W),
+                    idc: t.column("event_id"),
+                }
+            )
+
+        return fn
+
+    out = interval_join(
+        ev.map_batches(windows("view", "v_lo", "v_hi", "view_id"),
+                       batch_format="pyarrow"),
+        ev.map_batches(windows("purchase", "p_lo", "p_hi", "purchase_id"),
+                       batch_format="pyarrow"),
+        left_bounds=("v_lo", "v_hi"), right_bounds=("p_lo", "p_hi"),
+        left_cols={"view_id": pa.int64()},
+        right_cols={"purchase_id": pa.int64()},
+        key="user_id", bucket_width=W,
+    )
+    return out.sort(["view_id", "purchase_id"])
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic stratified Bernoulli sample of the documents table:
     50% of English docs, 20% of everything else, seed 7 — the keep

@@ -934,6 +934,85 @@ def test_range_join_edges(ray_session):
     assert none.count() == 0
 
 
+def test_interval_join_random(ray_session):
+    """Randomized keyed + keyless interval-overlap join vs a per-row
+    python oracle: inclusive overlap at single points, invalid intervals
+    on EITHER side dropped, no duplicate pairs from the two passes."""
+    import ray.data as rd
+
+    from raylink.join import interval_join
+
+    rng = np.random.default_rng(23)
+    nl, nr = 800, 900
+    lk = rng.integers(0, 12, nl).astype(np.int64)
+    llo = rng.integers(-600, 600, nl).astype(np.int64)
+    lhi = llo + rng.integers(0, 200, nl).astype(np.int64) - 15
+    rk = rng.integers(0, 12, nr).astype(np.int64)
+    rlo = rng.integers(-700, 700, nr).astype(np.int64)
+    rhi = rlo + rng.integers(0, 200, nr).astype(np.int64) - 15
+    left = rd.from_arrow(pa.table({"k": pa.array(lk), "llo": pa.array(llo),
+                                   "lhi": pa.array(lhi),
+                                   "lid": pa.array(np.arange(nl, dtype=np.int64))}))
+    right = rd.from_arrow(pa.table({"k": pa.array(rk), "rlo": pa.array(rlo),
+                                    "rhi": pa.array(rhi),
+                                    "rid": pa.array(np.arange(nr, dtype=np.int64))}))
+    out = interval_join(
+        left.repartition(4), right.repartition(5),
+        ("llo", "lhi"), ("rlo", "rhi"),
+        {"lid": pa.int64()}, {"rid": pa.int64()},
+        key="k", bucket_width=100,
+    ).to_pandas()
+    want = {
+        (i, j)
+        for i in range(nl)
+        if llo[i] <= lhi[i]
+        for j in np.flatnonzero(
+            (rk == lk[i]) & (rlo <= rhi) & (llo[i] <= rhi) & (rlo <= lhi[i])
+        )
+    }
+    assert len(out) == len(want)  # no pass-1/pass-2 double emission
+    assert set(zip(out["lid"], out["rid"])) == want
+    s = out.head(200)
+    assert (s["llo"].to_numpy() == llo[s["lid"]]).all()
+    assert (s["rhi"].to_numpy() == rhi[s["rid"]]).all()
+
+    out2 = interval_join(
+        left, right, ("llo", "lhi"), ("rlo", "rhi"),
+        {"lid": pa.int64()}, {"rid": pa.int64()}, bucket_width=256,
+    ).to_pandas()
+    want2 = {
+        (i, j)
+        for i in range(nl)
+        if llo[i] <= lhi[i]
+        for j in np.flatnonzero((rlo <= rhi) & (llo[i] <= rhi) & (rlo <= lhi[i]))
+    }
+    assert len(out2) == len(want2)
+    assert set(zip(out2["lid"], out2["rid"])) == want2
+
+
+def test_interval_join_boundaries(ray_session):
+    """Point overlaps at exactly one instant count (inclusive); equal
+    starts are emitted once; disjoint-by-one do not match."""
+    import ray.data as rd
+
+    from raylink.join import interval_join
+
+    left = pa.table({"llo": pa.array([0, 10, 20], type=pa.int64()),
+                     "lhi": pa.array([5, 15, 25], type=pa.int64()),
+                     "lid": pa.array([0, 1, 2], type=pa.int64())})
+    right = pa.table({"rlo": pa.array([5, 10, 26], type=pa.int64()),
+                      "rhi": pa.array([9, 15, 30], type=pa.int64()),
+                      "rid": pa.array([0, 1, 2], type=pa.int64())})
+    out = interval_join(
+        rd.from_arrow(left), rd.from_arrow(right),
+        ("llo", "lhi"), ("rlo", "rhi"),
+        {"lid": pa.int64()}, {"rid": pa.int64()}, bucket_width=8,
+    ).to_pandas()
+    # (0,0): touch at t=5 exactly; (1,1): identical intervals, equal
+    # starts — exactly once; (2,2): [20,25] vs [26,30] disjoint by one
+    assert sorted(zip(out["lid"], out["rid"])) == [(0, 0), (1, 1)]
+
+
 def test_doc_top_terms(ray_session):
     """tf/df top terms vs a pandas oracle: df counted across blocks, rank
     ties by term asc, per-doc k cut."""
