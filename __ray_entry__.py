@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf": q.q_hyperanf,
         "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
+        "communities": q.q_communities,
         "triangle_count": q.q_triangles,
         "four_cycles": q.q_four_cycles,
         "degrees": q.q_degrees,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "hyperanf": o.hyperanf_sql(p=6, rounds=q.ANF_ROUNDS),
         "betweenness": o.betweenness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "label_propagation": o.lpa_sql(),
+        "communities": o.communities_sql(rounds=q.LPA_COMMUNITY_ROUNDS),
         "triangle_count": o.triangles_sql(),
         "four_cycles": o.four_cycles_sql(),
         "degrees": o.degrees_sql(),

@@ -777,6 +777,38 @@ SELECT {m}::BIGINT AS n_registers, n_zero, sum_t,
 FROM agg"""
 
 
+def communities_sql(rounds: int = 5) -> str:
+    """Max-frequency LPA mirrored round for round (algos/lpa.CommunityLPA):
+    label(v, t) = most frequent neighbor label at t-1 over the undirected
+    closure, ties to the smallest label, no-neighbor vertices keep their
+    previous label. The engine may halt early at a fixpoint — a fixpoint
+    reproduces itself, so the round-``rounds`` table is identical."""
+    ctes = [GRAPH_CTES, "l0 AS (SELECT vid, vid AS lab FROM verts)"]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""c{t} AS (
+  SELECT e.src AS vid, l.lab, COUNT(*) AS c
+  FROM und e JOIN l{t - 1} l ON l.vid = e.dst
+  GROUP BY e.src, l.lab)""",
+        )
+        ctes.append(
+            f"""p{t} AS (
+  SELECT vid, lab,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, lab ASC) AS rk
+  FROM c{t})""",
+        )
+        ctes.append(
+            f"""l{t} AS MATERIALIZED (
+  SELECT prev.vid, COALESCE(p.lab, prev.lab) AS lab
+  FROM l{t - 1} prev
+  LEFT JOIN (SELECT vid, lab FROM p{t} WHERE rk = 1) p ON p.vid = prev.vid)""",
+        )
+    return (
+        _with(*ctes)
+        + f"\nSELECT vid::BIGINT AS vid, lab::BIGINT AS label FROM l{rounds} ORDER BY vid"
+    )
+
+
 def hyperanf_sql(p: int = 6, rounds: int = 8) -> str:
     """HyperANF mirrored register-for-register (algos/anf.py): item hash =
     splitmix64(vid), register/rank as in distinct_hll_sql; each round the

@@ -521,6 +521,24 @@ def q_label_propagation(sf_dir: str):
     return labels
 
 
+LPA_COMMUNITY_ROUNDS = 5
+
+
+def q_communities(sf_dir: str):
+    """Max-frequency LPA communities over the undirected page graph after
+    LPA_COMMUNITY_ROUNDS synchronous rounds (deterministic: ties to the
+    smallest label, isolated vertices keep their own) — mirrored round
+    for round in SQL."""
+    from raylink.algos.lpa import community_lpa
+
+    g = page_graph(sf_dir, directed=False)
+    _, labels = community_lpa(
+        g=g, rounds=LPA_COMMUNITY_ROUNDS, engine="tasks",
+        ckpt_dir=_ckpt("community_lpa", sf_dir, LPA_COMMUNITY_ROUNDS),
+    )
+    return labels.sort("vid")
+
+
 def q_triangles(sf_dir: str):
     from raylink.algos import triangle_count
 

@@ -1241,3 +1241,65 @@ def test_hyperanf_self_halt(edge_data, tmp_path):
         rounds=60, ckpt_dir=str(tmp_path / "halt"),
     )
     assert res.last_superstep < 60
+
+
+def _community_sim(n, edges, rounds):
+    """Dense numpy mirror of CommunityLPA: max-frequency neighbor label,
+    ties to smallest, isolated vertices keep their label."""
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[d].append(s)
+        adj[s].append(d)
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(rounds):
+        new = lab.copy()
+        for v in range(n):
+            if not adj[v]:
+                continue
+            vals, cnts = np.unique(lab[adj[v]], return_counts=True)
+            new[v] = vals[np.lexsort((vals, -cnts))[0]]
+        if (new == lab).all():
+            break
+        lab = new
+    return lab
+
+
+def test_community_lpa_vs_simulation(edge_data, tmp_path):
+    """CommunityLPA equals the dense synchronous simulation after the
+    same round budget on both engines (deterministic ties)."""
+    from raylink.algos.lpa import community_lpa
+
+    edges, edges_ds, verts_ds = edge_data
+    exp = _community_sim(N, edges, rounds=5)
+    for engine in ("dataset", "tasks"):
+        _, labels = community_lpa(
+            edges_ds=edges_ds, vertices_ds=verts_ds, num_parts=4,
+            rounds=5, ckpt_dir=str(tmp_path / engine), engine=engine,
+        )
+        got = _sorted_state(labels, "label")
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_community_lpa_edge_cases(ray_session, tmp_path):
+    """Isolated vertex keeps its own label; a path graph's majority
+    dynamics match the simulation; the 2-cycle on a single edge is
+    bounded by the round budget and still equals the simulation."""
+    import ray.data as rd
+
+    from raylink.algos.lpa import community_lpa
+
+    edges = np.array([(0, 1), (1, 2), (3, 4)], dtype=np.int64)
+    n = 6  # vertex 5 isolated
+    edges_ds = rd.from_arrow(
+        pa.table({"src": pa.array(edges[:, 0]), "dst": pa.array(edges[:, 1])})
+    )
+    verts = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+    for rounds in (1, 2, 4):
+        _, labels = community_lpa(
+            edges_ds=edges_ds, vertices_ds=verts, num_parts=2,
+            rounds=rounds, ckpt_dir=str(tmp_path / f"r{rounds}"),
+        )
+        pdf = labels.to_pandas().sort_values("vid").reset_index(drop=True)
+        exp = _community_sim(n, edges, rounds)
+        np.testing.assert_array_equal(pdf["label"].to_numpy(), exp)
+        assert pdf["label"][5] == 5  # isolated keeps own
