@@ -677,6 +677,22 @@ def run_graphops_bench() -> dict:
         lambda: harmonic_centrality(g_dir, [0, 1, 2, 7], engine="tasks")[1].count(),
         reps=1,
     )
+
+    # r4 third half: HyperANF (8 merge rounds, p=6) and community LPA
+    # (5 full-push rounds) on the same graphs, tasks engine
+    from raylink.algos.anf import hyperanf
+    from raylink.algos.lpa import community_lpa
+
+    out["hyperanf8_sec"] = med(
+        lambda: hyperanf(g=g_dir, p=6, rounds=8, engine="tasks")[1].count(),
+        reps=1,
+    )
+    g_und = build_graph(edges, verts, num_parts=8, partitioner="hash",
+                        directed=False)
+    out["community_lpa5_sec"] = med(
+        lambda: community_lpa(g=g_und, rounds=5, engine="tasks")[1].count(),
+        reps=1,
+    )
     ray.shutdown()
     return out
 
