@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
         "communities": q.q_communities,
+        "densest": q.q_densest,
         "triangle_count": q.q_triangles,
         "four_cycles": q.q_four_cycles,
         "degrees": q.q_degrees,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": o.betweenness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "label_propagation": o.lpa_sql(),
         "communities": o.communities_sql(rounds=q.LPA_COMMUNITY_ROUNDS),
+        "densest": o.densest_sql(factor=3, rounds=q.DENSEST_SQL_ROUNDS),
         "triangle_count": o.triangles_sql(),
         "four_cycles": o.four_cycles_sql(),
         "degrees": o.degrees_sql(),

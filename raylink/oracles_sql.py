@@ -777,6 +777,69 @@ SELECT {m}::BIGINT AS n_registers, n_zero, sum_t,
 FROM agg"""
 
 
+def densest_sql(factor: int = 3, rounds: int = 32) -> str:
+    """Parallel densest-subgraph peel mirrored round for round
+    (algos/densest.py): undirected simple edges (LEAST/GREATEST distinct,
+    self-loops dropped), removal test ``deg <= (factor * E) // V``
+    (integer division — identical to the engine), best round by the single
+    IEEE division ``ne/nv`` with first-max (ORDER BY density DESC, round
+    ASC). peel_round = the round a vertex left; in_densest = peel_round >=
+    best round."""
+    ctes = [
+        GRAPH_CTES,
+        "ce AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges WHERE src <> dst)",
+        "s0 AS (SELECT vid FROM verts)",
+        "e0 AS (SELECT a, b FROM ce)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"m{t} AS (SELECT (SELECT COUNT(*) FROM e{t}) AS ne, "
+            f"(SELECT COUNT(*) FROM s{t}) AS nv)"
+        )
+        ctes.append(
+            f"""d{t} AS (SELECT v, COUNT(*)::BIGINT AS c FROM (
+  SELECT a AS v FROM e{t} UNION ALL SELECT b AS v FROM e{t}) GROUP BY v)"""
+        )
+        ctes.append(
+            f"""s{t + 1} AS MATERIALIZED (
+  SELECT d.v AS vid FROM d{t} d, m{t} m
+  WHERE m.nv > 0 AND d.c > ({factor} * m.ne) // GREATEST(m.nv, 1))"""
+        )
+        ctes.append(
+            f"""e{t + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{t} e
+  WHERE EXISTS (SELECT 1 FROM s{t + 1} s WHERE s.vid = e.a)
+    AND EXISTS (SELECT 1 FROM s{t + 1} s WHERE s.vid = e.b))"""
+        )
+        ctes.append(
+            f"""rem{t} AS (
+  SELECT s.vid, {t} AS peel FROM s{t} s
+  WHERE NOT EXISTS (SELECT 1 FROM s{t + 1} x WHERE x.vid = s.vid))"""
+        )
+    stat_rows = " UNION ALL ".join(
+        f"SELECT {t} AS r, ne, nv FROM m{t} WHERE nv > 0"
+        for t in range(rounds)
+    )
+    rem_rows = " UNION ALL ".join(
+        f"SELECT vid, peel FROM rem{t}" for t in range(rounds)
+    )
+    ctes.append(f"st AS ({stat_rows})")
+    ctes.append(
+        "best AS (SELECT r FROM st "
+        "ORDER BY CAST(ne AS DOUBLE) / nv DESC, r ASC LIMIT 1)"
+    )
+    ctes.append(f"rems AS ({rem_rows})")
+    return (
+        _with(*ctes)
+        + """
+SELECT vid::BIGINT AS vid, peel::BIGINT AS peel_round,
+       (CASE WHEN peel >= (SELECT r FROM best) THEN 1 ELSE 0 END)::BIGINT
+         AS in_densest
+FROM rems ORDER BY vid"""
+    )
+
+
 def communities_sql(rounds: int = 5) -> str:
     """Max-frequency LPA mirrored round for round (algos/lpa.CommunityLPA):
     label(v, t) = most frequent neighbor label at t-1 over the undirected

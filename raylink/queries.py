@@ -521,6 +521,24 @@ def q_label_propagation(sf_dir: str):
     return labels
 
 
+DENSEST_SQL_ROUNDS = 32
+
+
+def q_densest(sf_dir: str):
+    """Parallel-peel densest subgraph over the undirected simple page
+    graph (factor 3 = eps 0.5): per-vertex peel round + membership in the
+    densest intermediate subgraph. Integer thresholds end-to-end, so the
+    peel is bit-exactly mirrored; the engine's round cap equals the SQL
+    unroll so a budget overrun raises instead of silently mismatching."""
+    from raylink.algos.densest import densest_subgraph
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    _, out = densest_subgraph(
+        edges.materialize(), verts, factor=3, max_rounds=DENSEST_SQL_ROUNDS
+    )
+    return out.sort("vid")
+
+
 LPA_COMMUNITY_ROUNDS = 5
 
 

@@ -1303,3 +1303,77 @@ def test_community_lpa_edge_cases(ray_session, tmp_path):
         exp = _community_sim(n, edges, rounds)
         np.testing.assert_array_equal(pdf["label"].to_numpy(), exp)
         assert pdf["label"][5] == 5  # isolated keeps own
+
+
+def _densest_oracle(n, edges, factor=3):
+    E = {tuple(sorted((int(s), int(d)))) for s, d in edges if s != d}
+    S = set(range(n))
+    peel, stats, r = {}, [], 0
+    while S:
+        ce = {e for e in E if e[0] in S and e[1] in S}
+        stats.append((r, len(ce), len(S)))
+        thr = (factor * len(ce)) // len(S)
+        deg = {v: 0 for v in S}
+        for a, b in ce:
+            deg[a] += 1
+            deg[b] += 1
+        rem = {v for v in S if deg[v] <= thr}
+        for v in rem:
+            peel[v] = r
+        S -= rem
+        r += 1
+    best = int(np.argmax([ne / nv for _, ne, nv in stats]))
+    return peel, best, stats
+
+
+def test_densest_subgraph_fixture(edge_data):
+    """Peel rounds, per-round stats and densest membership equal the
+    python peel oracle on the synthetic fixture."""
+    from raylink.algos.densest import densest_subgraph
+
+    edges, edges_ds, verts_ds = edge_data
+    stats, out = densest_subgraph(edges_ds, verts_ds)
+    pdf = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    peel, best, pstats = _densest_oracle(N, edges)
+    assert len(pdf) == N
+    assert [(s["round"], s["n_edges"], s["n_vertices"]) for s in stats] == pstats
+    np.testing.assert_array_equal(
+        pdf["peel_round"].to_numpy(), [peel[v] for v in range(N)]
+    )
+    np.testing.assert_array_equal(
+        pdf["in_densest"].to_numpy(),
+        [1 if peel[v] >= best else 0 for v in range(N)],
+    )
+
+
+def test_densest_subgraph_planted_clique(ray_session):
+    """A 12-clique planted in a sparse ring must survive the early peels
+    and BE the densest subgraph (best round > 0); isolated vertices and
+    self-loops/duplicate edges are handled; density >= opt/3 holds."""
+    import ray.data as rd
+
+    from raylink.algos.densest import densest_subgraph
+
+    n = 60
+    ring = [(i, (i + 1) % 40) for i in range(40)]  # sparse part
+    clique = [(i, j) for i in range(40, 52) for j in range(i + 1, 52)]
+    noise = [(5, 5), (0, 1), (1, 0)]  # self-loop + dup + reverse dup
+    edges = np.array(ring + clique + noise, dtype=np.int64)
+    # vertices 52..59 isolated
+    edges_ds = rd.from_arrow(
+        pa.table({"src": pa.array(edges[:, 0]), "dst": pa.array(edges[:, 1])})
+    )
+    verts = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+    stats, out = densest_subgraph(edges_ds, verts)
+    pdf = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    peel, best, pstats = _densest_oracle(n, edges)
+    assert best > 0  # the densest set only emerges after a peel
+    np.testing.assert_array_equal(
+        pdf["peel_round"].to_numpy(), [peel[v] for v in range(n)]
+    )
+    members = set(pdf[pdf["in_densest"] == 1]["vid"])
+    assert members == set(range(40, 52))  # exactly the clique
+    # 2(1+eps)-approximation: best density >= rho_opt / 3
+    rho_best = max(s["density"] for s in stats)
+    rho_clique = (12 * 11 / 2) / 12
+    assert rho_best >= rho_clique / 3
