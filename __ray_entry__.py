@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.q_events_asof,
         "events_range": q.q_events_range,
         "events_overlap": q.q_events_overlap,
+        "repeated_substrings": q.q_repeated_substrings,
         "events_latest": q.q_events_latest,
         "bigram_topk": q.q_bigram_topk,
         "postings": q.q_postings,
@@ -256,6 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": o.events_asof_sql(),
         "events_range": o.events_range_sql(),
         "events_overlap": o.events_overlap_sql(),
+        "repeated_substrings": o.repeated_substrings_sql(),
         "events_latest": o.events_latest_sql(),
         "bigram_topk": o.bigram_topk_sql(k=100),
         "postings": o.postings_sql(min_df=2, max_df=400),

@@ -688,3 +688,151 @@ def decontaminate(docs_ds, bench_ds, n: int = 8):
         )
 
     return docs_ds.map_batches(scan, batch_format="pyarrow")
+
+
+def repeated_substrings(
+    docs_ds,
+    window: int = 40,
+    modulus: int = 16,
+    residue: int = 0,
+    min_docs: int = 2,
+    num_buckets: int = 64,
+    per_occurrence: bool = False,
+):
+    """Cross-document EXACT repeated substrings — the exact-substring
+    dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", which uses suffix arrays; this is the
+    shuffle-friendly distributed formulation).
+
+    A ``window``-byte window starts at every CONTENT-DEFINED anchor:
+    positions whose byte value ``b`` has ``b % modulus == residue`` (the
+    defaults anchor on the space byte among others — word boundaries).
+    Content-defined selection is alignment-independent: a region shared
+    verbatim by two documents selects the SAME anchors inside the region
+    in both, so every shared run that contains an anchor with ``window``
+    bytes of room is found — unlike stride sampling (which misses when
+    the two copies start at different offsets mod the stride) and with
+    1/anchor-density of per-position emission.
+
+    Exactness: the group key is the window BYTES themselves — the FNV-1a
+    hash only routes the shuffle, so hash collisions cannot produce false
+    groups and no verify pass exists. All occurrences of one window land
+    in one bucket group, making the (n_docs, n_occ) counts final.
+
+    Returns Dataset ``(window, n_docs, n_occ)`` for windows seen in at
+    least ``min_docs`` distinct documents; ``per_occurrence=True``
+    instead returns ``(window, doc_id, pos)`` rows (0-based BYTE
+    position) for those windows — the spans an exact-substring dedup
+    pass would cut. Windows are emitted as strings (documents are text;
+    a window that would split a multi-byte UTF-8 sequence would fail the
+    cast loudly rather than silently corrupt).
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    W = int(window)
+    B = np.uint64(num_buckets)
+    FNV_OFF = np.uint64(14695981039346656037)
+    FNV_PRIME = np.uint64(1099511628211)
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mats, out_ids, out_pos = [], [], []
+        for i, t in enumerate(texts):
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(b) < W:
+                continue
+            pos = np.flatnonzero(b % np.uint8(modulus) == np.uint8(residue))
+            pos = pos[pos + W <= len(b)]
+            if not len(pos):
+                continue
+            mats.append(sliding_window_view(b, W)[pos])
+            out_ids.append(np.full(len(pos), ids[i], dtype=np.int64))
+            out_pos.append(pos.astype(np.int64))
+        if not mats:
+            return pa.table(
+                {"wb": pa.array([], type=pa.int32()),
+                 "win": pa.array([], type=pa.binary(W)),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "pos": pa.array([], type=pa.int64())}
+            )
+        mat = np.ascontiguousarray(np.concatenate(mats))
+        h = np.full(len(mat), FNV_OFF)
+        for j in range(W):  # vectorized across rows, loop over W positions
+            h = (h ^ mat[:, j].astype(np.uint64)) * FNV_PRIME
+        return pa.table(
+            {
+                "wb": pa.array((h % B).astype(np.int32)),
+                "win": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(W), len(mat), [None, pa.py_buffer(mat.tobytes())]
+                ),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "pos": pa.array(np.concatenate(out_pos)),
+            }
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        arr = group.column("win").combine_chunks()
+        k = len(arr)
+        buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        mat = buf[arr.offset * W : (arr.offset + k) * W].reshape(k, W)
+        void = np.ascontiguousarray(mat).view(f"V{W}").ravel()
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        order = np.argsort(void, kind="stable")
+        v, d, p = void[order], docs[order], pos[order]
+        starts = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
+        counts = np.diff(np.append(starts, k))
+        gidx = np.repeat(np.arange(len(starts)), counts)
+        # distinct docs per window: unique (window, doc) pairs
+        nd = np.zeros(len(starts), dtype=np.int64)
+        first_pair = np.concatenate(
+            ([True], (v[1:] != v[:-1]) | (d[1:] != d[:-1]))
+        )
+        np.add.at(nd, gidx[first_pair], 1)
+        keep_g = nd >= min_docs
+        if per_occurrence:
+            keep = keep_g[gidx]
+            wins = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(W), int(keep.sum()),
+                [None, pa.py_buffer(
+                    np.ascontiguousarray(
+                        mat[order][keep]
+                    ).tobytes()
+                )],
+            )
+            return pa.table(
+                {
+                    "window": wins.cast(pa.string()),
+                    "doc_id": pa.array(d[keep]),
+                    "pos": pa.array(p[keep]),
+                }
+            )
+        sel = np.flatnonzero(keep_g)
+        wins = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(W), len(sel),
+            [None, pa.py_buffer(
+                np.ascontiguousarray(mat[order][starts[sel]]).tobytes()
+            )],
+        )
+        return pa.table(
+            {
+                "window": wins.cast(pa.string()),
+                "n_docs": pa.array(nd[sel]),
+                "n_occ": pa.array(counts[sel].astype(np.int64)),
+            }
+        )
+
+    from raylink.join import with_typed_empty
+
+    fields = (
+        {"window": pa.string(), "doc_id": pa.int64(), "pos": pa.int64()}
+        if per_occurrence
+        else {"window": pa.string(), "n_docs": pa.int64(), "n_occ": pa.int64()}
+    )
+    return with_typed_empty(
+        docs_ds.map_batches(anchors, batch_format="pyarrow")
+        .groupby("wb")
+        .map_groups(reduce_group, batch_format="pyarrow"),
+        fields,
+    )

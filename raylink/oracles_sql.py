@@ -1610,6 +1610,28 @@ ORDER BY c.event_id
 """
 
 
+def repeated_substrings_sql(
+    window: int = 40, modulus: int = 16, residue: int = 0, min_docs: int = 2
+) -> str:
+    """Mirror of queries.q_repeated_substrings: windows start at every
+    1-based position i whose character code satisfies ``% modulus ==
+    residue`` (the corpus is ASCII, so DuckDB's character semantics equal
+    the engine's byte semantics), grouped by the exact window text."""
+    return f"""
+WITH a AS (
+  SELECT d.doc_id, substring(d.text, t.i, {window}) AS w
+  FROM documents d,
+       unnest(generate_series(1, length(d.text) - {window} + 1)) AS t(i)
+  WHERE (ord(substring(d.text, t.i, 1)) % {modulus}) = {residue}
+)
+SELECT w AS "window",
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occ
+FROM a GROUP BY w HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+ORDER BY w
+"""
+
+
 def events_range_sql() -> str:
     """Mirror of queries.q_events_range: every (view, click) pair of the
     same user with click.ts in the inclusive two-day window after the

@@ -1726,6 +1726,23 @@ def q_events_overlap(sf_dir: str):
     return out.sort(["view_id", "purchase_id"])
 
 
+def q_repeated_substrings(sf_dir: str):
+    """Cross-document exact repeated 40-byte substrings at content-defined
+    anchors (byte % 16 == 0 — spaces among others): the exact-substring
+    dedup signal. Groups key on the window bytes themselves (no hash
+    verify pass); counts are final in one shuffle."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import repeated_substrings
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return repeated_substrings(
+        docs, window=40, modulus=16, residue=0, min_docs=2
+    ).sort("window")
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic stratified Bernoulli sample of the documents table:
     50% of English docs, 20% of everything else, seed 7 — the keep

@@ -158,3 +158,55 @@ def test_cms_word_topk(ray_session):
     assert dict(zip(tight["token"], tight["cnt"])) == dict(
         sorted(true.items(), key=lambda r: (-r[1], r[0]))[:10]
     )
+
+
+def test_repeated_substrings(ray_session):
+    """Cross-doc exact repeated windows vs a python oracle: content-
+    defined anchors (byte % 16 == 0), aggregate and per-occurrence modes,
+    null/short docs, alignment-shifted copies still found."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import repeated_substrings
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog and keeps running far away"),
+        (1, "yesterday the quick brown fox jumps over the lazy dog and keeps running home"),
+        (2, "completely unrelated text with no overlap whatsoever in this document body"),
+        (3, "padding padding the quick brown fox jumps over the lazy dog and keeps on"),
+        (4, None),
+        (5, "short"),
+        (6, "the quick brown fox jumps over the lazy dog and keeps running far away"),
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())})
+    ).repartition(3)
+    W, MOD, RES = 40, 16, 0
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for did, t in docs:
+        b = (t or "").encode()
+        for i in range(len(b) - W + 1):
+            if b[i] % MOD == RES:
+                occ[b[i:i + W]].append((did, i))
+    want = {
+        w.decode(): (len({d for d, _ in v}), len(v))
+        for w, v in occ.items()
+        if len({d for d, _ in v}) >= 2
+    }
+    out = repeated_substrings(ds, window=W, modulus=MOD, residue=RES).to_pandas()
+    assert {r.window: (r.n_docs, r.n_occ) for r in out.itertuples()} == want
+    assert len(want) > 0  # docs 0/1/3 share a 40-byte run at shifted offsets
+
+    per = repeated_substrings(
+        ds, window=W, modulus=MOD, residue=RES, per_occurrence=True
+    ).to_pandas()
+    want_occ = {
+        (w.decode(), d, p)
+        for w, v in occ.items()
+        if len({d for d, _ in v}) >= 2
+        for d, p in v
+    }
+    assert set(zip(per["window"], per["doc_id"], per["pos"])) == want_occ
+    assert len(per) == len(want_occ)
