@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range": q.q_events_range,
         "events_overlap": q.q_events_overlap,
         "repeated_substrings": q.q_repeated_substrings,
+        "substring_pairs": q.q_substring_pairs,
         "events_latest": q.q_events_latest,
         "bigram_topk": q.q_bigram_topk,
         "postings": q.q_postings,
@@ -258,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range": o.events_range_sql(),
         "events_overlap": o.events_overlap_sql(),
         "repeated_substrings": o.repeated_substrings_sql(),
+        "substring_pairs": o.substring_pairs_sql(),
         "events_latest": o.events_latest_sql(),
         "bigram_topk": o.bigram_topk_sql(k=100),
         "postings": o.postings_sql(min_df=2, max_df=400),

@@ -727,49 +727,7 @@ def repeated_substrings(
     a window that would split a multi-byte UTF-8 sequence would fail the
     cast loudly rather than silently corrupt).
     """
-    from numpy.lib.stride_tricks import sliding_window_view
-
     W = int(window)
-    B = np.uint64(num_buckets)
-    FNV_OFF = np.uint64(14695981039346656037)
-    FNV_PRIME = np.uint64(1099511628211)
-
-    def anchors(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        mats, out_ids, out_pos = [], [], []
-        for i, t in enumerate(texts):
-            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
-            if len(b) < W:
-                continue
-            pos = np.flatnonzero(b % np.uint8(modulus) == np.uint8(residue))
-            pos = pos[pos + W <= len(b)]
-            if not len(pos):
-                continue
-            mats.append(sliding_window_view(b, W)[pos])
-            out_ids.append(np.full(len(pos), ids[i], dtype=np.int64))
-            out_pos.append(pos.astype(np.int64))
-        if not mats:
-            return pa.table(
-                {"wb": pa.array([], type=pa.int32()),
-                 "win": pa.array([], type=pa.binary(W)),
-                 "doc_id": pa.array([], type=pa.int64()),
-                 "pos": pa.array([], type=pa.int64())}
-            )
-        mat = np.ascontiguousarray(np.concatenate(mats))
-        h = np.full(len(mat), FNV_OFF)
-        for j in range(W):  # vectorized across rows, loop over W positions
-            h = (h ^ mat[:, j].astype(np.uint64)) * FNV_PRIME
-        return pa.table(
-            {
-                "wb": pa.array((h % B).astype(np.int32)),
-                "win": pa.FixedSizeBinaryArray.from_buffers(
-                    pa.binary(W), len(mat), [None, pa.py_buffer(mat.tobytes())]
-                ),
-                "doc_id": pa.array(np.concatenate(out_ids)),
-                "pos": pa.array(np.concatenate(out_pos)),
-            }
-        )
 
     def reduce_group(group: pa.Table) -> pa.Table:
         arr = group.column("win").combine_chunks()
@@ -831,8 +789,163 @@ def repeated_substrings(
         else {"window": pa.string(), "n_docs": pa.int64(), "n_occ": pa.int64()}
     )
     return with_typed_empty(
-        docs_ds.map_batches(anchors, batch_format="pyarrow")
+        _anchor_rows(docs_ds, window, modulus, residue, num_buckets)
         .groupby("wb")
         .map_groups(reduce_group, batch_format="pyarrow"),
         fields,
+    )
+
+
+def _anchor_rows(docs_ds, window: int, modulus: int, residue: int,
+                 num_buckets: int = 64):
+    """Shared anchor stage of the exact-substring family: Dataset
+    ``(wb, win, doc_id, pos)`` — one row per content-defined anchor
+    (byte % modulus == residue) with the window BYTES as fixed-size
+    binary; ``wb`` = FNV-1a(window) % num_buckets routes the shuffle so
+    every occurrence of one window lands in one group."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    W = int(window)
+    B = np.uint64(num_buckets)
+    FNV_OFF = np.uint64(14695981039346656037)
+    FNV_PRIME = np.uint64(1099511628211)
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mats, out_ids, out_pos = [], [], []
+        for i, t in enumerate(texts):
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            if len(b) < W:
+                continue
+            pos = np.flatnonzero(b % np.uint8(modulus) == np.uint8(residue))
+            pos = pos[pos + W <= len(b)]
+            if not len(pos):
+                continue
+            mats.append(sliding_window_view(b, W)[pos])
+            out_ids.append(np.full(len(pos), ids[i], dtype=np.int64))
+            out_pos.append(pos.astype(np.int64))
+        if not mats:
+            return pa.table(
+                {"wb": pa.array([], type=pa.int32()),
+                 "win": pa.array([], type=pa.binary(W)),
+                 "doc_id": pa.array([], type=pa.int64()),
+                 "pos": pa.array([], type=pa.int64())}
+            )
+        mat = np.ascontiguousarray(np.concatenate(mats))
+        h = np.full(len(mat), FNV_OFF)
+        for j in range(W):  # vectorized across rows, loop over W positions
+            h = (h ^ mat[:, j].astype(np.uint64)) * FNV_PRIME
+        return pa.table(
+            {
+                "wb": pa.array((h % B).astype(np.int32)),
+                "win": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(W), len(mat), [None, pa.py_buffer(mat.tobytes())]
+                ),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "pos": pa.array(np.concatenate(out_pos)),
+            }
+        )
+
+    return docs_ds.map_batches(anchors, batch_format="pyarrow")
+
+
+def substring_pairs(
+    docs_ds,
+    window: int = 40,
+    modulus: int = 16,
+    residue: int = 0,
+    min_shared: int = 2,
+    max_df: int = 64,
+    num_buckets: int = 64,
+):
+    """Near-duplicate candidate pairs from EXACT shared substrings: doc
+    pairs sharing at least ``min_shared`` distinct repeated windows (the
+    ``repeated_substrings`` anchors), the exact-substring sibling of
+    ``ngram_pairs``. Windows present in more than ``max_df`` documents
+    are dropped before pair expansion (the DF cut that bounds the
+    per-window quadratic blowup — same contract as ``ngram_pairs``'
+    ``max_df``; boilerplate shared by everything is not a dup signal).
+
+    Shape: the anchor shuffle groups all rows of a window together; the
+    group emits canonical (doc_a < doc_b) pairs per surviving window
+    (distinct docs only), pre-counted per batch; one more coarse-bucket
+    groupby sums shared-window counts per pair. Returns Dataset
+    ``(doc_a, doc_b, n_shared)``.
+    """
+    rows = _anchor_rows(docs_ds, window, modulus, residue)
+    W = int(window)
+    B = np.uint64(num_buckets)
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        arr = group.column("win").combine_chunks()
+        k = len(arr)
+        buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        mat = buf[arr.offset * W : (arr.offset + k) * W].reshape(k, W)
+        void = np.ascontiguousarray(mat).view(f"V{W}").ravel()
+        docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, void))
+        v, d = void[order], docs[order]
+        # distinct (window, doc)
+        first = np.concatenate(([True], (v[1:] != v[:-1]) | (d[1:] != d[:-1])))
+        v, d = v[first], d[first]
+        starts = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
+        counts = np.diff(np.append(starts, len(v)))
+        keep = (counts >= 2) & (counts <= max_df)
+        a_out, b_out = [], []
+        for s, c in zip(starts[keep], counts[keep]):
+            dd = d[s : s + c]  # sorted ascending (lexsort doc secondary)
+            ii, jj = np.triu_indices(c, k=1)
+            a_out.append(dd[ii])
+            b_out.append(dd[jj])
+        if not a_out:
+            return pa.table(
+                {"pb": pa.array([], type=pa.int32()),
+                 "doc_a": pa.array([], type=pa.int64()),
+                 "doc_b": pa.array([], type=pa.int64()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        # pre-count identical pairs within the group before the shuffle
+        order2 = np.lexsort((b, a))
+        a, b = a[order2], b[order2]
+        first2 = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        st2 = np.flatnonzero(first2)
+        n = np.diff(np.append(st2, len(a))).astype(np.int64)
+        a, b = a[st2], b[st2]
+        from raylink.util import splitmix64
+
+        bkt = (
+            splitmix64(a.astype(np.uint64) ^ splitmix64(b.astype(np.uint64)))
+            % B
+        ).astype(np.int32)
+        return pa.table(
+            {"pb": pa.array(bkt), "doc_a": pa.array(a),
+             "doc_b": pa.array(b), "n": pa.array(n)}
+        )
+
+    def sum_pairs(group: pa.Table) -> pa.Table:
+        a = group.column("doc_a").to_numpy(zero_copy_only=False)
+        b = group.column("doc_b").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, n = a[order], b[order], n[order]
+        first = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        st = np.flatnonzero(first)
+        tot = np.add.reduceat(n, st)
+        keep = tot >= min_shared
+        return pa.table(
+            {"doc_a": pa.array(a[st][keep]), "doc_b": pa.array(b[st][keep]),
+             "n_shared": pa.array(tot[keep].astype(np.int64))}
+        )
+
+    from raylink.join import with_typed_empty
+
+    return with_typed_empty(
+        rows.groupby("wb")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(sum_pairs, batch_format="pyarrow"),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64()},
     )

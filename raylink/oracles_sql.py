@@ -1632,6 +1632,31 @@ ORDER BY w
 """
 
 
+def substring_pairs_sql(
+    window: int = 40, modulus: int = 16, residue: int = 0,
+    min_shared: int = 3, max_df: int = 64,
+) -> str:
+    """Mirror of queries.q_substring_pairs: distinct (window, doc) rows,
+    DF-cut windows (2 <= df <= max_df), canonical doc pairs counted per
+    shared window."""
+    return f"""
+WITH a AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, t.i, {window}) AS w
+  FROM documents d,
+       unnest(generate_series(1, length(d.text) - {window} + 1)) AS t(i)
+  WHERE (ord(substring(d.text, t.i, 1)) % {modulus}) = {residue}
+),
+keep AS (SELECT w FROM a GROUP BY w
+         HAVING COUNT(*) >= 2 AND COUNT(*) <= {max_df})
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared
+FROM a x JOIN a y ON x.w = y.w AND x.doc_id < y.doc_id
+JOIN keep k ON k.w = x.w
+GROUP BY x.doc_id, y.doc_id
+HAVING COUNT(*) >= {min_shared}
+ORDER BY doc_a, doc_b
+"""
+
+
 def events_range_sql() -> str:
     """Mirror of queries.q_events_range: every (view, click) pair of the
     same user with click.ts in the inclusive two-day window after the

@@ -1743,6 +1743,22 @@ def q_repeated_substrings(sf_dir: str):
     ).sort("window")
 
 
+def q_substring_pairs(sf_dir: str):
+    """Near-duplicate candidate doc pairs sharing >= 3 distinct repeated
+    40-byte windows (exact-substring sibling of dedup_ngram), with the
+    max_df=64 hot-window cut."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import substring_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return substring_pairs(
+        docs, window=40, modulus=16, residue=0, min_shared=3, max_df=64
+    ).sort(["doc_a", "doc_b"])
+
+
 def q_doc_sample(sf_dir: str):
     """Deterministic stratified Bernoulli sample of the documents table:
     50% of English docs, 20% of everything else, seed 7 — the keep

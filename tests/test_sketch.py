@@ -210,3 +210,51 @@ def test_repeated_substrings(ray_session):
     }
     assert set(zip(per["window"], per["doc_id"], per["pos"])) == want_occ
     assert len(per) == len(want_occ)
+
+
+def test_substring_pairs(ray_session):
+    """Doc pairs by shared distinct windows vs a python oracle, with the
+    max_df hot-window cut and the min_shared threshold."""
+    import ray.data as rd
+    from collections import defaultdict
+
+    from raylink.ops.dedup import substring_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    docs = [
+        (0, shared + " alpha variant ending text here"),
+        (1, "prefix words " + shared + " beta tail"),
+        (2, "totally different content with zero overlap across the corpus body here"),
+        (3, "xx " + shared),
+        (4, None),
+        (5, "tiny"),
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                  "text": pa.array([d[1] for d in docs], pa.string())})
+    ).repartition(3)
+    W, MOD, RES, MINS, MAXDF = 40, 16, 0, 2, 64
+    wd = defaultdict(set)
+    for did, t in docs:
+        b = (t or "").encode()
+        for i in range(len(b) - W + 1):
+            if b[i] % MOD == RES:
+                wd[b[i:i + W]].add(did)
+    pc = defaultdict(int)
+    for w, dset in wd.items():
+        if 2 <= len(dset) <= MAXDF:
+            s = sorted(dset)
+            for x in range(len(s)):
+                for y in range(x + 1, len(s)):
+                    pc[(s[x], s[y])] += 1
+    want = {k: v for k, v in pc.items() if v >= MINS}
+    out = substring_pairs(
+        ds, window=W, modulus=MOD, residue=RES, min_shared=MINS, max_df=MAXDF
+    ).to_pandas()
+    assert {(r.doc_a, r.doc_b): r.n_shared for r in out.itertuples()} == want
+    assert len(want) >= 3
+
+    # max_df=1 kills every window -> empty result
+    none = substring_pairs(ds, window=W, modulus=MOD, residue=RES,
+                           min_shared=1, max_df=1)
+    assert none.count() == 0
