@@ -50,11 +50,14 @@ def _canonical_simple_edges(edges_ds, num_buckets: int = 32):
         s, d = s[keep], d[keep]
         a = np.minimum(s, d)
         b = np.maximum(s, d)
-        # per-batch pre-dedup before the shuffle
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        first = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
-        a, b = a[first], b[first]
+        if len(a):  # all-self-loop / empty batches skip the dedup mask
+            # per-batch pre-dedup before the shuffle
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            first = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+            )
+            a, b = a[first], b[first]
         return pa.table(
             {
                 "db": pa.array((splitmix64(a.astype(np.uint64)) % B).astype(np.int32)),

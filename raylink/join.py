@@ -33,6 +33,16 @@ from raylink.util import splitmix64
 BROADCAST_THRESHOLD = 2_000_000
 
 
+def _time_i64(col) -> np.ndarray:
+    """int64 view of a time/bound column: timestamps compare as their
+    int64 epoch-microsecond representation (shared by the as-of, range
+    and interval joins — one coercion rule, one place)."""
+    a = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.astype("datetime64[us]").astype(np.int64)
+    return a.astype(np.int64)
+
+
 def with_typed_empty(ds, fields: dict):
     """Guarantee ``ds`` carries this schema even when every upstream group is
     empty: ``map_groups`` over zero groups yields schema-less empty blocks
@@ -378,12 +388,6 @@ def asof_join(
         raise ValueError(f"asof_join column collision: {sorted(overlap)}")
     B = np.uint64(num_buckets)
 
-    def _i64(col) -> np.ndarray:
-        a = col.to_numpy(zero_copy_only=False)
-        if np.issubdtype(a.dtype, np.datetime64):
-            return a.astype("datetime64[us]").astype(np.int64)
-        return a.astype(np.int64)
-
     def tag(is_left: bool):
         def fn(batch: pa.Table) -> pa.Table:
             k = batch.column(key).to_numpy(zero_copy_only=False)
@@ -391,7 +395,7 @@ def asof_join(
             cols = {
                 "b": pa.array((splitmix64(k.astype(np.uint64)) % B).astype(np.int32)),
                 key: batch.column(key),
-                "_t": pa.array(_i64(batch.column(time))),
+                "_t": pa.array(_time_i64(batch.column(time))),
                 "_s": pa.array(
                     np.ones(n, np.int8) if is_left else np.zeros(n, np.int8)
                 ),
@@ -399,7 +403,7 @@ def asof_join(
                 # position after rights at equal (key, time) is fixed by _s,
                 # so the column need only exist on the right side
                 "_tie": pa.array(
-                    _i64(batch.column(tie))
+                    _time_i64(batch.column(tie))
                     if (tie is not None and not is_left)
                     else np.zeros(n, np.int64)
                 ),
@@ -462,6 +466,8 @@ def range_join(
     bucket_width: int | None = None,
     num_buckets: int = 64,
     max_span_buckets: int = 1024,
+    post=None,
+    out_fields: dict | None = None,
 ):
     """Distributed range (interval × point) join: every left row carries an
     inclusive interval ``[lo, hi]``; it pairs with every right row whose
@@ -500,16 +506,20 @@ def range_join(
     overlap = set(left_cols) & set(right_cols)
     if overlap:
         raise ValueError(f"range_join column collision: {sorted(overlap)}")
+    payload = set(left_cols) | set(right_cols)
+    reserved = {"b", "_k", "_tb", "_lo", "_hi", "_t", "_s", lo, hi, time}
+    if key is not None:
+        reserved.add(key)
+    bad = payload & reserved
+    if bad:  # a colliding payload column would clobber the shuffle key
+        raise ValueError(
+            f"range_join payload columns collide with reserved/bound "
+            f"names: {sorted(bad)}"
+        )
     if bucket_width is None or bucket_width <= 0:
         raise ValueError("range_join requires a positive bucket_width")
     W = np.int64(bucket_width)
     B = np.uint64(num_buckets)
-
-    def _i64(col) -> np.ndarray:
-        a = col.to_numpy(zero_copy_only=False)
-        if np.issubdtype(a.dtype, np.datetime64):
-            return a.astype("datetime64[us]").astype(np.int64)
-        return a.astype(np.int64)
 
     def _grp(k: np.ndarray, tb: np.ndarray) -> pa.Array:
         mix = splitmix64(tb.astype(np.uint64))
@@ -518,8 +528,8 @@ def range_join(
         return pa.array((splitmix64(mix) % B).astype(np.int32))
 
     def tag_left(batch: pa.Table) -> pa.Table:
-        lov = _i64(batch.column(lo))
-        hiv = _i64(batch.column(hi))
+        lov = _time_i64(batch.column(lo))
+        hiv = _time_i64(batch.column(hi))
         valid = lov <= hiv  # empty intervals never match; drop them here
         t = batch.filter(pa.array(valid))
         lov, hiv = lov[valid], hiv[valid]
@@ -558,7 +568,7 @@ def range_join(
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        tv = _i64(batch.column(time))
+        tv = _time_i64(batch.column(time))
         n = len(tv)
         tb = np.floor_divide(tv, W)
         k = (
@@ -601,7 +611,7 @@ def range_join(
             return pa.table(cols)
 
         if nl == 0 or nr == 0:
-            return empty()
+            return post(empty()) if post is not None else empty()
         lk = L.column("_k").to_numpy(zero_copy_only=False)
         ltb = L.column("_tb").to_numpy(zero_copy_only=False)
         llo = L.column("_lo").to_numpy(zero_copy_only=False)
@@ -627,7 +637,7 @@ def range_join(
         counts = end_r - start_r
         total_m = int(counts.sum())
         if total_m == 0:
-            return empty()
+            return post(empty()) if post is not None else empty()
         rpos_sorted = np.flatnonzero(is_right)  # sorted positions of rights
         lrep = np.repeat(np.arange(nl, dtype=np.int64), counts)
         offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -645,19 +655,21 @@ def range_join(
             cols[nm] = lsel.column(nm)
         for nm in right_cols:
             cols[nm] = rsel.column(nm)
-        return pa.table(cols)
+        out = pa.table(cols)
+        return post(out) if post is not None else out
 
     both = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
         right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
-    out_fields = {}
-    if key is not None:
-        out_fields[key] = pa.int64()
-    out_fields[lo] = pa.int64()
-    out_fields[hi] = pa.int64()
-    out_fields[time] = pa.int64()
-    out_fields.update(left_cols)
-    out_fields.update(right_cols)
+    if out_fields is None:
+        out_fields = {}
+        if key is not None:
+            out_fields[key] = pa.int64()
+        out_fields[lo] = pa.int64()
+        out_fields[hi] = pa.int64()
+        out_fields[time] = pa.int64()
+        out_fields.update(left_cols)
+        out_fields.update(right_cols)
     return with_typed_empty(
         both.groupby("b").map_groups(sweep, batch_format="pyarrow"), out_fields
     )
@@ -706,12 +718,6 @@ def interval_join(
     if overlap:
         raise ValueError(f"interval_join column collision: {sorted(overlap)}")
 
-    def _i64arr(col) -> np.ndarray:
-        a = col.to_numpy(zero_copy_only=False)
-        if np.issubdtype(a.dtype, np.datetime64):
-            return a.astype("datetime64[us]").astype(np.int64)
-        return a.astype(np.int64)
-
     kw = dict(
         key=key, bucket_width=bucket_width, num_buckets=num_buckets,
         max_span_buckets=max_span_buckets,
@@ -721,8 +727,8 @@ def interval_join(
     # The point side of a range_join is not validity-checked, so empty
     # (lo > hi) intervals must drop here, as they do on the interval side.
     def r_points(b: pa.Table) -> pa.Table:
-        rl = _i64arr(b.column(r_lo))
-        rh = _i64arr(b.column(r_hi))
+        rl = _time_i64(b.column(r_lo))
+        rh = _time_i64(b.column(r_hi))
         valid = rl <= rh
         t = b.filter(pa.array(valid))
         cols = {}
@@ -734,13 +740,13 @@ def interval_join(
             cols[nm] = t.column(nm)
         return pa.table(cols)
 
-    p1 = range_join(
-        left_ds, right_ds.map_batches(r_points, batch_format="pyarrow"),
-        lo=l_lo, hi=l_hi, time="_t",
-        left_cols=left_cols,
-        right_cols={"_rhi": pa.int64(), **right_cols},
-        **kw,
-    )
+    out_fields = {}
+    if key is not None:
+        out_fields[key] = pa.int64()
+    out_fields.update({l_lo: pa.int64(), l_hi: pa.int64(),
+                       r_lo: pa.int64(), r_hi: pa.int64()})
+    out_fields.update(left_cols)
+    out_fields.update(right_cols)
 
     def p1_norm(b: pa.Table) -> pa.Table:
         cols = {}
@@ -756,22 +762,34 @@ def interval_join(
             cols[nm] = b.column(nm)
         return pa.table(cols)
 
+    # pass runs entirely inside range_join: the norm is its in-sweep
+    # ``post`` (a trailing map_batches would strip the schema from empty
+    # outputs and an all-empty result would lose its columns)
+    p1 = range_join(
+        left_ds, right_ds.map_batches(r_points, batch_format="pyarrow"),
+        lo=l_lo, hi=l_hi, time="_t",
+        left_cols=left_cols,
+        right_cols={"_rhi": pa.int64(), **right_cols},
+        post=p1_norm, out_fields=out_fields,
+        **kw,
+    )
+
     # pass 2: right intervals shifted strict, left rows as start points
     def r_shift(b: pa.Table) -> pa.Table:
         cols = {}
         if key is not None:
             cols[key] = b.column(key)
-        rl = _i64arr(b.column(r_lo))
+        rl = _time_i64(b.column(r_lo))
         cols["_slo"] = pa.array(rl + 1)
-        cols["_shi"] = pa.array(_i64arr(b.column(r_hi)))
+        cols["_shi"] = pa.array(_time_i64(b.column(r_hi)))
         cols["_rlo"] = pa.array(rl)  # original start for the output
         for nm in right_cols:
             cols[nm] = b.column(nm)
         return pa.table(cols)
 
     def l_points(b: pa.Table) -> pa.Table:
-        ll = _i64arr(b.column(l_lo))
-        lh = _i64arr(b.column(l_hi))
+        ll = _time_i64(b.column(l_lo))
+        lh = _time_i64(b.column(l_hi))
         valid = ll <= lh  # see r_points
         t = b.filter(pa.array(valid))
         cols = {}
@@ -782,15 +800,6 @@ def interval_join(
         for nm in left_cols:
             cols[nm] = t.column(nm)
         return pa.table(cols)
-
-    p2 = range_join(
-        right_ds.map_batches(r_shift, batch_format="pyarrow"),
-        left_ds.map_batches(l_points, batch_format="pyarrow"),
-        lo="_slo", hi="_shi", time="_t",
-        left_cols={"_rlo": pa.int64(), **right_cols},
-        right_cols={"_lhi": pa.int64(), **left_cols},
-        **kw,
-    )
 
     def p2_norm(b: pa.Table) -> pa.Table:
         cols = {}
@@ -806,9 +815,16 @@ def interval_join(
             cols[nm] = b.column(nm)
         return pa.table(cols)
 
-    return p1.map_batches(p1_norm, batch_format="pyarrow").union(
-        p2.map_batches(p2_norm, batch_format="pyarrow")
+    p2 = range_join(
+        right_ds.map_batches(r_shift, batch_format="pyarrow"),
+        left_ds.map_batches(l_points, batch_format="pyarrow"),
+        lo="_slo", hi="_shi", time="_t",
+        left_cols={"_rlo": pa.int64(), **right_cols},
+        right_cols={"_lhi": pa.int64(), **left_cols},
+        post=p2_norm, out_fields=out_fields,
+        **kw,
     )
+    return p1.union(p2)
 
 
 def pair_attach(cand_ds, values_ds, value_fields: dict,

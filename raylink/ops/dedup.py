@@ -737,7 +737,11 @@ def repeated_substrings(
         void = np.ascontiguousarray(mat).view(f"V{W}").ravel()
         docs = group.column("doc_id").to_numpy(zero_copy_only=False)
         pos = group.column("pos").to_numpy(zero_copy_only=False)
-        order = np.argsort(void, kind="stable")
+        # sort by (window, doc, pos): the distinct-doc count below walks
+        # adjacent (window, doc) transitions, so a doc's occurrences MUST
+        # be contiguous — within-group row order from the shuffle is not
+        # contractual
+        order = np.lexsort((pos, docs, void))
         v, d, p = void[order], docs[order], pos[order]
         starts = np.flatnonzero(np.concatenate(([True], v[1:] != v[:-1])))
         counts = np.diff(np.append(starts, k))
@@ -873,7 +877,7 @@ def substring_pairs(
     groupby sums shared-window counts per pair. Returns Dataset
     ``(doc_a, doc_b, n_shared)``.
     """
-    rows = _anchor_rows(docs_ds, window, modulus, residue)
+    rows = _anchor_rows(docs_ds, window, modulus, residue, num_buckets)
     W = int(window)
     B = np.uint64(num_buckets)
 

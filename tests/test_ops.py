@@ -917,21 +917,26 @@ def test_range_join_edges(ray_session):
             key="k", bucket_width=10, max_span_buckets=100,
         ).to_pandas()
 
-    none = range_join(
-        rd.from_arrow(left), rd.from_arrow(right),
-        lo="lo", hi="hi", time="t",
-        left_cols={"lid": pa.int64()}, right_cols={"rid": pa.int64()},
-        key="k", bucket_width=64, num_buckets=4,
-    )
-    # shifting every right key away empties the result
+    # shifting every right key away empties the result (small num_buckets
+    # exercises the many-(key,tb)-per-group path)
     shifted = right.set_column(0, "k", pa.array([9, 9, 9, 9], type=pa.int64()))
     none = range_join(
         rd.from_arrow(left), rd.from_arrow(shifted),
         lo="lo", hi="hi", time="t",
         left_cols={"lid": pa.int64()}, right_cols={"rid": pa.int64()},
-        key="k", bucket_width=64,
+        key="k", bucket_width=64, num_buckets=4,
     )
     assert none.count() == 0
+
+    # payload names colliding with internal columns must raise, not
+    # silently clobber the shuffle key
+    with pytest.raises(ValueError, match="reserved"):
+        range_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            lo="lo", hi="hi", time="t",
+            left_cols={"b": pa.int64()}, right_cols={"rid": pa.int64()},
+            key="k", bucket_width=64,
+        )
 
 
 def test_interval_join_random(ray_session):
