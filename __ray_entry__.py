@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_sizes": q.q_scc_sizes,
         "harmonic": q.q_harmonic,
         "hyperanf": q.q_hyperanf,
+        "ppr": q.q_ppr,
         "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
         "communities": q.q_communities,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_sizes": o.scc_sizes_sql(),
         "harmonic": o.harmonic_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "hyperanf": o.hyperanf_sql(p=6, rounds=q.ANF_ROUNDS),
+        "ppr": o.ppr_sql(seeds=tuple(q.HARMONIC_SEEDS), iters=q.PPR_ITERS),
         "betweenness": o.betweenness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "label_propagation": o.lpa_sql(),
         "communities": o.communities_sql(rounds=q.LPA_COMMUNITY_ROUNDS),

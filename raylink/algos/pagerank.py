@@ -253,3 +253,111 @@ def pagerank(
     )
     ranks = res.state_dataset().select_columns(["vid", "rank"])
     return res, ranks
+
+
+class MultiSeedPPR(Algorithm):
+    """k-seed personalized PageRank in ONE BSP job: per-vertex state is a
+    k-column rank matrix (one independent PPR vector per seed — random
+    walk with restart), updated synchronously as
+    ``r_s = alpha * sum_in(r_s/outdeg) + (1-alpha) * [v == seed_s]``
+    from ``r_s^0 = [v == seed_s]``. The per-seed vectors share every
+    shuffle: messages carry k pre-combined columns per destination (the
+    harmonic-centrality k-columns pattern applied to PageRank), so k
+    seeds cost one job, not k. ``seeded_pagerank`` is the different
+    single-vector semantics (one teleport distribution over all
+    vertices); this is per-seed proximity — "related pages for each hub".
+    Fixed ``iters`` only (the SQL mirror unrolls per seed per round).
+    Determinism: messages sort by (dst, *columns) before accumulation —
+    bit-equal rows commute, so sums are order-independent."""
+
+    name = "multi_seed_ppr"
+
+    def __init__(self, k: int) -> None:
+        self.k = k
+        self.msg_fields = [(f"r{i}", pa.float64()) for i in range(k)]
+
+    def _mat(self, cols, n: int) -> np.ndarray:
+        m = np.empty((n, self.k), dtype=np.float64)
+        for i in range(self.k):
+            m[:, i] = np.asarray(cols[f"r{i}"], dtype=np.float64)
+        return m
+
+    def init(self, shard: dict, ctx: dict) -> dict:
+        vids = shard["vids"]
+        seeds = np.asarray(ctx["seeds"], dtype=np.int64)
+        m = (vids[:, None] == seeds[None, :]).astype(np.float64)
+        return {f"r{i}": m[:, i].copy() for i in range(self.k)}
+
+    def step(self, s: int, shard: dict, state: dict, msgs: pa.Table, ctx: dict):
+        vids, indptr, indices = shard["vids"], shard["indptr"], shard["indices"]
+        n = len(vids)
+        alpha = ctx.get("alpha", 0.85)
+        seeds = np.asarray(ctx["seeds"], dtype=np.int64)
+        rank = self._mat(state, n)
+        if s > 0:
+            msgs = sort_msgs(
+                msgs, ["dst"] + [f"r{i}" for i in range(self.k)]
+            )
+            inmass = np.zeros((n, self.k), dtype=np.float64)
+            if msgs.num_rows:
+                pos = np.searchsorted(
+                    vids, msgs.column("dst").to_numpy(zero_copy_only=False)
+                )
+                np.add.at(
+                    inmass, pos, self._mat(
+                        {f"r{i}": msgs.column(f"r{i}").to_numpy(zero_copy_only=False)
+                         for i in range(self.k)},
+                        msgs.num_rows,
+                    ),
+                )
+            rank = alpha * inmass + (1.0 - alpha) * (
+                vids[:, None] == seeds[None, :]
+            )
+        state = {f"r{i}": rank[:, i].copy() for i in range(self.k)}
+        deg = np.diff(indptr)
+        has_out = deg > 0
+        out = None
+        if np.any(has_out):
+            contrib = np.repeat(
+                np.where(has_out[:, None], rank / np.maximum(deg, 1)[:, None], 0.0),
+                deg, axis=0,
+            )
+            dsts, inv = np.unique(indices, return_inverse=True)
+            sums = np.zeros((len(dsts), self.k), dtype=np.float64)
+            np.add.at(sums, inv, contrib)
+            out = self.make_msgs(
+                route_parts(shard, ctx, dsts), dsts,
+                **{f"r{i}": sums[:, i] for i in range(self.k)},
+            )
+        return state, out, n, 0.0
+
+    def halted(self, agg: dict, s: int, ctx: dict) -> bool:
+        return s >= ctx["iters"]
+
+
+def multi_seed_ppr(
+    g: LinkGraph,
+    seeds,
+    iters: int = 12,
+    alpha: float = 0.85,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    ckpt_every: int = 1,
+    engine: str = "dataset",
+):
+    """Per-seed PPR columns after ``iters`` rounds. Returns (BSPResult,
+    Dataset (vid, r0..r{k-1})) with column i = the PPR vector of
+    ``seeds[i]``."""
+    seeds = list(seeds)
+    ctx = {
+        "partitioner": g.partitioner, "num_parts": g.num_parts,
+        "ckpt_every": ckpt_every, "seeds": seeds, "alpha": alpha,
+        "iters": iters,
+    }
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
+        g, MultiSeedPPR(len(seeds)), ctx, max_supersteps=iters + 1,
+        ckpt_dir=ckpt_dir, resume=resume,
+    )
+    cols = ["vid"] + [f"r{i}" for i in range(len(seeds))]
+    return res, res.state_dataset().select_columns(cols)

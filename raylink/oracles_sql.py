@@ -840,6 +840,50 @@ FROM rems ORDER BY vid"""
     )
 
 
+def ppr_sql(seeds=(0, 1, 2, 7), iters: int = 12, alpha: float = 0.85,
+            decimals: int = 8) -> str:
+    """Mirror of queries.q_ppr (algos/pagerank.MultiSeedPPR): per seed an
+    independent PPR fixpoint unrolled ``iters`` rounds —
+    r = alpha * sum_in(r/outdeg) + (1-alpha) * [vid == seed] from
+    r0 = [vid == seed]. The (1-alpha) literal is emitted as python's repr
+    of the engine's ``1.0 - alpha`` double so the teleport constant is
+    bit-identical on both sides."""
+    tp = repr(1.0 - alpha)
+    ctes = [
+        GRAPH_CTES,
+        "deg AS (SELECT src AS vid, count(*)::BIGINT AS outdeg FROM edges GROUP BY src)",
+    ]
+    for i, s in enumerate(seeds):
+        ctes.append(
+            f"p{i}_0 AS (SELECT vid, CASE WHEN vid = {s} THEN 1.0 ELSE 0.0 "
+            f"END AS r FROM verts)"
+        )
+        for t in range(1, iters + 1):
+            ctes.append(
+                f"""p{i}_{t} AS MATERIALIZED (
+  SELECT v.vid,
+         {alpha} * COALESCE(m.ms, 0)
+         + {tp} * (CASE WHEN v.vid = {s} THEN 1.0 ELSE 0.0 END) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.r / d.outdeg) AS ms
+    FROM p{i}_{t - 1} p JOIN deg d ON d.vid = p.vid
+    JOIN edges e ON e.src = p.vid
+    GROUP BY e.dst
+  ) m ON m.vid = v.vid)"""
+            )
+    sel = ", ".join(
+        f"ROUND(p{i}.r, {decimals}) AS r{i}" for i in range(len(seeds))
+    )
+    joins = " ".join(
+        f"JOIN p{i}_{iters} p{i} ON p{i}.vid = v.vid"
+        for i in range(len(seeds))
+    )
+    return (
+        _with(*ctes)
+        + f"\nSELECT v.vid::BIGINT AS vid, {sel} FROM verts v {joins} ORDER BY v.vid"
+    )
+
+
 def communities_sql(rounds: int = 5) -> str:
     """Max-frequency LPA mirrored round for round (algos/lpa.CommunityLPA):
     label(v, t) = most frequent neighbor label at t-1 over the undirected

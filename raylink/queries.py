@@ -539,6 +539,34 @@ def q_densest(sf_dir: str):
     return out.sort("vid")
 
 
+PPR_ITERS = 12
+
+
+def q_ppr(sf_dir: str):
+    """k-seed personalized PageRank (random walk with restart) from the
+    harmonic seed set, one BSP job with k rank columns; fixed 12 rounds,
+    mirrored per seed per round in SQL."""
+    from raylink.algos.pagerank import multi_seed_ppr
+
+    g = page_graph(sf_dir, directed=True)
+    _, out = multi_seed_ppr(
+        g, HARMONIC_SEEDS, iters=PPR_ITERS, engine="tasks",
+        ckpt_dir=_ckpt("ppr", sf_dir, PPR_ITERS, *HARMONIC_SEEDS),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        cols = {"vid": batch.column("vid")}
+        for i in range(len(HARMONIC_SEEDS)):
+            cols[f"r{i}"] = pa.array(
+                round_half_away(
+                    batch.column(f"r{i}").to_numpy(zero_copy_only=False), 8
+                )
+            )
+        return pa.table(cols)
+
+    return out.map_batches(rnd, batch_format="pyarrow").sort("vid")
+
+
 LPA_COMMUNITY_ROUNDS = 5
 
 

@@ -1377,3 +1377,43 @@ def test_densest_subgraph_planted_clique(ray_session):
     rho_best = max(s["density"] for s in stats)
     rho_clique = (12 * 11 / 2) / 12
     assert rho_best >= rho_clique / 3
+
+
+def test_multi_seed_ppr(edge_data, tmp_path):
+    """k-seed PPR columns vs a dense numpy power iteration, both engines;
+    each column is the independent single-seed PPR vector."""
+    from raylink.algos.pagerank import multi_seed_ppr
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    seeds, iters, alpha = [0, 5, 11], 10, 0.85
+    # dense simulation
+    A = np.zeros((N, N))
+    for s_, d_ in edges:
+        A[s_, d_] += 1.0
+    outdeg = A.sum(axis=1)
+    ref = np.zeros((N, len(seeds)))
+    for j, s_ in enumerate(seeds):
+        r = np.zeros(N)
+        r[s_] = 1.0
+        for _ in range(iters):
+            push = np.zeros(N)
+            nz = outdeg > 0
+            push = (r[nz] / outdeg[nz]) @ A[nz]
+            r = alpha * push
+            r[s_] += 1.0 - alpha
+        ref[:, j] = r
+
+    g = build_graph(edges_ds, verts_ds, num_parts=4, directed=True,
+                    graph_dir=str(tmp_path / "g"))
+    for engine in ("dataset", "tasks"):
+        _, out = multi_seed_ppr(
+            g, seeds, iters=iters, alpha=alpha, engine=engine,
+            ckpt_dir=str(tmp_path / engine),
+        )
+        pdf = out.to_pandas().sort_values("vid").reset_index(drop=True)
+        for j in range(len(seeds)):
+            np.testing.assert_allclose(
+                pdf[f"r{j}"].to_numpy(), ref[:, j], rtol=0, atol=1e-12,
+                err_msg=f"{engine} seed {seeds[j]}",
+            )
