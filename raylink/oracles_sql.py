@@ -884,6 +884,42 @@ def ppr_sql(seeds=(0, 1, 2, 7), iters: int = 12, alpha: float = 0.85,
     )
 
 
+def wl_classes_sql(rounds: int = 3) -> str:
+    """Mirror of queries.q_wl_classes (algos/wl.py): 1-WL color
+    refinement over the undirected closure, classes as canonical min-vid
+    labels. The oracle partitions by the EXACT signature (own label,
+    sorted neighbor-label multiset) — no hash mirroring, so an engine
+    FNV collision (probability ~2^-64 per class pair) would surface as a
+    mismatch here rather than pass silently."""
+    ctes = [
+        GRAPH_CTES,
+        """dd AS (SELECT v.vid, COALESCE(c.c, 0) AS deg
+  FROM verts v LEFT JOIN (SELECT src, COUNT(*) AS c FROM und GROUP BY src) c
+  ON c.src = v.vid)""",
+        "l0 AS (SELECT vid, MIN(vid) OVER (PARTITION BY deg) AS lab FROM dd)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""s{t} AS (
+  SELECT e.src AS vid, array_agg(l.lab ORDER BY l.lab) AS sig
+  FROM und e JOIN l{t - 1} l ON l.vid = e.dst GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""j{t} AS (
+  SELECT l.vid, l.lab AS own, COALESCE(s.sig, CAST([] AS BIGINT[])) AS sig
+  FROM l{t - 1} l LEFT JOIN s{t} s ON s.vid = l.vid)"""
+        )
+        ctes.append(
+            f"l{t} AS MATERIALIZED (SELECT vid, MIN(vid) OVER "
+            f"(PARTITION BY own, sig) AS lab FROM j{t})"
+        )
+    return (
+        _with(*ctes)
+        + f"\nSELECT vid::BIGINT AS vid, lab::BIGINT AS wl_class "
+        f"FROM l{rounds} ORDER BY vid"
+    )
+
+
 def communities_sql(rounds: int = 5) -> str:
     """Max-frequency LPA mirrored round for round (algos/lpa.CommunityLPA):
     label(v, t) = most frequent neighbor label at t-1 over the undirected

@@ -567,6 +567,23 @@ def q_ppr(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow").sort("vid")
 
 
+WL_ROUNDS = 3
+
+
+def q_wl_classes(sf_dir: str):
+    """1-WL color-refinement classes (3 rounds) over the undirected page
+    graph — structural page-role fingerprints; canonical min-vid class
+    labels, partitioning-invariant."""
+    from raylink.algos.wl import wl_classes
+
+    g = page_graph(sf_dir, directed=False)
+    _, labels = wl_classes(
+        g=g, rounds=WL_ROUNDS, engine="tasks",
+        ckpt_dir=_ckpt("wl", sf_dir, WL_ROUNDS),
+    )
+    return labels.sort("vid")
+
+
 LPA_COMMUNITY_ROUNDS = 5
 
 

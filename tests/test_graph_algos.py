@@ -1417,3 +1417,67 @@ def test_multi_seed_ppr(edge_data, tmp_path):
                 pdf[f"r{j}"].to_numpy(), ref[:, j], rtol=0, atol=1e-12,
                 err_msg=f"{engine} seed {seeds[j]}",
             )
+
+
+def _wl_oracle(n, edge_pairs, rounds):
+    adj = [set() for _ in range(n)]
+    for s_, d_ in edge_pairs:
+        adj[s_].add(d_)
+        adj[d_].add(s_)
+    classes = {}
+    for v in range(n):
+        classes.setdefault(len(adj[v]), []).append(v)
+    lab = {v: min(vs) for vs in classes.values() for v in vs}
+    for _ in range(rounds):
+        cl = {}
+        for v in range(n):
+            sig = (lab[v], tuple(sorted(lab[u] for u in adj[v])))
+            cl.setdefault(sig, []).append(v)
+        lab = {v: min(vs) for vs in cl.values() for v in vs}
+    return lab
+
+
+def test_wl_classes_fixture(edge_data, tmp_path):
+    """WL class labels equal the exact signature-refinement oracle on
+    both engines (hashed colors internally; min-vid classes out)."""
+    from raylink.algos.wl import wl_classes
+
+    edges, edges_ds, verts_ds = edge_data
+    want = _wl_oracle(N, edges, 3)
+    for engine in ("dataset", "tasks"):
+        _, labels = wl_classes(
+            edges_ds=edges_ds, vertices_ds=verts_ds, num_parts=4, rounds=3,
+            ckpt_dir=str(tmp_path / engine), engine=engine,
+        )
+        pdf = labels.to_pandas().sort_values("vid").reset_index(drop=True)
+        assert dict(zip(pdf["vid"], pdf["wl_class"])) == want, engine
+
+
+def test_wl_classes_symmetric_structures(ray_session, tmp_path):
+    """Two disjoint isomorphic 4-stars plus an 8-path: star centers share
+    a class, star leaves share a class, and path vertices refine by
+    distance-to-end — WL distinguishes structure, not identity."""
+    import ray.data as rd
+
+    from raylink.algos.wl import wl_classes
+
+    # stars: centers 0 and 5, leaves 1-4 and 6-9; path: 10..17
+    edges = [(0, i) for i in (1, 2, 3, 4)] + [(5, i) for i in (6, 7, 8, 9)]
+    edges += [(10 + i, 11 + i) for i in range(7)]
+    n = 18
+    edges_ds = rd.from_arrow(
+        pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                  "dst": pa.array([e[1] for e in edges], pa.int64())})
+    )
+    verts = rd.from_arrow(pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))}))
+    _, labels = wl_classes(edges_ds=edges_ds, vertices_ds=verts, num_parts=3,
+                           rounds=3, ckpt_dir=str(tmp_path / "wl"))
+    lab = dict(zip(*(labels.to_pandas().sort_values("vid")
+                     [c].to_numpy() for c in ("vid", "wl_class"))))
+    want = _wl_oracle(n, edges, 3)
+    assert lab == want
+    assert lab[0] == lab[5]  # isomorphic star centers
+    assert lab[1] == lab[9]  # all leaves alike
+    assert lab[0] != lab[1]
+    assert lab[10] == lab[17] and lab[11] == lab[16]  # path symmetry
+    assert lab[10] != lab[11]
