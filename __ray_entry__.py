@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest": q.q_densest,
         "triangle_count": q.q_triangles,
         "four_cycles": q.q_four_cycles,
+        "four_cliques": q.q_four_cliques,
         "degrees": q.q_degrees,
         "degree_histogram": q.q_degree_histogram,
         "clustering_coeff": q.q_clustering_coeff,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "densest": o.densest_sql(factor=3, rounds=q.DENSEST_SQL_ROUNDS),
         "triangle_count": o.triangles_sql(),
         "four_cycles": o.four_cycles_sql(),
+        "four_cliques": o.four_cliques_sql(),
         "degrees": o.degrees_sql(),
         "degree_histogram": o.degree_histogram_sql(),
         "clustering_coeff": o.clustering_coeff_sql(),

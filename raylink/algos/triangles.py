@@ -762,3 +762,172 @@ def link_prediction(edges_ds, k: int = 50, num_buckets: int = 64):
         .repartition(1)
         .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def four_clique_count(
+    edges_ds,
+    num_buckets: int = 32,
+    broadcast_threshold: int | None = None,
+    force: str | None = None,
+) -> int:
+    """Exact K4 (4-clique) count of the undirected simple graph — the
+    graphlet-family sibling of ``triangle_count`` / ``four_cycle_count``.
+
+    Identity: for an edge e, every pair of CONNECTED common neighbours
+    (c, d) of e forms a K4 with it; each K4 contributes exactly one such
+    pair per each of its 6 edges, so K4 = (sum over e of connected
+    common-neighbour pairs) / 6. Dataflow: the edge_support wedge close
+    is re-used to enumerate TRIANGLE rows (a < b < c); each triangle
+    credits its three edges with its third vertex; a per-edge group forms
+    candidate pairs of thirds (volume = sum over edges of C(support, 2) —
+    the same quadratic-in-support skew surface as every common-neighbour
+    operator, bounded in practice by the degree-oriented support); one
+    more coarse-bucket membership pass counts candidates that are edges.
+    Driver holds one scalar.
+    """
+    oriented, _ = _oriented_edges(
+        edges_ds, num_buckets, broadcast_threshold, force
+    )
+    distinct, _ = _distinct_and_degrees(edges_ds)
+    B = np.uint64(num_buckets)
+
+    def wedges(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        ddst = group.column("ddst").to_numpy(zero_copy_only=False)
+        order_ = np.argsort(src, kind="stable")
+        src, dst, ddst = src[order_], dst[order_], ddst[order_]
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        keys, apexes = [], []
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            nbr = dst[st:en]
+            d = ddst[st:en]
+            nbr = nbr[np.lexsort((nbr, d))]
+            ii, jj = np.triu_indices(len(nbr), k=1)
+            keys.append((nbr[ii] << np.int64(32)) | nbr[jj])
+            apexes.append(np.full(len(ii), src[st], dtype=np.int64))
+        if not keys:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()),
+                 "apex": pa.array([], type=pa.int64()),
+                 "kb": pa.array([], type=pa.int32())}
+            )
+        key = np.concatenate(keys)
+        apex = np.concatenate(apexes)
+        kb = (splitmix64(key.astype(np.uint64)) % B).astype(np.int32)
+        return pa.table(
+            {"key": pa.array(key), "apex": pa.array(apex), "kb": pa.array(kb)}
+        )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        key = (s << np.int64(32)) | d
+        kb = (splitmix64(key.astype(np.uint64)) % B).astype(np.int32)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "apex": pa.array(np.full(len(key), -1, dtype=np.int64)),
+                "kb": pa.array(kb),
+            }
+        )
+
+    both = oriented.groupby("bucket").map_groups(
+        wedges, batch_format="pyarrow"
+    ).union(oriented.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def tri_rows(group: pa.Table) -> pa.Table:
+        """Closed wedges -> (edge_key, third) credits, 3 per triangle,
+        vid-canonical, pre-deduped (distinct triangles by construction)."""
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        apex = group.column("apex").to_numpy(zero_copy_only=False)
+        is_edge = apex < 0
+        edge_keys = np.unique(key[is_edge])
+        wk, wa = key[~is_edge], apex[~is_edge]
+        if len(edge_keys) and len(wk):
+            pos = np.searchsorted(edge_keys, wk)
+            hit = (pos < len(edge_keys)) & (
+                edge_keys[np.minimum(pos, len(edge_keys) - 1)] == wk
+            )
+        else:
+            hit = np.zeros(len(wk), dtype=bool)
+        hk, ha = wk[hit], wa[hit]
+        u, v = hk >> np.int64(32), hk & np.int64(0xFFFFFFFF)
+        # triangle (u, v, ha) -> vid-sorted (a < b < c)
+        tri = np.sort(np.stack([u, v, ha], axis=1), axis=1)
+        a, b_, c = tri[:, 0], tri[:, 1], tri[:, 2]
+        ek = np.concatenate([
+            (a << np.int64(32)) | b_,
+            (a << np.int64(32)) | c,
+            (b_ << np.int64(32)) | c,
+        ])
+        third = np.concatenate([c, b_, a])
+        eb = (splitmix64(ek.astype(np.uint64)) % B).astype(np.int32)
+        return pa.table(
+            {"ek": pa.array(ek), "third": pa.array(third), "eb": pa.array(eb)}
+        )
+
+    credits = both.groupby("kb").map_groups(tri_rows, batch_format="pyarrow")
+
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        """Per edge: pairs of thirds -> candidate packed keys with
+        per-group pre-combined counts."""
+        ek = group.column("ek").to_numpy(zero_copy_only=False)
+        third = group.column("third").to_numpy(zero_copy_only=False)
+        order_ = np.lexsort((third, ek))
+        ek, third = ek[order_], third[order_]
+        starts = np.flatnonzero(np.r_[True, ek[1:] != ek[:-1]])
+        ends = np.r_[starts[1:], len(ek)]
+        keys = []
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            t = third[st:en]  # sorted ascending, distinct per edge
+            ii, jj = np.triu_indices(len(t), k=1)
+            keys.append((t[ii] << np.int64(32)) | t[jj])
+        if not keys:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()),
+                 "cnt": pa.array([], type=pa.int64()),
+                 "kb": pa.array([], type=pa.int32())}
+            )
+        key, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        kb = (splitmix64(key.astype(np.uint64)) % B).astype(np.int32)
+        return pa.table(
+            {"key": pa.array(key), "cnt": pa.array(cnt.astype(np.int64)),
+             "kb": pa.array(kb)}
+        )
+
+    cands = credits.groupby("eb").map_groups(cand_pairs, batch_format="pyarrow")
+
+    def edge_markers(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        kb = (splitmix64(key.astype(np.uint64)) % B).astype(np.int32)
+        return pa.table(
+            {"key": pa.array(key),
+             "cnt": pa.array(np.full(len(key), -1, dtype=np.int64)),
+             "kb": pa.array(kb)}
+        )
+
+    final = cands.union(distinct.map_batches(edge_markers, batch_format="pyarrow"))
+
+    def close(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        is_edge = cnt < 0
+        edge_keys = np.unique(key[is_edge])
+        ck, cc = key[~is_edge], cnt[~is_edge]
+        if len(edge_keys) and len(ck):
+            pos = np.searchsorted(edge_keys, ck)
+            hit = (pos < len(edge_keys)) & (
+                edge_keys[np.minimum(pos, len(edge_keys) - 1)] == ck
+            )
+        else:
+            hit = np.zeros(len(ck), dtype=bool)
+        return pa.table({"t": pa.array([int(cc[hit].sum())], type=pa.int64())})
+
+    total = final.groupby("kb").map_groups(close, batch_format="pyarrow").sum("t")
+    return int(total or 0) // 6

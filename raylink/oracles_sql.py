@@ -884,6 +884,34 @@ def ppr_sql(seeds=(0, 1, 2, 7), iters: int = 12, alpha: float = 0.85,
     )
 
 
+def four_cliques_sql() -> str:
+    """Mirror of queries.q_four_cliques: K4 count over the page graph
+    plus planted 4-cliques ({d..d+3} for doc_id % 97 == 0, d+3 < m);
+    ordered 4-way self-join over the canonical simple edges."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """plant AS (
+  SELECT d.doc_id + x.i AS src, d.doc_id + y.j AS dst
+  FROM documents d, mm p,
+       unnest(generate_series(0, 3)) AS x(i),
+       unnest(generate_series(0, 3)) AS y(j)
+  WHERE d.doc_id % 97 = 0 AND d.doc_id + 3 < p.m AND x.i < y.j)""",
+            """ce AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM (SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM plant)
+  WHERE src <> dst)""",
+        )
+        + """
+SELECT COUNT(*)::BIGINT AS four_cliques FROM ce ab
+JOIN ce ac ON ac.a = ab.a AND ac.b > ab.b
+JOIN ce ad ON ad.a = ab.a AND ad.b > ac.b
+JOIN ce bc ON bc.a = ab.b AND bc.b = ac.b
+JOIN ce bd ON bd.a = ab.b AND bd.b = ad.b
+JOIN ce cd ON cd.a = ac.b AND cd.b = ad.b"""
+    )
+
+
 def wl_classes_sql(rounds: int = 3) -> str:
     """Mirror of queries.q_wl_classes (algos/wl.py): 1-WL color
     refinement over the undirected closure, classes as canonical min-vid

@@ -701,6 +701,36 @@ def q_four_cycles(sf_dir: str):
     return pa.table({"four_cycles": pa.array([n], type=pa.int64())})
 
 
+def q_four_cliques(sf_dir: str):
+    """Exact K4 count over the page graph augmented with deterministically
+    PLANTED 4-cliques ({d..d+3} for every doc_id divisible by 97 — the
+    synthetic link spec itself is K4-free, so the planting makes the
+    oracle non-trivial; interactions with existing edges count too, both
+    sides see the same graph)."""
+    import ray.data as rd
+
+    from raylink.algos.triangles import four_clique_count
+
+    _, edges, _, n = page_edge_tables(sf_dir)
+    m = n - (n % 3)
+
+    def plant(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        d = d[(d % 97 == 0) & (d + 3 < m)]
+        offs = np.array(
+            [(i, j) for i in range(4) for j in range(4) if i < j],
+            dtype=np.int64,
+        )
+        src = (d[:, None] + offs[None, :, 0]).ravel()
+        dst = (d[:, None] + offs[None, :, 1]).ravel()
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    aug = edges.union(docs.map_batches(plant, batch_format="pyarrow"))
+    k4 = four_clique_count(aug)
+    return pa.table({"four_cliques": pa.array([k4], type=pa.int64())})
+
+
 def q_degrees(sf_dir: str):
     _, edges, verts, _ = page_edge_tables(sf_dir)
     return degree_table(distinct_edges(edges), verts)

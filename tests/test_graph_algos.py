@@ -1481,3 +1481,45 @@ def test_wl_classes_symmetric_structures(ray_session, tmp_path):
     assert lab[0] != lab[1]
     assert lab[10] == lab[17] and lab[11] == lab[16]  # path symmetry
     assert lab[10] != lab[11]
+
+
+def test_four_clique_count(edge_data, ray_session):
+    """K4 counting: closed forms (K4=1, K5=5, two K4s sharing a
+    triangle=2), brute-force agreement on the fixture (which is K4-free),
+    and a planted clique inside a sparse background."""
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from raylink.algos.triangles import four_clique_count
+
+    def ds_of(pairs):
+        e = np.asarray(pairs, dtype=np.int64)
+        return rd.from_arrow(
+            pa.table({"src": pa.array(e[:, 0]), "dst": pa.array(e[:, 1])})
+        )
+
+    def brute(n, pairs):
+        E = {tuple(sorted((int(a), int(b)))) for a, b in pairs if a != b}
+        adj = {v: set() for v in range(n)}
+        for a, b in E:
+            adj[a].add(b)
+            adj[b].add(a)
+        cnt = 0
+        for a, b in E:
+            for c, d in combinations(sorted(adj[a] & adj[b]), 2):
+                if (c, d) in E:
+                    cnt += 1
+        return cnt // 6
+
+    assert four_clique_count(ds_of(list(combinations(range(4), 2)))) == 1
+    assert four_clique_count(ds_of(list(combinations(range(5), 2)))) == 5
+    two = list(combinations([0, 1, 2, 3], 2)) + list(combinations([0, 1, 2, 4], 2))
+    assert four_clique_count(ds_of(two)) == 2
+
+    edges, edges_ds, _ = edge_data
+    assert four_clique_count(edges_ds) == brute(N, edges) == 0
+
+    ring = [(i, (i + 1) % 30) for i in range(30)]
+    planted = ring + list(combinations([3, 9, 17, 25], 2))
+    assert four_clique_count(ds_of(planted)) == brute(30, planted) == 1
