@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic": q.q_harmonic,
         "hyperanf": q.q_hyperanf,
         "ppr": q.q_ppr,
+        "balanced_pagerank": q.q_balanced_pagerank,
         "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
         "communities": q.q_communities,
@@ -199,6 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_urgent": o.customers_no_urgent_sql(),
         "customer_distribution": o.customer_distribution_sql(),
         "pagerank": o.pagerank_sql(iters=30),
+        "balanced_pagerank": o.pagerank_sql(iters=30),
         "pagerank_converged": o.pagerank_sql(iters=27),
         "weighted_pagerank": o.weighted_pagerank_sql(iters=20),
         "host_rank": o.host_rank_sql(iters=20),

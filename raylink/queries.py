@@ -539,6 +539,48 @@ def q_densest(sf_dir: str):
     return out.sort("vid")
 
 
+def q_balanced_pagerank(sf_dir: str):
+    """PageRank through the hub-balanced EXPLICIT partitioning
+    (graph.hub_balanced_parts -> build_graph(partitioner="explicit")):
+    the skew machinery is driver-gated by partitioning invariance — the
+    oracle is the same unrolled PR fixpoint the hash build matches."""
+    from raylink import storage
+    from raylink.algos import pagerank
+    from raylink.graph import LinkGraph, build_graph, hub_balanced_parts
+    from raylink.pipelines import GRAPH_ROOT
+
+    gdir = storage.join(GRAPH_ROOT, cache_key("balanced_graph", sf_dir))
+    if storage.exists(storage.join(gdir, "manifest.json")):
+        g = LinkGraph.load(gdir)
+    else:
+        _, edges, verts, _ = page_edge_tables(sf_dir)
+        edges = edges.materialize()
+        assign, edges_p = hub_balanced_parts(edges, verts, num_parts=8,
+                                             top_k=64)
+        g = build_graph(
+            edges_p, assign, num_parts=8, partitioner="explicit",
+            directed=True, graph_dir=gdir,
+        )
+    _, ranks = pagerank(
+        g=g, iters=PR_ITERS, engine="tasks",
+        ckpt_dir=_ckpt("balanced_pr", sf_dir, PR_ITERS),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(
+                        batch.column("rank").to_numpy(zero_copy_only=False), 8
+                    )
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
 PPR_ITERS = 12
 
 
