@@ -693,6 +693,22 @@ def run_graphops_bench() -> dict:
         lambda: community_lpa(g=g_und, rounds=5, engine="tasks")[1].count(),
         reps=1,
     )
+
+    # r4 fourth wave: WL refinement, densest-subgraph peel, K4 counting
+    from raylink.algos.densest import densest_subgraph
+    from raylink.algos.triangles import four_clique_count
+    from raylink.algos.wl import wl_classes
+
+    out["wl3_sec"] = med(
+        lambda: wl_classes(g=g_und, rounds=3, engine="tasks")[1].count(),
+        reps=1,
+    )
+    out["densest_sec"] = med(
+        lambda: densest_subgraph(edges, verts)[1].count(), reps=1
+    )
+    out["four_cliques_sec"] = med(
+        lambda: four_clique_count(edges), reps=1
+    )
     ray.shutdown()
     return out
 
