@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf": q.q_hyperanf,
         "ppr": q.q_ppr,
         "balanced_pagerank": q.q_balanced_pagerank,
+        "host_vocab": q.q_host_vocab,
         "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
         "communities": q.q_communities,
@@ -153,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q.q_events_asof,
         "events_range": q.q_events_range,
         "events_overlap": q.q_events_overlap,
+        "funnel": q.q_funnel,
         "repeated_substrings": q.q_repeated_substrings,
         "substring_pairs": q.q_substring_pairs,
         "events_latest": q.q_events_latest,
@@ -201,6 +203,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_distribution": o.customer_distribution_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "balanced_pagerank": o.pagerank_sql(iters=30),
+        "host_vocab": o.host_vocab_sql(p=8),
         "pagerank_converged": o.pagerank_sql(iters=27),
         "weighted_pagerank": o.weighted_pagerank_sql(iters=20),
         "host_rank": o.host_rank_sql(iters=20),
@@ -266,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": o.events_asof_sql(),
         "events_range": o.events_range_sql(),
         "events_overlap": o.events_overlap_sql(),
+        "funnel": o.funnel_sql(),
         "repeated_substrings": o.repeated_substrings_sql(),
         "substring_pairs": o.substring_pairs_sql(),
         "events_latest": o.events_latest_sql(),

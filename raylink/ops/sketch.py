@@ -272,3 +272,101 @@ def cms_word_topk(docs_ds, k: int = 50, depth: int = 4, width_bits: int = 12):
         )
 
     return token_topk(docs_ds, k).map_batches(estimate, batch_format="pyarrow")
+
+
+def hll_grouped_distinct_words(
+    ds,
+    key_col: str,
+    p: int = 8,
+    text_col: str = "text",
+    num_buckets: int = 32,
+):
+    """Per-KEY HyperLogLog distinct-word estimates — the grouped sibling
+    of ``hll_distinct_words`` (e.g. vocabulary richness per crawl host:
+    exact per-host COUNT(DISTINCT word) shuffles the full per-host
+    vocabulary; this shuffles at most ``n_keys x 2^p`` register rows).
+
+    Per batch: key strings dictionary-encode, word occurrences come from
+    the shared Arrow extractor (``textstats._word_codes``), item hash =
+    splitmix64(FNV-1a(word)) — the same mirrored kernels as every sketch
+    — and a (keys x 2^p) register matrix max-accumulates per batch, so
+    the shuffle carries only nonzero (key, reg, rank) partials. One
+    coarse-bucket groupby (bucketed by FNV of the key string — all rows
+    of one key in one group) MAX-merges and emits per-key estimate rows.
+
+    Returns Dataset ``(key_col, n_zero, sum_t, distinct_est)`` with the
+    integer register sum exact and the estimate expression identical to
+    ``hll_estimate_from_registers`` (register-exactly SQL-mirrorable).
+    """
+    import pyarrow.compute as pc
+
+    from raylink.ops.textstats import _word_codes
+    from raylink.util import round_half_away, text_hash64
+
+    m = 1 << p
+    B = np.uint64(num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col).combine_chunks(), "")
+        keys = batch.column(key_col).combine_chunks().dictionary_encode()
+        kcodes = keys.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kdict = keys.dictionary
+        nk = len(kdict)
+        doc_idx, codes, dictionary = _word_codes(text)
+        if nk == 0 or len(codes) == 0:
+            return pa.table(
+                {"kb": pa.array([], type=pa.int32()),
+                 key_col: pa.array([], type=pa.string()),
+                 "reg": pa.array([], type=pa.int64()),
+                 "rank": pa.array([], type=pa.int64())}
+            )
+        wh = splitmix64(text_hash64(dictionary))
+        reg, rank = hll_ranks(wh, p)
+        acc = np.zeros((nk, m), dtype=np.int64)
+        np.maximum.at(acc, (kcodes[doc_idx], reg[codes]), rank[codes])
+        ki, ri = np.nonzero(acc)
+        kh = splitmix64(text_hash64(kdict))
+        return pa.table(
+            {
+                "kb": pa.array(((kh[ki] % B)).astype(np.int32)),
+                key_col: kdict.take(pa.array(ki)),
+                "reg": pa.array(ri.astype(np.int64)),
+                "rank": pa.array(acc[ki, ri]),
+            }
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).combine_chunks().dictionary_encode()
+        kcodes = keys.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        kdict = keys.dictionary
+        nk = len(kdict)
+        reg = group.column("reg").to_numpy(zero_copy_only=False)
+        rank = group.column("rank").to_numpy(zero_copy_only=False)
+        acc = np.zeros((nk, m), dtype=np.int64)
+        np.maximum.at(acc, (kcodes, reg), rank)
+        capped = np.minimum(acc, RANK_CAP)
+        sum_t = (np.int64(1) << (RANK_CAP - capped)).sum(axis=1)
+        n_zero = (acc == 0).sum(axis=1).astype(np.int64)
+        raw = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << RANK_CAP) / sum_t
+        lin = np.zeros(nk)
+        nzpos = n_zero > 0
+        lin[nzpos] = m * np.log(m / n_zero[nzpos])
+        est = np.where((raw <= 2.5 * m) & nzpos, lin, raw)
+        return pa.table(
+            {
+                key_col: kdict,
+                "n_zero": pa.array(n_zero),
+                "sum_t": pa.array(sum_t),
+                "distinct_est": pa.array(round_half_away(est, 6)),
+            }
+        )
+
+    from raylink.join import with_typed_empty
+
+    return with_typed_empty(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(reduce_group, batch_format="pyarrow"),
+        {key_col: pa.string(), "n_zero": pa.int64(), "sum_t": pa.int64(),
+         "distinct_est": pa.float64()},
+    )

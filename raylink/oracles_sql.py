@@ -1027,6 +1027,57 @@ FROM agg ORDER BY vid"""
     )
 
 
+def host_vocab_sql(p: int = 8) -> str:
+    """Per-host HLL distinct-word estimates, register-for-register
+    (ops/sketch.hll_grouped_distinct_words): the page text is rebuilt
+    from the synthetic spec (domain_stats_sql's construction), words are
+    the shared [a-z]+ extraction, item hash = splitmix64(FNV-1a(word)),
+    registers MAX-merged per (host, reg)."""
+    m = 1 << p
+    wbits = 64 - p
+    raw = f"0.7213 / (1.0 + 1.079 / {m}) * {m} * {m} * 4294967296.0 / sum_t"
+    return (
+        _with(
+            GRAPH_CTES,
+            """k AS (
+  SELECT d.doc_id, d.text,
+    CASE WHEN d.doc_id < p.m
+         THEN (d.doc_id % 5) + 1 + CASE WHEN d.doc_id % 7 = 3 THEN 1 ELSE 0 END
+         ELSE 0 END AS nlinks
+  FROM documents d, mm p)""",
+            """pg AS (
+  SELECT 'site' || (doc_id % 97) || '.example' AS host,
+         'Document ' || doc_id || chr(10)
+           || replace(replace(text, chr(13), ' '), chr(10), ' ')
+           || CASE WHEN nlinks > 0
+                   THEN chr(10) || rtrim(repeat('link' || chr(10), nlinks), chr(10))
+                   ELSE '' END AS txt
+  FROM k)""",
+            """hw AS MATERIALIZED (
+  SELECT DISTINCT host, word
+  FROM pg, unnest(regexp_extract_all(lower(txt), '[a-z]+')) AS w(word))""",
+            f"hh AS (SELECT host, {_sm64(_fnv64('word'))} AS h FROM hw)",
+            f"""rr AS (SELECT host,
+  CAST(h & CAST({m - 1} AS UBIGINT) AS BIGINT) AS reg,
+  CASE WHEN (h >> {p}) = CAST(0 AS UBIGINT) THEN {wbits + 1}
+       ELSE {wbits} - length(bin(h >> {p})) + 1 END AS rank
+FROM hh)""",
+            "regs AS (SELECT host, reg, MAX(rank) AS mr FROM rr GROUP BY host, reg)",
+            f"""agg AS (SELECT host,
+  (SUM(CAST(1 AS BIGINT) << (32 - LEAST(mr, 32)))
+   + ({m} - COUNT(*)) * 4294967296)::BIGINT AS sum_t,
+  ({m} - COUNT(*))::BIGINT AS n_zero
+FROM regs GROUP BY host)""",
+        )
+        + f"""
+SELECT host, n_zero, sum_t,
+       ROUND(CASE WHEN ({raw}) <= {2.5 * m} AND n_zero > 0
+                  THEN {m} * ln({float(m)} / n_zero)
+                  ELSE {raw} END, 6) AS distinct_est
+FROM agg ORDER BY host"""
+    )
+
+
 def dedup_clusters_sql(n: int = 3, tau: float = 0.5) -> str:
     """Connected components over the n-gram Jaccard pair graph (mirrors
     queries.q_dedup_clusters): cluster = min doc_id reachable via pairs."""
@@ -1804,6 +1855,24 @@ SELECT v.user_id, v.v_lo, v.v_hi, p.p_lo, p.p_hi, v.view_id, p.purchase_id
 FROM v JOIN p
   ON p.user_id = v.user_id AND v.v_lo <= p.p_hi AND p.p_lo <= v.v_hi
 ORDER BY v.view_id, p.purchase_id
+"""
+
+
+def funnel_sql() -> str:
+    """Mirror of queries.q_funnel: complete view->click->purchase chains
+    (each step within the inclusive 2-day window of the previous, same
+    user), counted per user."""
+    w = 2 * 24 * 3600 * 1_000_000
+    return f"""
+WITH v AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events WHERE event_type = 'view'),
+     c AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events WHERE event_type = 'purchase')
+SELECT v.user_id, COUNT(*)::BIGINT AS n_chains
+FROM v
+JOIN c ON c.user_id = v.user_id AND c.t >= v.t AND c.t <= v.t + {w}
+JOIN p ON p.user_id = v.user_id AND p.t >= c.t AND p.t <= c.t + {w}
+GROUP BY v.user_id
+ORDER BY v.user_id
 """
 
 

@@ -1564,6 +1564,29 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_host_vocab(sf_dir: str):
+    """Per-host vocabulary-richness estimate (HLL distinct words per
+    site, p=8) — the grouped sketch: shuffle carries at most
+    hosts x 256 register rows, never per-host vocabularies."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.sketch import hll_grouped_distinct_words
+
+    extracted, _, _, _ = page_edge_tables(sf_dir)
+
+    def host_col(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                batch.column("url"), pattern="^https://", replacement=""
+            ),
+            pattern="/.*$", replacement="",
+        )
+        return pa.table({"host": host, "text": batch.column("text")})
+
+    pages = extracted.map_batches(host_col, batch_format="pyarrow")
+    return hll_grouped_distinct_words(pages, "host", p=8).sort("host")
+
+
 def q_domain_stats(sf_dir: str):
     """Per-site aggregates over the crawled pages (host, n_pages,
     total_chars) — domain-level curation (crawl allow/deny lists, per-site
@@ -1874,6 +1897,88 @@ def q_substring_pairs(sf_dir: str):
     return substring_pairs(
         docs, window=40, modulus=16, residue=0, min_shared=3, max_df=64
     ).sort(["doc_a", "doc_b"])
+
+
+def q_funnel(sf_dir: str):
+    """Three-stage attribution funnel: view -> click within 2 days ->
+    purchase within 2 days of the click, same user throughout; per-user
+    count of complete chains. Pure composition: two ``range_join`` passes
+    then one bucketed per-user sum — each stage is the events_range
+    shape, no new machinery."""
+    import ray.data as rd
+
+    from raylink.join import bucketed_sum, range_join
+
+    W = 2 * 24 * 3600 * 1_000_000
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def stage(kind: str, idc: str):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.filter(pa.compute.equal(b.column("event_type"), pa.scalar(kind)))
+            ts = t.column("ts").to_numpy(zero_copy_only=False)
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+            return pa.table(
+                {"user_id": t.column("user_id"), "ts_pt": pa.array(ts),
+                 idc: t.column("event_id")}
+            )
+
+        return fn
+
+    def widen(ds, idcs):
+        # point rows -> [t, t+W] interval rows, carrying the chain ids
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.column("ts_pt").to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {"user_id": b.column("user_id"),
+                    "lo": pa.array(t), "hi": pa.array(t + W)}
+            for c in idcs:
+                cols[c] = b.column(c)
+            return pa.table(cols)
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    views = ev.map_batches(stage("view", "view_id"), batch_format="pyarrow")
+    clicks = ev.map_batches(stage("click", "click_id"), batch_format="pyarrow")
+    purchases = ev.map_batches(stage("purchase", "purchase_id"),
+                               batch_format="pyarrow")
+
+    vc = range_join(
+        widen(views, ["view_id"]), clicks,
+        lo="lo", hi="hi", time="ts_pt",
+        left_cols={"view_id": pa.int64()},
+        right_cols={"click_id": pa.int64()},
+        key="user_id", bucket_width=W,
+    )
+
+    def vc_points(b: pa.Table) -> pa.Table:
+        # the matched click time becomes the next stage's interval start
+        return pa.table(
+            {"user_id": b.column("user_id"), "ts_pt": b.column("ts_pt"),
+             "view_id": b.column("view_id"), "click_id": b.column("click_id")}
+        )
+
+    chains = range_join(
+        widen(vc.map_batches(vc_points, batch_format="pyarrow"),
+              ["view_id", "click_id"]),
+        purchases,
+        lo="lo", hi="hi", time="ts_pt",
+        left_cols={"view_id": pa.int64(), "click_id": pa.int64()},
+        right_cols={"purchase_id": pa.int64()},
+        key="user_id", bucket_width=W,
+    )
+    ones = chains.map_batches(
+        lambda b: pa.table(
+            {"user_id": b.column("user_id"),
+             "one": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed_sum(ones, "user_id", "one", out_val="n_chains").sort(
+        "user_id"
+    )
 
 
 def q_doc_sample(sf_dir: str):

@@ -1763,3 +1763,40 @@ def test_linear_score(ray_session):
     out2 = {r["doc_id"]: (r["score"], r["label"])
             for r in linear_score(docs, dim=dim, seed=seed).take_all()}
     assert out == out2
+
+
+def test_funnel_vs_bruteforce(ray_session):
+    """Three-stage funnel (view -> click<=2d -> purchase<=2d) equals a
+    brute-force pandas replica over the same events parquet."""
+    import pandas as pd
+
+    from raylink.queries import q_funnel
+
+    sf = "/root/testdata/sf0.001"
+    got = q_funnel(sf).to_pandas().reset_index(drop=True)
+
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    ev["t"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    W = 2 * 24 * 3600 * 1_000_000
+    counts = {}
+    for uid, grp in ev.groupby("user_id"):
+        v = np.sort(grp.loc[grp.event_type == "view", "t"].to_numpy())
+        c = np.sort(grp.loc[grp.event_type == "click", "t"].to_numpy())
+        p = np.sort(grp.loc[grp.event_type == "purchase", "t"].to_numpy())
+        n = 0
+        for vt in v:
+            for ct in c[(c >= vt) & (c <= vt + W)]:
+                n += int(((p >= ct) & (p <= ct + W)).sum())
+        if n:
+            counts[uid] = n
+    want = (
+        pd.DataFrame(
+            {"user_id": list(counts), "n_chains": list(counts.values())}
+        )
+        .astype({"user_id": "int64", "n_chains": "int64"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)

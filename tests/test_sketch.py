@@ -258,3 +258,57 @@ def test_substring_pairs(ray_session):
     none = substring_pairs(ds, window=W, modulus=MOD, residue=RES,
                            min_shared=1, max_df=1)
     assert none.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_grouped_distinct_words():
+    """Grouped HLL (per-key registers) == per-key brute-force replica:
+    same registers, same integer sum, same rounded estimate — including a
+    key whose rows are split across partitions and a key in the
+    linear-counting regime."""
+    import re
+
+    import ray.data as rd
+
+    from raylink.ops.sketch import hll_grouped_distinct_words
+
+    P = 8
+    m = 1 << P
+    hosts, texts = [], []
+    for i in range(60):
+        h = f"h{i % 3}"
+        # h0 gets a big vocabulary (HLL regime), h2 a tiny one (linear)
+        span = 120 if h == "h0" else (30 if h == "h1" else 2)
+        hosts.append(h)
+        texts.append(" ".join(_letters(i * span + j) for j in range(span)))
+    hosts.append("empty")
+    texts.append("")
+    docs = rd.from_arrow(
+        pa.table({"host": hosts, "text": texts})
+    ).repartition(7)
+    out = (
+        hll_grouped_distinct_words(docs, "host", p=P)
+        .to_pandas()
+        .set_index("host")
+    )
+    assert set(out.index) == {"h0", "h1", "h2"}  # empty text -> no words
+    for h in ("h0", "h1", "h2"):
+        vocab = sorted(
+            {
+                w
+                for hh, t in zip(hosts, texts)
+                if hh == h
+                for w in re.findall("[a-z]+", t)
+            }
+        )
+        hsh = splitmix64(text_hash64(vocab))
+        reg, rank = hll_ranks(hsh, P)
+        mr = np.zeros(m, dtype=np.int64)
+        np.maximum.at(mr, reg, rank)
+        want = hll_estimate_from_registers(mr, P)
+        got = out.loc[h]
+        assert int(got["n_zero"]) == want["n_zero"], h
+        assert int(got["sum_t"]) == want["sum_t"], h
+        assert float(got["distinct_est"]) == want["distinct_est"], h
+        # sanity: the estimate is actually close to the truth
+        assert abs(float(got["distinct_est"]) - len(vocab)) <= 0.25 * len(vocab) + 2
