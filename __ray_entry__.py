@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirrors": q.q_mirrors,
         "egonet": q.q_egonet,
         "mis": q.q_mis,
+        "coloring": q.q_coloring,
         "mst": q.q_mst,
         "negative_samples": q.q_negative_samples,
         # relational layer over the TPC-H-shaped tables
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "mirrors": o.mirrors_sql(),
         "egonet": o.egonet_sql(seeds=tuple(q.EGO_SEEDS), k=2),
         "mis": o.mis_sql(rounds=16, seed=0),
+        "coloring": o.coloring_sql(rounds=q.JP_ROUNDS, seed=0),
         "mst": o.mst_sql(rounds=14),
         "negative_samples": o.negative_samples_sql(k=3, seed=0),
         "pricing_summary": o.pricing_summary_sql(),

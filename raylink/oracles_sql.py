@@ -2509,6 +2509,69 @@ def mis_sql(rounds: int = 16, seed: int = 0) -> str:
     return _with(*ctes) + "\n" + union
 
 
+def coloring_sql(rounds: int = 32, seed: int = 0) -> str:
+    """Mirrors algos.coloring.jp_coloring round for round: priority =
+    splitmix64(vid XOR seed); per round, uncolored vertices beating every
+    uncolored neighbour's priority (or with none) win and take
+    color = mex{colors of already-colored neighbours}. mex relationally:
+    candidates {0} union {c+1 : c used}, smallest candidate NOT used (an
+    anti-join — all smaller candidates are used by mex's minimality).
+    Unrolled like the MIS oracle — rounds past convergence are no-ops."""
+
+    def p(x: str) -> str:
+        return _sm64(f"xor(CAST({x} AS UBIGINT), CAST({seed} AS UBIGINT))")
+
+    ctes = [
+        GRAPH_CTES,
+        "unc0 AS MATERIALIZED (SELECT vid FROM verts)",
+        """col0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS BIGINT) AS color,
+         CAST(NULL AS BIGINT) AS jp_round WHERE FALSE)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""mn{r} AS MATERIALIZED (
+  SELECT e.src AS vid, MIN({p('e.dst')}) AS mp
+  FROM und e JOIN unc{r} x ON x.vid = e.src JOIN unc{r} y ON y.vid = e.dst
+  WHERE e.src <> e.dst GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""wn{r} AS MATERIALIZED (
+  SELECT a.vid FROM unc{r} a LEFT JOIN mn{r} m ON m.vid = a.vid
+  WHERE m.mp IS NULL OR {p('a.vid')} < m.mp)"""
+        )
+        ctes.append(
+            f"""nc{r} AS MATERIALIZED (
+  SELECT DISTINCT w.vid, c.color
+  FROM wn{r} w JOIN und e ON e.src = w.vid JOIN col{r} c ON c.vid = e.dst
+  WHERE e.src <> e.dst)"""
+        )
+        ctes.append(
+            f"""cand{r} AS (
+  SELECT vid, color + 1 AS cnd FROM nc{r}
+  UNION ALL SELECT vid, 0 AS cnd FROM wn{r})"""
+        )
+        ctes.append(
+            f"""mex{r} AS MATERIALIZED (
+  SELECT a.vid, MIN(a.cnd)::BIGINT AS color
+  FROM cand{r} a LEFT JOIN nc{r} b ON b.vid = a.vid AND b.color = a.cnd
+  WHERE b.vid IS NULL GROUP BY a.vid)"""
+        )
+        ctes.append(
+            f"""col{r + 1} AS MATERIALIZED (
+  SELECT * FROM col{r}
+  UNION ALL SELECT vid, color, CAST({r} AS BIGINT) AS jp_round FROM mex{r})"""
+        )
+        ctes.append(
+            f"""unc{r + 1} AS MATERIALIZED (
+  SELECT vid FROM unc{r} WHERE vid NOT IN (SELECT vid FROM wn{r}))"""
+        )
+    return (
+        _with(*ctes)
+        + f"\nSELECT vid, color, jp_round FROM col{rounds} ORDER BY vid"
+    )
+
+
 def pii_redact_sql() -> str:
     """Mirrors queries.q_pii_redact + ops.textstats.pii_redact: the same
     planting as pii_scan_sql, then the fixed three-stage RE2 global

@@ -2652,6 +2652,25 @@ def q_mis(sf_dir: str):
     return maximal_independent_set(edges, seed=0)
 
 
+JP_ROUNDS = 32
+
+
+def q_coloring(sf_dir: str):
+    """Greedy proper coloring (Jones-Plassmann, splitmix64-priority-order
+    first-fit) of the undirected page graph -> (vid, color, jp_round);
+    jp_round = the vertex's depth in the decreasing-priority DAG = the BSP
+    superstep it colored in. Engine round budget == the SQL unroll, so a
+    budget overrun raises instead of silently mismatching."""
+    from raylink.algos.coloring import jp_coloring
+
+    g = page_graph(sf_dir, directed=False)
+    _, out = jp_coloring(
+        g=g, seed=0, max_rounds=JP_ROUNDS, engine="tasks",
+        ckpt_dir=_ckpt("jp_coloring", sf_dir),
+    )
+    return out.sort("vid")
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG/pretraining chunking: 64-word windows starting every 48 words
     (16-word overlap) -> (doc_id, chunk_idx, chunk_text, n_tokens)."""

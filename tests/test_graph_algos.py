@@ -1523,3 +1523,90 @@ def test_four_clique_count(edge_data, ray_session):
     ring = [(i, (i + 1) % 30) for i in range(30)]
     planted = ring + list(combinations([3, 9, 17, 25], 2))
     assert four_clique_count(ds_of(planted)) == brute(30, planted) == 1
+
+
+def test_jp_coloring(edge_data, tmp_path):
+    """Jones-Plassmann coloring == sequential greedy in splitmix64
+    priority order; jp_round == depth in the decreasing-priority DAG;
+    proper coloring independently of the oracle; both engines and
+    partitionings agree."""
+    from raylink.algos.coloring import jp_coloring
+    from raylink.util import splitmix64
+
+    edges, edges_ds, verts_ds = edge_data
+    adj = {int(v): set() for v in range(N)}
+    for s, d in edges:
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+
+    def pri(v):
+        return int(splitmix64(np.array([v], dtype=np.uint64))[0])
+
+    color, depth = {}, {}
+    for v in sorted(adj, key=pri):
+        used = {color[u] for u in adj[v] if u in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+        depth[v] = 1 + max(
+            (depth[u] for u in adj[v] if pri(u) < pri(v)), default=-1
+        )
+
+    _, out = jp_coloring(
+        edges_ds, vertices_ds=verts_ds, seed=0,
+        ckpt_dir=str(tmp_path / "jp_t"), engine="tasks",
+    )
+    got = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert got["color"].tolist() == [color[v] for v in range(N)]
+    assert got["jp_round"].tolist() == [depth[v] for v in range(N)]
+    # properness, independently of the oracle
+    gc = dict(zip(got["vid"], got["color"]))
+    assert all(gc[v] != gc[u] for v in adj for u in adj[v])
+    # dataset engine + different partitioning agree
+    _, out2 = jp_coloring(
+        edges_ds.repartition(7), vertices_ds=verts_ds, seed=0,
+        ckpt_dir=str(tmp_path / "jp_d"), engine="dataset", num_parts=5,
+    )
+    got2 = out2.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert got2["color"].tolist() == got["color"].tolist()
+    assert got2["jp_round"].tolist() == got["jp_round"].tolist()
+
+
+def test_jp_coloring_structures(ray_session, tmp_path):
+    """Closed forms: a clique needs exactly k colors with rounds = the
+    priority order; a star is 2-colorable; isolated vertices take 0."""
+    import ray.data as rd
+
+    from raylink.algos.coloring import jp_coloring
+
+    k = 6
+    src, dst = zip(*[(a, b) for a in range(k) for b in range(a + 1, k)])
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(src, type=pa.int64()),
+                  "dst": pa.array(dst, type=pa.int64())})
+    )
+    verts = rd.from_arrow(
+        pa.table({"vid": pa.array(np.arange(k + 2, dtype=np.int64))})
+    )  # +2 isolated
+    _, out = jp_coloring(
+        eds, vertices_ds=verts, seed=0, ckpt_dir=str(tmp_path / "jp_k")
+    )
+    pdf = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    kc = pdf[pdf.vid < k]
+    assert sorted(kc["color"]) == list(range(k))       # clique: k colors
+    assert sorted(kc["jp_round"]) == list(range(k))    # one per round
+    iso = pdf[pdf.vid >= k]
+    assert (iso["color"] == 0).all() and (iso["jp_round"] == 0).all()
+
+    star = rd.from_arrow(
+        pa.table({"src": pa.array([0] * 8, type=pa.int64()),
+                  "dst": pa.array(range(1, 9), type=pa.int64())})
+    )
+    _, out_s = jp_coloring(star, seed=0, ckpt_dir=str(tmp_path / "jp_s"))
+    sp = out_s.to_pandas()
+    assert set(sp["color"]) == {0, 1}
+    assert int(sp[sp.vid == 0]["color"].iloc[0]) != int(
+        sp[sp.vid != 0]["color"].max()
+    ) or len(set(sp[sp.vid != 0]["color"])) == 1
