@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "egonet": q.q_egonet,
         "mis": q.q_mis,
         "coloring": q.q_coloring,
+        "matching": q.q_matching,
         "mst": q.q_mst,
         "negative_samples": q.q_negative_samples,
         # relational layer over the TPC-H-shaped tables
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "egonet": o.egonet_sql(seeds=tuple(q.EGO_SEEDS), k=2),
         "mis": o.mis_sql(rounds=16, seed=0),
         "coloring": o.coloring_sql(rounds=q.JP_ROUNDS, seed=0),
+        "matching": o.matching_sql(rounds=q.MATCH_ROUNDS),
         "mst": o.mst_sql(rounds=14),
         "negative_samples": o.negative_samples_sql(k=3, seed=0),
         "pricing_summary": o.pricing_summary_sql(),

@@ -2572,6 +2572,57 @@ def coloring_sql(rounds: int = 32, seed: int = 0) -> str:
     )
 
 
+def matching_sql(rounds: int = 32) -> str:
+    """Mirrors algos.matching.maximal_matching round for round: edge
+    priority = splitmix64(splitmix64(src) XOR splitmix64(dst)) (symmetric;
+    incident ties impossible — splitmix is a bijection), per round every
+    unmatched vertex's best alive edge is its (pri, partner) minimum, and
+    mutual bests match. Unrolled; rounds past convergence are no-ops."""
+    ctes = [
+        GRAPH_CTES,
+        f"""pv AS MATERIALIZED (
+  SELECT vid, {_sm64('CAST(vid AS UBIGINT)')} AS h FROM verts)""",
+        f"""ecand AS MATERIALIZED (
+  SELECT e.src AS v, e.dst AS o, {_sm64('xor(a.h, b.h)')} AS pri
+  FROM und e JOIN pv a ON a.vid = e.src JOIN pv b ON b.vid = e.dst
+  WHERE e.src <> e.dst)""",
+        """mt0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS BIGINT) AS mate,
+         CAST(NULL AS BIGINT) AS match_round WHERE FALSE)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""al{r} AS MATERIALIZED (
+  SELECT c.v, c.o, c.pri FROM ecand c
+  WHERE c.v NOT IN (SELECT vid FROM mt{r})
+    AND c.o NOT IN (SELECT vid FROM mt{r}))"""
+        )
+        ctes.append(
+            f"""bs{r} AS MATERIALIZED (
+  SELECT v, o FROM (
+    SELECT v, o, ROW_NUMBER() OVER (PARTITION BY v ORDER BY pri, o) AS rn
+    FROM al{r}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""wn{r} AS MATERIALIZED (
+  SELECT a.v, a.o FROM bs{r} a JOIN bs{r} b ON b.v = a.o AND b.o = a.v)"""
+        )
+        ctes.append(
+            f"""mt{r + 1} AS MATERIALIZED (
+  SELECT * FROM mt{r}
+  UNION ALL
+  SELECT v AS vid, o AS mate, CAST({r} AS BIGINT) AS match_round
+  FROM wn{r})"""
+        )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT vv.vid, COALESCE(m.mate, -1) AS mate,
+       COALESCE(m.match_round, -1) AS match_round
+FROM verts vv LEFT JOIN mt{rounds} m ON m.vid = vv.vid ORDER BY vv.vid"""
+    )
+
+
 def pii_redact_sql() -> str:
     """Mirrors queries.q_pii_redact + ops.textstats.pii_redact: the same
     planting as pii_scan_sql, then the fixed three-stage RE2 global

@@ -2671,6 +2671,24 @@ def q_coloring(sf_dir: str):
     return out.sort("vid")
 
 
+MATCH_ROUNDS = 32
+
+
+def q_matching(sf_dir: str):
+    """Deterministic maximal matching (mutual-best handshake, splitmix64
+    edge priorities) of the undirected page graph -> (vid, mate,
+    match_round); unmatched vertices carry -1/-1. Engine round budget ==
+    the SQL unroll."""
+    from raylink.algos.matching import maximal_matching
+
+    g = page_graph(sf_dir, directed=False)
+    _, out = maximal_matching(
+        g=g, max_rounds=MATCH_ROUNDS, engine="tasks",
+        ckpt_dir=_ckpt("matching", sf_dir),
+    )
+    return out.sort("vid")
+
+
 def q_chunk_docs(sf_dir: str):
     """RAG/pretraining chunking: 64-word windows starting every 48 words
     (16-word overlap) -> (doc_id, chunk_idx, chunk_text, n_tokens)."""

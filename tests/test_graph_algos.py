@@ -1610,3 +1610,68 @@ def test_jp_coloring_structures(ray_session, tmp_path):
     assert int(sp[sp.vid == 0]["color"].iloc[0]) != int(
         sp[sp.vid != 0]["color"].max()
     ) or len(set(sp[sp.vid != 0]["color"])) == 1
+
+
+def test_maximal_matching(edge_data, tmp_path):
+    """Mutual-best handshake == python round replica; matching validity +
+    maximality independent of the replica; engines/partitionings agree."""
+    from raylink.algos.matching import maximal_matching
+    from raylink.util import splitmix64
+
+    edges, edges_ds, verts_ds = edge_data
+    adj = {int(v): set() for v in range(N)}
+    for s, d in edges:
+        if s != d:
+            adj[int(s)].add(int(d))
+            adj[int(d)].add(int(s))
+
+    def sm(v):
+        return int(splitmix64(np.array([v], dtype=np.uint64))[0])
+
+    def pri(a, b):
+        return int(
+            splitmix64(np.array([sm(a) ^ sm(b)], dtype=np.uint64))[0]
+        )
+
+    mate = {v: -1 for v in adj}
+    rnd = {v: -1 for v in adj}
+    r = 0
+    while True:
+        best = {}
+        for v in adj:
+            if mate[v] != -1:
+                continue
+            cands = [(pri(v, u), u) for u in adj[v] if mate[u] == -1]
+            if cands:
+                best[v] = min(cands)[1]
+        pairs = {(v, u) for v, u in best.items() if best.get(u) == v}
+        if not pairs:
+            break
+        for v, u in pairs:
+            mate[v], rnd[v] = u, r
+        r += 1
+
+    _, out = maximal_matching(
+        edges_ds, vertices_ds=verts_ds,
+        ckpt_dir=str(tmp_path / "mm_t"), engine="tasks",
+    )
+    got = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert got["mate"].tolist() == [mate[v] for v in range(N)]
+    assert got["match_round"].tolist() == [rnd[v] for v in range(N)]
+    gm = dict(zip(got["vid"], got["mate"]))
+    # validity: mate is a neighbour and symmetric
+    for v, u in gm.items():
+        if u != -1:
+            assert u in adj[v] and gm[u] == v
+    # maximality: an unmatched vertex has no unmatched neighbour
+    for v, u in gm.items():
+        if u == -1:
+            assert all(gm[w] != -1 for w in adj[v])
+    # dataset engine + repartitioning agree
+    _, out2 = maximal_matching(
+        edges_ds.repartition(7), vertices_ds=verts_ds, num_parts=5,
+        ckpt_dir=str(tmp_path / "mm_d"), engine="dataset",
+    )
+    got2 = out2.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert got2["mate"].tolist() == got["mate"].tolist()
+    assert got2["match_round"].tolist() == got["match_round"].tolist()
