@@ -709,6 +709,21 @@ def run_graphops_bench() -> dict:
     out["four_cliques_sec"] = med(
         lambda: four_clique_count(edges), reps=1
     )
+
+    # r4 fifth wave: symmetry-breaking family on the task engine
+    from raylink.algos.coloring import jp_coloring
+    from raylink.algos.matching import maximal_matching
+
+    out["coloring_sec"] = med(
+        lambda: jp_coloring(g=g_und, engine="tasks", resume=False)[1].count(),
+        reps=1,
+    )
+    out["matching_sec"] = med(
+        lambda: maximal_matching(g=g_und, engine="tasks", resume=False)[
+            1
+        ].count(),
+        reps=1,
+    )
     ray.shutdown()
     return out
 
