@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range": q.q_events_range,
         "events_overlap": q.q_events_overlap,
         "funnel": q.q_funnel,
+        "bigram_coherence": q.q_bigram_coherence,
         "repeated_substrings": q.q_repeated_substrings,
         "substring_pairs": q.q_substring_pairs,
         "events_latest": q.q_events_latest,
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range": o.events_range_sql(),
         "events_overlap": o.events_overlap_sql(),
         "funnel": o.funnel_sql(),
+        "bigram_coherence": o.bigram_coherence_sql(),
         "repeated_substrings": o.repeated_substrings_sql(),
         "substring_pairs": o.substring_pairs_sql(),
         "events_latest": o.events_latest_sql(),

@@ -257,6 +257,177 @@ def bigram_topk(docs_ds, k: int = 100):
     return agg.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
 
 
+def bigram_coherence(docs_ds, num_buckets: int = 64):
+    """Per-document bigram coherence — the n-gram-LM fluency proxy of the
+    curation stack: score(doc) = mean over the doc's adjacent word pairs of
+    that pair's CORPUS frequency (docs made of common collocations score
+    high; shuffled/garbage text scores ~1). -> Dataset (doc_id, n_bigrams,
+    freq_sum, coherence); bigram-less docs (len < 2 words) score 0.0.
+
+    Two passes over the bigram relation, neither driver-side and nothing
+    broadcast (the bigram table is vocabulary^2-bounded, NOT small):
+      1. global counts: per-batch partials keyed on FNV-1a(bigram) (one
+         row per distinct pair per batch), one coarse-bucket sum;
+      2. per-doc rollup: (doc_id, bigram-hash, multiplicity) rows joined
+         against the counts with ``hash_join(post=...)`` — the per-bucket
+         per-doc partial sums happen INSIDE the join task, so the join
+         output is per-(bucket, doc) partials, not per-occurrence rows —
+         then one coarse-bucket combine per doc_id.
+    Integer sums throughout; the score is ONE IEEE division +
+    round-half-away(8), bit-equal to the SQL mirror (which groups by the
+    bigram STRING — an FNV collision would merge counts and FAIL the
+    oracle gate, never pass silently; ~2^-64 per vocab pair, the same
+    documented trade as the hashed shingles in ops/dedup.py).
+    """
+    import pyarrow.compute as pc
+
+    from raylink.join import anti_join, hash_join, with_typed_empty
+    from raylink.util import round_half_away, splitmix64, text_hash64
+
+    B = np.uint64(num_buckets)
+
+    def _pair_rows(batch: pa.Table, with_doc: bool) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx, codes, dic = _word_codes(text)
+        if len(doc_idx) < 2:
+            cols = {"bh": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64())}
+            if with_doc:
+                cols["doc_id"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        adj = doc_idx[1:] == doc_idx[:-1]
+        V = np.int64(len(dic))
+        pid = codes[:-1][adj] * V + codes[1:][adj]
+        if with_doc:  # distinct per (doc, pair), keep multiplicity
+            key = doc_idx[:-1][adj]
+            uk, inv, c = np.unique(
+                key * (V * V) + pid, return_inverse=True, return_counts=True
+            )
+            upid = uk % (V * V)
+            udoc = doc_ids[(uk // (V * V)).astype(np.int64)]
+        else:
+            upid, c = np.unique(pid, return_counts=True)
+        left = dic.take(pa.array(upid // V))
+        right = dic.take(pa.array(upid % V))
+        bigrams = pc.binary_join_element_wise(
+            pc.cast(left, pa.string()), pc.cast(right, pa.string()), " "
+        )
+        bh = text_hash64(bigrams).astype(np.int64)
+        cols = {"bh": pa.array(bh), "c": pa.array(c.astype(np.int64))}
+        if with_doc:
+            cols["doc_id"] = pa.array(udoc)
+        return pa.table(cols)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = _pair_rows(batch, with_doc=False)
+        return t.append_column(
+            "kb",
+            pa.array(
+                (
+                    splitmix64(
+                        t.column("bh").to_numpy(zero_copy_only=False).astype(
+                            np.uint64
+                        )
+                    )
+                    % B
+                ).astype(np.int32)
+            ),
+        )
+
+    def count_comb(group: pa.Table) -> pa.Table:
+        h = group.column("bh").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(h, return_inverse=True)
+        s = np.zeros(len(uh), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"bh": pa.array(uh), "cnt": pa.array(s)})
+
+    counts = (
+        docs_ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(count_comb, batch_format="pyarrow")
+    )
+
+    doc_rows = docs_ds.map_batches(
+        lambda b: _pair_rows(b, with_doc=True), batch_format="pyarrow"
+    )
+
+    def per_doc_partial(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        occ = group.column("c").to_numpy(zero_copy_only=False)
+        cnt = group.column("cnt").to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        ssum = np.zeros(len(ud), dtype=np.int64)
+        nbg = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(ssum, inv, occ * cnt)
+        np.add.at(nbg, inv, occ)
+        return pa.table(
+            {"doc_id": pa.array(ud), "ssum": pa.array(ssum),
+             "nbg": pa.array(nbg)}
+        )
+
+    partials = hash_join(
+        doc_rows, counts, on="bh",
+        left_cols={"doc_id": pa.int64(), "c": pa.int64()},
+        right_cols={"cnt": pa.int64()},
+        post=per_doc_partial,
+    )
+
+    def doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "db",
+            pa.array((splitmix64(d.astype(np.uint64)) % B).astype(np.int32)),
+        )
+
+    def doc_comb(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        s1 = group.column("ssum").to_numpy(zero_copy_only=False)
+        s2 = group.column("nbg").to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        ssum = np.zeros(len(ud), dtype=np.int64)
+        nbg = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(ssum, inv, s1)
+        np.add.at(nbg, inv, s2)
+        coh = np.zeros(len(ud), dtype=np.float64)
+        pos = nbg > 0
+        coh[pos] = round_half_away(
+            ssum[pos].astype(np.float64) / nbg[pos], 8
+        )
+        return pa.table(
+            {"doc_id": pa.array(ud), "n_bigrams": pa.array(nbg),
+             "freq_sum": pa.array(ssum),
+             "coherence": pa.array(coh)}
+        )
+
+    scored = (
+        partials.map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(doc_comb, batch_format="pyarrow")
+    )
+    ids = docs_ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}),
+        batch_format="pyarrow",
+    )
+    zeros = anti_join(
+        ids, scored, on="doc_id", left_cols={}
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"),
+             "n_bigrams": pa.array(np.zeros(len(b), dtype=np.int64)),
+             "freq_sum": pa.array(np.zeros(len(b), dtype=np.int64)),
+             "coherence": pa.array(np.zeros(len(b), dtype=np.float64))}
+        ),
+        batch_format="pyarrow",
+    )
+    return with_typed_empty(
+        scored.union(zeros),
+        {"doc_id": pa.int64(), "n_bigrams": pa.int64(),
+         "freq_sum": pa.int64(), "coherence": pa.float64()},
+    )
+
+
 PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PII_LONGNUM = r"\b[0-9]{9,16}\b"  # SSN/CC/phone-class digit runs

@@ -2055,6 +2055,29 @@ WHERE len(ws) >= 2
 GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT {k}"""
 
 
+def bigram_coherence_sql() -> str:
+    """Mirrors ops.textstats.bigram_coherence: adjacent [a-z]+ pairs of
+    lower(text) (never straddling documents), score = SUM(corpus count of
+    each occurrence's pair) / n_bigrams — integer sums, one double
+    division, round-half-away(8) == ROUND for positive args. Groups by the
+    bigram STRING, so an engine-side FNV collision would fail here."""
+    return """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2),
+cnts AS (SELECT bigram, count(*)::BIGINT AS c FROM g GROUP BY bigram),
+per AS (SELECT g.doc_id, SUM(c.c)::BIGINT AS ssum, COUNT(*)::BIGINT AS nbg
+        FROM g JOIN cnts c USING (bigram) GROUP BY g.doc_id)
+SELECT w.doc_id,
+       COALESCE(per.nbg, 0)::BIGINT AS n_bigrams,
+       COALESCE(per.ssum, 0)::BIGINT AS freq_sum,
+       CASE WHEN COALESCE(per.nbg, 0) = 0 THEN 0.0
+            ELSE ROUND(per.ssum / CAST(per.nbg AS DOUBLE), 8) END AS coherence
+FROM w LEFT JOIN per USING (doc_id) ORDER BY w.doc_id"""
+
+
 def events_latest_sql() -> str:
     """Mirrors ops.select.latest_by_key(user_id, ts, event_id): the single
     newest event per user, ties by event_id ASC."""

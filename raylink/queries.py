@@ -1535,6 +1535,14 @@ def q_bigram_topk(sf_dir: str):
     return bigram_topk(_docs(sf_dir), k=100)
 
 
+def q_bigram_coherence(sf_dir: str):
+    """Per-doc bigram coherence (mean corpus frequency of the doc's
+    adjacent word pairs) — the n-gram-LM fluency proxy curation filter."""
+    from raylink.ops.textstats import bigram_coherence
+
+    return bigram_coherence(_docs(sf_dir)).sort("doc_id")
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup resolution: connected components over the n-gram Jaccard
     pair graph -> one cluster id (min doc_id) per document. Composes the

@@ -1800,3 +1800,56 @@ def test_funnel_vs_bruteforce(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_bigram_coherence(ray_session):
+    """Engine == brute-force python replica: corpus bigram counts joined
+    back per occurrence; multiplicities counted; short/empty docs 0.0."""
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from raylink.ops.textstats import bigram_coherence
+    from raylink.util import round_half_away
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown cat sleeps",
+        "the the the the",          # repeated pair multiplicity
+        "word",                      # no bigrams
+        "",                          # empty
+        "Quick! brown-fox; THE quick BROWN fox",  # punctuation + case
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": texts}
+        )
+    ).repartition(3)
+    got = (
+        bigram_coherence(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    ws = [re.findall("[a-z]+", t.lower()) for t in texts]
+    cnt = collections.Counter(
+        (w[i], w[i + 1]) for w in ws for i in range(len(w) - 1)
+    )
+    for i, w in enumerate(ws):
+        pairs = [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+        row = got.iloc[i]
+        assert row["n_bigrams"] == len(pairs)
+        assert row["freq_sum"] == sum(cnt[p] for p in pairs)
+        want = (
+            0.0
+            if not pairs
+            else float(
+                round_half_away(
+                    np.float64(sum(cnt[p] for p in pairs)) / len(pairs), 8
+                )
+            )
+        )
+        assert row["coherence"] == want, i
