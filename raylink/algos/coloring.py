@@ -39,16 +39,13 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from raylink.algos.mis import _pri  # the shared symmetry-breaking priority
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp, sort_msgs
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import route_parts, splitmix64
+from raylink.util import route_parts
 
 MASK_WORDS = 4  # 256 trackable colors
-
-
-def _pri(v: np.ndarray, seed: np.uint64) -> np.ndarray:
-    return splitmix64(v.astype(np.uint64) ^ seed)
 
 
 class JPColoring(Algorithm):

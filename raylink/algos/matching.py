@@ -36,10 +36,7 @@ import pyarrow as pa
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp, sort_msgs
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import route_parts, splitmix64
-
-PROPOSE = 0
-DEAD = 1
+from raylink.util import isin_sorted, route_parts, splitmix64
 
 
 def _edge_pri(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -52,7 +49,9 @@ def _edge_pri(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 class MaximalMatching(Algorithm):
     name = "matching"
-    msg_fields = [("kind", pa.int64()), ("other", pa.int64())]
+    # superstep parity disambiguates message type: even supersteps consume
+    # death notices, odd supersteps consume proposals — no kind column
+    msg_fields = [("other", pa.int64())]
 
     def init(self, shard: dict, ctx: dict) -> dict:
         n = len(shard["vids"])
@@ -82,11 +81,11 @@ class MaximalMatching(Algorithm):
             nbr = indices.astype(np.int64, copy=False)
             seg = np.repeat(np.arange(n, dtype=np.int64), deg)
             src = vids[seg]
-            pos = np.searchsorted(dead_vids, nbr)
-            nbr_dead = (pos < len(dead_vids)) & (
-                dead_vids[np.minimum(pos, max(len(dead_vids) - 1, 0))] == nbr
-            ) if len(dead_vids) else np.zeros(len(nbr), dtype=bool)
-            alive = (mate[seg] == -1) & ~nbr_dead & (nbr != src)
+            alive = (
+                (mate[seg] == -1)
+                & ~isin_sorted(dead_vids, nbr)
+                & (nbr != src)
+            )
             seg_a, nbr_a, src_a = seg[alive], nbr[alive], src[alive]
             proposed_to[:] = -1
             if len(seg_a):
@@ -98,9 +97,7 @@ class MaximalMatching(Algorithm):
                 best = nbr_a[order][first]
                 proposed_to[owners] = best
                 out = self.make_msgs(
-                    route_parts(shard, ctx, best), best,
-                    kind=np.full(len(best), PROPOSE, dtype=np.int64),
-                    other=vids[owners],
+                    route_parts(shard, ctx, best), best, other=vids[owners]
                 )
                 n_active = len(owners)
         else:
@@ -126,15 +123,11 @@ class MaximalMatching(Algorithm):
                     selm = np.repeat(newm, deg)
                     dst = indices[selm].astype(np.int64, copy=False)
                     srcv = np.repeat(vids, deg)[selm]
-                    keep = (dst != srcv) & (dst != np.repeat(mate, deg)[selm])
-                    if len(dead_vids):
-                        p2 = np.searchsorted(dead_vids, dst)
-                        tgt_dead = (p2 < len(dead_vids)) & (
-                            dead_vids[
-                                np.minimum(p2, len(dead_vids) - 1)
-                            ] == dst
-                        )
-                        keep &= ~tgt_dead
+                    keep = (
+                        (dst != srcv)
+                        & (dst != np.repeat(mate, deg)[selm])
+                        & ~isin_sorted(dead_vids, dst)
+                    )
                     dst, srcv = dst[keep], srcv[keep]
                     if len(dst):
                         order2 = np.lexsort((dst, srcv))
@@ -145,11 +138,12 @@ class MaximalMatching(Algorithm):
                         ]
                         dst, srcv = dst[uniq], srcv[uniq]
                         out = self.make_msgs(
-                            route_parts(shard, ctx, dst), dst,
-                            kind=np.full(len(dst), DEAD, dtype=np.int64),
-                            other=srcv,
+                            route_parts(shard, ctx, dst), dst, other=srcv
                         )
-            n_active = int((proposed_to >= 0).sum())
+            # standing = proposals NOT consummated this superstep — counting
+            # matched proposers here would spuriously fail a run whose true
+            # round count equals the budget
+            n_active = int(((proposed_to >= 0) & (mate == -1)).sum())
         state = {
             "mate": mate, "match_round": match_round,
             "proposed_to": proposed_to, "dead_vids": dead_vids,
@@ -183,8 +177,10 @@ def maximal_matching(
     ctx = {"partitioner": g.partitioner, "num_parts": g.num_parts,
            "ckpt_every": ckpt_every}
     _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    # 2 supersteps per round + ONE drain step: the final round's death
+    # notices resolve losers' standing proposals only on the next even step
     res = _run(
-        g, MaximalMatching(), ctx, max_supersteps=2 * max_rounds,
+        g, MaximalMatching(), ctx, max_supersteps=2 * max_rounds + 1,
         ckpt_dir=ckpt_dir, resume=resume,
     )
     if res.history and res.history[-1]["n_active"] > 0:

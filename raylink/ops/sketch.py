@@ -289,8 +289,10 @@ def hll_grouped_distinct_words(
     Per batch: key strings dictionary-encode, word occurrences come from
     the shared Arrow extractor (``textstats._word_codes``), item hash =
     splitmix64(FNV-1a(word)) — the same mirrored kernels as every sketch
-    — and a (keys x 2^p) register matrix max-accumulates per batch, so
-    the shuffle carries only nonzero (key, reg, rank) partials. One
+    — and per-(key, register) maxima accumulate SPARSELY (sort + run
+    maxima over the occurrence rows — no dense keys x 2^p matrix, so key
+    cardinality is unbounded), so the shuffle carries only nonzero
+    (key, reg, rank) partials. One
     coarse-bucket groupby (bucketed by FNV of the key string — all rows
     of one key in one group) MAX-merges and emits per-key estimate rows.
 
@@ -322,16 +324,20 @@ def hll_grouped_distinct_words(
             )
         wh = splitmix64(text_hash64(dictionary))
         reg, rank = hll_ranks(wh, p)
-        acc = np.zeros((nk, m), dtype=np.int64)
-        np.maximum.at(acc, (kcodes[doc_idx], reg[codes]), rank[codes])
-        ki, ri = np.nonzero(acc)
+        key2 = kcodes[doc_idx] * m + reg[codes]
+        rk = rank[codes]
+        order = np.lexsort((rk, key2))
+        k2, r2 = key2[order], rk[order]
+        starts = np.flatnonzero(np.r_[True, k2[1:] != k2[:-1]])
+        ends = np.r_[starts[1:], len(k2)] - 1  # rank asc in run -> max last
+        ki = k2[starts] // m
         kh = splitmix64(text_hash64(kdict))
         return pa.table(
             {
                 "kb": pa.array(((kh[ki] % B)).astype(np.int32)),
                 key_col: kdict.take(pa.array(ki)),
-                "reg": pa.array(ri.astype(np.int64)),
-                "rank": pa.array(acc[ki, ri]),
+                "reg": pa.array((k2[starts] % m).astype(np.int64)),
+                "rank": pa.array(r2[ends]),
             }
         )
 
@@ -342,11 +348,19 @@ def hll_grouped_distinct_words(
         nk = len(kdict)
         reg = group.column("reg").to_numpy(zero_copy_only=False)
         rank = group.column("rank").to_numpy(zero_copy_only=False)
-        acc = np.zeros((nk, m), dtype=np.int64)
-        np.maximum.at(acc, (kcodes, reg), rank)
-        capped = np.minimum(acc, RANK_CAP)
-        sum_t = (np.int64(1) << (RANK_CAP - capped)).sum(axis=1)
-        n_zero = (acc == 0).sum(axis=1).astype(np.int64)
+        key2 = kcodes * m + reg
+        order = np.lexsort((rank, key2))
+        k2, r2 = key2[order], rank[order]
+        starts = np.flatnonzero(np.r_[True, k2[1:] != k2[:-1]])
+        ends = np.r_[starts[1:], len(k2)] - 1
+        ki = k2[starts] // m
+        mx = r2[ends]
+        nnz = np.bincount(ki, minlength=nk)
+        capped = np.minimum(mx, RANK_CAP)
+        sum_t = np.full(nk, 0, dtype=np.int64)
+        np.add.at(sum_t, ki, np.int64(1) << (RANK_CAP - capped))
+        sum_t += (m - nnz) * (np.int64(1) << RANK_CAP)
+        n_zero = (m - nnz).astype(np.int64)
         raw = 0.7213 / (1.0 + 1.079 / m) * m * m * float(1 << RANK_CAP) / sum_t
         lin = np.zeros(nk)
         nzpos = n_zero > 0

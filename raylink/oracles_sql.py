@@ -1029,9 +1029,9 @@ FROM agg ORDER BY vid"""
 
 def host_vocab_sql(p: int = 8) -> str:
     """Per-host HLL distinct-word estimates, register-for-register
-    (ops/sketch.hll_grouped_distinct_words): the page text is rebuilt
-    from the synthetic spec (domain_stats_sql's construction), words are
-    the shared [a-z]+ extraction, item hash = splitmix64(FNV-1a(word)),
+    (ops/sketch.hll_grouped_distinct_words): page text rebuilt from the
+    synthetic spec (the shared PAGE_TEXT_CTES), words = the shared
+    WORD_PATTERN extraction, item hash = splitmix64(FNV-1a(word)),
     registers MAX-merged per (host, reg)."""
     m = 1 << p
     wbits = 64 - p
@@ -1039,23 +1039,10 @@ def host_vocab_sql(p: int = 8) -> str:
     return (
         _with(
             GRAPH_CTES,
-            """k AS (
-  SELECT d.doc_id, d.text,
-    CASE WHEN d.doc_id < p.m
-         THEN (d.doc_id % 5) + 1 + CASE WHEN d.doc_id % 7 = 3 THEN 1 ELSE 0 END
-         ELSE 0 END AS nlinks
-  FROM documents d, mm p)""",
-            """pg AS (
-  SELECT 'site' || (doc_id % 97) || '.example' AS host,
-         'Document ' || doc_id || chr(10)
-           || replace(replace(text, chr(13), ' '), chr(10), ' ')
-           || CASE WHEN nlinks > 0
-                   THEN chr(10) || rtrim(repeat('link' || chr(10), nlinks), chr(10))
-                   ELSE '' END AS txt
-  FROM k)""",
-            """hw AS MATERIALIZED (
+            *PAGE_TEXT_CTES,
+            f"""hw AS MATERIALIZED (
   SELECT DISTINCT host, word
-  FROM pg, unnest(regexp_extract_all(lower(txt), '[a-z]+')) AS w(word))""",
+  FROM pg, unnest(regexp_extract_all(lower(txt), '{WORD_PATTERN}')) AS w(word))""",
             f"hh AS (SELECT host, {_sm64(_fnv64('word'))} AS h FROM hw)",
             f"""rr AS (SELECT host,
   CAST(h & CAST({m - 1} AS UBIGINT) AS BIGINT) AS reg,
@@ -1076,6 +1063,7 @@ SELECT host, n_zero, sum_t,
                   ELSE {raw} END, 6) AS distinct_est
 FROM agg ORDER BY host"""
     )
+
 
 
 def dedup_clusters_sql(n: int = 3, tau: float = 0.5) -> str:
@@ -1108,31 +1096,35 @@ lbl AS (
 SELECT vid::BIGINT AS doc_id, MIN(l)::BIGINT AS cluster FROM lbl GROUP BY vid"""
 
 
-def domain_stats_sql() -> str:
-    """Per-site page counts + extracted-text char totals (mirrors
-    queries.q_domain_stats over the synthetic url scheme)."""
-    return (
-        _with(
-            GRAPH_CTES,
-            """k AS (
+PAGE_TEXT_CTES = (
+    """k AS (
   SELECT d.doc_id, d.text,
     CASE WHEN d.doc_id < p.m
          THEN (d.doc_id % 5) + 1 + CASE WHEN d.doc_id % 7 = 3 THEN 1 ELSE 0 END
          ELSE 0 END AS nlinks
   FROM documents d, mm p)""",
-            """pg AS (
+    """pg AS (
   SELECT 'site' || (doc_id % 97) || '.example' AS host,
-         length('Document ' || doc_id || chr(10)
+         'Document ' || doc_id || chr(10)
            || replace(replace(text, chr(13), ' '), chr(10), ' ')
            || CASE WHEN nlinks > 0
                    THEN chr(10) || rtrim(repeat('link' || chr(10), nlinks), chr(10))
-                   ELSE '' END) AS n_chars
+                   ELSE '' END AS txt
   FROM k)""",
-        )
+)  # the synthetic page text, reconstructed once for every host-level oracle
+
+
+def domain_stats_sql() -> str:
+    """Per-site page counts + extracted-text char totals (mirrors
+    queries.q_domain_stats over the synthetic url scheme)."""
+    return (
+        _with(GRAPH_CTES, *PAGE_TEXT_CTES)
         + """
-SELECT host, count(*)::BIGINT AS n_pages, SUM(n_chars)::BIGINT AS total_chars
+SELECT host, count(*)::BIGINT AS n_pages,
+       SUM(length(txt))::BIGINT AS total_chars
 FROM pg GROUP BY host"""
     )
+
 
 
 def token_count_sql() -> str:

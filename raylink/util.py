@@ -61,6 +61,17 @@ def mod_partitioner(vids: np.ndarray, num_parts: int) -> np.ndarray:
 PARTITIONERS = {"hash": hash_partitioner, "mod": mod_partitioner}
 
 
+def isin_sorted(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Membership of each needle in a SORTED haystack — the
+    searchsorted + bounds-clamp + equality idiom, in one place."""
+    if len(haystack) == 0:
+        return np.zeros(len(needles), dtype=bool)
+    pos = np.searchsorted(haystack, needles)
+    return (pos < len(haystack)) & (
+        haystack[np.minimum(pos, len(haystack) - 1)] == needles
+    )
+
+
 def route_parts(shard: dict, ctx: dict, dsts: np.ndarray) -> np.ndarray:
     """Destination partition of each message target.
 

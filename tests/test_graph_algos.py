@@ -1675,3 +1675,11 @@ def test_maximal_matching(edge_data, tmp_path):
     got2 = out2.to_pandas().sort_values("vid").reset_index(drop=True)
     assert got2["mate"].tolist() == got["mate"].tolist()
     assert got2["match_round"].tolist() == got["match_round"].tolist()
+    # a budget equal to the TRUE round count must succeed (consummated
+    # proposals are not "standing" — the review repro)
+    _, out3 = maximal_matching(
+        edges_ds, vertices_ds=verts_ds, max_rounds=r,
+        ckpt_dir=str(tmp_path / "mm_x"), engine="tasks",
+    )
+    got3 = out3.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert got3["mate"].tolist() == got["mate"].tolist()
