@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness": q.q_betweenness,
         "label_propagation": q.q_label_propagation,
         "communities": q.q_communities,
+        "modularity": q.q_modularity,
         "wl_classes": q.q_wl_classes,
         "densest": q.q_densest,
         "triangle_count": q.q_triangles,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": o.betweenness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "label_propagation": o.lpa_sql(),
         "communities": o.communities_sql(rounds=q.LPA_COMMUNITY_ROUNDS),
+        "modularity": o.modularity_sql(rounds=q.LPA_COMMUNITY_ROUNDS),
         "wl_classes": o.wl_classes_sql(rounds=q.WL_ROUNDS),
         "densest": o.densest_sql(factor=3, rounds=q.DENSEST_SQL_ROUNDS),
         "triangle_count": o.triangles_sql(),

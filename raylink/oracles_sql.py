@@ -948,13 +948,10 @@ def wl_classes_sql(rounds: int = 3) -> str:
     )
 
 
-def communities_sql(rounds: int = 5) -> str:
-    """Max-frequency LPA mirrored round for round (algos/lpa.CommunityLPA):
-    label(v, t) = most frequent neighbor label at t-1 over the undirected
-    closure, ties to the smallest label, no-neighbor vertices keep their
-    previous label. The engine may halt early at a fixpoint — a fixpoint
-    reproduces itself, so the round-``rounds`` table is identical."""
-    ctes = [GRAPH_CTES, "l0 AS (SELECT vid, vid AS lab FROM verts)"]
+def _lpa_label_ctes(rounds: int) -> list:
+    """The max-frequency-LPA label CTE chain (l0..l<rounds>), shared by
+    communities_sql and modularity_sql."""
+    ctes = ["l0 AS (SELECT vid, vid AS lab FROM verts)"]
     for t in range(1, rounds + 1):
         ctes.append(
             f"""c{t} AS (
@@ -974,9 +971,56 @@ def communities_sql(rounds: int = 5) -> str:
   FROM l{t - 1} prev
   LEFT JOIN (SELECT vid, lab FROM p{t} WHERE rk = 1) p ON p.vid = prev.vid)""",
         )
+    return ctes
+
+
+def communities_sql(rounds: int = 5) -> str:
+    """Max-frequency LPA mirrored round for round (algos/lpa.CommunityLPA):
+    label(v, t) = most frequent neighbor label at t-1 over the undirected
+    closure, ties to the smallest label, no-neighbor vertices keep their
+    previous label. The engine may halt early at a fixpoint — a fixpoint
+    reproduces itself, so the round-``rounds`` table is identical."""
+    ctes = [GRAPH_CTES] + _lpa_label_ctes(rounds)
     return (
         _with(*ctes)
         + f"\nSELECT vid::BIGINT AS vid, lab::BIGINT AS label FROM l{rounds} ORDER BY vid"
+    )
+
+
+def modularity_sql(rounds: int = 5) -> str:
+    """Mirrors queries.q_modularity: LPA labels (the communities_sql
+    chain), then per-label internal-edge / endpoint-degree integer counts
+    over the simple undirected edge set, and the engine's exact float
+    expression q = internal/E - (deg/(2E))^2 (two divisions + one
+    multiply, then round-half-away(8) == ROUND)."""
+    ctes = [GRAPH_CTES] + _lpa_label_ctes(rounds) + [
+        """se AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+        "ec AS (SELECT COUNT(*)::BIGINT AS c FROM se)",
+        f"lab AS (SELECT vid, lab FROM l{rounds})",
+        """inc AS (
+  SELECT la.lab AS label, 1 AS deg,
+         CASE WHEN la.lab = lb.lab THEN 1 ELSE 0 END AS internal
+  FROM se JOIN lab la ON la.vid = se.a JOIN lab lb ON lb.vid = se.b
+  UNION ALL
+  SELECT lb.lab, 1, 0
+  FROM se JOIN lab la ON la.vid = se.a JOIN lab lb ON lb.vid = se.b)""",
+        """pl AS (SELECT label, SUM(deg)::BIGINT AS degree_sum,
+  SUM(internal)::BIGINT AS internal_edges FROM inc GROUP BY label)""",
+        """nvt AS (SELECT lab AS label, COUNT(*)::BIGINT AS n_vertices
+  FROM lab GROUP BY lab)""",
+    ]
+    return (
+        _with(*ctes)
+        + """
+SELECT n.label, n.n_vertices,
+       COALESCE(p.internal_edges, 0)::BIGINT AS internal_edges,
+       COALESCE(p.degree_sum, 0)::BIGINT AS degree_sum,
+       ROUND(COALESCE(p.internal_edges, 0) / CAST(ec.c AS DOUBLE)
+             - (COALESCE(p.degree_sum, 0) / (2.0 * ec.c))
+               * (COALESCE(p.degree_sum, 0) / (2.0 * ec.c)), 8) AS q
+FROM nvt n LEFT JOIN pl p USING (label), ec ORDER BY n.label"""
     )
 
 

@@ -2660,6 +2660,152 @@ def q_mis(sf_dir: str):
     return maximal_independent_set(edges, seed=0)
 
 
+def q_modularity(sf_dir: str):
+    """Per-community modularity contributions of the LPA communities —
+    the standard partition-quality metric q_i = E_i/E - (d_i/2E)^2 (Q =
+    sum q_i): one resume of the SAME community_lpa checkpoint
+    q_communities runs, then label attach on both edge endpoints
+    (thresholded broadcast/hash), integer internal-edge and degree-sum
+    aggregates per label, and two IEEE float ops per row at the end ->
+    (label, n_vertices, internal_edges, degree_sum, q)."""
+    from raylink.algos.lpa import community_lpa
+    from raylink.algos.triangles import _canon, _unpack
+    from raylink.join import attach_lookup, bucketed_distinct, with_typed_empty
+    from raylink.util import splitmix64
+
+    g = page_graph(sf_dir, directed=False)
+    _, labels = community_lpa(
+        g=g, rounds=LPA_COMMUNITY_ROUNDS, engine="tasks",
+        ckpt_dir=_ckpt("community_lpa", sf_dir, LPA_COMMUNITY_ROUNDS),
+    )
+    n_verts = g.n_vertices
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    simple = bucketed_distinct(
+        edges.map_batches(_canon, batch_format="pyarrow"), "key",
+        num_buckets=64,
+    )
+    n_edges = simple.count()  # E: one scalar on the driver
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    pairs = simple.map_batches(pair_rows, batch_format="pyarrow")
+
+    def keyed(col: str):
+        return labels.map_batches(
+            lambda t, c=col: pa.table(
+                {c: t.column("vid"), "label": t.column("label")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    both = attach_lookup(
+        attach_lookup(
+            pairs, keyed("a"), on="a", left_cols={"b": pa.int64()},
+            value_cols={"label": pa.int64()}, n_lookup_rows=n_verts,
+        ).map_batches(
+            lambda t: pa.table(
+                {"b": t.column("b"), "la": t.column("label"),
+                 "a": t.column("a")}
+            ),
+            batch_format="pyarrow",
+        ),
+        keyed("b"), on="b", left_cols={"a": pa.int64(), "la": pa.int64()},
+        value_cols={"label": pa.int64()}, n_lookup_rows=n_verts,
+    )
+
+    B = np.uint64(32)
+
+    def label_partials(batch: pa.Table) -> pa.Table:
+        la = batch.column("la").to_numpy(zero_copy_only=False)
+        lb = batch.column("label").to_numpy(zero_copy_only=False)
+        # each edge credits 1 degree to both endpoint labels; internal
+        # edges (la == lb) credit 1 internal + 2 degree to the one label
+        lab = np.concatenate([la, lb])
+        deg = np.ones(len(lab), dtype=np.int64)
+        internal = np.concatenate(
+            [(la == lb).astype(np.int64), np.zeros(len(lb), np.int64)]
+        )
+        ul, inv = np.unique(lab, return_inverse=True)
+        ds_ = np.zeros(len(ul), dtype=np.int64)
+        is_ = np.zeros(len(ul), dtype=np.int64)
+        np.add.at(ds_, inv, deg)
+        np.add.at(is_, inv, internal)
+        return pa.table(
+            {
+                "lb2": pa.array(
+                    (splitmix64(ul.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "label": pa.array(ul),
+                "deg": pa.array(ds_),
+                "internal": pa.array(is_),
+            }
+        )
+
+    def vert_partials(batch: pa.Table) -> pa.Table:
+        lv = batch.column("label").to_numpy(zero_copy_only=False)
+        ul, cnt = np.unique(lv, return_counts=True)
+        return pa.table(
+            {
+                "lb2": pa.array(
+                    (splitmix64(ul.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "label": pa.array(ul),
+                "deg": pa.array(np.zeros(len(ul), dtype=np.int64)),
+                "internal": pa.array(np.zeros(len(ul), dtype=np.int64)),
+                "nv": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def zero_nv(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "nv", pa.array(np.zeros(len(batch), dtype=np.int64))
+        )
+
+    rows = (
+        both.map_batches(label_partials, batch_format="pyarrow")
+        .map_batches(zero_nv, batch_format="pyarrow")
+        .union(labels.map_batches(vert_partials, batch_format="pyarrow"))
+    )
+
+    E = float(n_edges)
+
+    def combine(group: pa.Table) -> pa.Table:
+        lab = group.column("label").to_numpy(zero_copy_only=False)
+        ul, inv = np.unique(lab, return_inverse=True)
+        deg = np.zeros(len(ul), dtype=np.int64)
+        internal = np.zeros(len(ul), dtype=np.int64)
+        nv = np.zeros(len(ul), dtype=np.int64)
+        np.add.at(deg, inv, group.column("deg").to_numpy(zero_copy_only=False))
+        np.add.at(
+            internal, inv,
+            group.column("internal").to_numpy(zero_copy_only=False),
+        )
+        np.add.at(nv, inv, group.column("nv").to_numpy(zero_copy_only=False))
+        t = deg / (2.0 * E)
+        q = internal / E - t * t
+        from raylink.util import round_half_away
+
+        return pa.table(
+            {
+                "label": pa.array(ul),
+                "n_vertices": pa.array(nv),
+                "internal_edges": pa.array(internal),
+                "degree_sum": pa.array(deg),
+                "q": pa.array(round_half_away(q, 8)),
+            }
+        )
+
+    return with_typed_empty(
+        rows.groupby("lb2").map_groups(combine, batch_format="pyarrow"),
+        {"label": pa.int64(), "n_vertices": pa.int64(),
+         "internal_edges": pa.int64(), "degree_sum": pa.int64(),
+         "q": pa.float64()},
+    ).sort("label")
+
+
 JP_ROUNDS = 32
 
 

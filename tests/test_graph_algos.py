@@ -1683,3 +1683,46 @@ def test_maximal_matching(edge_data, tmp_path):
     )
     got3 = out3.to_pandas().sort_values("vid").reset_index(drop=True)
     assert got3["mate"].tolist() == got["mate"].tolist()
+
+
+def test_modularity_aggregation(ray_session):
+    """q_modularity end-to-end at sf0.001 == brute-force python replica
+    computed from the engine's own LPA labels and edge table."""
+    import collections
+
+    from raylink.queries import q_communities, q_modularity, q_page_edges
+    from raylink.util import round_half_away
+
+    sf = "/root/testdata/sf0.001"
+    got = q_modularity(sf).to_pandas().sort_values("label").reset_index(drop=True)
+    lab_pdf = q_communities(sf).to_pandas()
+    lab = dict(zip(lab_pdf["vid"], lab_pdf["label"]))
+    ep = q_page_edges(sf).to_pandas()
+    simple = {
+        (min(int(s), int(d)), max(int(s), int(d)))
+        for s, d in zip(ep["src"], ep["dst"])
+        if s != d
+    }
+    E = len(simple)
+    internal = collections.Counter()
+    deg = collections.Counter()
+    for a, b in simple:
+        deg[lab[a]] += 1
+        deg[lab[b]] += 1
+        if lab[a] == lab[b]:
+            internal[lab[a]] += 1
+    nv = collections.Counter(lab.values())
+
+    assert got["label"].tolist() == sorted(nv)
+    for _, row in got.iterrows():
+        c = row["label"]
+        assert row["n_vertices"] == nv[c]
+        assert row["internal_edges"] == internal[c]
+        assert row["degree_sum"] == deg[c]
+        t = deg[c] / (2.0 * float(E))
+        assert row["q"] == float(
+            round_half_away(np.float64(internal[c]) / float(E) - t * t, 8)
+        )
+    # structural identities
+    assert got["degree_sum"].sum() == 2 * E
+    assert -1.0 <= got["q"].sum() <= 1.0
