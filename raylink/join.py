@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import splitmix64
+from raylink.util import isin_sorted, splitmix64
 
 # lookups above this many rows switch from ray.put broadcast to a hash join
 BROADCAST_THRESHOLD = 2_000_000
@@ -131,9 +131,7 @@ def hash_join(
         rkey = right.column(on).to_numpy(zero_copy_only=False)
         order = np.argsort(rkey)
         rs = rkey[order]
-        pos = np.searchsorted(rs, lkey)
-        ok = (pos < len(rs)) & (rs[np.minimum(pos, max(len(rs) - 1, 0))] == lkey) \
-            if len(rs) else np.zeros(len(lkey), dtype=bool)
+        ok, pos = isin_sorted(rs, lkey, return_pos=True)
         if strict and not ok.all():
             missing = np.unique(lkey[~ok])[:5]
             raise ValueError(f"hash_join: no right row for keys {missing.tolist()}")
@@ -223,10 +221,7 @@ def attach_lookup(
         def attach(batch: pa.Table) -> pa.Table:
             k_sorted, v = ray.get(ref)
             bkey = batch.column(on).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(k_sorted, bkey)
-            ok = (pos < len(k_sorted)) & (
-                k_sorted[np.minimum(pos, max(len(k_sorted) - 1, 0))] == bkey
-            )
+            ok, pos = isin_sorted(k_sorted, bkey, return_pos=True)
             if not ok.all():
                 missing = np.unique(bkey[~ok])[:5]
                 raise ValueError(f"attach_lookup: no lookup row for {missing.tolist()}")
@@ -285,13 +280,7 @@ def semi_join(
         def flt(batch: pa.Table) -> pa.Table:
             k_sorted = ray.get(ref)
             bkey = batch.column(on).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(k_sorted, bkey)
-            hit = (
-                (pos < len(k_sorted))
-                & (k_sorted[np.minimum(pos, max(len(k_sorted) - 1, 0))] == bkey)
-                if len(k_sorted)
-                else np.zeros(len(bkey), dtype=bool)
-            )
+            hit = isin_sorted(k_sorted, bkey)
             sel = batch.filter(pa.array(hit ^ anti))
             out = pa.table(
                 {on: sel.column(on), **{nm: sel.column(nm) for nm in left_cols}}
@@ -326,13 +315,7 @@ def semi_join(
             group.column(on).to_numpy(zero_copy_only=False)[s == 1]
         )
         lkey = left.column(on).to_numpy(zero_copy_only=False)
-        if len(rkey):
-            pos = np.searchsorted(rkey, lkey)
-            hit = (pos < len(rkey)) & (
-                rkey[np.minimum(pos, max(len(rkey) - 1, 0))] == lkey
-            )
-        else:
-            hit = np.zeros(len(lkey), dtype=bool)
+        hit = isin_sorted(rkey, lkey)
         sel = left.filter(pa.array(hit ^ anti))
         out = pa.table(
             {on: sel.column(on), **{nm: sel.column(nm) for nm in left_cols}}
@@ -906,8 +889,8 @@ def pair_attach(cand_ds, values_ds, value_fields: dict,
             vent = vrows.column(id_col).to_numpy(zero_copy_only=False)
             order = np.argsort(vent)
             cent = crows.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(vent[order], cent)
-            if len(vent) == 0 or not (vent[order][np.minimum(pos, len(vent) - 1)] == cent).all():
+            ok, pos = isin_sorted(vent[order], cent, return_pos=True)
+            if not ok.all():
                 raise ValueError("pair_attach: candidate id missing a value row")
             taken = vrows.take(pa.array(order[pos]))
             for nm in names:
@@ -1027,19 +1010,45 @@ def loop_barrier(ds, tag: str = "loop"):
     execution time grow exponentially with round count in Ray 2.49
     (measured: 12 chained 30-row self-joins degrade 1 s -> 60 s/iteration;
     flat ~3 s with this parquet barrier — the same reason the BSP engine
-    checkpoints supersteps to parquet, superstep.py). Scratch lives under
-    /tmp/raylink-loop, one directory per call, replaced on reuse."""
-    import os
-    import shutil
+    checkpoints supersteps to parquet, superstep.py).
+
+    Scratch goes through ``raylink.storage`` under ``$RAYLINK_CKPT_ROOT/
+    loop`` (shared storage on a multi-node cluster, like every other
+    checkpoint path; node-local /tmp would silently scatter partitions
+    across nodes). One directory per call. Snapshots must OUTLIVE the loop
+    round that wrote them — the returned Dataset is lazy and its parquet is
+    re-read on every downstream execution — so nothing is deleted eagerly;
+    call ``loop_barrier_cleanup(tag)`` once the loop's results have been
+    fully consumed (or rely on the checkpoint root's normal lifecycle)."""
     import uuid
 
     import ray.data as rd
 
-    path = os.path.join("/tmp/raylink-loop", f"{tag}-{uuid.uuid4().hex[:12]}")
-    shutil.rmtree(path, ignore_errors=True)
+    from raylink import storage
+    from raylink.superstep import CKPT_ROOT
+
+    root = storage.join(CKPT_ROOT, "loop")
+    path = storage.join(root, f"{tag}-{uuid.uuid4().hex[:12]}")
     ds.write_parquet(path)
-    if not os.path.isdir(path) or not os.listdir(path):
+    if not storage.exists(path) or not storage.listdir(path):
         # empty dataset -> zero files written; the (already-executed, empty)
         # input is safe to hand back — its only consumer is a count/terminal
         return ds
+    _LOOP_DIRS.setdefault(tag, []).append(path)
     return rd.read_parquet(path)
+
+
+_LOOP_DIRS: dict = {}  # tag -> snapshot dirs written this process
+
+
+def loop_barrier_cleanup(tag: str) -> int:
+    """Delete every snapshot ``loop_barrier`` wrote under ``tag`` in this
+    process. Call ONLY after the loop's outputs are fully materialized
+    (written to their own parquet / collected) — the barrier Datasets are
+    lazy readers of these files. Returns the number of dirs removed."""
+    from raylink import storage
+
+    dirs = _LOOP_DIRS.pop(tag, [])
+    for d in dirs:
+        storage.delete_dir(d)
+    return len(dirs)

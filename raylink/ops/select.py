@@ -69,12 +69,21 @@ def stratified_sample(
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         enc = col.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        # null stratum -> NaN index; route to the default threshold (the
+        # SQL mirror's CASE ... ELSE branch)
+        null_mask = np.isnan(codes) if codes.dtype.kind == "f" else None
+        codes = np.nan_to_num(codes, nan=0.0).astype(np.int64) \
+            if null_mask is not None else codes.astype(np.int64)
         vocab = enc.dictionary.to_pylist()
         lut = np.array(
             [strat_t.get(v, default_t) for v in vocab], dtype=np.uint64
         )
-        return batch.filter(pa.array(h < lut[codes]))
+        thr = lut[codes] if len(lut) else np.full(len(codes), default_t,
+                                                  dtype=np.uint64)
+        if null_mask is not None:
+            thr = np.where(null_mask, np.uint64(default_t), thr)
+        return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -338,6 +347,24 @@ def ordered_prefix_sum(ds, key_col: str, value_col: str, out_col: str = "prefix"
     carry = dict(carry_cols or {})
     B = int(num_buckets)
     stats = ds.aggregate(Min(on=key_col), Max(on=key_col))  # one pass
+    if stats is None or stats.get(f"min({key_col})") is None:
+        # empty input: emit the documented output schema with zero rows
+        import ray.data as rd
+
+        sch = ds.schema(fetch_if_missing=True)
+
+        def _typ(nm):
+            try:
+                return sch.base_schema.field(nm).type
+            except Exception:
+                return pa.int64()
+
+        cols = {key_col: pa.array([], type=_typ(key_col)),
+                value_col: pa.array([], type=_typ(value_col))}
+        for nm in carry:
+            cols[nm] = pa.array([], type=_typ(nm))
+        cols[out_col] = pa.array([], type=pa.int64())
+        return rd.from_arrow(pa.table(cols))
     kmin = int(stats[f"min({key_col})"])
     kmax = int(stats[f"max({key_col})"])
     # ceil-divide the span so bucket ids stay < B; uint64 arithmetic keeps
@@ -363,7 +390,8 @@ def ordered_prefix_sum(ds, key_col: str, value_col: str, out_col: str = "prefix"
         ds.map_batches(bucket_sums, batch_format="pyarrow"), ["b"], ["s"]
     ).to_pandas()
     totals = np.zeros(B, dtype=np.int64)
-    totals[hist["b"].to_numpy(np.int64)] = hist["sum(s)"].to_numpy(np.int64)
+    if len(hist) and "b" in hist.columns:  # all-zero values -> no rows
+        totals[hist["b"].to_numpy(np.int64)] = hist["sum(s)"].to_numpy(np.int64)
     offsets_ref = ray.put(np.concatenate([[0], np.cumsum(totals)[:-1]]))
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -421,6 +449,13 @@ def latest_by_key(ds, key_col: str, order_col: str, id_col: str):
             col = col.combine_chunks()
         if pa.types.is_timestamp(col.type):
             v = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        elif pa.types.is_floating(col.type):
+            # int64-truncating a float order would silently reorder rows
+            # (100.9 vs 100.2 both -> 100); demand an exact domain
+            raise TypeError(
+                "latest_by_key: float order_col would truncate — cast to "
+                "timestamp or integer first"
+            )
         else:
             v = col.to_numpy(zero_copy_only=False).astype(np.int64)
         return batch.append_column("_ord", pa.array(v))
@@ -489,6 +524,13 @@ def chunk_docs(docs_ds, chunk: int = 64, overlap: int = 16):
     def chunks(batch: pa.Table) -> pa.Table:
         text = pc.fill_null(batch.column("text").combine_chunks(), "")
         doc_idx, codes, dic = _word_codes(text)
+        if len(doc_idx) == 0:  # every doc wordless -> no chunk rows
+            return pa.table(
+                {"doc_id": pa.array([], type=batch.column("doc_id").type),
+                 "chunk_idx": pa.array([], type=pa.int64()),
+                 "chunk_text": pa.array([], type=pa.string()),
+                 "n_tokens": pa.array([], type=pa.int64())}
+            )
         n = len(batch)
         n_words = np.bincount(doc_idx, minlength=n)
         # word position within its doc
@@ -567,13 +609,24 @@ def table_profile(ds, num_cols: list[str]):
             n=("n", "sum"), n_null=("n_null", "sum"),
             mn=("mn", "min"), mx=("mx", "max"),
         ).reset_index()
+        # an all-null column never left the +-inf sentinels: report NULL
+        # (what SQL min()/max() return), never inf bounds with min > max
+        allnull = agg["n"].to_numpy(np.int64) == agg["n_null"].to_numpy(np.int64)
+        mn = agg["mn"].to_numpy(np.float64)
+        mx = agg["mx"].to_numpy(np.float64)
         return pa.table(
             {
                 "column": pa.array(agg["column"], type=pa.string()),
                 "n": pa.array(agg["n"].to_numpy(np.int64)),
                 "n_null": pa.array(agg["n_null"].to_numpy(np.int64)),
-                "min": pa.array(agg["mn"].to_numpy(np.float64)),
-                "max": pa.array(agg["mx"].to_numpy(np.float64)),
+                "min": pa.array(
+                    [None if a else float(v) for a, v in zip(allnull, mn)],
+                    type=pa.float64(),
+                ),
+                "max": pa.array(
+                    [None if a else float(v) for a, v in zip(allnull, mx)],
+                    type=pa.float64(),
+                ),
             }
         )
 

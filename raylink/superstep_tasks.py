@@ -245,9 +245,8 @@ def run_bsp_tasks(
                 for i in range(P)
             ]
         )
-        if last_agg["msgs_out"] == 0:
-            if not halted and last_agg["n_active"] == 0:
-                halted = True
+        # (halting was fully decided inside the round loop — its break
+        # condition subsumes the msgs_out==0 ∧ n_active==0 case)
         ck.write_manifest(
             {
                 "algo": algo.name,

@@ -61,15 +61,21 @@ def mod_partitioner(vids: np.ndarray, num_parts: int) -> np.ndarray:
 PARTITIONERS = {"hash": hash_partitioner, "mod": mod_partitioner}
 
 
-def isin_sorted(haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+def isin_sorted(
+    haystack: np.ndarray, needles: np.ndarray, return_pos: bool = False
+):
     """Membership of each needle in a SORTED haystack — the
-    searchsorted + bounds-clamp + equality idiom, in one place."""
+    searchsorted + bounds-clamp + equality idiom, in one place.
+    With ``return_pos`` also returns the insertion positions (valid as
+    haystack indices wherever the mask is True)."""
     if len(haystack) == 0:
-        return np.zeros(len(needles), dtype=bool)
+        hit = np.zeros(len(needles), dtype=bool)
+        return (hit, np.zeros(len(needles), dtype=np.int64)) if return_pos else hit
     pos = np.searchsorted(haystack, needles)
-    return (pos < len(haystack)) & (
+    hit = (pos < len(haystack)) & (
         haystack[np.minimum(pos, len(haystack) - 1)] == needles
     )
+    return (hit, pos) if return_pos else hit
 
 
 def route_parts(shard: dict, ctx: dict, dsts: np.ndarray) -> np.ndarray:

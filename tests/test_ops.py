@@ -1853,3 +1853,75 @@ def test_bigram_coherence(ray_session):
             )
         )
         assert row["coherence"] == want, i
+
+
+def test_select_edge_cases(ray_session):
+    """Review-found edge cases: wordless chunk batches, null strata,
+    empty/all-zero prefix sums, float order rejection, all-null profile."""
+    import ray.data as rd
+
+    from raylink.ops.select import (
+        chunk_docs,
+        latest_by_key,
+        ordered_prefix_sum,
+        stratified_sample,
+        table_profile,
+    )
+
+    # chunk_docs: batch where every doc has zero [a-z]+ words -> no rows
+    wordless = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": ["123 456", "   "]})
+    )
+    assert chunk_docs(wordless).count() == 0
+
+    # stratified_sample: null stratum takes the default rate, no crash
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(40), type=pa.int64()),
+             "lang": (["en", None] * 20)}
+        )
+    )
+    out = stratified_sample(
+        docs, "doc_id", fraction=1.0, fractions={"en": 0.0}, by="lang",
+        seed=7,
+    ).to_pandas()
+    assert len(out) and (out["lang"].isna()).all()  # en dropped, nulls kept
+
+    # ordered_prefix_sum: empty input keeps the documented schema
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array([], type=pa.int64()),
+                  "v": pa.array([], type=pa.int64())})
+    )
+    eout = ordered_prefix_sum(empty, "k", "v")
+    assert eout.count() == 0
+    assert set(eout.schema().names) == {"k", "v", "prefix"}
+
+    # ordered_prefix_sum: all-zero values -> all-zero exclusive prefix
+    zeros = rd.from_arrow(
+        pa.table({"k": pa.array([3, 1, 2], type=pa.int64()),
+                  "v": pa.array([0, 0, 0], type=pa.int64())})
+    )
+    zdf = ordered_prefix_sum(zeros, "k", "v").to_pandas()
+    assert sorted(zdf["prefix"]) == [0, 0, 0]
+
+    # latest_by_key: float order column is rejected, not truncated
+    ev = rd.from_arrow(
+        pa.table({"u": pa.array([1, 1], type=pa.int64()),
+                  "t": pa.array([100.9, 100.2], type=pa.float64()),
+                  "eid": pa.array([2, 1], type=pa.int64())})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="truncate"):
+        latest_by_key(ev, "u", "t", "eid").count()
+
+    # table_profile: all-null column reports NULL bounds, not +-inf
+    prof = rd.from_arrow(
+        pa.table({"x": pa.array([None, None], type=pa.float64()),
+                  "y": pa.array([1.0, 2.0], type=pa.float64())})
+    )
+    pdf = table_profile(prof, ["x", "y"]).to_pandas().set_index("column")
+    assert pdf.loc["x", "n_null"] == 2
+    assert np.isnan(pdf.loc["x", "min"]) and np.isnan(pdf.loc["x", "max"])
+    assert pdf.loc["y", "min"] == 1.0 and pdf.loc["y", "max"] == 2.0
