@@ -36,7 +36,7 @@ import pyarrow as pa
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp, sort_msgs
 from raylink.superstep_tasks import run_bsp_tasks
-from raylink.util import route_parts
+from raylink.util import unpack_hi, route_parts
 
 FWD = 1
 REV = 2
@@ -69,7 +69,7 @@ def union_flag_edges(edges_ds):
         hi = batch.column("max(flag)").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "src": pa.array(k >> np.int64(32)),
+                "src": pa.array(unpack_hi(k)),
                 "dst": pa.array(k & np.int64(0xFFFFFFFF)),
                 "flag": pa.array((lo | hi).astype(np.float64)),
             }

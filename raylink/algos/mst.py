@@ -35,7 +35,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import splitmix64
+from raylink.util import unpack_hi, splitmix64
 
 
 def minimum_spanning_forest(
@@ -116,7 +116,7 @@ def minimum_spanning_forest(
     def endpoints(batch: pa.Table) -> pa.Table:
         k = batch.column("key").to_numpy(zero_copy_only=False)
         v = np.unique(
-            np.concatenate([k >> np.int64(32), k & np.int64(0xFFFFFFFF)])
+            np.concatenate([unpack_hi(k), k & np.int64(0xFFFFFFFF)])
         )
         return pa.table({"vid": pa.array(v), "comp": pa.array(v)})
 
@@ -139,7 +139,7 @@ def minimum_spanning_forest(
         k = batch.column("key").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "vid": pa.array(k >> np.int64(32)),
+                "vid": pa.array(unpack_hi(k)),
                 "vid2": pa.array(k & np.int64(0xFFFFFFFF)),
                 "key": batch.column("key"),
                 "weight": batch.column("weight"),
@@ -189,7 +189,7 @@ def minimum_spanning_forest(
             def attach_cross(batch: pa.Table) -> pa.Table:
                 vs, ca_map = ray.get(ref)
                 k = batch.column("key").to_numpy(zero_copy_only=False)
-                a = k >> np.int64(32)
+                a = unpack_hi(k)
                 b = k & np.int64(0xFFFFFFFF)
                 ca = ca_map[np.searchsorted(vs, a)]
                 cb = ca_map[np.searchsorted(vs, b)]
@@ -504,7 +504,7 @@ def _finish_forest(forest_parts, B: np.uint64):
         k, w = k[first], w[first]
         return pa.table(
             {
-                "src": pa.array(k >> np.int64(32)),
+                "src": pa.array(unpack_hi(k)),
                 "dst": pa.array(k & np.int64(0xFFFFFFFF)),
                 "weight": pa.array(w),
             }

@@ -45,7 +45,7 @@ import pyarrow as pa
 
 from raylink.graph import LinkGraph, build_graph
 from raylink.superstep import Algorithm, run_bsp
-from raylink.util import route_parts
+from raylink.util import unpack_hi, route_parts
 
 _NEG = np.int64(-(2**62))
 
@@ -75,7 +75,7 @@ def scc_edges(edges_ds):
         k = batch.column("key").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "src": pa.array(k >> np.int64(32)),
+                "src": pa.array(unpack_hi(k)),
                 "dst": pa.array(k & np.int64(0xFFFFFFFF)),
                 "dirmask": pa.array(
                     batch.column("sum(dirmask)")

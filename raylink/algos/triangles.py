@@ -29,7 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import assert_packable, splitmix64
+from raylink.util import unpack_hi, assert_packable, splitmix64
 
 
 def _canon(batch: pa.Table) -> pa.Table:
@@ -45,7 +45,7 @@ def _canon(batch: pa.Table) -> pa.Table:
 
 
 def _unpack(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    return keys >> np.int64(32), keys & np.int64(0xFFFFFFFF)
+    return unpack_hi(keys), keys & np.int64(0xFFFFFFFF)
 
 
 def _distinct_and_degrees(edges_ds):
@@ -328,7 +328,7 @@ def local_clustering(
         else:
             hit = np.zeros(len(wk), dtype=bool)
         hk = wk[hit]
-        members = np.concatenate([wa[hit], hk >> np.int64(32),
+        members = np.concatenate([wa[hit], unpack_hi(hk),
                                   hk & np.int64(0xFFFFFFFF)])
         v, c = np.unique(members, return_counts=True)
         return pa.table(
@@ -526,14 +526,14 @@ def edge_support(
         hk, ha = wk[hit], wa[hit]
         # wedge/edge keys are packed in (degree, vid)-RANK order; the
         # output edge identity is vid-canonical — re-order every credit
-        u, v = hk >> np.int64(32), hk & np.int64(0xFFFFFFFF)
+        u, v = unpack_hi(hk), hk & np.int64(0xFFFFFFFF)
         ea = np.concatenate([np.minimum(u, v), np.minimum(ha, u),
                              np.minimum(ha, v)])
         eb = np.concatenate([np.maximum(u, v), np.maximum(ha, u),
                              np.maximum(ha, v)])
         ek, ec = np.unique((ea << np.int64(32)) | eb, return_counts=True)
         # base rows keep 0-support edges in the output
-        bu, bv = edge_keys >> np.int64(32), edge_keys & np.int64(0xFFFFFFFF)
+        bu, bv = unpack_hi(edge_keys), edge_keys & np.int64(0xFFFFFFFF)
         bk = (np.minimum(bu, bv) << np.int64(32)) | np.maximum(bu, bv)
         allk = np.concatenate([ek, bk])
         allc = np.concatenate([ec.astype(np.int64),
@@ -547,7 +547,7 @@ def edge_support(
         k = batch.column("ekey").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "src": pa.array(k >> np.int64(32)),
+                "src": pa.array(unpack_hi(k)),
                 "dst": pa.array(k & np.int64(0xFFFFFFFF)),
                 "support": pa.array(
                     batch.column("sum(sup)").to_numpy(zero_copy_only=False)
@@ -855,7 +855,7 @@ def four_clique_count(
         else:
             hit = np.zeros(len(wk), dtype=bool)
         hk, ha = wk[hit], wa[hit]
-        u, v = hk >> np.int64(32), hk & np.int64(0xFFFFFFFF)
+        u, v = unpack_hi(hk), hk & np.int64(0xFFFFFFFF)
         # triangle (u, v, ha) -> vid-sorted (a < b < c)
         tri = np.sort(np.stack([u, v, ha], axis=1), axis=1)
         a, b_, c = tri[:, 0], tri[:, 1], tri[:, 2]

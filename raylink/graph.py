@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from raylink import storage
-from raylink.util import PARTITIONERS, make_sgid
+from raylink.util import PARTITIONERS, isin_sorted, make_sgid
 
 # May be a URI (s3://bucket/graphs, file:///mnt/shared/graphs): all shard /
 # boundary / manifest IO goes through raylink.storage (pyarrow.fs), so a
@@ -144,10 +144,7 @@ def edge_localization(shard: dict) -> tuple:
     a searchsorted per BFS level."""
     if "_edge_pos" not in shard:
         vids, indices = shard["vids"], shard["indices"]
-        pos = np.searchsorted(vids, indices)
-        owned = (pos < len(vids)) & (
-            vids[np.minimum(pos, len(vids) - 1)] == indices
-        ) if len(vids) else np.zeros(len(indices), dtype=bool)
+        owned, pos = isin_sorted(vids, indices, return_pos=True)
         shard["_edge_pos"] = pos
         shard["_edge_owned"] = owned
     return shard["_edge_pos"], shard["_edge_owned"]
@@ -227,10 +224,7 @@ def _build_shard(
     indptr = np.cumsum(indptr)
     indices = edst  # already sorted by (src, dst)
     # local (partition-induced) edges for WCC subgraph discovery
-    dst_local_pos = np.searchsorted(vids, edst)
-    dst_owned = (dst_local_pos < len(vids)) & (
-        vids[np.minimum(dst_local_pos, len(vids) - 1)] == edst
-    )
+    dst_owned, dst_local_pos = isin_sorted(vids, edst, return_pos=True)
     labels = unionfind_labels(len(vids), lsrc[dst_owned], dst_local_pos[dst_owned])
     # stable subgraph numbering: local_idx by order of first (=min) vid root
     roots, inv = np.unique(labels, return_inverse=True)
@@ -314,16 +308,18 @@ def undirect(edges_ds, weighted: bool = False, edge_cols: list | None = None):
 
     def rev(batch: pa.Table) -> pa.Table:
         cols = {"src": batch.column("dst"), "dst": batch.column("src")}
-        if "weight" in batch.column_names:
+        # keyed on the declared flag, NOT the raw schema — a weight column
+        # on an unweighted input would give the two union branches
+        # different schemas (the forward branch projects it away)
+        if has_weight:
             cols["weight"] = batch.column("weight")
         for c in edge_cols:
             cols[c] = batch.column(c)
         return pa.table(cols)
 
     ecols = ["src", "dst"] + (["weight"] if has_weight else []) + edge_cols
-    return edges_ds.select_columns(ecols).union(
-        edges_ds.map_batches(rev, batch_format="pyarrow")
-    )
+    sel = edges_ds.select_columns(ecols)
+    return sel.union(sel.map_batches(rev, batch_format="pyarrow"))
 
 
 def derive_vertices(edges_ds):
@@ -503,7 +499,13 @@ def meta_edges(g: LinkGraph):
     import ray.data as rd
 
     bdir = storage.join(g.graph_dir, "boundary")
-    files = [storage.join(bdir, f) for f in storage.listdir(bdir, g.filesystem)]
+    # only completed parquet files: a crashed write_bytes_atomic can leave
+    # an orphan .tmp-* alongside the retried write's real file
+    files = [
+        storage.join(bdir, f)
+        for f in storage.listdir(bdir, g.filesystem)
+        if f.endswith(".parquet")
+    ]
     files, bfs = storage.for_ray(files, g.filesystem)
     b = rd.read_parquet(files, filesystem=bfs)
     if g.partitioner == "explicit":
@@ -525,10 +527,7 @@ def meta_edges(g: LinkGraph):
         p = int(group.column("part")[0].as_py())
         sh = load_shard(gd, p, gfs)
         dst_v = group.column("dst").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(sh["vids"], dst_v)
-        ok = (pos < len(sh["vids"])) & (
-            sh["vids"][np.minimum(pos, len(sh["vids"]) - 1)] == dst_v
-        )
+        ok, pos = isin_sorted(sh["vids"], dst_v, return_pos=True)
         if not ok.all():
             missing = np.unique(dst_v[~ok])[:5]
             raise ValueError(
@@ -874,15 +873,16 @@ def apply_edge_updates(
     src_dir = g.graph_dir
 
     def copy_part(batch: pa.Table) -> pa.Table:
+        import io
+
         rows = {"part": [], "n_vids": [], "n_edges": [], "n_subgraphs": []}
         for p in batch.column("p").to_pylist():
             p = int(p)
+            raw = storage.read_bytes(
+                storage.join(src_dir, f"shard_{p}.npz"), gfs
+            )
             storage.write_bytes_atomic(
-                storage.read_bytes(
-                    storage.join(src_dir, f"shard_{p}.npz"), gfs
-                ),
-                storage.join(out_dir, f"shard_{p}.npz"),
-                gfs,
+                raw, storage.join(out_dir, f"shard_{p}.npz"), gfs
             )
             bpath = storage.join(src_dir, "boundary", f"part-{p}.parquet")
             if storage.exists(bpath, gfs):
@@ -891,11 +891,14 @@ def apply_edge_updates(
                     storage.join(out_dir, "boundary", f"part-{p}.parquet"),
                     gfs,
                 )
-            sh = load_shard(src_dir, p, gfs)
-            rows["part"].append(p)
-            rows["n_vids"].append(len(sh["vids"]))
-            rows["n_edges"].append(len(sh["indices"]))
-            rows["n_subgraphs"].append(len(np.unique(sh["sgid"])))
+            # report counts off the ALREADY-FETCHED bytes — a load_shard
+            # here would re-read from shared storage and pollute the
+            # per-worker cache with shards nobody computes on
+            with np.load(io.BytesIO(raw)) as sh:
+                rows["part"].append(p)
+                rows["n_vids"].append(len(sh["vids"]))
+                rows["n_edges"].append(len(sh["indices"]))
+                rows["n_subgraphs"].append(len(np.unique(sh["sgid"])))
         return pa.table(
             {
                 "part": pa.array(rows["part"], pa.int32()),
@@ -937,9 +940,12 @@ def apply_edge_updates(
                         [sh["indices"], np.full(nv, -1, np.int64)]
                     )
                 ),
+                # old edges tag 4 (adds are 1): dels remove OLD edges
+                # only — new = (edges \ dels) ∪ adds, so an edge in both
+                # adds and dels survives
                 "_op": pa.array(
                     np.concatenate(
-                        [np.ones(ne, np.int8), np.zeros(nv, np.int8)]
+                        [np.full(ne, 4, np.int8), np.zeros(nv, np.int8)]
                     )
                 ),
             }
@@ -985,7 +991,7 @@ def apply_edge_updates(
         del_mask = op == 2
         if del_mask.any():
             dpairs = _pairs_void(src[del_mask], dst[del_mask])
-            edge_mask = op == 1
+            edge_mask = op == 4  # OLD edges only — never the round's adds
             hit = np.zeros(len(group), dtype=bool)
             hit[edge_mask] = np.isin(
                 _pairs_void(src[edge_mask], dst[edge_mask]), dpairs
@@ -1161,8 +1167,7 @@ def hub_balanced_parts(
         hv, hpart = ray.get(ref)
         part = hash_part(v, P).astype(np.int32)
         if len(hv):
-            pos = np.searchsorted(hv, v)
-            hit = (pos < len(hv)) & (hv[np.minimum(pos, len(hv) - 1)] == v)
+            hit, pos = isin_sorted(hv, v, return_pos=True)
             part[hit] = hpart[pos[hit]]
         return part
 

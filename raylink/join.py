@@ -27,7 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import isin_sorted, splitmix64
+from raylink.util import unpack_hi, isin_sorted, splitmix64
 
 # lookups above this many rows switch from ray.put broadcast to a hash join
 BROADCAST_THRESHOLD = 2_000_000
@@ -836,7 +836,7 @@ def pair_attach(cand_ds, values_ds, value_fields: dict,
 
     def explode(batch: pa.Table) -> pa.Table:
         key = batch.column("key").to_numpy(zero_copy_only=False)
-        a = key >> np.int64(32)
+        a = unpack_hi(key)
         b = key & np.int64(0xFFFFFFFF)
         ent = np.concatenate([a, b])
         side = np.concatenate(

@@ -41,7 +41,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import round_half_away, text_hash64
+from raylink.util import unpack_hi, round_half_away, text_hash64
 
 WORD_RE = re.compile(r"[a-z0-9]+")
 
@@ -263,7 +263,7 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
 
     def jac(batch: pa.Table) -> pa.Table:
         key = batch.column("key").to_numpy(zero_copy_only=False)
-        a, b = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+        a, b = unpack_hi(key), key & np.int64(0xFFFFFFFF)
         c = batch.column("c").to_numpy(zero_copy_only=False)
         na = batch.column("sz_a").to_numpy(zero_copy_only=False)
         nb = batch.column("sz_b").to_numpy(zero_copy_only=False)
@@ -468,7 +468,7 @@ def minhash_pairs(
             u = len(sa) + len(sb) - inter
             j = inter / u if u else 0.0
             if j >= tau:
-                out_a.append(int(key[i] >> np.int64(32)))
+                out_a.append(int(unpack_hi(key[i])))
                 out_b.append(int(key[i] & np.int64(0xFFFFFFFF)))
                 out_j.append(float(round_half_away(j, 6)))
         return pa.table(
@@ -599,7 +599,7 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
 
     def verify(batch: pa.Table) -> pa.Table:
         key = batch.column("key").to_numpy(zero_copy_only=False)
-        a, b = key >> np.int64(32), key & np.int64(0xFFFFFFFF)
+        a, b = unpack_hi(key), key & np.int64(0xFFFFFFFF)
         sa = batch.column("simhash_a").to_numpy(zero_copy_only=False).astype(np.uint64)
         sb = batch.column("simhash_b").to_numpy(zero_copy_only=False).astype(np.uint64)
         x = np.ascontiguousarray(sa ^ sb)

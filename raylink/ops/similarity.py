@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import round_half_away
+from raylink.util import unpack_hi, round_half_away
 
 
 def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -741,7 +741,7 @@ def embedding_pairs_lsh(
         keep = sims >= tau
         return pa.table(
             {
-                "id_a": pa.array((key >> np.int64(32))[keep]),
+                "id_a": pa.array((unpack_hi(key))[keep]),
                 "id_b": pa.array((key & np.int64(0xFFFFFFFF))[keep]),
                 "cosine": pa.array(sims[keep]),
             }

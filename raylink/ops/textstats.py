@@ -16,7 +16,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import round_half_away
+from raylink.util import unpack_hi, round_half_away
 
 TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 WORD_PATTERN = r"[a-z]+"
@@ -99,7 +99,7 @@ class TextStats:
         n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
         ukey = np.unique((doc_idx << np.int64(32)) | codes)
         n_uniq = np.bincount(
-            (ukey >> np.int64(32)).astype(np.int64), minlength=n
+            (unpack_hi(ukey)).astype(np.int64), minlength=n
         ).astype(np.int64)
         ns = _stop_hits(doc_idx, codes, dic, self.stop_en, n)
         wlen = pc.utf8_length(dic).to_numpy(zero_copy_only=False).astype(
@@ -493,7 +493,7 @@ def postings(docs_ds, min_df: int = 1, max_df: int | None = None,
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         doc_idx, codes, dic = _word_codes(text)
         ukey = np.unique((doc_idx << np.int64(32)) | codes)
-        udoc = (ukey >> np.int64(32)).astype(np.int64)
+        udoc = (unpack_hi(ukey)).astype(np.int64)
         ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
         terms = pc.cast(dic, pa.string()).take(pa.array(ucode))
         b = (splitmix64(text_hash64(dic.to_pylist())[ucode]) % B).astype(
@@ -691,7 +691,7 @@ def doc_top_terms(docs_ds, k: int = 3, num_buckets: int = 64):
         ukey, tf = np.unique(
             (doc_idx << np.int64(32)) | codes, return_counts=True
         )
-        udoc = (ukey >> np.int64(32)).astype(np.int64)
+        udoc = (unpack_hi(ukey)).astype(np.int64)
         ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
         hdic = text_hash64(dic.to_pylist())
         h = hdic[ucode]
@@ -765,7 +765,7 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
     # per-(doc, word) counts on packed keys (doc_idx < 2^31, codes < 2^31)
     key = (doc_idx << np.int64(32)) | codes
     ukey, ucnt = np.unique(key, return_counts=True)
-    udoc = (ukey >> np.int64(32)).astype(np.int64)
+    udoc = (unpack_hi(ukey)).astype(np.int64)
     ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
     top_word = np.zeros(n, dtype=np.int64)
     np.maximum.at(top_word, udoc, ucnt)

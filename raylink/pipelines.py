@@ -12,6 +12,8 @@ import hashlib
 import os
 
 import numpy as np
+
+from raylink.util import isin_sorted, unpack_hi
 import pyarrow as pa
 
 from raylink.extract import ExtractPages, explode_links
@@ -144,7 +146,7 @@ def distinct_edges(edges_ds):
         k = batch.column("key").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "src": pa.array(k >> np.int64(32)),
+                "src": pa.array(unpack_hi(k)),
                 "dst": pa.array(k & np.int64(0xFFFFFFFF)),
             }
         )
@@ -180,7 +182,7 @@ def diff_edges(edges_a, edges_b):
             k = batch.column("key").to_numpy(zero_copy_only=False)
             return pa.table(
                 {
-                    "src": pa.array(k >> np.int64(32)),
+                    "src": pa.array(unpack_hi(k)),
                     "dst": pa.array(k & np.int64(0xFFFFFFFF)),
                     "change": pa.array([change] * len(k), type=pa.string()),
                 }
@@ -503,9 +505,13 @@ def resolve_redirects(redirects_ds, num_buckets: int = 64, max_rounds: int = 40)
     never O(L) sequential lookups and nothing driver-side (the driver sees
     one scalar per round). Rounds are snapshotted through ``loop_barrier``
     (chained lineage re-executes exponentially in Ray 2.49 — see
-    join.loop_barrier). A redirect CYCLE never reaches a terminal; after
-    ``max_rounds`` (covering chains up to 2**max_rounds) unresolved rows
-    raise rather than return silently-wrong targets. Duplicate sources
+    join.loop_barrier). A redirect CYCLE never reaches a terminal; chains up
+    to 2**max_rounds hops resolve within the budget, and one extra
+    verification round observes the required zero-jump fixpoint (a run
+    whose last budgeted round still jumped is only DONE if the next round
+    jumps zero times — without it, chains resolving exactly on the budget
+    would raise spuriously). Unresolved rows after that raise rather than
+    return silently-wrong targets. Duplicate sources
     raise inside the compose task (equal keys land in one bucket).
 
     Reference analog: none — the reference loads pre-built adjacency lists
@@ -563,11 +569,7 @@ def resolve_redirects(redirects_ds, num_buckets: int = 64, max_rounds: int = 40)
         hops = probe.column("hops").to_numpy(zero_copy_only=False)
         order = np.argsort(isrc)
         ss = isrc[order]
-        pos = np.searchsorted(ss, cur)
-        if len(ss):
-            hit = (pos < len(ss)) & (ss[np.minimum(pos, len(ss) - 1)] == cur)
-        else:
-            hit = np.zeros(len(cur), dtype=bool)
+        hit, pos = isin_sorted(ss, cur, return_pos=True)
         take = order[pos[hit]]
         idst = idx.column("dst").to_numpy(zero_copy_only=False)
         ihops = idx.column("hops").to_numpy(zero_copy_only=False)
@@ -585,7 +587,7 @@ def resolve_redirects(redirects_ds, num_buckets: int = 64, max_rounds: int = 40)
         )
 
     m = redirects_ds.map_batches(init, batch_format="pyarrow")
-    for _ in range(max_rounds):
+    for _ in range(max_rounds + 1):  # +1 = the zero-jump verification round
         both = m.map_batches(tag(False), batch_format="pyarrow").union(
             m.map_batches(tag(True), batch_format="pyarrow")
         )

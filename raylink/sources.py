@@ -26,24 +26,29 @@ import pyarrow as pa
 def _parse_adj_batch(batch: pa.Table, with_partition: bool) -> pa.Table:
     srcs: list[int] = []
     dsts: list[int] = []
+    pids: list[int] = []
     for line in batch.column("text").to_pylist():
         parts = line.split()
         if not parts:
             continue
         vid = int(parts[0])
+        pid = int(parts[1]) if with_partition else -1
         sinks = parts[2:] if with_partition else parts[1:]
         for t in sinks:
             srcs.append(vid)
             dsts.append(int(t))
+            pids.append(pid)
         if not sinks:  # vertex row with no out-edges: keep as sentinel
             srcs.append(vid)
             dsts.append(-1)
-    return pa.table(
-        {
-            "src": pa.array(np.asarray(srcs, dtype=np.int64)),
-            "dst": pa.array(np.asarray(dsts, dtype=np.int64)),
-        }
-    )
+            pids.append(pid)
+    cols = {
+        "src": pa.array(np.asarray(srcs, dtype=np.int64)),
+        "dst": pa.array(np.asarray(dsts, dtype=np.int64)),
+    }
+    if with_partition:
+        cols["pid"] = pa.array(np.asarray(pids, dtype=np.int32))
+    return pa.table(cols)
 
 
 def read_adjacency_text(paths, with_partition: bool = False):
@@ -60,18 +65,58 @@ def read_adjacency_text(paths, with_partition: bool = False):
         lambda b: _parse_adj_batch(b, with_partition), batch_format="pyarrow"
     )
     edges = parsed.map_batches(
-        lambda b: b.filter(pa.compute.greater_equal(b.column("dst"), 0)),
+        lambda b: b.filter(
+            pa.compute.greater_equal(b.column("dst"), 0)
+        ).select(["src", "dst"]),
         batch_format="pyarrow",
     )
 
     def verts(batch: pa.Table) -> pa.Table:
+        # vertices = src ∪ sinks: a sink vid need not have a line of its
+        # own (the reference reader materializes such remote vertices
+        # during resolution, LongTextAdjacencyListReader.java:119-135);
+        # with_partition surfaces the file-given pid as ``part`` (sink-only
+        # vertices get -1 — the file assigns them no partition; the engine
+        # re-partitions by its own key unless built explicitly)
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        if not with_partition:
+            return pa.table(
+                {"vid": pa.array(np.unique(np.concatenate([s, d[d >= 0]])))}
+            )
+        pid = batch.column("pid").to_numpy(zero_copy_only=False)
+        vid = np.concatenate([s, d[d >= 0]])
+        part = np.concatenate(
+            [pid.astype(np.int64), np.full(int((d >= 0).sum()), -1)]
+        )
+        order = np.lexsort((-part, vid))  # real pid (max) wins per vid
+        v_s, p_s = vid[order], part[order]
+        first = np.r_[True, v_s[1:] != v_s[:-1]]
         return pa.table(
-            {"vid": pa.array(np.unique(batch.column("src").to_numpy(zero_copy_only=False)))}
+            {"vid": pa.array(v_s[first]),
+             "part": pa.array(p_s[first].astype(np.int32))}
         )
 
-    vertices = parsed.map_batches(verts, batch_format="pyarrow").groupby(
-        "vid"
-    ).count().select_columns(["vid"])
+    if with_partition:
+        # MAX-combine the per-batch (vid, part) rows: a vid's real pid
+        # (>= 0) beats the -1 sink sentinel from other batches
+        vertices = (
+            parsed.map_batches(verts, batch_format="pyarrow")
+            .groupby("vid")
+            .max("part")
+            .map_batches(
+                lambda b: pa.table(
+                    {"vid": b.column("vid"),
+                     "part": pa.compute.cast(b.column("max(part)"),
+                                             pa.int32())}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    else:
+        vertices = parsed.map_batches(verts, batch_format="pyarrow").groupby(
+            "vid"
+        ).count().select_columns(["vid"])
     return edges, vertices
 
 

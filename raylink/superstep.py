@@ -318,6 +318,19 @@ def run_bsp(
     history: list[dict] = []
     s_start, msgs_ds, halted = 0, None, False
     man = ck.read_manifest() if resume else None
+    gsig = (f"{g.partitioner}/{g.num_parts}/{g.n_vertices}/"
+            f"{g.n_edges}/{g.n_subgraphs}/{int(g.directed)}")
+    if man is not None and man.get("algo") == algo.name and (
+        man.get("graph_sig") is not None and man["graph_sig"] != gsig
+    ):
+        # resuming a different graph's checkpoint silently misaligns every
+        # per-vid state array — refuse loudly
+        # per-vid state arrays would silently misalign — refuse loudly
+        raise ValueError(
+            f"run_bsp: ckpt_dir {ckpt_dir!r} holds a {algo.name} run over a "
+            f"structurally different graph ({man['graph_sig']} != {gsig}) — "
+            "use a fresh ckpt_dir (or resume=False)"
+        )
     if man is not None and man.get("algo") == algo.name:
         halted = man.get("halted", False)
         if halted:
@@ -349,6 +362,10 @@ def run_bsp(
                 in_ds = rd.from_arrow(ticks).union(out)
         s_end = s + k - 1
         mdir = ck.msgs_dir(s_end)
+        # clear any partial files from an interrupted earlier attempt —
+        # Ray's write_parquet APPENDS uniquely-named files, so leftovers
+        # would be unioned with this round's messages on the re-read
+        storage.delete_dir(mdir, ck.filesystem)
         storage.makedirs(mdir, ck.filesystem)
         mp, mfs = storage.for_ray(mdir, ck.filesystem)
         # executes the whole chain; the write IS the checkpoint/barrier
@@ -372,6 +389,7 @@ def run_bsp(
             {
                 "algo": algo.name,
                 "graph_dir": g.graph_dir,
+                "graph_sig": gsig,
                 "resume_superstep": s_end,
                 "last_complete": s_end,
                 "msg_rows": last_agg["msgs_out"],

@@ -169,6 +169,16 @@ def run_bsp_tasks(
     # inbox[i] = list of message-table refs/tables destined to partition i
     inbox: list[list] = [[] for _ in range(P)]
     man = ck.read_manifest() if resume else None
+    gsig = (f"{g.partitioner}/{g.num_parts}/{g.n_vertices}/"
+            f"{g.n_edges}/{g.n_subgraphs}/{int(g.directed)}")
+    if man is not None and man.get("algo") == algo.name and (
+        man.get("graph_sig") is not None and man["graph_sig"] != gsig
+    ):
+        raise ValueError(
+            f"run_bsp_tasks: ckpt_dir {ckpt_dir!r} holds a {algo.name} run "
+            f"over a structurally different graph ({man['graph_sig']} != "
+            f"{gsig}) — use a fresh ckpt_dir (or resume=False)"
+        )
     if man is not None and man.get("algo") == algo.name:
         halted = man.get("halted", False)
         if halted:
@@ -235,6 +245,10 @@ def run_bsp_tasks(
         # (message bytes go worker->worker through the object store; the
         # driver only collects the per-file row counts)
         mdir = ck.msgs_dir(s_end)
+        # clear leftovers from an interrupted attempt at this superstep
+        # (a dataset-engine attempt writes uniquely-named files here;
+        # read_table_dir on resume reads EVERY file in the dir)
+        storage.delete_dir(mdir, ck.filesystem)
         storage.makedirs(mdir, ck.filesystem)
         ray.get(
             [
@@ -251,6 +265,7 @@ def run_bsp_tasks(
             {
                 "algo": algo.name,
                 "graph_dir": g.graph_dir,
+                "graph_sig": gsig,
                 "resume_superstep": s_end,
                 "last_complete": s_end,
                 "msg_rows": last_agg["msgs_out"],

@@ -106,6 +106,14 @@ def route_parts(shard: dict, ctx: dict, dsts: np.ndarray) -> np.ndarray:
     return PARTITIONERS[ctx["partitioner"]](dsts, ctx["num_parts"])
 
 
+def unpack_hi(keys):
+    """High 32 bits of an (a<<32)|b packed pair key — via an UNSIGNED
+    shift: an arithmetic ``>> 32`` on int64 sign-extends keys whose high
+    half is >= 2**31, which ``assert_packable`` explicitly permits."""
+    arr = np.asarray(keys)
+    return (arr.astype(np.uint64) >> np.uint64(32)).astype(np.int64)
+
+
 def assert_packable(ids: np.ndarray, what: str = "packed pair key") -> None:
     """Enforce the id < 2**32 contract of every (a<<32)|b packed-key
     operator (distinct_edges, triangle_count, dedup pair generation,

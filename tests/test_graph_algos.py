@@ -1043,6 +1043,17 @@ def test_resolve_redirects(ray_session):
     with pytest.raises(RuntimeError, match="unresolved"):
         resolve_redirects(cyc, num_buckets=2, max_rounds=6)
 
+    # chains resolving EXACTLY on the round budget succeed (the extra
+    # zero-jump verification round; 4-hop chain = 2 doubling rounds)
+    chain = rd.from_arrow(
+        pa.table({"src": pa.array([5, 4, 3, 2], pa.int64()),
+                  "dst": pa.array([4, 3, 2, 1], pa.int64())})
+    )
+    out2 = resolve_redirects(chain, num_buckets=2, max_rounds=2).take_all()
+    assert {(r["src"], r["final"]) for r in out2} == {
+        (5, 1), (4, 1), (3, 1), (2, 1)
+    }
+
 
 def _rows(ds, cols):
     return sorted(tuple(r[c] for c in cols) for r in ds.take_all())
@@ -1726,3 +1737,43 @@ def test_modularity_aggregation(ray_session):
     # structural identities
     assert got["degree_sum"].sum() == 2 * E
     assert -1.0 <= got["q"].sum() <= 1.0
+
+
+def test_apply_edge_updates_add_and_del_same_edge(ray_session, tmp_path):
+    """new = (edges \\ dels) ∪ adds: an edge named in BOTH adds and dels
+    must be present afterwards (dels remove OLD edges only)."""
+    import ray.data as rd
+
+    from raylink.graph import apply_edge_updates, build_graph, edge_table
+
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array([0, 1], pa.int64()),
+                  "dst": pa.array([1, 2], pa.int64())})
+    )
+    g = build_graph(eds, num_parts=2, partitioner="hash", directed=True,
+                    graph_dir=str(tmp_path / "g0"))
+    delta = pa.table({"src": pa.array([3], pa.int64()),
+                      "dst": pa.array([4], pa.int64())})
+    g2 = apply_edge_updates(
+        g, adds=rd.from_arrow(delta), dels=rd.from_arrow(delta),
+        out_dir=str(tmp_path / "g1"),
+    )
+    got = sorted(
+        (r["src"], r["dst"]) for r in edge_table(g2).take_all()
+    )
+    assert got == [(0, 1), (1, 2), (3, 4)]
+    # and deleting an OLD edge still works alongside
+    g3 = apply_edge_updates(
+        g2,
+        adds=rd.from_arrow(
+            pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64())})
+        ),
+        dels=rd.from_arrow(
+            pa.table({"src": pa.array([0, 1], pa.int64()),
+                      "dst": pa.array([1, 2], pa.int64())})
+        ),
+        out_dir=str(tmp_path / "g2"),
+    )
+    got3 = sorted((r["src"], r["dst"]) for r in edge_table(g3).take_all())
+    assert got3 == [(0, 1), (3, 4)]  # (0,1) re-added; (1,2) deleted

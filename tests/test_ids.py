@@ -123,3 +123,31 @@ def test_collision_safe_ids_forced_collisions(ray_session):
     clean = collision_safe_ids(ds).to_pandas().sort_values("url")
     exp = hash64_str(sorted(set(urls)))
     assert clean["vid"].tolist() == [int(h) for h in exp]
+
+
+def test_packed_ops_high_half_ids(ray_session):
+    """vids in [2**31, 2**32) — permitted by assert_packable — survive the
+    pack/unpack round trip (an arithmetic >>32 would sign-extend them):
+    distinct_edges returns them verbatim and triangle_count stays exact."""
+    import ray.data as rd
+
+    from raylink.algos.triangles import triangle_count
+    from raylink.pipelines import distinct_edges
+
+    base = 3_000_000_000  # > 2**31
+    tri = [(base, base + 1), (base + 1, base + 2), (base + 2, base)]
+    extra = [(base, base + 3), (base + 3, base + 4)]
+    eds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in tri + extra], type=pa.int64()),
+                "dst": pa.array([b for _, b in tri + extra], type=pa.int64()),
+            }
+        )
+    )
+    got = distinct_edges(eds).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(got["src"], got["dst"])}
+    want = set(tri + extra)  # distinct_edges preserves direction
+    assert pairs == want
+    assert (got["src"] > 0).all()
+    assert triangle_count(eds) == 1

@@ -248,3 +248,24 @@ def test_read_giraph_adjacency(adj_files, tmp_path):
     _, ranks = pagerank(g=g, iters=8, ckpt_dir=str(tmp_path / "ck"))
     got = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
     np.testing.assert_allclose(got, pr_oracle(N, edges, iters=8), atol=1e-12)
+
+
+def test_read_adjacency_text_sink_only_vertices(ray_session, tmp_path):
+    """A sink vid with no line of its own still becomes a vertex (the
+    reference materializes remote vertices during resolution); with
+    with_partition=True the file-given pid is surfaced as ``part`` and
+    sink-only vertices carry -1."""
+    from raylink.sources import read_adjacency_text
+
+    plain = tmp_path / "plain.txt"
+    plain.write_text("1 2\n3\n")  # vertex 2 exists only as a sink
+    eds, vds = read_adjacency_text(str(plain))
+    assert sorted(vds.to_pandas()["vid"]) == [1, 2, 3]
+    assert eds.to_pandas().values.tolist() == [[1, 2]]
+
+    withp = tmp_path / "withp.txt"
+    withp.write_text("1 0 2 4\n3 1\n")  # 2 and 4 are sink-only
+    _, vds2 = read_adjacency_text(str(withp), with_partition=True)
+    pdf = vds2.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert pdf["vid"].tolist() == [1, 2, 3, 4]
+    assert pdf["part"].tolist() == [0, -1, 1, -1]
