@@ -38,6 +38,27 @@ import pyarrow as pa
 from raylink.util import unpack_hi, splitmix64
 
 
+def _contract_roots(c: np.ndarray, p: np.ndarray):
+    """Resolve the Boruvka pointer graph f(c) = p (every selected edge
+    points its component at its partner) to per-row roots: sort by c,
+    break each 2-cycle at its LOWER endpoint, pointer-chase to fixpoint.
+    Returns (c_sorted, roots) aligned — shared by the broadcast and
+    distributed contraction branches (they must stay in lockstep)."""
+    order = np.argsort(c)
+    c, p = c[order], p[order]
+    fi = np.searchsorted(c, p)  # f as an index array (total: every
+    # partner is itself a component with a selected edge)
+    ff = fi[fi]
+    is_root = (c[ff] == c) & (c < p)  # 2-cycle, lower endpoint
+    fi = np.where(is_root, np.arange(len(c)), fi)
+    while True:
+        f2 = fi[fi]
+        if (f2 == fi).all():
+            break
+        fi = f2
+    return c, c[fi]
+
+
 def minimum_spanning_forest(
     edges_ds,
     num_buckets: int = 32,
@@ -96,7 +117,10 @@ def minimum_spanning_forest(
         others = {nm: group.column(nm).to_numpy(zero_copy_only=False)
                   for nm in extra}
         if "key" in others:
-            order = np.lexsort((others["key"], w, k))
+            # tiebreak on the packed key as UNSIGNED: keys whose src half
+            # is >= 2**31 are negative int64, and a signed sort would
+            # invert the documented (weight, src, dst) total order
+            order = np.lexsort((others["key"].view(np.uint64), w, k))
         else:
             order = np.lexsort((w, k))
         k, w = k[order], w[order]
@@ -225,20 +249,9 @@ def minimum_spanning_forest(
             forest_parts.append(sel.select_columns(["key", "weight"]))
             # contraction fully driver-side (sel is bounded by #components)
             pdf = sel.select_columns(["c", "p"]).to_pandas()
-            c = pdf["c"].to_numpy(np.int64)
-            p = pdf["p"].to_numpy(np.int64)
-            order = np.argsort(c)
-            c, p = c[order], p[order]
-            fi = np.searchsorted(c, p)
-            ff = fi[fi]
-            is_root = (c[ff] == c) & (c < p)  # 2-cycle, lower endpoint
-            fi = np.where(is_root, np.arange(len(c)), fi)
-            while True:
-                f2 = fi[fi]
-                if (f2 == fi).all():
-                    break
-                fi = f2
-            roots = c[fi]
+            c, roots = _contract_roots(
+                pdf["c"].to_numpy(np.int64), pdf["p"].to_numpy(np.int64)
+            )
             pos = np.searchsorted(c, comps_a)
             hit = (pos < len(c)) & (
                 c[np.minimum(pos, max(len(c) - 1, 0))] == comps_a
@@ -335,21 +348,9 @@ def minimum_spanning_forest(
             # the attach_lookup broadcast precedent; identical result to
             # the distributed doubling path (path-agreement tested)
             pdf = sel.select_columns(["c", "p"]).to_pandas()
-            c = pdf["c"].to_numpy(np.int64)
-            p = pdf["p"].to_numpy(np.int64)
-            order = np.argsort(c)
-            c, p = c[order], p[order]
-            fi = np.searchsorted(c, p)  # f as an index array (total: every
-            # partner is itself a component with a selected edge)
-            ff = fi[fi]
-            is_root = (c[ff] == c) & (c < p)  # 2-cycle, lower endpoint
-            fi = np.where(is_root, np.arange(len(c)), fi)
-            while True:
-                f2 = fi[fi]
-                if (f2 == fi).all():
-                    break
-                fi = f2
-            roots = c[fi]
+            c, roots = _contract_roots(
+                pdf["c"].to_numpy(np.int64), pdf["p"].to_numpy(np.int64)
+            )
             ref = ray.put((c, roots))
 
             def relabel(batch: pa.Table) -> pa.Table:

@@ -41,7 +41,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import unpack_hi, round_half_away, text_hash64
+from raylink.util import assert_packable, round_half_away, text_hash64, unpack_hi
 
 WORD_RE = re.compile(r"[a-z0-9]+")
 
@@ -49,12 +49,9 @@ MERSENNE = (1 << 61) - 1
 
 
 def _assert_packable(ids: np.ndarray) -> None:
-    """Pair keys are (a<<32)|b — enforce the doc_id < 2**32 contract."""
-    if len(ids) and (int(ids.min()) < 0 or int(ids.max()) >= 1 << 32):
-        raise ValueError(
-            "dedup pair generation packs doc ids as (a<<32)|b; "
-            "doc_id must be in [0, 2**32)"
-        )
+    """Pair keys are (a<<32)|b — the shared util guard (one home for the
+    contract and its dense_id_remap pointer)."""
+    assert_packable(ids, "dedup pair generation doc_id")
 
 
 def _grams_of(text: str, n: int) -> set:
@@ -252,11 +249,41 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
         )
     )
     # |gram set| per doc, attached to each pair by the distributed pair join
-    # (no driver-side size table, no broadcast)
-    sizes = grams.groupby("doc_id").count().map_batches(
-        lambda b: pa.table({"doc_id": b.column("doc_id"), "sz": b.column("count()")}),
-        batch_format="pyarrow",
-    )
+    # (no driver-side size table, no broadcast). Under a DF cut the sizes
+    # count only SURVIVING grams (df <= max_df, singletons included) — the
+    # reported value is then the true Jaccard of the DF-cut sets; counting
+    # all grams here while the intersection was cut made the ratio
+    # asymmetric (a near-dup pair whose shared grams are hot scored ~0).
+    if max_df is None:
+        sizes = grams.groupby("doc_id").count().map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id"), "sz": b.column("count()")}
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+
+        def surviving_sizes(group: pa.Table) -> pa.Table:
+            gh = group.column("gh").to_numpy(zero_copy_only=False)
+            ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, gh))
+            gh_s, ids_s = gh[order], ids[order]
+            starts = np.flatnonzero(np.r_[True, gh_s[1:] != gh_s[:-1]])
+            d = np.diff(np.r_[starts, len(gh_s)])
+            keep = np.repeat(d <= max_df, d)
+            ud, cnt = np.unique(ids_s[keep], return_counts=True)
+            return pa.table(
+                {"doc_id": pa.array(ud), "szp": pa.array(cnt.astype(np.int64))}
+            )
+
+        from raylink.join import bucketed_sum
+
+        sizes = bucketed_sum(
+            grams.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("b")
+            .map_groups(surviving_sizes, batch_format="pyarrow"),
+            "doc_id", "szp", out_val="sz",
+        )
     paired = _pair_attach(
         inter, sizes, {"sz": pa.int64()}, carry_fields={"c": pa.int64()}
     )
@@ -391,6 +418,11 @@ def minhash_pairs(
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:  # np.array([]) is 1-D; the band slice needs 2-D
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "bucket": pa.array([], type=pa.uint64())}
+            )
         sig = np.array(batch.column("sig").to_pylist(), dtype=np.uint64)
         out_id, out_bucket = [], []
         for bi in range(bands):

@@ -20,7 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import unpack_hi, round_half_away
+from raylink.util import assert_packable, round_half_away, unpack_hi
 
 
 def _mat(batch: pa.Table, col: str = "embedding") -> np.ndarray:
@@ -56,6 +56,12 @@ def knn_brute(emb_ds, query_ids: list[int], k: int = 5):
     def local_topk(batch: pa.Table) -> pa.Table:
         qi, qmat = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:  # empty block: _mat would be (0, 0)
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
         m = _normalize(_mat(batch))
         sims = round_half_away(qmat @ m.T, 6)  # (nq, nb)
         out_q, out_n, out_s = [], [], []
@@ -147,6 +153,12 @@ def lsh_ann(emb_ds, query_ids: list[int], k: int = 5, n_tables: int = 8, bits: i
     def bucketize(batch: pa.Table) -> pa.Table:
         qi, qmat, qb = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
         m = _normalize(_mat(batch))
         vb = sk.buckets(m)  # (T, n)
         out_q, out_n, out_s = [], [], []
@@ -286,6 +298,12 @@ def ivf_ann(
     def scan(batch: pa.Table) -> pa.Table:
         qi, qmat, cents, probes = ray.get(ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], type=pa.int64()),
+                 "neighbor_id": pa.array([], type=pa.int64()),
+                 "cosine": pa.array([], type=pa.float64())}
+            )
         m = _normalize(_mat(batch))
         assign = np.argmax(m @ cents.T, axis=1)
         out_q, out_n, out_s = [], [], []
@@ -377,6 +395,17 @@ def knn_join(
     def tagger(side: int):
         def tag(batch: pa.Table) -> pa.Table:
             ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                emb0 = batch.column("embedding")
+                if isinstance(emb0, pa.ChunkedArray):
+                    emb0 = emb0.combine_chunks()
+                return pa.table(
+                    {"bucket": pa.array([], type=pa.int64()),
+                     "vec_id": pa.array([], type=pa.int64()),
+                     "side": pa.array([], type=pa.int8()),
+                     "embedding": emb0,
+                     "cb": pa.array([], type=pa.int32())}
+                )
             m = _normalize(_mat(batch))
             sk = sk_holder.get("sk")
             if sk is None:
@@ -670,6 +699,11 @@ def embedding_pairs_lsh(
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "bucket": pa.array([], type=pa.int64())}
+            )
         m = _normalize(_mat(batch))
         sk = sk_holder.get("sk")
         if sk is None:
@@ -694,6 +728,7 @@ def embedding_pairs_lsh(
     def cand(group: pa.Table) -> pa.Table:
         bk = group.column("bucket").to_numpy(zero_copy_only=False)
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        assert_packable(ids, "embedding_pairs_lsh vec_id")
         order = np.lexsort((ids, bk))
         bk, ids = bk[order], ids[order]
         starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])

@@ -65,6 +65,8 @@ def _parse_warc_date(raw: str) -> int:
     if raw.endswith("Z"):
         raw = raw[:-1]
     ts = np.datetime64(raw, "us")
+    if np.isnat(ts):  # np.datetime64("", "us") is NaT, not an error —
+        raise ValueError("empty/unparseable WARC-Date")  # would floor to 0
     return int((ts - _EPOCH) // np.timedelta64(1, "us"))
 
 
@@ -138,7 +140,14 @@ class _WarcWriteBatch:
             return pa.table({"path": pa.array([], type=pa.string()),
                              "n_records": pa.array([], type=pa.int64())})
         ext = ".warc.gz" if self.compress else ".warc"
-        name = f"crawl-{_fnv64(urls[0].encode()):016x}-{len(urls)}{ext}"
+        # content-derived name: FNV fold over EVERY url (first-url-only
+        # collided when the same url led two different blocks — the
+        # second os.replace silently clobbered the first); identical
+        # blocks still map to one name, so rewrites stay idempotent
+        h = 0xCBF29CE484222325
+        for u in urls:
+            h = ((h ^ _fnv64(u.encode())) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        name = f"crawl-{h:016x}-{len(urls)}{ext}"
         path = os.path.join(self.out_dir, name)
         buf = io.BytesIO()
         buf.write(warcinfo_bytes(name, self.compress))
@@ -228,6 +237,9 @@ def parse_warc_stream(data: bytes) -> tuple[list[tuple[str, int, bytes]], int]:
             clen = int(headers.get("content-length", ""))
         except ValueError:
             skipped += 1
+            break
+        if clen < 0:  # a negative length would move the cursor BACKWARD
+            skipped += 1  # (hostile/corrupt record -> infinite loop)
             break
         body_start = hdr_end + 4
         body_end = body_start + clen

@@ -1925,3 +1925,77 @@ def test_select_edge_cases(ray_session):
     assert pdf.loc["x", "n_null"] == 2
     assert np.isnan(pdf.loc["x", "min"]) and np.isnan(pdf.loc["x", "max"])
     assert pdf.loc["y", "min"] == 1.0 and pdf.loc["y", "max"] == 2.0
+
+
+def test_ngram_pairs_max_df_true_jaccard(ray_session):
+    """Under a DF cut the reported value is the Jaccard of the DF-CUT gram
+    sets (sizes counted after the cut, not before) — a near-dup pair whose
+    shared grams are corpus-hot must still clear tau."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import _grams_of, ngram_pairs
+
+    # two docs sharing hot grams + distinct rare tails; 30 fillers make the
+    # shared grams hot (df > max_df)
+    a = "alpha beta gamma delta unique1 tail1"
+    b = "alpha beta gamma delta unique2 tail2"
+    filler = [f"alpha beta gamma delta filler{i} x{i}" for i in range(30)]
+    texts = [a, b] + filler
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": texts}
+        )
+    )
+    MAXDF = 10
+    pdf = ngram_pairs(docs, n=2, tau=0.2, max_df=MAXDF).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pdf.itertuples()}
+
+    # brute force over DF-cut gram sets
+    gs = [_grams_of(t, 2) for t in texts]
+    df = {}
+    for g in gs:
+        for x in g:
+            df[x] = df.get(x, 0) + 1
+    cut = [{x for x in g if df[x] <= MAXDF} for g in gs]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(cut[i] & cut[j])
+            union = len(cut[i] | cut[j])
+            if inter >= 1 and union and inter / union >= 0.2:
+                want[(i, j)] = round(inter / union, 6)
+    assert got == want
+
+
+def test_similarity_empty_blocks(ray_session):
+    """Zero-row blocks flow through every similarity op (an empty _mat is
+    (0, 0) — the matmuls used to crash on dim mismatch)."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import (
+        embedding_pairs_lsh,
+        knn_brute,
+        knn_join,
+        lsh_ann,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 40, 8
+    m = rng.normal(size=(n, d))
+    emb = pa.table(
+        {"vec_id": pa.array(range(n), type=pa.int64()),
+         "embedding": pa.array([list(map(float, r)) for r in m],
+                               type=pa.list_(pa.float64()))}
+    )
+    empty = pa.table(
+        {"vec_id": pa.array([], type=pa.int64()),
+         "embedding": pa.array([], type=pa.list_(pa.float64()))}
+    )
+    ds = rd.from_arrow(empty).union(rd.from_arrow(emb)).union(
+        rd.from_arrow(empty)
+    )
+    assert knn_brute(ds, query_ids=[0, 1], k=3).count() == 6
+    assert lsh_ann(ds, query_ids=[0], k=3).count() <= 3  # recall-bound
+    assert knn_join(ds, k=2).count() > 0
+    embedding_pairs_lsh(ds, tau=0.99).count()  # no crash is the assertion
