@@ -114,6 +114,11 @@ def _main_query(argv) -> int:
         res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
     )
     if args.out:
+        from raylink import storage
+
+        # Ray's write_parquet APPENDS uniquely-named files; clearing first
+        # makes a re-run overwrite instead of duplicating rows
+        storage.delete_dir(args.out)
         ds.write_parquet(args.out)
         rows = rd.read_parquet(args.out).count()
     else:
@@ -177,11 +182,19 @@ def main(argv=None) -> int:
     common = dict(ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every, engine=args.engine)
 
     if args.algorithm == "triangles":
+        import pyarrow as pa
+        import ray.data as rd
+
         from raylink.algos import triangle_count
 
         edges, _ = _load_edges(args)
         summary["triangles"] = triangle_count(edges)
-        result = None
+        # one-row result so --out is honored like every other algorithm
+        result = rd.from_arrow(
+            pa.table({"vid": pa.array([0], type=pa.int64()),
+                      "triangles": pa.array([summary["triangles"]],
+                                            type=pa.int64())})
+        )
     elif args.algorithm == "seeded_pagerank":
         from raylink.algos import seeded_pagerank
 

@@ -56,6 +56,7 @@ def dense_id_remap(
     num_buckets: int = 256,
     broadcast_threshold: int | None = None,
     carry_cols: dict | None = None,
+    require_packable: bool = True,
 ):
     """Remap arbitrary int64 vids onto dense ids ``[0, N)``.
 
@@ -66,6 +67,9 @@ def dense_id_remap(
 
     ``carry_cols``: explicit name->pyarrow-type dict of extra edge columns
     to carry through the remap joins (e.g. ``{"weight": pa.float64()}``).
+    ``require_packable``: assert the dense ids fit the (a<<32)|b packing
+    contract (the usual reason to remap); disable for >2^32-vertex corpora
+    that only need dense ids — packed-key consumers re-guard themselves.
 
     Shape: nothing dataset-sized touches the driver — the driver holds the
     O(num_buckets) bucket histogram only; the remap joins go through the
@@ -144,8 +148,12 @@ def dense_id_remap(
     def finish(batch: pa.Table) -> pa.Table:
         s = batch.column("src").to_numpy(zero_copy_only=False)
         d = batch.column("dense").to_numpy(zero_copy_only=False)
-        assert_packable(s, "dense_id_remap output src")  # structural: < N
-        assert_packable(d, "dense_id_remap output dst")
+        if require_packable:
+            # the common caller intent (feeding packed-key ops); pass
+            # require_packable=False for >2^32-vertex corpora that only
+            # need dense CSR ids — the packed-key consumers re-guard
+            assert_packable(s, "dense_id_remap output src")
+            assert_packable(d, "dense_id_remap output dst")
         cols = {"src": batch.column("src"), "dst": batch.column("dense")}
         for nm in carry:
             cols[nm] = batch.column(nm)

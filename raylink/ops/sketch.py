@@ -115,10 +115,11 @@ def bloom_positions(gh: np.ndarray, k: int, m_bits: int) -> np.ndarray:
     bit-for-bit in SQL (bloom_decontaminate_sql)."""
     mask = np.uint64((1 << m_bits) - 1)
     out = np.empty((len(gh), k), dtype=np.int64)
-    for j in range(k):
-        out[:, j] = (
-            splitmix64(gh ^ (np.uint64(j) * GOLDEN)) & mask
-        ).astype(np.int64)
+    with np.errstate(over="ignore"):  # j*GOLDEN wraps mod 2^64 by design
+        for j in range(k):
+            out[:, j] = (
+                splitmix64(gh ^ (np.uint64(j) * GOLDEN)) & mask
+            ).astype(np.int64)
     return out
 
 
@@ -314,30 +315,45 @@ def hll_grouped_distinct_words(
         kcodes = keys.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         kdict = keys.dictionary
         nk = len(kdict)
-        doc_idx, codes, dictionary = _word_codes(text)
-        if nk == 0 or len(codes) == 0:
+        if nk == 0:
             return pa.table(
                 {"kb": pa.array([], type=pa.int32()),
                  key_col: pa.array([], type=pa.string()),
                  "reg": pa.array([], type=pa.int64()),
                  "rank": pa.array([], type=pa.int64())}
             )
-        wh = splitmix64(text_hash64(dictionary))
-        reg, rank = hll_ranks(wh, p)
-        key2 = kcodes[doc_idx] * m + reg[codes]
-        rk = rank[codes]
-        order = np.lexsort((rk, key2))
-        k2, r2 = key2[order], rk[order]
-        starts = np.flatnonzero(np.r_[True, k2[1:] != k2[:-1]])
-        ends = np.r_[starts[1:], len(k2)] - 1  # rank asc in run -> max last
-        ki = k2[starts] // m
+        doc_idx, codes, dictionary = _word_codes(text)
         kh = splitmix64(text_hash64(kdict))
+        if len(codes):
+            wh = splitmix64(text_hash64(dictionary))
+            reg, rank = hll_ranks(wh, p)
+            key2 = kcodes[doc_idx] * m + reg[codes]
+            rk = rank[codes]
+            order = np.lexsort((rk, key2))
+            k2, r2 = key2[order], rk[order]
+            starts = np.flatnonzero(np.r_[True, k2[1:] != k2[:-1]])
+            ends = np.r_[starts[1:], len(k2)] - 1  # rank asc -> max last
+            ki = k2[starts] // m
+            regs = (k2[starts] % m).astype(np.int64)
+            ranks = r2[ends]
+        else:
+            ki = np.empty(0, dtype=np.int64)
+            regs = np.empty(0, dtype=np.int64)
+            ranks = np.empty(0, dtype=np.int64)
+        # keys with NO words still get a presence row (rank 0 — dropped
+        # from the register merge but keeping the key in the output with
+        # distinct_est = 0.0, like the ungrouped sibling)
+        silent = np.setdiff1d(np.arange(nk, dtype=np.int64), ki)
+        if len(silent):
+            ki = np.concatenate([ki, silent])
+            regs = np.concatenate([regs, np.zeros(len(silent), np.int64)])
+            ranks = np.concatenate([ranks, np.zeros(len(silent), np.int64)])
         return pa.table(
             {
                 "kb": pa.array(((kh[ki] % B)).astype(np.int32)),
                 key_col: kdict.take(pa.array(ki)),
-                "reg": pa.array((k2[starts] % m).astype(np.int64)),
-                "rank": pa.array(r2[ends]),
+                "reg": pa.array(regs),
+                "rank": pa.array(ranks),
             }
         )
 
@@ -348,13 +364,19 @@ def hll_grouped_distinct_words(
         nk = len(kdict)
         reg = group.column("reg").to_numpy(zero_copy_only=False)
         rank = group.column("rank").to_numpy(zero_copy_only=False)
-        key2 = kcodes * m + reg
-        order = np.lexsort((rank, key2))
-        k2, r2 = key2[order], rank[order]
-        starts = np.flatnonzero(np.r_[True, k2[1:] != k2[:-1]])
-        ends = np.r_[starts[1:], len(k2)] - 1
-        ki = k2[starts] // m
-        mx = r2[ends]
+        live = rank > 0  # rank-0 presence rows carry the key only
+        key2 = kcodes[live] * m + reg[live]
+        rklive = rank[live]
+        order = np.lexsort((rklive, key2))
+        k2, r2 = key2[order], rklive[order]
+        if len(k2):
+            starts = np.flatnonzero(np.r_[True, k2[1:] != k2[:-1]])
+            ends = np.r_[starts[1:], len(k2)] - 1
+            ki = k2[starts] // m
+            mx = r2[ends]
+        else:
+            ki = np.empty(0, dtype=np.int64)
+            mx = np.empty(0, dtype=np.int64)
         nnz = np.bincount(ki, minlength=nk)
         capped = np.minimum(mx, RANK_CAP)
         sum_t = np.full(nk, 0, dtype=np.int64)

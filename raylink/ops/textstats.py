@@ -16,7 +16,7 @@ import re
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import unpack_hi, round_half_away
+from raylink.util import isin_sorted, round_half_away, unpack_hi
 
 TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 WORD_PATTERN = r"[a-z]+"
@@ -496,7 +496,7 @@ def postings(docs_ds, min_df: int = 1, max_df: int | None = None,
         udoc = (unpack_hi(ukey)).astype(np.int64)
         ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
         terms = pc.cast(dic, pa.string()).take(pa.array(ucode))
-        b = (splitmix64(text_hash64(dic.to_pylist())[ucode]) % B).astype(
+        b = (splitmix64(text_hash64(dic)[ucode]) % B).astype(
             np.int32
         )
         return pa.table(
@@ -693,7 +693,7 @@ def doc_top_terms(docs_ds, k: int = 3, num_buckets: int = 64):
         )
         udoc = (unpack_hi(ukey)).astype(np.int64)
         ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
-        hdic = text_hash64(dic.to_pylist())
+        hdic = text_hash64(dic)
         h = hdic[ucode]
         return pa.table(
             {
@@ -877,11 +877,7 @@ def remove_boilerplate(docs_ds, min_docs: int, text_col: str = "text",
         def scan(batch: pa.Table) -> pa.Table:
             b = ray.get(boiler)
             _, flat, n_lines, h = split_lines(batch)
-            if len(b) and len(h):
-                pos = np.searchsorted(b, h)
-                hit = (pos < len(b)) & (b[np.minimum(pos, len(b) - 1)] == h)
-            else:
-                hit = np.zeros(len(h), dtype=bool)
+            hit = isin_sorted(b, h)
             doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_lines)
             keep = ~hit
             kept_per_doc = np.bincount(doc_idx[keep], minlength=len(batch))

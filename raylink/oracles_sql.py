@@ -1101,11 +1101,16 @@ FROM hh)""",
 FROM regs GROUP BY host)""",
         )
         + f"""
-SELECT host, n_zero, sum_t,
-       ROUND(CASE WHEN ({raw}) <= {2.5 * m} AND n_zero > 0
-                  THEN {m} * ln({float(m)} / n_zero)
-                  ELSE {raw} END, 6) AS distinct_est
-FROM agg ORDER BY host"""
+SELECT u.host,
+       COALESCE(a.n_zero, {m})::BIGINT AS n_zero,
+       COALESCE(a.sum_t, {m} * 4294967296)::BIGINT AS sum_t,
+       ROUND(CASE WHEN ({raw.replace("sum_t", "COALESCE(a.sum_t, " + str(m) + " * 4294967296)")}) <= {2.5 * m}
+                   AND COALESCE(a.n_zero, {m}) > 0
+                  THEN {m} * ln({float(m)} / COALESCE(a.n_zero, {m}))
+                  ELSE {raw.replace("sum_t", "COALESCE(a.sum_t, " + str(m) + " * 4294967296)")} END, 6)
+         AS distinct_est
+FROM (SELECT DISTINCT host FROM pg) u
+LEFT JOIN agg a ON a.host = u.host ORDER BY u.host"""
     )
 
 

@@ -291,7 +291,13 @@ def test_hll_grouped_distinct_words():
         .to_pandas()
         .set_index("host")
     )
-    assert set(out.index) == {"h0", "h1", "h2"}  # empty text -> no words
+    # a wordless key still appears, with an empty-register estimate (the
+    # ungrouped sibling's behavior)
+    assert set(out.index) == {"h0", "h1", "h2", "empty"}
+    erow = out.loc["empty"]
+    assert int(erow["n_zero"]) == m
+    assert int(erow["sum_t"]) == m * (1 << 32)
+    assert float(erow["distinct_est"]) == 0.0
     for h in ("h0", "h1", "h2"):
         vocab = sorted(
             {
