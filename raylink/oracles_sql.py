@@ -2965,3 +2965,56 @@ SELECT d.doc_id, COALESCE(sc.score, 0)::BIGINT AS score,
        CAST(CASE WHEN COALESCE(sc.score, 0) > 0 THEN 1 ELSE 0 END AS TINYINT) AS label
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def bpe_merges_sql(rounds: int = 6) -> str:
+    """Mirrors ops/bpe.bpe_merges round for round: v0 = word vocabulary
+    with character symbol lists; each round counts adjacent symbol pairs
+    weighted by word count (overlapping occurrences included, exactly like
+    the engine's flattened zip), picks the best by (count DESC, lhs, rhs)
+    binary order (identical to python's code-point order for the [a-z]+
+    vocabulary), and applies the greedy left-to-right non-overlapping
+    merge via run-grouped even offsets (consecutive matched positions are
+    within one word by construction). All integer arithmetic."""
+    parts = [
+        f"""v0 AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt,
+         list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+        FROM documents)
+  GROUP BY word)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""p{r} AS (SELECT l, r2, SUM(cnt)::BIGINT AS c FROM (
+    SELECT syms[i] AS l, syms[i+1] AS r2, cnt
+    FROM v{r}, unnest(generate_series(1, len(syms)-1)) AS t(i))
+  GROUP BY l, r2),
+b{r} AS MATERIALIZED (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1)"""
+        )
+        if r < rounds - 1:
+            parts.append(
+                f"""m{r} AS (SELECT word, cnt, i, syms[i] AS s,
+    (i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r2) AS mm
+  FROM v{r}, b{r} b, unnest(generate_series(1, len(syms))) AS t(i)),
+k{r} AS (SELECT word, i FROM (
+    SELECT word, i, i - MIN(i) OVER (PARTITION BY word, i - rn) AS off
+    FROM (SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS rn
+          FROM m{r} WHERE mm))
+  WHERE off % 2 = 0),
+v{r + 1} AS MATERIALIZED (
+  SELECT m.word, m.cnt,
+         list(CASE WHEN k1.i IS NOT NULL THEN b.l || b.r2 ELSE m.s END
+              ORDER BY m.i) AS syms
+  FROM m{r} m CROSS JOIN b{r} b
+  LEFT JOIN k{r} k1 ON k1.word = m.word AND k1.i = m.i
+  LEFT JOIN k{r} k2 ON k2.word = m.word AND k2.i = m.i - 1
+  WHERE k2.i IS NULL
+  GROUP BY m.word, m.cnt)"""
+            )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS round, l AS lhs, r2 AS rhs, l || r2 AS merged,"
+        f" c AS cnt FROM b{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY round"

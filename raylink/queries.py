@@ -1535,6 +1535,17 @@ def q_bigram_topk(sf_dir: str):
     return bigram_topk(_docs(sf_dir), k=100)
 
 
+def q_bpe_merges(sf_dir: str):
+    """Learn the top-6 BPE merge rules over the corpus word vocabulary —
+    the tokenizer-training stage (Sennrich et al. 2016). The corpus is
+    scanned once; every round runs over the vocabulary Dataset (pair
+    partials -> bucket groupby -> per-bucket winners; driver holds <=
+    num_buckets rows/round)."""
+    from raylink.ops.bpe import bpe_merges
+
+    return bpe_merges(_docs(sf_dir), rounds=6)
+
+
 def q_bigram_coherence(sf_dir: str):
     """Per-doc bigram coherence (mean corpus frequency of the doc's
     adjacent word pairs) — the n-gram-LM fluency proxy curation filter."""
