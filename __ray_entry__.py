@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority": q.q_order_priority,
         "customers_no_urgent": q.q_customers_no_urgent,
         "customer_distribution": q.q_customer_distribution,
+        "big_orders": q.q_big_orders,
+        "returned_revenue": q.q_returned_revenue,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
@@ -208,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority": o.order_priority_sql(),
         "customers_no_urgent": o.customers_no_urgent_sql(),
         "customer_distribution": o.customer_distribution_sql(),
+        "big_orders": o.big_orders_sql(),
+        "returned_revenue": o.returned_revenue_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "balanced_pagerank": o.pagerank_sql(iters=30),
         "host_vocab": o.host_vocab_sql(p=8),

@@ -3018,3 +3018,43 @@ v{r + 1} AS MATERIALIZED (
         for r in range(rounds)
     )
     return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY round"
+
+
+def big_orders_sql() -> str:
+    """TPC-H Q18 shape (queries.q_big_orders): total_price is the exact
+    cents integer divided once by 100.0 (identical IEEE op on both sides);
+    the HAVING threshold and the (price DESC, orderkey) top-100 rule match
+    the engine's integer sort keys."""
+    return """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice * 100)::BIGINT / 100.0 AS total_price,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY ROUND(o.o_totalprice * 100)::BIGINT DESC, o.o_orderkey
+LIMIT 100"""
+
+
+def returned_revenue_sql() -> str:
+    """TPC-H Q10 shape (queries.q_returned_revenue): integer-scaled
+    (cents x discount-percent) revenue — exact int64 sums, one final IEEE
+    division by 10000.0; deterministic top-20 by (revenue DESC, custkey)."""
+    return """
+WITH rev AS (
+  SELECT o.o_custkey AS ckey,
+         SUM(ROUND(l.l_extendedprice * 100)::BIGINT
+             * (100 - ROUND(l.l_discount * 100)::BIGINT))::BIGINT AS r
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY o.o_custkey),
+top AS (SELECT ckey, r FROM rev ORDER BY r DESC, ckey LIMIT 20)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, t.r / 10000.0 AS revenue
+FROM top t JOIN customer c ON c.c_custkey = t.ckey"""

@@ -2892,6 +2892,195 @@ def q_negative_samples(sf_dir: str):
     return negative_samples(edges, n_vertices=n, k=3, seed=0)
 
 
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18 shape ("large volume customers"): orders whose total
+    line-item quantity exceeds 300 units, with the customer name attached.
+    Shape: per-batch integer quantity partials -> ``bucketed_sum`` per
+    order (unbounded key cardinality, coarse buckets) -> distributed
+    HAVING filter -> large x large ``hash_join`` against orders ->
+    thresholded customer-name attach -> distributed sort + limit 100.
+    -> (c_name, o_custkey, o_orderkey, o_orderdate, total_price, sum_qty)
+    ordered by total_price desc, orderkey asc."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import attach_lookup, bucketed_sum, hash_join
+
+    def qty_f(b: pa.Table) -> pa.Table:
+        q = np.rint(
+            b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)  # quantities are whole units stored as doubles
+        return pa.table({"okey": b.column("l_orderkey"), "qty": pa.array(q)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(qty_f, batch_format="pyarrow")
+    sums = bucketed_sum(li, key="okey", val="qty", out_val="sum_qty")
+    big = sums.map_batches(
+        lambda b: b.filter(pc.greater(b.column("sum_qty"), 300)),
+        batch_format="pyarrow",
+    )
+
+    def ord_f(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": b.column("o_orderkey"),
+                "ckey": b.column("o_custkey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "price": pa.array(_cents(b.column("o_totalprice"))),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(ord_f, batch_format="pyarrow")
+    joined = hash_join(
+        big, orders, on="okey",
+        left_cols={"sum_qty": pa.int64()},
+        right_cols={
+            "ckey": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+            "price": pa.int64(),
+        },
+        strict=False,
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"ckey": b.column("c_custkey"), "c_name": b.column("c_name")}
+        ),
+        batch_format="pyarrow",
+    )
+    named = attach_lookup(
+        joined, cust, on="ckey",
+        left_cols={
+            "okey": pa.int64(),
+            "sum_qty": pa.int64(),
+            "o_orderdate": pa.timestamp("us"),
+            "price": pa.int64(),
+        },
+        value_cols={"c_name": pa.string()},
+        n_lookup_rows=_parquet_rows(sf_dir, "customer"),
+    )
+    top = named.sort(["price", "okey"], descending=[True, False]).limit(100)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "c_name": b.column("c_name"),
+                "o_custkey": b.column("ckey"),
+                "o_orderkey": b.column("okey"),
+                "o_orderdate": b.column("o_orderdate"),
+                "total_price": pa.array(
+                    b.column("price").to_numpy(zero_copy_only=False).astype(
+                        np.float64
+                    )
+                    / 100.0
+                ),
+                "sum_qty": b.column("sum_qty"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape ("returned item reporting"): revenue lost to
+    returned items per customer over a half-year of orders, top 20.
+    Shape: scanner-pruned date filter on orders + returnflag filter on
+    lineitem -> large x large ``hash_join`` with per-customer integer
+    partials fused into the join tasks (custkey is NOT the join key, so
+    they are partials) -> ``bucketed_sum`` per customer -> distributed
+    sort + limit 20 -> thresholded name/acctbal attach on the 20 rows.
+    -> (c_custkey, c_name, c_acctbal, revenue) ordered by revenue desc."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import attach_lookup, bucketed_sum, hash_join
+
+    d0 = pa.scalar(np.datetime64("1996-01-01", "us").item(), type=pa.timestamp("us"))
+    d1 = pa.scalar(np.datetime64("1996-07-01", "us").item(), type=pa.timestamp("us"))
+
+    def li_f(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        return pa.table({"okey": t.column("l_orderkey"), "rev": pa.array(rev)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",  # scanner-level row pruning
+    ).map_batches(li_f, batch_format="pyarrow")
+
+    def ord_f(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(pc.greater_equal(b.column("o_orderdate"), d0),
+                    pc.less(b.column("o_orderdate"), d1))
+        )
+        return pa.table({"okey": t.column("o_orderkey"), "ckey": t.column("o_custkey")})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= d0) & (pc.field("o_orderdate") < d1),
+    ).map_batches(ord_f, batch_format="pyarrow")
+
+    def cust_partial(b: pa.Table) -> pa.Table:
+        ck = b.column("ckey").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ck, return_inverse=True)
+        rev = b.column("rev").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table({"ckey": pa.array(uk), "rev": pa.array(s)})
+
+    joined = hash_join(
+        li, orders, on="okey",
+        left_cols={"rev": pa.int64()}, right_cols={"ckey": pa.int64()},
+        strict=False,
+        post=cust_partial,
+    )
+    agg = bucketed_sum(joined, key="ckey", val="rev", out_val="rev")
+    top = agg.sort(["rev", "ckey"], descending=[True, False]).limit(20)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "ckey": b.column("c_custkey"),
+                "c_name": b.column("c_name"),
+                "c_acctbal": b.column("c_acctbal"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    named = attach_lookup(
+        top, cust, on="ckey",
+        left_cols={"rev": pa.int64()},
+        value_cols={"c_name": pa.string(), "c_acctbal": pa.float64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "customer"),
+    )
+    return named.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("ckey"),
+                "c_name": b.column("c_name"),
+                "c_acctbal": b.column("c_acctbal"),
+                "revenue": pa.array(
+                    b.column("rev").to_numpy(zero_copy_only=False).astype(
+                        np.float64
+                    )
+                    / 10000.0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_customer_distribution(sf_dir: str):
     """TPC-H Q13 shape: distribution of customers by order count (urgent
     orders excluded) INCLUDING the zero-order bin — the classic LEFT OUTER
