@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_kmeans": q.q_graph_kmeans,
         "cooccur_pagerank": q.q_cooccur_pagerank,
         "hits": q.q_hits,
+        "katz": q.q_katz,
         "link_positions": q.q_link_positions,
         "dense_remap": q.q_dense_remap,
         "crawl_diff": q.q_crawl_diff,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_pagerank": o.subgraph_rank_sql(),
         "cooccur_pagerank": o.cooccur_pagerank_sql(iters=10),
         "hits": o.hits_sql(iters=8),
+        "katz": o.katz_sql(iters=q.KATZ_ITERS, alpha=0.05, beta=1.0),
         "connected_components": o.cc_sql(),
         "scc": o.scc_sql(),
         "scc_sizes": o.scc_sizes_sql(),

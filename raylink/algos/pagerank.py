@@ -361,3 +361,62 @@ def multi_seed_ppr(
     )
     cols = ["vid"] + [f"r{i}" for i in range(len(seeds))]
     return res, res.state_dataset().select_columns(cols)
+
+
+class Katz(PageRank):
+    """Katz centrality (Katz 1953, public): ``x = beta + alpha * A^T x``
+    iterated — each vertex pushes its WHOLE score along every out-edge
+    (no out-degree normalization), receivers add the constant ``beta``
+    attenuated-path mass. Same message/shuffle shape as PageRank (per-dst
+    pre-combine, deterministic CSR-order reduction); fixed iteration count
+    for SQL-oracle parity. ``alpha`` must be below 1/lambda_max for the
+    series to converge — callers pick a conservative value (the suite uses
+    0.05); with fixed ``iters`` the computation is exact either way."""
+
+    name = "katz"
+
+    def _teleport(self, shard: dict, ctx: dict):
+        return ctx.get("beta", 1.0)
+
+    def init(self, shard: dict, ctx: dict) -> dict:
+        beta = ctx.get("beta", 1.0)
+        return {"rank": np.full(len(shard["vids"]), beta, dtype=np.float64)}
+
+    def _emit(self, shard: dict, ctx: dict, rank: np.ndarray):
+        indptr, indices = shard["indptr"], shard["indices"]
+        deg = np.diff(indptr)
+        if not np.any(deg > 0):
+            return None
+        contrib = np.repeat(rank, deg)
+        dsts, inv = np.unique(indices, return_inverse=True)
+        sums = np.zeros(len(dsts), dtype=np.float64)
+        np.add.at(sums, inv, contrib)
+        return self.make_msgs(route_parts(shard, ctx, dsts), dsts, val=sums)
+
+
+def katz(
+    g: LinkGraph,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    iters: int = 8,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    ckpt_every: int = 1,
+    engine: str = "dataset",
+):
+    """Katz centrality after ``iters`` update rounds; returns
+    (BSPResult, Dataset (vid, rank))."""
+    ctx = {
+        "alpha": alpha,
+        "beta": beta,
+        "iters": iters,
+        "ckpt_every": ckpt_every,
+        "partitioner": g.partitioner,
+        "num_parts": g.num_parts,
+    }
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
+        g, Katz(), ctx, max_supersteps=iters + 1, ckpt_dir=ckpt_dir,
+        resume=resume,
+    )
+    return res, res.state_dataset().select_columns(["vid", "rank"])

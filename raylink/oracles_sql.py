@@ -3058,3 +3058,29 @@ WITH rev AS (
 top AS (SELECT ckey, r FROM rev ORDER BY r DESC, ckey LIMIT 20)
 SELECT c.c_custkey, c.c_name, c.c_acctbal, t.r / 10000.0 AS revenue
 FROM top t JOIN customer c ON c.c_custkey = t.ckey"""
+
+
+def katz_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0,
+             decimals: int = 8) -> str:
+    """Katz centrality unrolled like pagerank_sql: x0 = beta,
+    x_{t+1} = beta + alpha * SUM(in-neighbor x_t) (no degree
+    normalization). Float association differences are absorbed by
+    ROUND(.., decimals) on both sides."""
+    ctes = [
+        GRAPH_CTES,
+        f"k0 AS (SELECT vid, {beta!r}::DOUBLE AS rank FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""k{t} AS MATERIALIZED (
+  SELECT v.vid, {beta!r} + {alpha!r} * COALESCE(s.ms, 0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.rank) AS ms
+    FROM k{t - 1} p JOIN edges e ON e.src = p.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid)"""
+        )
+    return (
+        _with(*ctes)
+        + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, {decimals}) AS rank FROM k{iters}"
+    )

@@ -30,6 +30,7 @@ from raylink.util import round_half_away
 
 PR_ITERS = 30
 HITS_ITERS = 8
+KATZ_ITERS = 8
 
 
 def _ckpt(name: str, sf_dir: str, *extra) -> str:
@@ -182,6 +183,33 @@ def q_pagerank(sf_dir: str):
                 "vid": batch.column("vid"),
                 "rank": pa.array(
                     round_half_away(batch.column("rank").to_numpy(zero_copy_only=False), 8)
+                ),
+            }
+        )
+
+    return ranks.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_katz(sf_dir: str):
+    """Katz centrality (alpha=0.05, beta=1, 8 fixed iterations) over the
+    directed page graph — attenuated-path-count centrality; same BSP
+    shuffle shape as PageRank but unnormalized pushes."""
+    from raylink.algos.pagerank import katz
+
+    g = page_graph(sf_dir, directed=True)
+    _, ranks = katz(
+        g, alpha=0.05, beta=1.0, iters=KATZ_ITERS, engine="tasks",
+        ckpt_dir=_ckpt("katz", sf_dir, KATZ_ITERS),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "rank": pa.array(
+                    round_half_away(
+                        batch.column("rank").to_numpy(zero_copy_only=False), 8
+                    )
                 ),
             }
         )

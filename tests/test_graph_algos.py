@@ -1777,3 +1777,31 @@ def test_apply_edge_updates_add_and_del_same_edge(ray_session, tmp_path):
     )
     got3 = sorted((r["src"], r["dst"]) for r in edge_table(g3).take_all())
     assert got3 == [(0, 1), (3, 4)]  # (0,1) re-added; (1,2) deleted
+
+
+def katz_oracle(n, edges, iters, alpha=0.05, beta=1.0):
+    uniq = np.unique(edges[:, 0] << np.int64(32) | edges[:, 1])
+    s = (uniq >> np.int64(32)).astype(np.int64)
+    d = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    x = np.full(n, beta)
+    for _ in range(iters):
+        x = beta + alpha * np.bincount(d, weights=x[s], minlength=n)
+    return x
+
+
+@pytest.mark.parametrize("engine", ["dataset", "tasks"])
+def test_katz(edge_data, engine, tmp_path):
+    from raylink.algos.pagerank import katz
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    g = build_graph(edges_ds, verts_ds, num_parts=4, directed=True)
+    _, ranks = katz(
+        g, alpha=0.05, beta=1.0, iters=6, engine=engine,
+        ckpt_dir=str(tmp_path / f"katz-{engine}"),
+    )
+    pdf = ranks.to_pandas().sort_values("vid").reset_index(drop=True)
+    exp = katz_oracle(N, edges, iters=6)
+    np.testing.assert_allclose(pdf["rank"].to_numpy(), exp, rtol=0, atol=1e-12)
+    # hubs with in-links score above the floor; beta floor for isolated dsts
+    assert (pdf["rank"].to_numpy() >= 1.0 - 1e-15).all()
