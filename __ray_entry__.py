@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q.q_funnel,
         "bigram_coherence": q.q_bigram_coherence,
         "bpe_merges": q.q_bpe_merges,
+        "bpe_token_count": q.q_bpe_token_count,
         "repeated_substrings": q.q_repeated_substrings,
         "substring_pairs": q.q_substring_pairs,
         "events_latest": q.q_events_latest,
@@ -286,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": o.funnel_sql(),
         "bigram_coherence": o.bigram_coherence_sql(),
         "bpe_merges": o.bpe_merges_sql(rounds=6),
+        "bpe_token_count": o.bpe_token_count_sql(rounds=6),
         "repeated_substrings": o.repeated_substrings_sql(),
         "substring_pairs": o.substring_pairs_sql(),
         "events_latest": o.events_latest_sql(),

@@ -213,36 +213,39 @@ class _NegStr:
         return isinstance(other, _NegStr) and self.s == other.s
 
 
+def _merge_flat(flat: np.ndarray, row: np.ndarray, lhs: str, rhs: str):
+    """Apply one merge rule to flattened (symbol, row) arrays: replace
+    non-overlapping left-to-right (lhs, rhs) occurrences with the
+    concatenated symbol, vectorized: matches are run-grouped by positional
+    adjacency (consecutive matched positions are provably within one word)
+    and even offsets within a run are kept — exactly the sequential greedy
+    scan's result. -> (flat, row)."""
+    if flat.size >= 2:
+        m = (flat[:-1] == lhs) & (flat[1:] == rhs) & (row[:-1] == row[1:])
+        idx = np.flatnonzero(m)
+    else:
+        idx = np.empty(0, np.int64)
+    if not idx.size:
+        return flat, row
+    new_run = np.ones(idx.size, bool)
+    new_run[1:] = idx[1:] != idx[:-1] + 1
+    run_id = np.cumsum(new_run) - 1
+    starts = idx[new_run]
+    kept = idx[(idx - starts[run_id]) % 2 == 0]
+    drop = np.zeros(flat.size, bool)
+    drop[kept + 1] = True
+    out = flat.copy()
+    out[kept] = lhs + rhs
+    keep_mask = ~drop
+    return out[keep_mask], row[keep_mask]
+
+
 def _merge_pair(vocab_ds, lhs: str, rhs: str):
-    """Replace non-overlapping left-to-right (lhs, rhs) occurrences with
-    the concatenated symbol, vectorized across the whole batch: matches are
-    run-grouped by positional adjacency (consecutive matched positions are
-    provably within one word) and even offsets within a run are kept —
-    exactly the sequential greedy scan's result."""
-    merged = lhs + rhs
+    """One merge round over the vocabulary Dataset (shuffle-free map)."""
 
     def apply(batch: pa.Table) -> pa.Table:
         flat, row, n = _flatten_syms(batch)
-        if flat.size >= 2:
-            m = (flat[:-1] == lhs) & (flat[1:] == rhs) & (row[:-1] == row[1:])
-            idx = np.flatnonzero(m)
-        else:
-            idx = np.empty(0, np.int64)
-        if idx.size:
-            new_run = np.ones(idx.size, bool)
-            new_run[1:] = idx[1:] != idx[:-1] + 1
-            run_id = np.cumsum(new_run) - 1
-            starts = idx[new_run]
-            kept = idx[(idx - starts[run_id]) % 2 == 0]
-            drop = np.zeros(flat.size, bool)
-            drop[kept + 1] = True
-            out = flat.copy()
-            out[kept] = merged
-            keep_mask = ~drop
-            out = out[keep_mask]
-            row = row[keep_mask]
-        else:
-            out = flat
+        out, row = _merge_flat(flat, row, lhs, rhs)
         counts = np.bincount(row, minlength=n)
         offs = np.zeros(n + 1, np.int32)
         np.cumsum(counts, out=offs[1:])
@@ -300,4 +303,62 @@ def bpe_merges(
             "merged": pa.array([x["merged"] for x in rows], type=pa.string()),
             "cnt": pa.array([x["cnt"] for x in rows], type=pa.int64()),
         }
+    )
+
+
+class BPETokenCounter:
+    """Tokenizer-inference stage (actor pool): count per-doc subword tokens
+    under a learned merge table. The merge list is tiny (R rules) and lives
+    in the actor; each batch re-derives its OWN vocabulary (dictionary
+    codes), applies the R merges to that vocabulary's symbol arrays (merging
+    is per-word and the rule order is fixed, so the result equals applying
+    them to the global vocabulary), and sums symbols per doc — shuffle-free,
+    no per-row python."""
+
+    def __init__(self, merges: list[tuple[str, str]], text_col: str = "text"):
+        self.merges = list(merges)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from raylink.ops.textstats import _word_codes
+
+        text = pa.compute.fill_null(
+            batch.column(self.text_col).combine_chunks(), ""
+        )
+        n = len(text)
+        doc_idx, codes, dictionary = _word_codes(text)
+        syms = _chars_list(dictionary)
+        lens = np.diff(syms.offsets.to_numpy(zero_copy_only=False))
+        flat = np.asarray(syms.values.to_numpy(zero_copy_only=False), object)
+        row = np.repeat(np.arange(len(dictionary), dtype=np.int64), lens)
+        for lhs, rhs in self.merges:
+            flat, row = _merge_flat(flat, row, lhs, rhs)
+        n_syms = np.bincount(row, minlength=len(dictionary)).astype(np.int64)
+        out = np.zeros(n, np.int64)
+        np.add.at(out, doc_idx, n_syms[codes])
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_bpe_tokens": pa.array(out)}
+        )
+
+
+def bpe_token_count(
+    docs_ds,
+    merges: list[tuple[str, str]] | None = None,
+    rounds: int = 6,
+    text_col: str = "text",
+    num_buckets: int = 32,
+    concurrency=(1, 8),
+):
+    """Train-then-apply: learn ``rounds`` merges (unless given) and count
+    per-doc subword tokens -> Dataset (doc_id, n_bpe_tokens)."""
+    if merges is None:
+        mt = bpe_merges(
+            docs_ds, rounds=rounds, text_col=text_col, num_buckets=num_buckets
+        )
+        merges = list(zip(mt.column("lhs").to_pylist(), mt.column("rhs").to_pylist()))
+    return docs_ds.map_batches(
+        BPETokenCounter,
+        fn_constructor_args=(merges, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )

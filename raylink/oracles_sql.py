@@ -2967,15 +2967,17 @@ FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
 
-def bpe_merges_sql(rounds: int = 6) -> str:
-    """Mirrors ops/bpe.bpe_merges round for round: v0 = word vocabulary
-    with character symbol lists; each round counts adjacent symbol pairs
+def _bpe_ctes(rounds: int, merge_all: bool) -> list:
+    """Shared CTE chain for the BPE oracles: v0 = word vocabulary with
+    character symbol lists; each round counts adjacent symbol pairs
     weighted by word count (overlapping occurrences included, exactly like
     the engine's flattened zip), picks the best by (count DESC, lhs, rhs)
     binary order (identical to python's code-point order for the [a-z]+
     vocabulary), and applies the greedy left-to-right non-overlapping
     merge via run-grouped even offsets (consecutive matched positions are
-    within one word by construction). All integer arithmetic."""
+    within one word by construction). All integer arithmetic.
+    ``merge_all`` also applies the LAST selected merge (yielding
+    v{rounds}, the fully-merged vocabulary for tokenizer inference)."""
     parts = [
         f"""v0 AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS cnt,
@@ -2992,7 +2994,7 @@ def bpe_merges_sql(rounds: int = 6) -> str:
   GROUP BY l, r2),
 b{r} AS MATERIALIZED (SELECT l, r2, c FROM p{r} ORDER BY c DESC, l, r2 LIMIT 1)"""
         )
-        if r < rounds - 1:
+        if merge_all or r < rounds - 1:
             parts.append(
                 f"""m{r} AS (SELECT word, cnt, i, syms[i] AS s,
     (i < len(syms) AND syms[i] = b.l AND syms[i+1] = b.r2) AS mm
@@ -3012,12 +3014,41 @@ v{r + 1} AS MATERIALIZED (
   WHERE k2.i IS NULL
   GROUP BY m.word, m.cnt)"""
             )
+    return parts
+
+
+def bpe_merges_sql(rounds: int = 6) -> str:
+    """Mirrors ops/bpe.bpe_merges round for round (see _bpe_ctes)."""
+    parts = _bpe_ctes(rounds, merge_all=False)
     unions = "\nUNION ALL\n".join(
         f"SELECT {r}::BIGINT AS round, l AS lhs, r2 AS rhs, l || r2 AS merged,"
         f" c AS cnt FROM b{r}"
         for r in range(rounds)
     )
     return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY round"
+
+
+def bpe_token_count_sql(rounds: int = 6) -> str:
+    """Mirrors ops/bpe.bpe_token_count: learn ``rounds`` merges, apply ALL
+    of them to the vocabulary (v{rounds}), then per-doc subword token count
+    = sum of len(syms) over the doc's word occurrences; docs with no words
+    count 0. Assumes the corpus yields >= rounds merges (true for the
+    synthetic documents at every sf; the engine stops early otherwise)."""
+    parts = _bpe_ctes(rounds, merge_all=True)
+    parts.append(
+        f"""occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+  FROM documents),
+tc AS (
+  SELECT o.doc_id, SUM(len(v.syms))::BIGINT AS n
+  FROM occ o JOIN v{rounds} v USING (word) GROUP BY o.doc_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT d.doc_id, COALESCE(tc.n, 0)::BIGINT AS n_bpe_tokens
+FROM documents d LEFT JOIN tc ON tc.doc_id = d.doc_id"""
+    )
 
 
 def big_orders_sql() -> str:

@@ -1574,6 +1574,15 @@ def q_bpe_merges(sf_dir: str):
     return bpe_merges(_docs(sf_dir), rounds=6)
 
 
+def q_bpe_token_count(sf_dir: str):
+    """Tokenizer train-then-apply: learn 6 BPE merges, then count per-doc
+    subword tokens with the merge-table actor pool (shuffle-free
+    inference scan) -> (doc_id, n_bpe_tokens)."""
+    from raylink.ops.bpe import bpe_token_count
+
+    return bpe_token_count(_docs(sf_dir), rounds=6)
+
+
 def q_bigram_coherence(sf_dir: str):
     """Per-doc bigram coherence (mean corpus frequency of the doc's
     adjacent word pairs) — the n-gram-LM fluency proxy curation filter."""

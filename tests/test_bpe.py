@@ -133,3 +133,53 @@ def test_bpe_nulls_and_empty(ray_session):
     got = _engine_rows(bpe_merges(rd.from_arrow(tbl), rounds=2))
     want = _python_bpe(["hello hello", ""], 2)
     assert got == want
+
+
+def test_bpe_token_count_matches_replica(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.bpe import bpe_token_count
+
+    texts = [
+        "lower lower lowest newer newer newer wider wide widest",
+        "new new newer lower low low lowest wide",
+        "",
+        None,
+        "zzz qqq",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    got = (
+        bpe_token_count(rd.from_arrow(tbl), rounds=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # python replica: learn 4 merges, segment each word greedily
+    merges = _python_bpe([t or "" for t in texts], 4)
+    rules = [(m[1], m[2]) for m in merges]
+
+    def seg_len(word):
+        syms = list(word)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    exp = [
+        sum(seg_len(w) for w in re.findall(r"[a-z]+", (t or "").lower()))
+        for t in texts
+    ]
+    assert got["n_bpe_tokens"].tolist() == exp
+    assert got["doc_id"].tolist() == list(range(len(texts)))
