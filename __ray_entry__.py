@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support": q.q_edge_support,
         "ktruss": q.q_ktruss,
         "random_walks": q.q_random_walks,
+        "node2vec": q.q_node2vec,
         "subgraphs": q.q_subgraphs,
         "meta_graph": q.q_meta_graph,
         "sssp": q.q_sssp,
@@ -249,6 +250,9 @@ def oracle_sql() -> dict[str, str]:
         "edge_support": o.edge_support_sql(),
         "ktruss": o.ktruss_sql(k=3, rounds=10),
         "random_walks": o.random_walks_sql(walk_len=6, seed=0),
+        "node2vec": o.node2vec_sql(
+            walk_len=6, w_return=1, w_common=4, w_far=2, seed=0
+        ),
         "subgraphs": o.subgraphs_sql(),
         "meta_graph": o.meta_graph_sql(),
         "sssp": o.sssp_sql(source=0),

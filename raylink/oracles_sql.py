@@ -3115,3 +3115,50 @@ def katz_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0,
         _with(*ctes)
         + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, {decimals}) AS rank FROM k{iters}"
     )
+
+
+def node2vec_sql(walk_len: int = 6, w_return: int = 1, w_common: int = 4,
+                 w_far: int = 2, seed: int = 0) -> str:
+    """Mirrors algos.walks.node2vec_walks bit-for-bit: candidate weight =
+    w_return if cand == prev, w_common if edge (prev, cand) exists, w_far
+    otherwise (step 0 has prev = -1 -> uniform w_far); the walker's draw is
+    splitmix64(walker XOR (s+1)*K1 XOR seed) mod total_weight and the
+    chosen candidate is the unique one with cw - wgt <= r < cw under
+    (cand ASC) cumulative weights. Steps unrolled; edges are DISTINCT on
+    both sides."""
+    K1 = 0x9E3779B97F4A7C15
+    ctes = [
+        GRAPH_CTES,
+        "n0 AS (SELECT DISTINCT src AS walker, CAST(-1 AS BIGINT) AS prev, "
+        "src AS vid FROM edges)",
+    ]
+    for s in range(walk_len):
+        c1 = ((s + 1) * K1) % (1 << 64)
+        mix = (
+            f"xor(xor(CAST(w.walker AS UBIGINT), CAST({c1} AS UBIGINT)), "
+            f"CAST({seed} AS UBIGINT))"
+        )
+        ctes.append(
+            f"""n{s + 1} AS MATERIALIZED (
+  SELECT walker, cur AS prev, cand AS vid FROM (
+    SELECT walker, cur, cand, wgt,
+           SUM(wgt) OVER (PARTITION BY walker ORDER BY cand
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+           CAST({_sm64('mx')} % CAST(SUM(wgt) OVER (PARTITION BY walker)
+                                     AS UBIGINT) AS BIGINT) AS r
+    FROM (
+      SELECT w.walker, w.vid AS cur, e.dst AS cand, {mix} AS mx,
+             CASE WHEN e.dst = w.prev THEN {w_return}
+                  WHEN EXISTS (SELECT 1 FROM edges e2
+                               WHERE e2.src = w.prev AND e2.dst = e.dst)
+                  THEN {w_common}
+                  ELSE {w_far} END AS wgt
+      FROM n{s} w JOIN edges e ON e.src = w.vid))
+  WHERE cw - wgt <= r AND r < cw)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walker::BIGINT AS walker, {s}::BIGINT AS step, "
+        f"vid::BIGINT AS vid FROM n{s}"
+        for s in range(walk_len + 1)
+    )
+    return _with(*ctes) + "\n" + union

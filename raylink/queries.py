@@ -735,6 +735,18 @@ def q_random_walks(sf_dir: str):
     return random_walks(edges, walk_len=6, seed=0)
 
 
+def q_node2vec(sf_dir: str):
+    """Second-order (node2vec) biased 6-step walks: integer class weights
+    (return 1 : common-neighbor 4 : far 2), hash-driven picks — the
+    graph-embedding corpus sampler."""
+    from raylink.algos.walks import node2vec_walks
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return node2vec_walks(
+        edges, walk_len=6, w_return=1, w_common=4, w_far=2, seed=0
+    )
+
+
 def q_edge_support(sf_dir: str):
     """Per-edge triangle support (k-truss primitive) over the page graph."""
     from raylink.algos.triangles import edge_support

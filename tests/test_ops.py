@@ -1999,3 +1999,74 @@ def test_similarity_empty_blocks(ray_session):
     assert lsh_ann(ds, query_ids=[0], k=3).count() <= 3  # recall-bound
     assert knn_join(ds, k=2).count() > 0
     embedding_pairs_lsh(ds, tau=0.99).count()  # no crash is the assertion
+
+
+def test_node2vec_walks(ray_session):
+    import ray.data as rd
+
+    from raylink.algos.walks import node2vec_walks
+    from raylink.util import splitmix64
+
+    # digraph with a return edge (1->0), a triangle (0,1,2) so the
+    # common-neighbor class fires, and a far vertex 3
+    src = np.array([0, 0, 0, 1, 1, 2, 3], dtype=np.int64)
+    dst = np.array([1, 2, 3, 0, 2, 0, 0], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    L, seed = 5, 0
+    wr, wc, wf = 1, 4, 2
+    got = (
+        node2vec_walks(ds, walk_len=L, w_return=wr, w_common=wc, w_far=wf,
+                       seed=seed)
+        .to_pandas()
+        .sort_values(["walker", "step"])
+        .reset_index(drop=True)
+    )
+
+    K1 = np.uint64(0x9E3779B97F4A7C15)
+    adj = {}
+    eset = set(zip(src.tolist(), dst.tolist()))
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), []).append(int(d))
+    for v in adj:
+        adj[v] = sorted(set(adj[v]))
+
+    exp_rows = []
+    for w in sorted(set(src.tolist())):
+        v, prev = w, -1
+        exp_rows.append((w, 0, v))
+        for step in range(L):
+            if v not in adj:
+                break
+            cands = adj[v]
+            ws = [
+                wr if c == prev else (wc if (prev, c) in eset else wf)
+                for c in cands
+            ]
+            with np.errstate(over="ignore"):
+                h = int(splitmix64(
+                    np.uint64(w) ^ (np.uint64(step + 1) * K1) ^ np.uint64(seed)
+                ))
+            r = h % sum(ws)
+            cum = 0
+            for c, wt in zip(cands, ws):
+                cum += wt
+                if r < cum:
+                    nxt = c
+                    break
+            prev, v = v, nxt
+            exp_rows.append((w, step + 1, v))
+    assert (
+        sorted(map(tuple, got[["walker", "step", "vid"]].to_numpy().tolist()))
+        == sorted(exp_rows)
+    )
+    # bias sanity: walks differ from the all-equal-weight variant somewhere
+    flat = (
+        node2vec_walks(ds, walk_len=L, w_return=2, w_common=2, w_far=2,
+                       seed=seed)
+        .to_pandas()
+        .sort_values(["walker", "step"])
+        .reset_index(drop=True)
+    )
+    assert not flat[["walker", "step", "vid"]].equals(
+        got[["walker", "step", "vid"]]
+    )
