@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": q.q_curation_funnel,
         "text_stats": q.q_text_stats,
         "quality_score": q.q_quality_score,
+        "quality_filter": q.q_quality_filter,
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
         "doc_repetition": q.q_doc_repetition,
@@ -275,6 +276,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": o.curation_funnel_sql(),
         "text_stats": o.text_stats_sql(),
         "quality_score": o.quality_score_sql(),
+        "quality_filter": o.quality_filter_sql(q=0.8),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
         "doc_repetition": o.doc_repetition_sql(),

@@ -3162,3 +3162,14 @@ def node2vec_sql(walk_len: int = 6, w_return: int = 1, w_common: int = 4,
         for s in range(walk_len + 1)
     )
     return _with(*ctes) + "\n" + union
+
+
+def quality_filter_sql(q: float = 0.8) -> str:
+    """Percentile curation filter (queries.q_quality_filter): threshold =
+    quantile_disc(score, q) over ALL docs' linear-model scores (the engine's
+    group_quantiles rule equals quantile_disc exactly); survivors keep
+    (doc_id, score)."""
+    return f"""
+WITH sc AS MATERIALIZED ({quality_score_sql()}),
+thr AS (SELECT quantile_disc(score, {q}) AS t FROM sc)
+SELECT sc.doc_id, sc.score FROM sc, thr WHERE sc.score >= thr.t"""

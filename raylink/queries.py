@@ -3306,6 +3306,34 @@ def q_graph_update(sf_dir: str):
     return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_quality_filter(sf_dir: str):
+    """Percentile-threshold curation filter: keep docs whose model score
+    reaches the corpus P80 — score with the actor-pool linear model, take
+    the exact distributed quantile (histogram shuffle carries distinct
+    score values only), broadcast the one threshold scalar, filter in a
+    shuffle-free scan. The scoring scan runs twice (quantile + filter);
+    both are shuffle-free. -> (doc_id, score) survivors."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.select import group_quantiles
+    from raylink.ops.textstats import linear_score
+
+    sc = linear_score(_docs(sf_dir)).select_columns(["doc_id", "score"])
+    keyed = sc.map_batches(
+        lambda b: pa.table(
+            {"k": pa.array(np.zeros(b.num_rows, np.int64)),
+             "score": b.column("score")}
+        ),
+        batch_format="pyarrow",
+    )
+    rows = group_quantiles(keyed, "k", "score", [0.8]).take_all()
+    t = int(rows[0]["score"])
+    return sc.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("score"), t)),
+        batch_format="pyarrow",
+    )
+
+
 def q_quality_score(sf_dir: str):
     """Hashed-feature linear model scoring (the curation pipeline's
     quality-classifier inference stage): integer weights derived from

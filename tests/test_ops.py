@@ -2070,3 +2070,23 @@ def test_node2vec_walks(ray_session):
     assert not flat[["walker", "step", "vid"]].equals(
         got[["walker", "step", "vid"]]
     )
+
+
+def test_quality_filter_threshold_rule(ray_session):
+    from raylink.queries import q_quality_filter
+
+    got = q_quality_filter("/root/testdata/sf0.001").to_pandas()
+    from raylink.ops.textstats import linear_score
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    docs = rd.from_arrow(
+        pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    )
+    all_sc = linear_score(docs).to_pandas()
+    scores = np.sort(all_sc["score"].to_numpy())
+    t = scores[int(np.ceil(0.8 * len(scores))) - 1]  # quantile_disc rule
+    exp = all_sc[all_sc["score"] >= t]
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
+    assert got["score"].min() >= t
