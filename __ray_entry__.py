@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
+        "containment": q.q_containment,
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "token_count": q.q_token_count,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": o.graph_stats_sql(),
         "dedup_exact": o.dedup_exact_sql(),
         "dedup_ngram": o.ngram_pairs_sql(tau=0.5),
+        "containment": o.containment_pairs_sql(n=3, tau=0.2),
         "dedup_minhash": o.dedup_minhash_sql(tau=0.5),
         "dedup_simhash": o.dedup_simhash_sql(max_hamming=3),
         "media_resize": o.media_resize_sql(),

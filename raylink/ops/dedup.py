@@ -191,11 +191,17 @@ class _Shingler:
         )
 
 
-def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None):
-    """Exact n-gram Jaccard pairs -> Dataset (doc_a, doc_b, jaccard r6).
+def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None,
+                metric: str = "jaccard"):
+    """Exact n-gram set-similarity pairs -> Dataset (doc_a, doc_b, <metric> r6).
 
-    max_df: drop grams appearing in more than max_df docs (DF cut; must be
-    mirrored in any oracle)."""
+    metric="jaccard": |A n B| / |A u B|; metric="containment":
+    |A n B| / min(|A|, |B|) — the asymmetric-duplication signal (a short
+    doc quoted wholesale inside a long one scores ~1.0 where Jaccard
+    stays low). max_df: drop grams appearing in more than max_df docs
+    (DF cut; must be mirrored in any oracle)."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     grams = docs_ds.map_batches(_Shingler(n), batch_format="pyarrow")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -294,19 +300,22 @@ def ngram_pairs(docs_ds, n: int = 3, tau: float = 0.5, max_df: int | None = None
         c = batch.column("c").to_numpy(zero_copy_only=False)
         na = batch.column("sz_a").to_numpy(zero_copy_only=False)
         nb = batch.column("sz_b").to_numpy(zero_copy_only=False)
-        j = round_half_away(c / (na + nb - c), 6)
+        if metric == "containment":
+            j = round_half_away(c / np.minimum(na, nb), 6)
+        else:
+            j = round_half_away(c / (na + nb - c), 6)
         keep = j >= tau
         return pa.table(
             {
                 "doc_a": pa.array(a[keep]),
                 "doc_b": pa.array(b[keep]),
-                "jaccard": pa.array(j[keep]),
+                metric: pa.array(j[keep]),
             }
         )
 
     return _with_typed_empty(
         paired.map_batches(jac, batch_format="pyarrow"),
-        {"doc_a": pa.int64(), "doc_b": pa.int64(), "jaccard": pa.float64()},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), metric: pa.float64()},
     )
 
 
@@ -513,7 +522,7 @@ def minhash_pairs(
 
     return _with_typed_empty(
         paired.map_batches(verify, batch_format="pyarrow"),
-        {"doc_a": pa.int64(), "doc_b": pa.int64(), "jaccard": pa.float64()},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), metric: pa.float64()},
     )
 
 
@@ -985,3 +994,13 @@ def substring_pairs(
         .map_groups(sum_pairs, batch_format="pyarrow"),
         {"doc_a": pa.int64(), "doc_b": pa.int64(), "n_shared": pa.int64()},
     )
+
+
+def containment_pairs(docs_ds, n: int = 3, tau: float = 0.2,
+                      max_df: int | None = None):
+    """n-gram CONTAINMENT pairs (|A n B| / min sizes) — same distributed
+    shape as ``ngram_pairs`` (shared machinery), different final ratio;
+    catches subset-duplication (quotes, aggregator wraps) that symmetric
+    Jaccard misses."""
+    return ngram_pairs(docs_ds, n=n, tau=tau, max_df=max_df,
+                       metric="containment")

@@ -3173,3 +3173,26 @@ def quality_filter_sql(q: float = 0.8) -> str:
 WITH sc AS MATERIALIZED ({quality_score_sql()}),
 thr AS (SELECT quantile_disc(score, {q}) AS t FROM sc)
 SELECT sc.doc_id, sc.score FROM sc, thr WHERE sc.score >= thr.t"""
+
+
+def containment_pairs_sql(n: int = 3, tau: float = 0.2) -> str:
+    """ops/dedup.containment_pairs: the ngram_pairs_sql shape with the
+    asymmetric ratio c / LEAST(|A|, |B|)."""
+    assert n == 3, "oracle written for trigrams"
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS nb FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia::BIGINT AS doc_a, ib::BIGINT AS doc_b,
+       ROUND(c * 1.0 / LEAST(sa.nb, sb.nb), 6) AS containment
+FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+WHERE ROUND(c * 1.0 / LEAST(sa.nb, sb.nb), 6) >= {tau}"""

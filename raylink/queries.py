@@ -1347,6 +1347,15 @@ def q_dedup_ngram(sf_dir: str):
     return ngram_pairs(_docs(sf_dir), n=3, tau=0.5)
 
 
+def q_containment(sf_dir: str):
+    """Asymmetric n-gram containment pairs (|A n B| / min(|A|, |B|) >=
+    0.2) — subset-duplication (quote / aggregator-wrap) detection the
+    symmetric Jaccard threshold misses."""
+    from raylink.ops.dedup import containment_pairs
+
+    return containment_pairs(_docs(sf_dir), n=3, tau=0.2)
+
+
 def q_dedup_minhash(sf_dir: str):
     from raylink.ops.dedup import minhash_pairs
 

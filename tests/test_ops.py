@@ -2090,3 +2090,38 @@ def test_quality_filter_threshold_rule(ray_session):
     exp = all_sc[all_sc["score"] >= t]
     assert sorted(got["doc_id"]) == sorted(exp["doc_id"])
     assert got["score"].min() >= t
+
+
+def test_containment_pairs(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.dedup import _grams_of, containment_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    texts = [
+        base + " to the hills beyond the river and into the deep dark woods",
+        base,  # 0 contains 1 almost wholesale -> containment ~1, jaccard low
+        "completely different content about ray data pipelines and arrow",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(3, dtype=np.int64)),
+         "text": pa.array(texts)}
+    )
+    got = (
+        containment_pairs(rd.from_arrow(tbl), n=3, tau=0.5)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    gs = [set(_grams_of(t, 3)) for t in texts]
+    exp = []
+    for a in range(3):
+        for b in range(a + 1, 3):
+            c = len(gs[a] & gs[b])
+            if c and round(c / min(len(gs[a]), len(gs[b])), 6) >= 0.5:
+                exp.append((a, b, round(c / min(len(gs[a]), len(gs[b])), 6)))
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
+    assert len(exp) == 1 and exp[0][0] == 0 and exp[0][1] == 1
+    # the same pair is BELOW a 0.5 jaccard threshold (asymmetric case)
+    c = len(gs[0] & gs[1])
+    assert c / len(gs[0] | gs[1]) < 0.5 <= c / min(len(gs[0]), len(gs[1]))
