@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_sample": q.q_source_sample,
         "length_quantiles": q.q_length_quantiles,
         "events_sessionize": q.q_events_sessionize,
+        "cohort_retention": q.q_cohort_retention,
         "media_features": q.q_media_features,
         "media_resize": q.q_media_resize,
         "media_frames": q.q_media_frames,
@@ -312,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": o.length_quantiles_sql(),
         "spanning_forest": o.spanning_forest_sql(),
         "events_sessionize": o.sessionize_sql(1800),
+        "cohort_retention": o.cohort_retention_sql(bucket_us=86_400_000_000),
         "kcore": o.kcore_sql(k=3),
         "sssp_weighted": o.sssp_weighted_sql(source=0),
         "coreness": o.coreness_sql(k_max=6),

@@ -181,3 +181,87 @@ def sliding_window(events_ds, size_sec: int = 3600, slide_sec: int = 900):
         .sum(["n", "s"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+WEEK_US = 604_800_000_000  # epoch-week bucket (7 * 86400 * 1e6 us)
+
+
+def cohort_retention(events_ds, user_col: str = "user_id", ts_col: str = "ts",
+                     bucket_us: int = WEEK_US, num_buckets: int = 64):
+    """Cohort retention matrix: cohort(user) = the user's FIRST active
+    epoch-week (``floor(epoch_us / bucket_us)``); each cell counts the
+    cohort's distinct users active ``week_offset`` weeks later.
+    -> Dataset (cohort, "offset", n_users) — grain set by ``bucket_us``
+    (weeks by default; pass 86_400_000_000 for days).
+
+    Shape: per-batch distinct (user, week) pairs (lexsort dedup — raw
+    events never shuffle) -> ONE hash(user) coarse-bucket groupby (all of
+    a user's weeks colocate, so the per-user min week is global) with
+    per-group (cohort, offset) count pre-aggregation -> bounded combine
+    tree (cells are #weeks^2 at most)."""
+    from raylink.join import tree_groupby_sum
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+    W = np.int64(bucket_us)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column(ts_col)
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        w = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // W
+        order = np.lexsort((w, u))
+        us, ws = u[order], w[order]
+        keep = np.r_[True, (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])]
+        us, ws = us[keep], ws[keep]
+        return pa.table(
+            {
+                "b": pa.array(
+                    (splitmix64(us.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "user": pa.array(us),
+                "w": pa.array(ws),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        u = group.column("user").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        u, w = u[keep], w[keep]  # cross-batch dups
+        first = np.r_[True, u[1:] != u[:-1]]
+        grp = np.cumsum(first) - 1
+        cohort = w[first][grp]  # rows sorted by (u, w): first week == min
+        off = w - cohort
+        key = np.lexsort((off, cohort))
+        ck, ok_ = cohort[key], off[key]
+        runs = np.r_[True, (ck[1:] != ck[:-1]) | (ok_[1:] != ok_[:-1])]
+        starts = np.flatnonzero(runs)
+        counts = np.diff(np.r_[starts, len(ck)])
+        return pa.table(
+            {
+                "cohort": pa.array(ck[starts]),
+                "offset": pa.array(ok_[starts]),
+                "n_users": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+    agg = tree_groupby_sum(partials, ["cohort", "offset"], ["n_users"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "cohort": b.column("cohort"),
+                "offset": b.column("offset"),
+                "n_users": b.column("sum(n_users)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

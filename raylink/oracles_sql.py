@@ -3196,3 +3196,17 @@ SELECT ia::BIGINT AS doc_a, ib::BIGINT AS doc_b,
        ROUND(c * 1.0 / LEAST(sa.nb, sb.nb), 6) AS containment
 FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
 WHERE ROUND(c * 1.0 / LEAST(sa.nb, sb.nb), 6) >= {tau}"""
+
+
+def cohort_retention_sql(bucket_us: int = 604_800_000_000) -> str:
+    """ops/windows.cohort_retention: integer floor-division epoch weeks
+    (// on positive BIGINT microseconds), cohort = min active week per
+    user, cells = distinct users per (cohort, offset)."""
+    return f"""
+WITH a AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {bucket_us} AS w FROM events),
+c AS (SELECT user_id, MIN(w) AS cw FROM a GROUP BY user_id)
+SELECT c.cw::BIGINT AS cohort, (a.w - c.cw)::BIGINT AS "offset",
+       count(*)::BIGINT AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2"""

@@ -1784,6 +1784,18 @@ def q_events_window(sf_dir: str):
     return tumbling_window(ev, size_sec=3600)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Day-grain cohort retention matrix over the events table: cohort =
+    each user's first active epoch-day; cells count distinct users active
+    N days later. One hash(user) shuffle + bounded combine tree."""
+    import ray.data as rd
+
+    from raylink.ops.windows import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ev, bucket_us=86_400_000_000)
+
+
 def q_events_sessionize(sf_dir: str):
     import ray.data as rd
 

@@ -2125,3 +2125,30 @@ def test_containment_pairs(ray_session):
     # the same pair is BELOW a 0.5 jaccard threshold (asymmetric case)
     c = len(gs[0] & gs[1])
     assert c / len(gs[0] | gs[1]) < 0.5 <= c / min(len(gs[0]), len(gs[1]))
+
+
+def test_cohort_retention(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.windows import cohort_retention
+
+    # users 1..3; day grain W=10us for the test
+    rows = [
+        (1, 5), (1, 7), (1, 25), (1, 25),   # cohort day 0, active 0 and 2
+        (2, 15), (2, 35), (2, 36),          # cohort day 1, active 1 and 3
+        (3, 5),                              # cohort day 0, active 0 only
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        }
+    )
+    got = (
+        cohort_retention(rd.from_arrow(tbl).repartition(3), bucket_us=10)
+        .to_pandas()
+        .sort_values(["cohort", "offset"])
+        .reset_index(drop=True)
+    )
+    exp = [(0, 0, 2), (0, 2, 1), (1, 0, 1), (1, 2, 1)]
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
