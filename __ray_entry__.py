@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": q.q_ktruss,
         "random_walks": q.q_random_walks,
         "node2vec": q.q_node2vec,
+        "reciprocity": q.q_reciprocity,
         "subgraphs": q.q_subgraphs,
         "meta_graph": q.q_meta_graph,
         "sssp": q.q_sssp,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_support": o.edge_support_sql(),
         "ktruss": o.ktruss_sql(k=3, rounds=10),
         "random_walks": o.random_walks_sql(walk_len=6, seed=0),
+        "reciprocity": o.reciprocity_sql(),
         "node2vec": o.node2vec_sql(
             walk_len=6, w_return=1, w_common=4, w_far=2, seed=0
         ),

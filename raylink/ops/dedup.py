@@ -522,7 +522,7 @@ def minhash_pairs(
 
     return _with_typed_empty(
         paired.map_batches(verify, batch_format="pyarrow"),
-        {"doc_a": pa.int64(), "doc_b": pa.int64(), metric: pa.float64()},
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "jaccard": pa.float64()},
     )
 
 

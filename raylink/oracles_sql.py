@@ -3210,3 +3210,16 @@ SELECT c.cw::BIGINT AS cohort, (a.w - c.cw)::BIGINT AS "offset",
        count(*)::BIGINT AS n_users
 FROM a JOIN c USING (user_id)
 GROUP BY 1, 2"""
+
+
+def reciprocity_sql() -> str:
+    """pipelines.edge_reciprocity: distinct non-self directed edges;
+    reciprocal iff the reverse edge exists; one IEEE division."""
+    return _with(GRAPH_CTES) + """
+, ce AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+agg AS (SELECT count(*)::BIGINT AS n,
+               count(*) FILTER (EXISTS (SELECT 1 FROM ce b
+                                        WHERE b.src = ce.dst
+                                          AND b.dst = ce.src))::BIGINT AS r
+        FROM ce)
+SELECT n AS n_edges, r AS n_reciprocal, r * 1.0 / n AS reciprocity FROM agg"""

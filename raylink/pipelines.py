@@ -612,3 +612,74 @@ def resolve_redirects(redirects_ds, num_buckets: int = 64, max_rounds: int = 40)
         ),
         batch_format="pyarrow",
     )
+
+
+def edge_reciprocity(edges_ds, num_buckets: int = 32):
+    """Link reciprocity of the directed graph: the fraction of distinct
+    non-self edges (a, b) whose reverse (b, a) also exists — the classic
+    web-graph mutual-linking statistic.
+
+    One coarse-bucket shuffle keyed by the UNORDERED pair hash, so an edge
+    and its reverse provably colocate; per-group membership is a packed-key
+    searchsorted; the driver folds <= num_buckets (n, r) partial rows.
+    Self-loops are excluded. -> single-row pa.Table
+    (n_edges, n_reciprocal, reciprocity)."""
+    from raylink.util import assert_packable, splitmix64
+
+    B = np.uint64(num_buckets)
+    M32 = np.uint64(0xFFFFFFFF)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        assert_packable(s, "edge_reciprocity src")
+        assert_packable(d, "edge_reciprocity dst")
+        keep = s != d
+        s, d = s[keep], d[keep]
+        k = np.unique((s.astype(np.uint64) << np.uint64(32)) | d.astype(np.uint64))
+        s2, d2 = k >> np.uint64(32), k & M32
+        u = (np.minimum(s2, d2) << np.uint64(32)) | np.maximum(s2, d2)
+        return pa.table(
+            {
+                "b": pa.array((splitmix64(u) % B).astype(np.int32)),
+                "k": pa.array(k.astype(np.int64)),
+            }
+        )
+
+    def per_group(group: pa.Table) -> pa.Table:
+        k = np.unique(
+            group.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        s, d = k >> np.uint64(32), k & M32
+        rk = (d << np.uint64(32)) | s
+        pos = np.searchsorted(k, rk)
+        member = (
+            (pos < len(k)) & (k[np.minimum(pos, max(len(k) - 1, 0))] == rk)
+            if len(k)
+            else np.zeros(0, bool)
+        )
+        return pa.table(
+            {
+                "n": pa.array([len(k)], type=pa.int64()),
+                "r": pa.array([int(member.sum())], type=pa.int64()),
+            }
+        )
+
+    rows = (
+        edges_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_group, batch_format="pyarrow")
+        .take_all()
+    )  # <= num_buckets rows
+    n = sum(x["n"] for x in rows)
+    r = sum(x["r"] for x in rows)
+    return pa.table(
+        {
+            "n_edges": pa.array([n], type=pa.int64()),
+            "n_reciprocal": pa.array([r], type=pa.int64()),
+            "reciprocity": pa.array(
+                [float(np.int64(r) / np.int64(n)) if n else 0.0],
+                type=pa.float64(),
+            ),
+        }
+    )

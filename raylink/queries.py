@@ -735,6 +735,15 @@ def q_random_walks(sf_dir: str):
     return random_walks(edges, walk_len=6, seed=0)
 
 
+def q_reciprocity(sf_dir: str):
+    """Link reciprocity of the directed page graph (mutual-link fraction
+    over distinct non-self edges) — one unordered-pair-keyed shuffle."""
+    from raylink.pipelines import edge_reciprocity
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return edge_reciprocity(edges)
+
+
 def q_node2vec(sf_dir: str):
     """Second-order (node2vec) biased 6-step walks: integer class weights
     (return 1 : common-neighbor 4 : far 2), hash-driven picks — the
