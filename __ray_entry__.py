@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": q.q_length_quantiles,
         "events_sessionize": q.q_events_sessionize,
         "cohort_retention": q.q_cohort_retention,
+        "event_transitions": q.q_event_transitions,
         "media_features": q.q_media_features,
         "media_resize": q.q_media_resize,
         "media_frames": q.q_media_frames,
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "spanning_forest": o.spanning_forest_sql(),
         "events_sessionize": o.sessionize_sql(1800),
         "cohort_retention": o.cohort_retention_sql(bucket_us=86_400_000_000),
+        "event_transitions": o.event_transitions_sql(),
         "kcore": o.kcore_sql(k=3),
         "sssp_weighted": o.sssp_weighted_sql(source=0),
         "coreness": o.coreness_sql(k_max=6),

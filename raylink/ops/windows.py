@@ -265,3 +265,90 @@ def cohort_retention(events_ds, user_col: str = "user_id", ts_col: str = "ts",
         ),
         batch_format="pyarrow",
     )
+
+
+def event_transitions(events_ds, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id", num_buckets: int = 64):
+    """Clickstream transition counts: for each user's event sequence
+    (ordered by ts, ties by event id), count adjacent (from_type, to_type)
+    transitions across the corpus -> Dataset (from_type, to_type, n).
+
+    Shape: ONE hash(user) coarse-bucket groupby (a user's events colocate,
+    so adjacency is global), per-group vectorized sequence walk
+    (lexsort + boundary masks) with in-group (from, to) pre-counts on
+    dictionary codes, then the bounded combine tree (cells <= n_types^2).
+    Raw event rows shuffle once; nothing is driver-side."""
+    from raylink.join import tree_groupby_sum
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(
+                    (splitmix64(u.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "u": pa.array(u),
+                "t": batch.column(ts_col),
+                "i": batch.column(id_col),
+                "y": batch.column(type_col),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "from_type": pa.array([], type=pa.string()),
+            "to_type": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        ts = group.column("t")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = group.column("i").to_numpy(zero_copy_only=False)
+        y = group.column("y")
+        if isinstance(y, pa.ChunkedArray):
+            y = y.combine_chunks()
+        enc = y.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, t, u))
+        u, code = u[order], code[order]
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return _empty
+        a, b = code[:-1][same], code[1:][same]
+        nd = len(enc.dictionary)
+        key = a * nd + b
+        uk, cnt = np.unique(key, return_counts=True)
+        dic = enc.dictionary
+        return pa.table(
+            {
+                "from_type": dic.take(pa.array(uk // nd)),
+                "to_type": dic.take(pa.array(uk % nd)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+    agg = tree_groupby_sum(partials, ["from_type", "to_type"], ["n"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "from_type": b.column("from_type"),
+                "to_type": b.column("to_type"),
+                "n": b.column("sum(n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -3223,3 +3223,17 @@ agg AS (SELECT count(*)::BIGINT AS n,
                                           AND b.dst = ce.src))::BIGINT AS r
         FROM ce)
 SELECT n AS n_edges, r AS n_reciprocal, r * 1.0 / n AS reciprocity FROM agg"""
+
+
+def event_transitions_sql() -> str:
+    """ops/windows.event_transitions: per-user sequences ordered by
+    (ts, event_id), adjacent transition counts."""
+    return """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2"""

@@ -1793,6 +1793,20 @@ def q_events_window(sf_dir: str):
     return tumbling_window(ev, size_sec=3600)
 
 
+def q_event_transitions(sf_dir: str):
+    """Clickstream transition matrix: adjacent (from_type, to_type) counts
+    over per-user event sequences — one hash(user) shuffle."""
+    import ray.data as rd
+
+    from raylink.ops.windows import event_transitions
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return event_transitions(ev)
+
+
 def q_cohort_retention(sf_dir: str):
     """Day-grain cohort retention matrix over the events table: cohort =
     each user's first active epoch-day; cells count distinct users active

@@ -2152,3 +2152,34 @@ def test_cohort_retention(ray_session):
     )
     exp = [(0, 0, 2), (0, 2, 1), (1, 0, 1), (1, 2, 1)]
     assert list(map(tuple, got.to_numpy().tolist())) == exp
+
+
+def test_event_transitions(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.windows import event_transitions
+
+    rows = [  # (user, ts, id, type)
+        (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "view"),
+        (1, 30, 4, "buy"),  # tie on ts -> id order: view before buy
+        (2, 5, 5, "view"), (2, 6, 6, "click"),
+        (3, 1, 7, "view"),  # single event: no transition
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    got = (
+        event_transitions(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    exp = sorted(
+        [("view", "click", 2), ("click", "view", 1), ("view", "buy", 1)]
+    )
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
