@@ -3237,3 +3237,21 @@ WITH s AS (
 SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
 FROM s WHERE nxt IS NOT NULL
 GROUP BY 1, 2"""
+
+
+def avg_neighbor_degree_sql() -> str:
+    """pipelines.avg_neighbor_degree: undirected simple closure, integer
+    degree sums, one division per degree class (SUM*1.0/(k*n) equals the
+    engine's int64/int64 numpy division exactly)."""
+    return _with(GRAPH_CTES) + """
+, anduu AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM edges
+    UNION ALL SELECT dst, src FROM edges)
+  WHERE a <> b),
+anddg AS MATERIALIZED (SELECT a AS vid, count(*)::BIGINT AS k FROM anduu GROUP BY a),
+andss AS (SELECT u.a AS vid, SUM(d2.k)::BIGINT AS s
+      FROM anduu u JOIN anddg d2 ON d2.vid = u.b GROUP BY u.a)
+SELECT d.k AS deg, count(*)::BIGINT AS n_vertices, SUM(andss.s)::BIGINT AS sum_nbr_deg,
+       SUM(andss.s) * 1.0 / (d.k * count(*)) AS avg_nbr_deg
+FROM andss JOIN anddg d USING (vid) GROUP BY d.k"""

@@ -683,3 +683,79 @@ def edge_reciprocity(edges_ds, num_buckets: int = 32):
             ),
         }
     )
+
+
+def avg_neighbor_degree(edges_ds):
+    """Average-neighbor-degree curve knn(k) over the UNDIRECTED simple
+    graph (self-loops dropped) — the degree-correlation profile that
+    complements the scalar assortativity coefficient.
+
+    annd(k) = (sum over degree-k vertices of their neighbors' degree sum)
+    / (k * n_k): integer numerator and denominator, ONE IEEE division per
+    degree class (no float means to drift across engines).
+
+    Shape: packed-key distinct closure -> per-vertex degree (bucketed sum)
+    -> two distributed ``hash_join`` degree attaches -> per-vertex
+    neighbor-degree sums (bucketed) -> bounded combine tree over degree
+    classes. -> Dataset (deg, n_vertices, sum_nbr_deg, avg_nbr_deg)."""
+    from raylink.graph import undirect
+    from raylink.join import bucketed_sum, hash_join, tree_groupby_sum
+
+    und = distinct_edges(undirect(edges_ds)).map_batches(
+        lambda b: b.filter(
+            pa.compute.not_equal(b.column("src"), b.column("dst"))
+        ),
+        batch_format="pyarrow",
+    )
+    ones = und.map_batches(
+        lambda b: pa.table(
+            {"vid": b.column("src"),
+             "one": pa.array(np.ones(b.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    deg = bucketed_sum(ones, key="vid", val="one", out_val="k")
+    # neighbor-degree rows: deg(dst) attached to each closure edge
+    ekey = und.map_batches(
+        lambda b: pa.table({"vid": b.column("dst"), "src": b.column("src")}),
+        batch_format="pyarrow",
+    )
+    nbr = hash_join(
+        ekey, deg, on="vid",
+        left_cols={"src": pa.int64()}, right_cols={"k": pa.int64()},
+    )
+    sums = bucketed_sum(
+        nbr.map_batches(
+            lambda b: pa.table(
+                {"vid": b.column("src"), "k": b.column("k")}
+            ),
+            batch_format="pyarrow",
+        ),
+        key="vid", val="k", out_val="s",
+    )
+    per_v = hash_join(
+        sums, deg, on="vid",
+        left_cols={"s": pa.int64()}, right_cols={"k": pa.int64()},
+    ).map_batches(
+        lambda b: pa.table(
+            {"deg": b.column("k"), "s": b.column("s"),
+             "one": pa.array(np.ones(b.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    agg = tree_groupby_sum(per_v, ["deg"], ["s", "one"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b.column("deg").to_numpy(zero_copy_only=False)
+        s = b.column("sum(s)").to_numpy(zero_copy_only=False)
+        n = b.column("sum(one)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "deg": pa.array(k),
+                "n_vertices": pa.array(n),
+                "sum_nbr_deg": pa.array(s),
+                "avg_nbr_deg": pa.array(s / (k * n)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -735,6 +735,15 @@ def q_random_walks(sf_dir: str):
     return random_walks(edges, walk_len=6, seed=0)
 
 
+def q_avg_neighbor_degree(sf_dir: str):
+    """Average-neighbor-degree curve knn(k) over the undirected page
+    graph — degree-correlation profile (assortativity's curve form)."""
+    from raylink.pipelines import avg_neighbor_degree
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return avg_neighbor_degree(edges)
+
+
 def q_reciprocity(sf_dir: str):
     """Link reciprocity of the directed page graph (mutual-link fraction
     over distinct non-self edges) — one unordered-pair-keyed shuffle."""
