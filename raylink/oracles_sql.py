@@ -3255,3 +3255,18 @@ andss AS (SELECT u.a AS vid, SUM(d2.k)::BIGINT AS s
 SELECT d.k AS deg, count(*)::BIGINT AS n_vertices, SUM(andss.s)::BIGINT AS sum_nbr_deg,
        SUM(andss.s) * 1.0 / (d.k * count(*)) AS avg_nbr_deg
 FROM andss JOIN anddg d USING (vid) GROUP BY d.k"""
+
+
+def part_profit_sql() -> str:
+    """TPC-H Q9 shape (queries.q_part_profit): PROMO-part cents revenue per
+    (supplier nation, ship year); integer sums, one division by 10000.0."""
+    return """
+SELECT n.n_name, year(l.l_shipdate)::BIGINT AS yr,
+       SUM(ROUND(l.l_extendedprice * 100)::BIGINT
+           * (100 - ROUND(l.l_discount * 100)::BIGINT))::BIGINT / 10000.0
+         AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2"""

@@ -3183,6 +3183,109 @@ def q_returned_revenue(sf_dir: str):
     )
 
 
+def q_part_profit(sf_dir: str):
+    """TPC-H Q9 shape ("product type profit"): PROMO-part revenue per
+    (supplier nation, ship year). Shape: promo partkeys -> thresholded
+    semi-join filter on the lineitem scan (zero shuffle while the part
+    dimension broadcasts, bucketed when dataset-sized), supplier-nation
+    attach via thresholded lookup, per-batch integer (nation, year)
+    partials, bounded combine tree. -> (n_name, yr, revenue)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import attach_lookup, semi_join, tree_groupby_sum
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    promo = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"pkey": b.filter(pc.equal(b.column("p_type"), "PROMO"))
+             .column("p_partkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"skey": b.column("s_suppkey"),
+             "nkey": pc.cast(b.column("s_nationkey"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_f(b: pa.Table) -> pa.Table:
+        rev = _cents(b.column("l_extendedprice")) * (
+            100 - _cents(b.column("l_discount"))
+        )
+        yr = pc.cast(pc.year(b.column("l_shipdate")), pa.int64())
+        return pa.table(
+            {
+                "pkey": b.column("l_partkey"),
+                "skey": b.column("l_suppkey"),
+                "yr": yr,
+                "rev": pa.array(rev),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow")
+    filtered = semi_join(
+        li, promo, on="pkey",
+        left_cols={"skey": pa.int64(), "yr": pa.int64(), "rev": pa.int64()},
+        n_key_rows=_parquet_rows(sf_dir, "part"),
+    )
+    attached = attach_lookup(
+        filtered, supp, on="skey",
+        left_cols={"yr": pa.int64(), "rev": pa.int64()},
+        value_cols={"nkey": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "supplier"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        nk = b.column("nkey").to_numpy(zero_copy_only=False)
+        yr = b.column("yr").to_numpy(zero_copy_only=False)
+        rev = b.column("rev").to_numpy(zero_copy_only=False)
+        key = nk * 10000 + yr
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table(
+            {
+                "nkey": pa.array(uk // 10000),
+                "yr": pa.array(uk % 10000),
+                "rev": pa.array(s),
+            }
+        )
+
+    agg = tree_groupby_sum(
+        attached.map_batches(partial, batch_format="pyarrow"),
+        ["nkey", "yr"], ["rev"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = b.column("nkey").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([nmap[k] for k in nk], type=pa.string()),
+                "yr": b.column("yr"),
+                "revenue": pa.array(
+                    b.column("sum(rev)").to_numpy(zero_copy_only=False)
+                    .astype(np.float64) / 10000.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_customer_distribution(sf_dir: str):
     """TPC-H Q13 shape: distribution of customers by order count (urgent
     orders excluded) INCLUDING the zero-order bin — the classic LEFT OUTER
