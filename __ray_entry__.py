@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc": q.q_scc,
         "scc_sizes": q.q_scc_sizes,
         "harmonic": q.q_harmonic,
+        "closeness": q.q_closeness,
         "hyperanf": q.q_hyperanf,
         "ppr": q.q_ppr,
         "balanced_pagerank": q.q_balanced_pagerank,
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "scc": o.scc_sql(),
         "scc_sizes": o.scc_sizes_sql(),
         "harmonic": o.harmonic_sql(seeds=tuple(q.HARMONIC_SEEDS)),
+        "closeness": o.closeness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "hyperanf": o.hyperanf_sql(p=6, rounds=q.ANF_ROUNDS),
         "ppr": o.ppr_sql(seeds=tuple(q.HARMONIC_SEEDS), iters=q.PPR_ITERS),
         "betweenness": o.betweenness_sql(seeds=tuple(q.HARMONIC_SEEDS)),

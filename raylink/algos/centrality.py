@@ -392,3 +392,56 @@ def harmonic_centrality(
         return pa.table(cols)
 
     return res, res.state_dataset().map_batches(finish, batch_format="pyarrow")
+
+
+def closeness_of_seeds(g: LinkGraph, seeds: list[int], ckpt_dir: str | None = None,
+                       resume: bool = True, engine: str = "dataset"):
+    """Closeness centrality OF each seed vertex: C(u) = (r - 1) / sum of
+    d(u, v) over the r vertices u reaches (0.0 for isolated seeds) —
+    computed as per-seed integer aggregates over the same MultiSourceBFS
+    state ``harmonic_centrality`` builds (pass the SAME ckpt_dir to resume
+    its checkpoints with zero extra supersteps). One map_batches partial
+    pass + a k-row combine tree; one IEEE division per seed.
+    -> Dataset (seed, n_reached, dist_sum, closeness)."""
+    from raylink.join import tree_groupby_sum
+
+    _, out = harmonic_centrality(
+        g, seeds, ckpt_dir=ckpt_dir, resume=resume, engine=engine
+    )
+    k = len(seeds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ss = np.zeros(k, np.int64)
+        rr = np.zeros(k, np.int64)
+        for j in range(k):
+            d = batch.column(f"d{j}").to_numpy(zero_copy_only=False)
+            reach = d >= 0
+            ss[j] = int(d[reach].sum())
+            rr[j] = int(reach.sum())
+        return pa.table(
+            {
+                "seed": pa.array(np.asarray(seeds, np.int64)),
+                "s": pa.array(ss),
+                "r": pa.array(rr),
+            }
+        )
+
+    agg = tree_groupby_sum(
+        out.map_batches(partial, batch_format="pyarrow"), ["seed"], ["s", "r"]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column("sum(s)").to_numpy(zero_copy_only=False)
+        r = b.column("sum(r)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "seed": b.column("seed"),
+                "n_reached": pa.array(r),
+                "dist_sum": pa.array(s),
+                "closeness": pa.array(
+                    np.where(s > 0, (r - 1) / np.maximum(s, 1), 0.0)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

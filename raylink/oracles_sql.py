@@ -3270,3 +3270,29 @@ JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 GROUP BY 1, 2"""
+
+
+def closeness_sql(seeds=(0, 1, 2, 7), cap: int = 160) -> str:
+    """algos/centrality.closeness_of_seeds: per-seed reachable-set size and
+    integer distance sum off the same recursive BFS CTEs as harmonic_sql;
+    closeness = (r - 1) / s in one IEEE division."""
+    ctes = [GRAPH_CTES]
+    for j, seed in enumerate(seeds):
+        ctes.append(
+            f"""b{j} AS (
+  SELECT CAST({seed} AS BIGINT) AS vid, 0 AS d
+  UNION
+  SELECT e.dst, x.d + 1 FROM b{j} x JOIN edges e ON e.src = x.vid WHERE x.d < {cap}
+)"""
+        )
+        ctes.append(
+            f"m{j} AS (SELECT vid, MIN(d) AS d FROM b{j} GROUP BY vid)"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({seed} AS BIGINT) AS seed, count(*)::BIGINT AS n_reached,"
+        f" SUM(d)::BIGINT AS dist_sum,"
+        f" CASE WHEN SUM(d) > 0 THEN (count(*) - 1) * 1.0 / SUM(d)"
+        f" ELSE 0.0 END AS closeness FROM m{j}"
+        for j, seed in enumerate(seeds)
+    )
+    return _with(*ctes, recursive=True) + "\n" + unions

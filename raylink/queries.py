@@ -522,6 +522,19 @@ def q_harmonic(sf_dir: str):
     return out
 
 
+def q_closeness(sf_dir: str):
+    """Closeness centrality of the harmonic seeds — per-seed integer
+    aggregates over the SAME multi-source-BFS checkpoints as q_harmonic
+    (resumes with zero extra supersteps when both run)."""
+    from raylink.algos.centrality import closeness_of_seeds
+
+    g = page_graph(sf_dir, directed=True)
+    return closeness_of_seeds(
+        g, HARMONIC_SEEDS, engine="tasks",
+        ckpt_dir=_ckpt("harmonic", sf_dir, *HARMONIC_SEEDS),
+    )
+
+
 ANF_ROUNDS = 8
 
 
