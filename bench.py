@@ -724,6 +724,21 @@ def run_graphops_bench() -> dict:
         ].count(),
         reps=1,
     )
+
+    # r4 sixth wave: node2vec biased walks (2 shuffles/step), Katz (BSP,
+    # tasks engine), BPE merge learning over the sf documents
+    from raylink.algos.pagerank import katz
+    from raylink.algos.walks import node2vec_walks
+    from raylink.ops.bpe import bpe_merges
+
+    out["node2vec6_sec"] = med(
+        lambda: node2vec_walks(edges, walk_len=6).count(), reps=1
+    )
+    out["katz8_sec"] = med(
+        lambda: katz(g_dir, iters=8, engine="tasks", resume=False)[1].count(),
+        reps=1,
+    )
+    out["bpe6_sec"] = med(lambda: bpe_merges(docs, rounds=6), reps=1)
     ray.shutdown()
     return out
 
@@ -920,9 +935,53 @@ def run_scaling() -> dict:
     }
 
 
+def run_bpe_bench() -> dict:
+    """Tokenizer-training leg: 6 BPE merge rounds over the extracted text
+    of the 192x-amplified page corpus (960k pages) — the vocabulary-round
+    throughput record for the training-data pipeline's tokenizer stage."""
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _init_ray()
+
+    from raylink.extract import ExtractPages
+    from raylink.ops.bpe import bpe_merges
+
+    cur_scale = int(os.environ.get("RAYLINK_CURATION_SCALE", "192"))
+    pages, n = amplified_pages(SF_DIR, cur_scale)
+    docs = pages.drop_columns(["text"]).map_batches(
+        ExtractPages().__call__, batch_format="pyarrow", batch_size=1024
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(b.num_rows, dtype=np.int64)
+            ),
+                "text": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    t0 = time.perf_counter()
+    merges = bpe_merges(docs, rounds=6)
+    wall = time.perf_counter() - t0
+    out = {
+        "num_cpus": NUM_CPUS,
+        "n_pages": n,
+        "bpe_rounds": merges.num_rows,
+        "bpe_sec": round(wall, 2),
+        "bpe_pages_per_sec": round(n / wall),
+        "merges": merges.column("merged").to_pylist(),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--bpe-bench" in sys.argv:
+        print(json.dumps(run_bpe_bench()))
     elif "--shuffle-bench" in sys.argv:
         print(json.dumps(run_shuffle_bench()))
     elif "--curation-bench" in sys.argv:

@@ -2183,3 +2183,44 @@ def test_event_transitions(ray_session):
         [("view", "click", 2), ("click", "view", 1), ("view", "buy", 1)]
     )
     assert list(map(tuple, got.to_numpy().tolist())) == exp
+
+
+def test_edge_reciprocity(ray_session):
+    import ray.data as rd
+
+    from raylink.pipelines import edge_reciprocity
+
+    src = np.array([0, 1, 1, 2, 3, 3, 0, 0], dtype=np.int64)
+    dst = np.array([1, 0, 2, 1, 3, 0, 1, 2], dtype=np.int64)  # dup 0->1, self 3->3
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    t = edge_reciprocity(ds)
+    # distinct non-self: (0,1),(1,0),(1,2),(2,1),(3,0),(0,2) -> 6 edges,
+    # reciprocal: 0<->1 (2) + 1<->2 (2) = 4
+    assert t.column("n_edges").to_pylist() == [6]
+    assert t.column("n_reciprocal").to_pylist() == [4]
+    assert t.column("reciprocity").to_pylist() == [4 / 6]
+
+
+def test_avg_neighbor_degree(ray_session):
+    import ray.data as rd
+
+    from raylink.pipelines import avg_neighbor_degree
+
+    # star: center 0 with leaves 1..4 (directed edges out of 0), plus 1-2
+    src = np.array([0, 0, 0, 0, 1], dtype=np.int64)
+    dst = np.array([1, 2, 3, 4, 2], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    got = (
+        avg_neighbor_degree(ds)
+        .to_pandas()
+        .sort_values("deg")
+        .reset_index(drop=True)
+    )
+    # undirected degrees: 0:4, 1:2, 2:2, 3:1, 4:1
+    # knn: deg1 = {3,4} nbr sums 4,4 -> 8/(1*2)=4.0
+    # deg2 = {1,2} sums (4+2)=6,(4+2)=6 -> 12/(2*2)=3.0
+    # deg4 = {0} sum 2+2+1+1=6 -> 6/(4*1)=1.5
+    assert got["deg"].tolist() == [1, 2, 4]
+    assert got["n_vertices"].tolist() == [2, 2, 1]
+    assert got["sum_nbr_deg"].tolist() == [8, 12, 6]
+    assert got["avg_nbr_deg"].tolist() == [4.0, 3.0, 1.5]
