@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution": q.q_customer_distribution,
         "big_orders": q.q_big_orders,
         "part_profit": q.q_part_profit,
+        "brand_suppliers": q.q_brand_suppliers,
         "returned_revenue": q.q_returned_revenue,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
@@ -223,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_distribution": o.customer_distribution_sql(),
         "big_orders": o.big_orders_sql(),
         "part_profit": o.part_profit_sql(),
+        "brand_suppliers": o.brand_suppliers_sql(),
         "returned_revenue": o.returned_revenue_sql(),
         "pagerank": o.pagerank_sql(iters=30),
         "balanced_pagerank": o.pagerank_sql(iters=30),

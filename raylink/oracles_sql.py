@@ -3296,3 +3296,12 @@ def closeness_sql(seeds=(0, 1, 2, 7), cap: int = 160) -> str:
         for j, seed in enumerate(seeds)
     )
     return _with(*ctes, recursive=True) + "\n" + unions
+
+
+def brand_suppliers_sql() -> str:
+    """TPC-H Q16 shape (queries.q_brand_suppliers): distinct suppliers per
+    brand off the fact table."""
+    return """
+SELECT p.p_brand, count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand"""

@@ -3299,6 +3299,99 @@ def q_part_profit(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_brand_suppliers(sf_dir: str):
+    """TPC-H Q16 shape ("parts/supplier relationship"): distinct supplier
+    count per part brand off the fact table. Shape: thresholded brand
+    attach on the lineitem scan, per-batch (brand, supplier) pair dedup,
+    ONE pair-hash coarse-bucket groupby (all rows of a pair colocate ->
+    in-group dedup is global) with per-brand partial counts, bounded
+    combine tree. -> (p_brand, supplier_cnt)."""
+    import ray.data as rd
+
+    from raylink.join import attach_lookup, tree_groupby_sum
+    from raylink.util import splitmix64, text_hash64
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"pkey": b.column("p_partkey"), "p_brand": b.column("p_brand")}
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"pkey": b.column("l_partkey"), "skey": b.column("l_suppkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    branded = attach_lookup(
+        li, part, on="pkey",
+        left_cols={"skey": pa.int64()},
+        value_cols={"p_brand": pa.string()},
+        n_lookup_rows=_parquet_rows(sf_dir, "part"),
+    )
+    B = np.uint64(64)
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        br = b.column("p_brand")
+        if isinstance(br, pa.ChunkedArray):
+            br = br.combine_chunks()
+        enc = br.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = b.column("skey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, code))
+        c, s = code[order], sk[order]
+        keep = np.r_[True, (c[1:] != c[:-1]) | (s[1:] != s[:-1])]
+        c, s = c[keep], s[keep]
+        brand = enc.dictionary.take(pa.array(c))
+        h = text_hash64(brand) ^ splitmix64(s.astype(np.uint64))
+        return pa.table(
+            {
+                "b": pa.array((splitmix64(h) % B).astype(np.int32)),
+                "p_brand": brand,
+                "skey": pa.array(s),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        br = group.column("p_brand")
+        if isinstance(br, pa.ChunkedArray):
+            br = br.combine_chunks()
+        enc = br.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = group.column("skey").to_numpy(zero_copy_only=False)
+        key = np.unique(code * np.int64(1 << 32) + sk)
+        cnt = np.bincount(
+            (key >> np.int64(32)).astype(np.int64), minlength=len(enc.dictionary)
+        )
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "p_brand": enc.dictionary.take(pa.array(nz)),
+                "supplier_cnt": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    partials = (
+        branded.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    agg = tree_groupby_sum(partials, ["p_brand"], ["supplier_cnt"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "supplier_cnt": b.column("sum(supplier_cnt)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_customer_distribution(sf_dir: str):
     """TPC-H Q13 shape: distribution of customers by order count (urgent
     orders excluded) INCLUDING the zero-order bin — the classic LEFT OUTER
