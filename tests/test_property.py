@@ -160,3 +160,42 @@ def test_property_gram_hashes_match_joined_strings(texts, n):
     assert counts.tolist() == [len(g) for g in gl]
     exp = text_hash64_scalar([g for gs in gl for g in gs])
     np.testing.assert_array_equal(gh, exp)
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=10), min_size=1, max_size=20
+    ),
+    pair=st.tuples(
+        st.text(alphabet="ab", min_size=1, max_size=2),
+        st.text(alphabet="ab", min_size=1, max_size=2),
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_property_bpe_merge_flat_equals_sequential_scan(words, pair):
+    """The run-grouped vectorized merge (ops/bpe._merge_flat) must equal
+    the sequential greedy left-to-right scan on every word — including
+    overlapping matches (lhs == rhs) and cross-word boundaries."""
+    from raylink.ops.bpe import _merge_flat
+
+    a, b = pair
+    flat = np.array([c for w in words for c in w], dtype=object)
+    row = np.repeat(
+        np.arange(len(words), dtype=np.int64), [len(w) for w in words]
+    )
+    got_f, got_r = _merge_flat(flat, row, a, b)
+    exp_f, exp_r = [], []
+    for i, w in enumerate(words):
+        syms, j = list(w), 0
+        out = []
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        exp_f.extend(out)
+        exp_r.extend([i] * len(out))
+    assert got_f.tolist() == exp_f
+    assert got_r.tolist() == exp_r
