@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q.q_random_walks,
         "node2vec": q.q_node2vec,
         "reciprocity": q.q_reciprocity,
+        "robustness": q.q_robustness,
         "avg_neighbor_degree": q.q_avg_neighbor_degree,
         "subgraphs": q.q_subgraphs,
         "meta_graph": q.q_meta_graph,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": o.ktruss_sql(k=3, rounds=10),
         "random_walks": o.random_walks_sql(walk_len=6, seed=0),
         "reciprocity": o.reciprocity_sql(),
+        "robustness": o.robustness_sql(k=10),
         "avg_neighbor_degree": o.avg_neighbor_degree_sql(),
         "node2vec": o.node2vec_sql(
             walk_len=6, w_return=1, w_common=4, w_far=2, seed=0

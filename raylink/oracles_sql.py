@@ -3305,3 +3305,39 @@ def brand_suppliers_sql() -> str:
 SELECT p.p_brand, count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY p.p_brand"""
+
+
+def robustness_sql(k: int = 10) -> str:
+    """queries.q_robustness: remove the top-k total-degree vertices
+    (distinct directed edges, ties by vid) and measure the surviving
+    undirected component structure — min-label closure like CC_CTE."""
+    return _with(
+        GRAPH_CTES,
+        f"""dd AS (
+  SELECT v.vid,
+         (SELECT count(*) FROM edges e WHERE e.src = v.vid)
+       + (SELECT count(*) FROM edges e WHERE e.dst = v.vid) AS d
+  FROM verts v),
+hubs AS MATERIALIZED (SELECT vid FROM dd ORDER BY d DESC, vid LIMIT {k}),
+fverts AS MATERIALIZED (
+  SELECT vid FROM verts WHERE vid NOT IN (SELECT vid FROM hubs)),
+fund AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM edges
+  WHERE src NOT IN (SELECT vid FROM hubs)
+    AND dst NOT IN (SELECT vid FROM hubs)
+  UNION
+  SELECT dst, src FROM edges
+  WHERE src NOT IN (SELECT vid FROM hubs)
+    AND dst NOT IN (SELECT vid FROM hubs)),
+flbl AS (
+  SELECT vid, vid AS l FROM fverts
+  UNION
+  SELECT e.b, x.l FROM flbl x JOIN fund e ON e.a = x.vid),
+fcomp AS (SELECT vid, MIN(l) AS l FROM flbl GROUP BY vid),
+fsz AS (SELECT l, count(*)::BIGINT AS c FROM fcomp GROUP BY l)""",
+        recursive=True,
+    ) + f"""
+SELECT {k}::BIGINT AS n_removed,
+       (SELECT count(*) FROM fverts)::BIGINT AS n_vertices,
+       (SELECT count(*) FROM fsz)::BIGINT AS n_components,
+       (SELECT max(c) FROM fsz)::BIGINT AS giant_size"""

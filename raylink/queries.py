@@ -757,6 +757,72 @@ def q_avg_neighbor_degree(sf_dir: str):
     return avg_neighbor_degree(edges)
 
 
+def q_robustness(sf_dir: str, k: int = 10):
+    """Hub-removal robustness (attack-tolerance of the crawl graph):
+    remove the top-``k`` vertices by total degree (out+in over distinct
+    directed edges, ties by vid), then measure the surviving undirected
+    component structure. The hub list is the only driver-side state (k
+    rows); the surviving-graph CC is the engine's own meta-graph LPA.
+    -> one row (n_removed, n_vertices, n_components, giant_size)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from raylink.algos import connected_components
+    from raylink.pipelines import degree_table, distinct_edges
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    de = distinct_edges(edges).materialize()
+    deg = degree_table(de, verts).map_batches(
+        lambda b: pa.table(
+            {
+                "vid": b.column("vid"),
+                "d": pa.array(
+                    b.column("out_degree").to_numpy(zero_copy_only=False)
+                    + b.column("in_degree").to_numpy(zero_copy_only=False)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    hub_rows = deg.sort(["d", "vid"], descending=[True, False]).limit(k).take_all()
+    hubs = np.sort(np.array([r["vid"] for r in hub_rows], dtype=np.int64))
+    href = ray.put(hubs)
+
+    def drop_hub_edges(b: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        d = b.column("dst").to_numpy(zero_copy_only=False)
+        keep = ~(np.isin(s, hs) | np.isin(d, hs))
+        return b.filter(pa.array(keep))
+
+    def drop_hub_verts(b: pa.Table) -> pa.Table:
+        hs = ray.get(href)
+        v = b.column("vid").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(~np.isin(v, hs)))
+
+    fe = de.map_batches(drop_hub_edges, batch_format="pyarrow")
+    fv = verts.map_batches(drop_hub_verts, batch_format="pyarrow")
+    _, comps = connected_components(
+        fe, vertices_ds=fv,
+        ckpt_dir=_ckpt("robustness", sf_dir, k), engine="tasks",
+    )
+    from ray.data.aggregate import Count, Max
+
+    sizes = comps.groupby("component").count()
+    agg = sizes.aggregate(Count(), Max("count()"))
+    nv = fv.count()
+    n_comp = int(agg["count()"])
+    giant = int(agg["max(count())"])
+    return pa.table(
+        {
+            "n_removed": pa.array([len(hubs)], type=pa.int64()),
+            "n_vertices": pa.array([nv], type=pa.int64()),
+            "n_components": pa.array([n_comp], type=pa.int64()),
+            "giant_size": pa.array([giant], type=pa.int64()),
+        }
+    )
+
+
 def q_reciprocity(sf_dir: str):
     """Link reciprocity of the directed page graph (mutual-link fraction
     over distinct non-self edges) — one unordered-pair-keyed shuffle."""
