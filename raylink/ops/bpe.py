@@ -277,9 +277,12 @@ def bpe_merges(
     the vocabulary runs out of adjacent pairs. The driver holds R rule
     rows + <= num_buckets candidate rows per round — never the vocabulary.
     """
+    import uuid
+
     from raylink.join import loop_barrier, loop_barrier_cleanup
 
-    tag = "bpe"
+    # unique per call: cleanup must not touch a concurrent run's snapshots
+    tag = f"bpe-{uuid.uuid4().hex[:8]}"
     vocab = loop_barrier(vocab_dataset(docs_ds, text_col, num_buckets), tag=tag)
     rows: list[dict] = []
     try:
