@@ -130,12 +130,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_distribution": q.q_customer_distribution,
         "big_orders": q.q_big_orders,
         "part_profit": q.q_part_profit,
+        "forecast_revenue": q.q_forecast_revenue,
         "brand_suppliers": q.q_brand_suppliers,
         "returned_revenue": q.q_returned_revenue,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_ngram": q.q_dedup_ngram,
         "containment": q.q_containment,
+        "novelty": q.q_novelty,
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "token_count": q.q_token_count,
@@ -225,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_distribution": o.customer_distribution_sql(),
         "big_orders": o.big_orders_sql(),
         "part_profit": o.part_profit_sql(),
+        "forecast_revenue": o.forecast_revenue_sql(),
         "brand_suppliers": o.brand_suppliers_sql(),
         "returned_revenue": o.returned_revenue_sql(),
         "pagerank": o.pagerank_sql(iters=30),
@@ -276,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": o.dedup_exact_sql(),
         "dedup_ngram": o.ngram_pairs_sql(tau=0.5),
         "containment": o.containment_pairs_sql(n=3, tau=0.2),
+        "novelty": o.novelty_sql(n=3),
         "dedup_minhash": o.dedup_minhash_sql(tau=0.5),
         "dedup_simhash": o.dedup_simhash_sql(max_hamming=3),
         "media_resize": o.media_resize_sql(),

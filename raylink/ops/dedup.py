@@ -1004,3 +1004,96 @@ def containment_pairs(docs_ds, n: int = 3, tau: float = 0.2,
     Jaccard misses."""
     return ngram_pairs(docs_ds, n=n, tau=tau, max_df=max_df,
                        metric="containment")
+
+
+def novelty_scores(docs_ds, n: int = 3, num_buckets: int = 64):
+    """Per-doc n-gram novelty: the fraction of the doc's DISTINCT n-grams
+    whose corpus document frequency is 1 — high novelty = content seen
+    nowhere else (the inverse signal of the dedup families; a curation
+    uniqueness score). -> Dataset (doc_id, n_grams, n_unique, novelty).
+
+    Shape: the `_Shingler` distinct (doc, gram-hash) rows -> ONE gram-hash
+    coarse-bucket groupby (a gram's rows colocate, so DF is global) with
+    per-doc (total, unique) pre-sums -> one doc-hash bucket sum; docs with
+    no grams ride along as zero rows from the doc scan. One IEEE division
+    per doc."""
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+    grams = docs_ds.map_batches(_Shingler(n), batch_format="pyarrow")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        gh = batch.column("gh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "b": pa.array((gh % B).astype(np.int32)),
+                "doc_id": batch.column("doc_id"),
+                "gh": batch.column("gh"),
+            }
+        )
+
+    def df_partial(group: pa.Table) -> pa.Table:
+        gh = group.column("gh").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(gh, kind="stable")
+        gh, ids = gh[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]])
+        df = np.diff(np.r_[starts, len(gh)])
+        uniq_row = np.repeat(df == 1, df)
+        ud, inv = np.unique(ids, return_inverse=True)
+        t = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+        u = np.zeros(len(ud), np.int64)
+        np.add.at(u, inv, uniq_row.astype(np.int64))
+        return pa.table(
+            {
+                "db": pa.array(
+                    (splitmix64(ud.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "doc_id": pa.array(ud),
+                "t": pa.array(t),
+                "u": pa.array(u),
+            }
+        )
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ids), np.int64)
+        return pa.table(
+            {
+                "db": pa.array(
+                    (splitmix64(ids.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "doc_id": pa.array(ids),
+                "t": pa.array(z),
+                "u": pa.array(z),
+            }
+        )
+
+    partials = (
+        grams.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(df_partial, batch_format="pyarrow")
+        .union(docs_ds.map_batches(zero_rows, batch_format="pyarrow"))
+    )
+
+    def per_doc(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(ids, return_inverse=True)
+        ts = np.zeros(len(ud), np.int64)
+        us = np.zeros(len(ud), np.int64)
+        np.add.at(ts, inv, t)
+        np.add.at(us, inv, u)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud),
+                "n_grams": pa.array(ts),
+                "n_unique": pa.array(us),
+                "novelty": pa.array(
+                    np.where(ts > 0, us / np.maximum(ts, 1), 0.0)
+                ),
+            }
+        )
+
+    return partials.groupby("db").map_groups(per_doc, batch_format="pyarrow")

@@ -3341,3 +3341,37 @@ SELECT {k}::BIGINT AS n_removed,
        (SELECT count(*) FROM fverts)::BIGINT AS n_vertices,
        (SELECT count(*) FROM fsz)::BIGINT AS n_components,
        (SELECT max(c) FROM fsz)::BIGINT AS giant_size"""
+
+
+def forecast_revenue_sql() -> str:
+    """TPC-H Q6 shape (queries.q_forecast_revenue): integer cents x
+    discount-percent sum, one division by 10000.0."""
+    return """
+SELECT SUM(ROUND(l_extendedprice * 100)::BIGINT
+           * ROUND(l_discount * 100)::BIGINT)::BIGINT / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND ROUND(l_discount * 100)::BIGINT BETWEEN 5 AND 7
+  AND CAST(round(l_quantity) AS BIGINT) < 24"""
+
+
+def novelty_sql(n: int = 3) -> str:
+    """ops/dedup.novelty_scores: distinct per-doc trigram DF, unique
+    fraction; docs with no grams score 0."""
+    assert n == 3, "oracle written for trigrams"
+    return """
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3),
+df AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+p AS (SELECT g.doc_id, count(*)::BIGINT AS t,
+             count(*) FILTER (df.c = 1)::BIGINT AS u
+      FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+SELECT d.doc_id, COALESCE(p.t, 0)::BIGINT AS n_grams,
+       COALESCE(p.u, 0)::BIGINT AS n_unique,
+       CASE WHEN COALESCE(p.t, 0) > 0 THEN p.u * 1.0 / p.t
+            ELSE 0.0 END AS novelty
+FROM documents d LEFT JOIN p USING (doc_id)"""

@@ -1453,6 +1453,14 @@ def q_containment(sf_dir: str):
     return containment_pairs(_docs(sf_dir), n=3, tau=0.2)
 
 
+def q_novelty(sf_dir: str):
+    """Per-doc trigram novelty (fraction of the doc's distinct grams with
+    corpus DF 1) — the uniqueness curation signal."""
+    from raylink.ops.dedup import novelty_scores
+
+    return novelty_scores(_docs(sf_dir), n=3)
+
+
 def q_dedup_minhash(sf_dir: str):
     from raylink.ops.dedup import minhash_pairs
 
@@ -3259,6 +3267,44 @@ def q_returned_revenue(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
+    )
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape ("forecasting revenue change"): one column-pruned,
+    scanner-filtered pass over lineitem, integer cents partials, a single
+    scalar out — the pure-scan baseline of the relational suite.
+    -> one row (revenue)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    d0 = pa.scalar(np.datetime64("1996-01-01", "us").item(), type=pa.timestamp("us"))
+    d1 = pa.scalar(np.datetime64("1997-01-01", "us").item(), type=pa.timestamp("us"))
+
+    def f(b: pa.Table) -> pa.Table:
+        dc = _cents(b.column("l_discount"))
+        qty = np.rint(
+            b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        sd = b.column("l_shipdate")
+        if isinstance(sd, pa.ChunkedArray):
+            sd = sd.combine_chunks()
+        t = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+        hi = np.datetime64("1997-01-01", "us").astype(np.int64)
+        keep = (t >= lo) & (t < hi) & (dc >= 5) & (dc <= 7) & (qty < 24)
+        rev = (_cents(b.column("l_extendedprice"))[keep] * dc[keep]).sum()
+        return pa.table({"rev": pa.array([int(rev)], type=pa.int64())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(pc.field("l_shipdate") >= d0) & (pc.field("l_shipdate") < d1),
+    ).map_batches(f, batch_format="pyarrow")
+    total = int(li.sum("rev"))
+    return pa.table(
+        {"revenue": pa.array([float(np.int64(total) / np.int64(10000))],
+                             type=pa.float64())}
     )
 
 
