@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q.q_dedup_simhash,
         "token_count": q.q_token_count,
         "token_topk": q.q_token_topk,
+        "search_topk": q.q_search_topk,
         "distinct_hll": q.q_distinct_hll,
         "cms_topk": q.q_cms_topk,
         "doc_top_terms": q.q_doc_top_terms,
@@ -286,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": o.media_frames_sql(),
         "token_count": o.token_count_sql(),
         "token_topk": o.token_topk_sql(k=100),
+        "search_topk": o.search_topk_sql(terms=("spark", "join", "window"), k=20),
         "distinct_hll": o.distinct_hll_sql(p=12),
         "cms_topk": o.cms_topk_sql(k=50),
         "doc_top_terms": o.doc_top_terms_sql(3),

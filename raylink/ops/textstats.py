@@ -1090,3 +1090,74 @@ def linear_score(docs_ds, dim: int = 1 << 16, seed: int = 1,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def search_topk(docs_ds, terms: list[str], k: int = 20,
+                n_docs: int | None = None):
+    """Search-ranking stage: score every doc against a small fixed query
+    (tf x inverse-document-frequency, BM25-lite) and return the top-k.
+
+    score(d) = sum over terms IN GIVEN ORDER of tf(d, t) * (N / df_t) —
+    each weight is ONE division and the per-doc sum is a fixed-order
+    left-associated float expression, so scores are bit-identical across
+    engines. Two shuffle-free scans (global DF first — k scalars on the
+    driver — then scoring) + one distributed sort + limit. Ties break by
+    doc_id. -> Dataset (doc_id, score), score > 0 rows only."""
+    import pyarrow.compute as pc
+
+    terms = list(terms)
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if n_docs is None:
+        n_docs = docs_ds.count()
+
+    def tf_matrix(batch: pa.Table) -> np.ndarray:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        n = len(text)
+        doc_idx, codes, dic = _word_codes(text)
+        words = dic.to_pylist()
+        tf = np.zeros((n, len(terms)), np.int64)
+        for j, t in enumerate(terms):
+            try:
+                c = words.index(t)
+            except ValueError:
+                continue
+            np.add.at(tf[:, j], doc_idx[codes == c], 1)
+        return tf
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        tf = tf_matrix(batch)
+        return pa.table(
+            {
+                "j": pa.array(np.arange(len(terms), dtype=np.int64)),
+                "df": pa.array((tf > 0).sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    df_rows = (
+        docs_ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("j")
+        .sum("df")
+        .take_all()
+    )  # len(terms) rows on the driver
+    df = np.ones(len(terms), np.int64)
+    for r in df_rows:
+        if r["sum(df)"] > 0:
+            df[r["j"]] = r["sum(df)"]
+    w = np.int64(n_docs) / df  # one IEEE division per term
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = tf_matrix(batch)
+        s = np.zeros(len(tf), np.float64)
+        for j in range(len(terms)):  # fixed order, left-associated
+            s = s + tf[:, j] * w[j]
+        keep = s > 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "score": pa.array(s[keep]),
+            }
+        )
+
+    scored = docs_ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", "doc_id"], descending=[True, False]).limit(k)

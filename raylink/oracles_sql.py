@@ -3375,3 +3375,33 @@ SELECT d.doc_id, COALESCE(p.t, 0)::BIGINT AS n_grams,
        CASE WHEN COALESCE(p.t, 0) > 0 THEN p.u * 1.0 / p.t
             ELSE 0.0 END AS novelty
 FROM documents d LEFT JOIN p USING (doc_id)"""
+
+
+def search_topk_sql(terms=("spark", "join", "window"), k: int = 20) -> str:
+    """ops/textstats.search_topk: tf x (N/df) in the given term order
+    (left-associated float sum, identical on both engines)."""
+    tfs = ", ".join(
+        f"count(*) FILTER (word = '{t}')::BIGINT AS tf{j}"
+        for j, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"GREATEST((SELECT count(DISTINCT doc_id) FROM occ WHERE word = '{t}'),"
+        f" 1) AS df{j}"
+        for j, t in enumerate(terms)
+    )
+    score = " + ".join(
+        f"tf.tf{j} * ((SELECT n FROM nn2) * 1.0 / dd.df{j})"
+        for j in range(len(terms))
+    )
+    return f"""
+WITH occ AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS word
+  FROM documents),
+nn2 AS (SELECT count(*)::BIGINT AS n FROM documents),
+tf AS (SELECT doc_id, {tfs} FROM occ GROUP BY doc_id),
+dd AS (SELECT {dfs})
+SELECT tf.doc_id, {score} AS score
+FROM tf, dd
+WHERE {score} > 0
+ORDER BY score DESC, tf.doc_id
+LIMIT {k}"""

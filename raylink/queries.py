@@ -1573,6 +1573,18 @@ def q_curation_funnel(sf_dir: str):
     return j2.map_batches(finish, batch_format="pyarrow")
 
 
+def q_search_topk(sf_dir: str):
+    """BM25-lite search ranking: top-20 docs for the fixed query
+    (spark, join, window) by tf x (N/df) — two shuffle-free scans +
+    distributed sort."""
+    from raylink.ops.textstats import search_topk
+
+    return search_topk(
+        _docs(sf_dir), ["spark", "join", "window"], k=20,
+        n_docs=_parquet_rows(sf_dir, "documents"),
+    )
+
+
 def q_token_topk(sf_dir: str):
     """Top-100 vocabulary tokens (cnt desc, token asc tie-break)."""
     from raylink.ops.textstats import token_topk
