@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_converged": q.q_pagerank_converged,
         "weighted_pagerank": q.q_weighted_pagerank,
         "host_rank": q.q_host_rank,
+        "host_top_pages": q.q_host_top_pages,
         "seeded_pagerank": q.q_seeded_pagerank,
         "incremental_pagerank": q.q_incremental_pagerank,
         "connected_components": q.q_connected_components,
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": o.pagerank_sql(iters=27),
         "weighted_pagerank": o.weighted_pagerank_sql(iters=20),
         "host_rank": o.host_rank_sql(iters=20),
+        "host_top_pages": o.host_top_pages_sql(iters=30, k=3),
         "seeded_pagerank": o.seeded_pagerank_sql(iters=30),
         # incremental PR converges to the plain-PR fixpoint; same deep-
         # unrolled oracle + r6 tolerance argument as subgraph_rank

@@ -230,7 +230,7 @@ def link_positions_sql() -> str:
     )
 
 
-def pagerank_sql(iters: int = 30, decimals: int = 8) -> str:
+def _pagerank_ctes(iters: int) -> list:
     ctes = [
         GRAPH_CTES,
         "deg AS (SELECT src AS vid, count(*)::BIGINT AS outdeg FROM edges GROUP BY src)",
@@ -246,9 +246,30 @@ def pagerank_sql(iters: int = 30, decimals: int = 8) -> str:
     GROUP BY e.dst
   ) s ON s.vid = v.vid)"""
         )
+    return ctes
+
+
+def pagerank_sql(iters: int = 30, decimals: int = 8) -> str:
     return (
-        _with(*ctes)
+        _with(*_pagerank_ctes(iters))
         + f"\nSELECT vid::BIGINT AS vid, ROUND(rank, {decimals}) AS rank FROM pr{iters}"
+    )
+
+
+def host_top_pages_sql(iters: int = 30, k: int = 3) -> str:
+    """queries.q_host_top_pages: top-k pages per host by the ROUND(rank, 8)
+    PageRank value (ties by vid) — ordering on the rounded value is
+    identical to the engine's int64-scaled sort keys."""
+    return (
+        _with(*_pagerank_ctes(iters))
+        + f"""
+SELECT host, vid::BIGINT AS vid, rank, rn AS rk FROM (
+  SELECT 'site' || (vid % 97) || '.example' AS host, vid,
+         ROUND(rank, 8) AS rank,
+         ROW_NUMBER() OVER (PARTITION BY vid % 97
+                            ORDER BY ROUND(rank, 8) DESC, vid) AS rn
+  FROM pr{iters})
+WHERE rn <= {k}"""
     )
 
 

@@ -217,6 +217,52 @@ def q_katz(sf_dir: str):
     return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_host_top_pages(sf_dir: str):
+    """Top-3 pages per host by PageRank (the crawl's per-site
+    representative-page pick): resumes q_pagerank's checkpoints, parses
+    hosts with the Arrow regex kernels, ranks on int64-scaled
+    ROUND(rank, 8) keys (exact cross-engine ordering), one `group_topk`
+    shuffle. -> (host, vid, rank, rk)."""
+    import pyarrow.compute as pc
+
+    from raylink.algos import pagerank
+    from raylink.ops.select import group_topk
+    from raylink.synth import urls_of
+
+    g = page_graph(sf_dir, directed=True)
+    _, ranks = pagerank(
+        g=g, iters=PR_ITERS, engine="tasks",
+        ckpt_dir=_ckpt("pagerank", sf_dir, PR_ITERS),
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        vid = b.column("vid")
+        url = urls_of(vid)
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(url, pattern="^https://", replacement=""),
+            pattern="/.*$", replacement="",
+        )
+        r8 = round_half_away(
+            b.column("rank").to_numpy(zero_copy_only=False), 8
+        )
+        return pa.table(
+            {
+                "host": host,
+                "vid": vid,
+                "rank": pa.array(r8),
+                "ri": pa.array(np.rint(r8 * 1e8).astype(np.int64)),
+            }
+        )
+
+    top = group_topk(
+        ranks.map_batches(prep, batch_format="pyarrow"),
+        key_col="host", score_col="ri", k=3, id_col="vid",
+    )
+    return top.map_batches(
+        lambda b: b.drop_columns(["ri"]), batch_format="pyarrow"
+    )
+
+
 def q_weighted_pagerank(sf_dir: str):
     """Edge-weighted PageRank (rank distributed proportional to the
     deterministic edge weight 1 + (7*src + 13*dst) % 5), 20 fixed
