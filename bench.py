@@ -842,11 +842,32 @@ def run_relational_bench() -> dict:
     scan, scan_walls = timed(
         lambda: q_pricing_summary(SF_DIR, lineitem_paths=[li_path] * amp)
     )
+    # r4 sixth wave: Q6 scan, Q18 groupby-having, Q10 top-k, Q9 3-dim,
+    # Q16 distinct-count (single warm rep each — sub-5s queries)
+    from raylink.queries import (
+        q_big_orders,
+        q_brand_suppliers,
+        q_forecast_revenue,
+        q_part_profit,
+        q_returned_revenue,
+    )
+
+    extra = {}
+    for nm, fn in [
+        ("forecast_revenue", q_forecast_revenue),
+        ("big_orders", q_big_orders),
+        ("returned_revenue", q_returned_revenue),
+        ("part_profit", q_part_profit),
+        ("brand_suppliers", q_brand_suppliers),
+    ]:
+        w, _ = timed(lambda fn=fn: fn(SF_DIR), reps=1)
+        extra[f"{nm}_sec"] = round(w, 3)
     out = {
         "metric": "relational queries wall sec (medians of 3, warm)",
         "pricing_summary_sec": round(q1, 3),
         "shipping_priority_sec": round(q3, 3),
         "nation_revenue_sec": round(q5, 3),
+        **extra,
         "lineitem_scan_rows": li_rows * amp,
         "lineitem_scan_sec": round(scan, 3),
         "lineitem_scan_rows_per_sec": round(li_rows * amp / scan),
