@@ -1111,18 +1111,21 @@ def search_topk(docs_ds, terms: list[str], k: int = 20,
     if n_docs is None:
         n_docs = docs_ds.count()
 
+    tset = pa.array(terms, type=pa.string())
+
     def tf_matrix(batch: pa.Table) -> np.ndarray:
         text = pc.fill_null(batch.column("text").combine_chunks(), "")
         n = len(text)
         doc_idx, codes, dic = _word_codes(text)
-        words = dic.to_pylist()
+        # vectorized term lookup: per dictionary word, its term index (or
+        # null -> NaN) — no python scan over the batch vocabulary
+        tix = pc.index_in(dic, value_set=tset).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
         tf = np.zeros((n, len(terms)), np.int64)
-        for j, t in enumerate(terms):
-            try:
-                c = words.index(t)
-            except ValueError:
-                continue
-            np.add.at(tf[:, j], doc_idx[codes == c], 1)
+        occ = tix[codes]
+        hit = ~np.isnan(occ)
+        np.add.at(tf, (doc_idx[hit], occ[hit].astype(np.int64)), 1)
         return tf
 
     def df_partial(batch: pa.Table) -> pa.Table:
