@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": q.q_ktruss,
         "random_walks": q.q_random_walks,
         "node2vec": q.q_node2vec,
+        "walk_corpus": q.q_walk_corpus,
         "reciprocity": q.q_reciprocity,
         "robustness": q.q_robustness,
         "avg_neighbor_degree": q.q_avg_neighbor_degree,
@@ -273,6 +274,9 @@ def oracle_sql() -> dict[str, str]:
         "robustness": o.robustness_sql(k=10),
         "avg_neighbor_degree": o.avg_neighbor_degree_sql(),
         "node2vec": o.node2vec_sql(
+            walk_len=6, w_return=1, w_common=4, w_far=2, seed=0
+        ),
+        "walk_corpus": o.walk_corpus_sql(
             walk_len=6, w_return=1, w_common=4, w_far=2, seed=0
         ),
         "subgraphs": o.subgraphs_sql(),

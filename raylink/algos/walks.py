@@ -392,3 +392,43 @@ def node2vec_walks(
         out.append(with_step(frontier, s + 1))
 
     return out[0].union(*out[1:])
+
+
+def walks_to_corpus(walks_ds, num_buckets: int = 64):
+    """(walker, step, vid) walk rows -> (walker, seq) training lines — the
+    corpus export that feeds skip-gram embedding training on the walks
+    (DeepWalk/node2vec stage 2). One hash(walker) coarse-bucket groupby;
+    per-group assembly is fully Arrow (cast + ListArray + binary_join), no
+    per-walk python."""
+    import pyarrow.compute as pc
+
+    def tag(batch: pa.Table) -> pa.Table:
+        w = batch.column("walker").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "b", pa.array((splitmix64(w.astype(np.uint64)) % U64(num_buckets)).astype(np.int32))
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        w = group.column("walker").to_numpy(zero_copy_only=False)
+        s = group.column("step").to_numpy(zero_copy_only=False)
+        v = group.column("vid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, w))
+        w, v = w[order], v[order]
+        first = np.r_[True, w[1:] != w[:-1]]
+        counts = np.diff(np.r_[np.flatnonzero(first), len(w)])
+        offs = np.zeros(len(counts) + 1, np.int32)
+        np.cumsum(counts, out=offs[1:])
+        vals = pc.cast(pa.array(v), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offs), vals)
+        return pa.table(
+            {
+                "walker": pa.array(w[first]),
+                "seq": pc.binary_join(lists, " "),
+            }
+        )
+
+    return (
+        walks_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(assemble, batch_format="pyarrow")
+    )

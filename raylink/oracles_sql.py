@@ -3426,3 +3426,14 @@ FROM tf, dd
 WHERE {score} > 0
 ORDER BY score DESC, tf.doc_id
 LIMIT {k}"""
+
+
+def walk_corpus_sql(walk_len: int = 6, w_return: int = 1, w_common: int = 4,
+                    w_far: int = 2, seed: int = 0) -> str:
+    """algos/walks.walks_to_corpus over the node2vec walks: per-walker
+    step-ordered vid sequence as a space-joined line."""
+    inner = node2vec_sql(walk_len, w_return, w_common, w_far, seed)
+    return f"""
+WITH wk AS ({inner})
+SELECT walker, string_agg(vid::VARCHAR, ' ' ORDER BY step) AS seq
+FROM wk GROUP BY walker"""

@@ -869,6 +869,19 @@ def q_robustness(sf_dir: str, k: int = 10):
     )
 
 
+def q_walk_corpus(sf_dir: str):
+    """Embedding-training corpus lines from the node2vec walks: per-walker
+    step-ordered vid sequence (one hash(walker) groupby, Arrow-native
+    assembly)."""
+    from raylink.algos.walks import node2vec_walks, walks_to_corpus
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    walks = node2vec_walks(
+        edges, walk_len=6, w_return=1, w_common=4, w_far=2, seed=0
+    )
+    return walks_to_corpus(walks)
+
+
 def q_reciprocity(sf_dir: str):
     """Link reciprocity of the directed page graph (mutual-link fraction
     over distinct non-self edges) — one unordered-pair-keyed shuffle."""
