@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q.q_text_stats,
         "quality_score": q.q_quality_score,
         "quality_filter": q.q_quality_filter,
+        "corr_length_quality": q.q_corr_length_quality,
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
         "doc_repetition": q.q_doc_repetition,
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": o.text_stats_sql(),
         "quality_score": o.quality_score_sql(),
         "quality_filter": o.quality_filter_sql(q=0.8),
+        "corr_length_quality": o.corr_length_quality_sql(),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
         "doc_repetition": o.doc_repetition_sql(),

@@ -3437,3 +3437,25 @@ def walk_corpus_sql(walk_len: int = 6, w_return: int = 1, w_common: int = 4,
 WITH wk AS ({inner})
 SELECT walker, string_agg(vid::VARCHAR, ' ' ORDER BY step) AS seq
 FROM wk GROUP BY walker"""
+
+
+def corr_length_quality_sql() -> str:
+    """queries.q_corr_length_quality: signed r^2 (sqrt-free Pearson)
+    between char length and the linear-model score; HUGEINT integer sums,
+    two int->double conversions, one division, ROUND 6."""
+    return f"""
+WITH sc AS MATERIALIZED ({quality_score_sql()}),
+xy AS (SELECT length(COALESCE(d.text, ''))::BIGINT AS x, sc.score AS y
+       FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+s AS (SELECT count(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx,
+             SUM(y)::HUGEINT AS sy, SUM(x*y)::HUGEINT AS sxy,
+             SUM(x*x)::HUGEINT AS sxx, SUM(y*y)::HUGEINT AS syy
+      FROM xy),
+d AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS dx,
+             n*syy - sy*sy AS dy FROM s)
+SELECT n::BIGINT AS n_docs,
+       CASE WHEN dx * dy = 0 THEN 0.0
+            ELSE ROUND(CASE WHEN num < 0 THEN -1.0 ELSE 1.0 END
+                       * (num*num)::DOUBLE / ((dx*dy)::DOUBLE), 6)
+       END AS signed_r2
+FROM d"""

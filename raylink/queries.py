@@ -3779,6 +3779,66 @@ def q_quality_filter(sf_dir: str):
     )
 
 
+def q_corr_length_quality(sf_dir: str):
+    """Signed r^2 between document length (chars) and the linear-model
+    quality score — the pre-training sanity correlation, sqrt-free so it
+    mirrors exactly: integer partial sums (n, Sx, Sy, Sxy, Sxx, Syy) per
+    batch, python-int driver fold (arbitrary precision), sign(cov) *
+    cov^2/(varx*vary) with the two big-int->double conversions and one
+    IEEE division identical on both engines, ROUND 6.
+    -> one row (n_docs, signed_r2)."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.textstats import LinearScorer
+
+    class _Partial:
+        def __init__(self) -> None:
+            self.scorer = LinearScorer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            scored = self.scorer(batch)
+            y = scored.column("score").to_numpy(zero_copy_only=False)
+            x = pc.utf8_length(
+                pc.fill_null(batch.column("text").combine_chunks(), "")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "n": pa.array([len(x)], type=pa.int64()),
+                    "sx": pa.array([int(x.sum())], type=pa.int64()),
+                    "sy": pa.array([int(y.sum())], type=pa.int64()),
+                    "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+                    "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                    "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+                }
+            )
+
+    rows = _docs(sf_dir).map_batches(
+        _Partial, batch_format="pyarrow", concurrency=(1, 8)
+    ).take_all()  # one tiny row per batch
+    n = sum(r["n"] for r in rows)
+    sx = sum(r["sx"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    sxy = sum(r["sxy"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    syy = sum(r["syy"] for r in rows)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    if dx * dy == 0:
+        r2 = 0.0
+    else:
+        r2 = float(num * num) / float(dx * dy)  # exact-int -> double, 1 div
+        if num < 0:
+            r2 = -1.0 * r2
+    return pa.table(
+        {
+            "n_docs": pa.array([n], type=pa.int64()),
+            "signed_r2": pa.array([round_half_away(np.float64(r2), 6)],
+                                  type=pa.float64()),
+        }
+    )
+
+
 def q_quality_score(sf_dir: str):
     """Hashed-feature linear model scoring (the curation pipeline's
     quality-classifier inference stage): integer weights derived from
