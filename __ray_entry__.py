@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q.q_quality_score,
         "quality_filter": q.q_quality_filter,
         "corr_length_quality": q.q_corr_length_quality,
+        "source_quality": q.q_source_quality,
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
         "doc_repetition": q.q_doc_repetition,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": o.quality_score_sql(),
         "quality_filter": o.quality_filter_sql(q=0.8),
         "corr_length_quality": o.corr_length_quality_sql(),
+        "source_quality": o.source_quality_sql(),
         "lang_id": o.lang_id_sql(),
         "fingerprint": o.fingerprint_sql(),
         "doc_repetition": o.doc_repetition_sql(),

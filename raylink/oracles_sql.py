@@ -3459,3 +3459,15 @@ SELECT n::BIGINT AS n_docs,
                        * (num*num)::DOUBLE / ((dx*dy)::DOUBLE), 6)
        END AS signed_r2
 FROM d"""
+
+
+def source_quality_sql() -> str:
+    """queries.q_source_quality: integer score sums per source, one IEEE
+    division per row (SUM::BIGINT * 1.0 / n == numpy int64/int64)."""
+    return f"""
+WITH sc AS MATERIALIZED ({quality_score_sql()})
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       SUM(sc.score)::BIGINT AS sum_score,
+       SUM(sc.score)::BIGINT * 1.0 / count(*) AS mean_score
+FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+GROUP BY d.source"""

@@ -3779,6 +3779,67 @@ def q_quality_filter(sf_dir: str):
     )
 
 
+def q_source_quality(sf_dir: str):
+    """Per-source quality report: doc count and mean linear-model score
+    per `source` value — integer score sums per batch on dictionary codes,
+    bounded combine tree (sources are a small vocabulary), one IEEE
+    division per source. -> (source, n_docs, sum_score, mean_score)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import tree_groupby_sum
+    from raylink.ops.textstats import LinearScorer
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    class _Partial:
+        def __init__(self) -> None:
+            self.scorer = LinearScorer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            y = self.scorer(batch).column("score").to_numpy(
+                zero_copy_only=False
+            )
+            src = batch.column("source")
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            enc = src.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            ns = len(enc.dictionary)
+            s = np.zeros(ns, np.int64)
+            np.add.at(s, codes, y)
+            return pa.table(
+                {
+                    "source": enc.dictionary,
+                    "n": pa.array(
+                        np.bincount(codes, minlength=ns).astype(np.int64)
+                    ),
+                    "s": pa.array(s),
+                }
+            )
+
+    partials = docs.map_batches(
+        _Partial, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    agg = tree_groupby_sum(partials, ["source"], ["n", "s"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False)
+        s = b.column("sum(s)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": pa.array(n),
+                "sum_score": pa.array(s),
+                "mean_score": pa.array(s / n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def q_corr_length_quality(sf_dir: str):
     """Signed r^2 between document length (chars) and the linear-model
     quality score — the pre-training sanity correlation, sqrt-free so it
