@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q.q_connected_components,
         "scc": q.q_scc,
         "scc_sizes": q.q_scc_sizes,
+        "wcc_sizes": q.q_wcc_sizes,
         "harmonic": q.q_harmonic,
         "closeness": q.q_closeness,
         "hyperanf": q.q_hyperanf,
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": o.cc_sql(),
         "scc": o.scc_sql(),
         "scc_sizes": o.scc_sizes_sql(),
+        "wcc_sizes": o.wcc_sizes_sql(),
         "harmonic": o.harmonic_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "closeness": o.closeness_sql(seeds=tuple(q.HARMONIC_SEEDS)),
         "hyperanf": o.hyperanf_sql(p=6, rounds=q.ANF_ROUNDS),

@@ -3471,3 +3471,12 @@ SELECT d.source, count(*)::BIGINT AS n_docs,
        SUM(sc.score)::BIGINT * 1.0 / count(*) AS mean_score
 FROM documents d JOIN sc ON sc.doc_id = d.doc_id
 GROUP BY d.source"""
+
+
+def wcc_sizes_sql() -> str:
+    """Size distribution of the weakly connected components (scc_sizes'
+    undirected sibling, off the shared CC_CTE min-label closure)."""
+    return _with(GRAPH_CTES, CC_CTE, recursive=True) + """
+SELECT size, count(*)::BIGINT AS n_components FROM (
+  SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY component)
+GROUP BY size"""

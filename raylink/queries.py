@@ -504,6 +504,31 @@ def q_scc(sf_dir: str):
     return comps
 
 
+def q_wcc_sizes(sf_dir: str):
+    """Weakly-connected-component size distribution (size, n_components)
+    — scc_sizes' undirected sibling; resumes q_connected_components'
+    checkpoints; two bounded groupbys."""
+    from raylink.algos import connected_components
+
+    g = page_graph(sf_dir, directed=False)
+    _, comps = connected_components(
+        g=g, ckpt_dir=_ckpt("cc", sf_dir), engine="tasks"
+    )
+    sizes = comps.groupby("component").count().map_batches(
+        lambda b: pa.table({"size": b.column("count()")}),
+        batch_format="pyarrow",
+    )
+    return sizes.groupby("size").count().map_batches(
+        lambda b: pa.table(
+            {
+                "size": b.column("size"),
+                "n_components": b.column("count()"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_scc_sizes(sf_dir: str):
     """SCC size distribution (size, n_components) — the bow-tie
     measurement of a web graph (how much of the crawl sits in the giant
