@@ -12,21 +12,35 @@ region of a host/link graph is where link farms and boosting cliques live.
 Reference analog: none (the reference library has no density peeling; the
 nearest machinery is KCore's iterated peel, which this mirrors in shape).
 
-Exactness: everything the peel decides is INTEGER — the removal test
-``deg <= factor * E / V`` is evaluated as ``deg <= (factor * E) // V``
-(equivalent for integer deg, no overflow: factor * E stays well inside
-int64), so rounds are bit-exactly SQL-mirrorable with no float thresholds.
-The one float comparison — picking the best round by density — is a single
-IEEE division per round, identical on both sides (first-max rule == SQL
-``ORDER BY density DESC, round ASC LIMIT 1``).
+Execution: ONE BSP job on the superstep engine (two supersteps per peel
+round), not a driver-side Dataset loop — the peel's profile is
+many-cheap-rounds, exactly what the task engine's resident CSR shards are
+for (the Dataset-loop formulation paid ~3 full pipeline executions per
+round; at sf0.1 that was 15 s of fixed per-execution overhead for ~1 s of
+compute). Degrees live as per-partition state and are maintained
+incrementally by removal messages; the global (V, E) needed for the
+threshold travels as P broadcast partial rows per partition (the HITS
+normalization pattern, hits.py) so no superstep materializes anything
+global anywhere:
 
-Scale shape: per round two coarse-bucket semi-joins re-induce the edge set
-on the survivors, one ``bucketed_sum`` computes degrees, and the driver
-holds only (round, E, V) scalars; loop-carried datasets go through
-``loop_barrier`` parquet snapshots (the Ray 2.49 lineage-reexecution
-guard). Removed vertices stream to per-round snapshots — the output
-(vid, peel_round, in_densest) is assembled distributedly, nothing
-vertex-sized on the driver.
+- even superstep 2t ("sync"): apply removal counts from round t-1 to the
+  degree array, then broadcast this partition's (alive count, alive degree
+  sum) to all P partitions;
+- odd superstep 2t+1 ("peel"): sum the P partials -> exact V_t and
+  E_t = sum_deg/2 (every alive-alive edge is counted twice, alive-dead
+  edges zero times after the sync), remove alive vertices with
+  ``deg <= (factor * E) // V``, message 1 along each CSR edge of a removed
+  vertex (combined per destination); dead receivers ignore stale removals,
+  so no per-edge liveness state is needed.
+
+Exactness: everything the peel decides is INTEGER — counts and degree
+sums are int64 end-to-end, so rounds are bit-exactly SQL-mirrorable with
+no float thresholds and no message-order sensitivity. The one float
+comparison — picking the best round by density — is a single IEEE
+division per round, identical on both sides (first-max rule == SQL
+``ORDER BY density DESC, round ASC LIMIT 1``). Per-round (V, 2E) reach the
+driver through the ``extra_metrics`` history channel (O(rounds) driver
+state, summed per-partition partials — exact: integer-valued float64).
 """
 
 from __future__ import annotations
@@ -34,7 +48,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from raylink.util import splitmix64
+from raylink.superstep import Algorithm
+from raylink.util import route_parts, splitmix64
 
 
 def _canonical_simple_edges(edges_ds, num_buckets: int = 32):
@@ -79,12 +94,120 @@ def _canonical_simple_edges(edges_ds, num_buckets: int = 32):
     ).map_groups(dedup, batch_format="pyarrow")
 
 
+_RM, _CNT, _DEG = 0, 1, 2  # message kinds
+
+
+class DensestPeel(Algorithm):
+    """BSP peel: state (alive, deg, peel_round) per owned vid; two
+    supersteps per peel round (module docstring). ``ctx`` needs ``factor``,
+    ``num_parts``, ``partitioner``."""
+
+    name = "densest_peel"
+    msg_fields = [("val", pa.int64()), ("kind", pa.int8())]
+
+    def init(self, shard: dict, ctx: dict) -> dict:
+        nv = len(shard["vids"])
+        return {
+            "alive": np.ones(nv, dtype=np.int64),
+            "deg": np.diff(shard["indptr"]).astype(np.int64),
+            "peel_round": np.full(nv, -1, dtype=np.int64),
+        }
+
+    def _broadcast(self, alive, deg, ctx) -> pa.Table:
+        cnt = int(alive.sum())
+        sd = int(deg[alive == 1].sum())
+        pp = np.arange(ctx["num_parts"], dtype=np.int32)
+        z = np.zeros(len(pp), np.int64)
+        return pa.concat_tables(
+            [
+                self.make_msgs(pp, z, val=np.full(len(pp), cnt, np.int64),
+                               kind=np.full(len(pp), _CNT, np.int8)),
+                self.make_msgs(pp, z, val=np.full(len(pp), sd, np.int64),
+                               kind=np.full(len(pp), _DEG, np.int8)),
+            ]
+        )
+
+    def step(self, s, shard, state, msgs, ctx):
+        vids = shard["vids"]
+        # np.array (copy): tasks-engine state arrays are object-store-backed
+        # and read-only; both phases mutate in place
+        alive = np.array(state["alive"], np.int64)
+        deg = np.array(state["deg"], np.int64)
+        peel = np.array(state["peel_round"], np.int64)
+        state = {"alive": alive, "deg": deg, "peel_round": peel}
+
+        kind = (
+            msgs.column("kind").to_numpy(zero_copy_only=False)
+            if msgs.num_rows
+            else np.empty(0, np.int8)
+        )
+        vals = (
+            msgs.column("val").to_numpy(zero_copy_only=False)
+            if msgs.num_rows
+            else np.empty(0, np.int64)
+        )
+
+        if s % 2 == 0:  # sync: apply round t-1 removals, broadcast partials
+            rm = kind == _RM
+            if np.any(rm):
+                d = msgs.column("dst").to_numpy(zero_copy_only=False)[rm]
+                pos = np.searchsorted(vids, d)
+                # dead targets are harmless: their deg is never read again
+                np.subtract.at(deg, pos, vals[rm])
+            out = self._broadcast(alive, deg, ctx)
+            return state, out, int(alive.sum()), 0.0
+
+        # peel: exact global (V, E) from the summed per-partition partials
+        V = int(vals[kind == _CNT].sum())
+        sd = int(vals[kind == _DEG].sum())
+        if V == 0:
+            return state, None, 0, 0.0
+        thr = (ctx["factor"] * (sd // 2)) // V  # integer-exact, == SQL
+        t = (s - 1) // 2
+        rm = (alive == 1) & (deg <= thr)
+        n_rm = int(rm.sum())
+        out = None
+        if n_rm:
+            peel[rm] = t
+            alive[rm] = 0
+            indptr, indices = shard["indptr"], shard["indices"]
+            starts = indptr[:-1][rm]
+            cnts = (indptr[1:] - indptr[:-1])[rm]
+            total = int(cnts.sum())
+            if total:
+                ofs = np.repeat(np.cumsum(cnts) - cnts, cnts)
+                idx = np.repeat(starts, cnts) + np.arange(
+                    total, dtype=np.int64
+                ) - ofs
+                dsts, counts = np.unique(indices[idx], return_counts=True)
+                out = self.make_msgs(
+                    route_parts(shard, ctx, dsts), dsts,
+                    val=counts.astype(np.int64),
+                    kind=np.full(len(dsts), _RM, np.int8),
+                )
+        return state, out, int(alive.sum()), float(n_rm)
+
+    def extra_metrics(self, state, shard, ctx) -> dict:
+        # meaningful ONLY after even (sync) supersteps: per-partition
+        # (alive count, alive degree sum) partials; the manifest history
+        # SUM across partitions gives the round's exact (V, 2E).
+        # Post-peel (odd) rows are stale and ignored by the wrapper.
+        alive = state["alive"]
+        return {
+            "nv_part": float(alive.sum()),
+            "deg2_part": float(state["deg"][alive == 1].sum()),
+        }
+
+
 def densest_subgraph(
     edges_ds,
     verts_ds,
     factor: int = 3,
     max_rounds: int = 64,
     num_buckets: int = 32,
+    num_parts: int = 8,
+    engine: str = "tasks",
+    ckpt_dir: str | None = None,
 ):
     """Parallel peel to empty; returns ``(stats, Dataset (vid, peel_round,
     in_densest))`` where ``stats`` is the per-round list of dicts
@@ -97,92 +220,47 @@ def densest_subgraph(
     """
     import ray.data as rd
 
-    from raylink.join import bucketed_sum, loop_barrier, semi_join
+    from raylink.graph import build_graph
+    from raylink.superstep import run_bsp
+    from raylink.superstep_tasks import run_bsp_tasks
 
+    canon = _canonical_simple_edges(edges_ds, num_buckets).map_batches(
+        lambda b: pa.table({"src": b.column("a"), "dst": b.column("b")}),
+        batch_format="pyarrow",
+    )
     verts = verts_ds.map_batches(
         lambda b: pa.table({"vid": b.column("vid")}), batch_format="pyarrow"
     )
-    edges = loop_barrier(
-        _canonical_simple_edges(edges_ds, num_buckets), "densest-e0"
+    g = build_graph(
+        canon, verts, num_parts=num_parts, partitioner="hash", directed=False
     )
-    verts = loop_barrier(verts, "densest-v0")
+    ctx = {
+        "factor": int(factor),
+        "num_parts": g.num_parts,
+        "partitioner": g.partitioner,
+    }
+    _run = run_bsp_tasks if engine == "tasks" else run_bsp
+    res = _run(
+        g, DensestPeel(), ctx,
+        max_supersteps=2 * max_rounds + 2, ckpt_dir=ckpt_dir,
+    )
+    if res.history and res.history[-1]["n_active"] > 0:
+        raise RuntimeError(
+            f"densest_subgraph: {max_rounds} rounds without emptying "
+            f"(n_active={int(res.history[-1]['n_active'])}) — the (1+eps) "
+            "shrink guarantee requires factor >= 3"
+        )
 
     stats = []
-    removed_paths = []
-    r = 0
-    while True:
-        nv = verts.count()
-        if nv == 0:
-            break
-        if r >= max_rounds:
-            raise RuntimeError(
-                f"densest_subgraph: {max_rounds} rounds without emptying "
-                f"(nv={nv}) — the (1+eps) shrink guarantee requires "
-                "factor >= 3"
+    for row in res.history:
+        if row["superstep"] % 2 == 0 and row["nv_part"] > 0:
+            nv = int(row["nv_part"])
+            ne = int(row["deg2_part"]) // 2
+            stats.append(
+                {"round": row["superstep"] // 2, "n_edges": ne,
+                 "n_vertices": nv,
+                 "density": float(np.float64(ne) / np.float64(nv))}
             )
-        ne = edges.count()
-        stats.append(
-            {"round": r, "n_edges": ne, "n_vertices": nv,
-             "density": float(np.float64(ne) / np.float64(nv))}
-        )
-        thr = (factor * ne) // nv  # deg <= factor*E/V, integer-exact
-
-        ends = edges.map_batches(
-            lambda b: pa.table(
-                {
-                    "vid": pa.concat_arrays(
-                        [b.column("a").combine_chunks(),
-                         b.column("b").combine_chunks()]
-                    ),
-                    "one": pa.array(np.ones(2 * b.num_rows, dtype=np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        deg = bucketed_sum(ends, "vid", "one", out_val="c",
-                           num_buckets=num_buckets)
-        survivors = deg.map_batches(
-            lambda b, t=thr: b.filter(
-                pa.compute.greater(b.column("c"), pa.scalar(t))
-            ).select(["vid"]),
-            batch_format="pyarrow",
-        )
-        survivors = loop_barrier(survivors, f"densest-s{r}")
-        removed = semi_join(
-            verts, survivors, on="vid", left_cols={}, anti=True,
-            n_key_rows=nv, num_buckets=num_buckets,
-        ).map_batches(
-            lambda b, t=r: pa.table(
-                {
-                    "vid": b.column("vid"),
-                    "peel_round": pa.array(
-                        np.full(b.num_rows, t, dtype=np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        removed_paths.append(loop_barrier(removed, f"densest-r{r}"))
-        # survivors ARE the next vertex set (edge endpoints are always
-        # current vertices, so deg rows never mention peeled vids)
-        verts = survivors
-
-        def as_col(name):  # semi_join keys must carry the join column name
-            return survivors.map_batches(
-                lambda b, nm=name: pa.table({nm: b.column("vid")}),
-                batch_format="pyarrow",
-            )
-
-        edges = semi_join(
-            semi_join(edges, as_col("a"), on="a",
-                      left_cols={"b": pa.int64()},
-                      n_key_rows=nv, num_buckets=num_buckets),
-            as_col("b"), on="b", left_cols={"a": pa.int64()},
-            n_key_rows=nv, num_buckets=num_buckets,
-        )
-        edges = loop_barrier(edges, f"densest-e{r + 1}")
-        r += 1
-
     if not stats:  # empty input graph
         empty = pa.table(
             {"vid": pa.array([], type=pa.int64()),
@@ -194,21 +272,14 @@ def densest_subgraph(
     dens = np.array([s["density"] for s in stats], dtype=np.float64)
     best = int(np.argmax(dens))  # first max == SQL (density DESC, round ASC)
 
-    out = removed_paths[0]
-    for ds in removed_paths[1:]:
-        out = out.union(ds)
-    return stats, out.map_batches(
-        lambda b: pa.table(
+    def final(b: pa.Table) -> pa.Table:
+        pr = b.column("peel_round").to_numpy(zero_copy_only=False)
+        return pa.table(
             {
                 "vid": b.column("vid"),
                 "peel_round": b.column("peel_round"),
-                "in_densest": pa.array(
-                    (
-                        b.column("peel_round").to_numpy(zero_copy_only=False)
-                        >= best
-                    ).astype(np.int64)
-                ),
+                "in_densest": pa.array((pr >= best).astype(np.int64)),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return stats, res.state_dataset().map_batches(final, batch_format="pyarrow")
