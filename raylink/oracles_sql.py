@@ -3480,3 +3480,108 @@ def wcc_sizes_sql() -> str:
 SELECT size, count(*)::BIGINT AS n_components FROM (
   SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY component)
 GROUP BY size"""
+
+
+def nation_trade_sql() -> str:
+    """TPC-H Q7 shape (queries.q_nation_trade): cross-nation cents revenue
+    per (supplier nation, customer nation, ship year); integer sums, one
+    division by 10000.0."""
+    return """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l.l_shipdate)::BIGINT AS yr,
+       SUM(ROUND(l.l_extendedprice * 100)::BIGINT
+           * (100 - ROUND(l.l_discount * 100)::BIGINT))::BIGINT / 10000.0
+         AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE s.s_nationkey <> c.c_nationkey
+GROUP BY 1, 2, 3"""
+
+
+def market_share_sql(region_name: str = "ASIA",
+                     part_type: str = "STANDARD") -> str:
+    """TPC-H Q8 shape (queries.q_market_share): target nation = the
+    region's minimum nationkey; share = int64 num / int64 den, one double
+    division per year (int->double conversion rounds identically on both
+    sides)."""
+    return f"""
+WITH tgt AS (
+  SELECT MIN(n_nationkey) AS k FROM nation n
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = '{region_name}')
+SELECT year(o.o_orderdate)::BIGINT AS yr,
+       SUM(CASE WHEN s.s_nationkey = (SELECT k FROM tgt)
+           THEN ROUND(l.l_extendedprice * 100)::BIGINT
+                * (100 - ROUND(l.l_discount * 100)::BIGINT) ELSE 0
+           END)::BIGINT
+       / SUM(ROUND(l.l_extendedprice * 100)::BIGINT
+             * (100 - ROUND(l.l_discount * 100)::BIGINT))::BIGINT
+         AS mkt_share
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = '{part_type}'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+WHERE rc.r_name = '{region_name}'
+GROUP BY 1"""
+
+
+def promo_revenue_sql() -> str:
+    """TPC-H Q14 shape (queries.q_promo_revenue): per ship (year, month),
+    100.0 * (num / den) with int64 cents sums — the parenthesized int/int
+    double division first, then the scale, matching the engine's op
+    order."""
+    return """
+SELECT year(l_shipdate)::BIGINT AS yr, month(l_shipdate)::BIGINT AS mo,
+       100.0 * (
+         SUM(CASE WHEN p.p_type = 'PROMO'
+             THEN ROUND(l.l_extendedprice * 100)::BIGINT
+                  * (100 - ROUND(l.l_discount * 100)::BIGINT) ELSE 0
+             END)::BIGINT
+         / SUM(ROUND(l.l_extendedprice * 100)::BIGINT
+               * (100 - ROUND(l.l_discount * 100)::BIGINT))::BIGINT
+       ) AS promo_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1, 2"""
+
+
+def top_supplier_sql() -> str:
+    """TPC-H Q15 shape (queries.q_top_supplier): max 1996Q1 cents revenue
+    per supplier, ties surface; one division by 10000.0."""
+    return """
+WITH sr AS (
+  SELECT l_suppkey,
+         SUM(ROUND(l_extendedprice * 100)::BIGINT
+             * (100 - ROUND(l_discount * 100)::BIGINT))::BIGINT AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT l_suppkey AS s_suppkey, rev / 10000.0 AS total_revenue
+FROM sr WHERE rev = (SELECT MAX(rev) FROM sr)"""
+
+
+def small_qty_revenue_sql() -> str:
+    """TPC-H Q17 shape (queries.q_small_qty_revenue): the 20%-of-average
+    quantity threshold evaluated in exact integers (5*qty*cnt < sumq —
+    quantities are whole units), then cents/100.0/7.0 per part."""
+    return """
+WITH pq AS (
+  SELECT l_partkey,
+         SUM(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sumq,
+         COUNT(*)::BIGINT AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT l.l_partkey AS p_partkey,
+       (SUM(ROUND(l.l_extendedprice * 100)::BIGINT)::BIGINT / 100.0) / 7.0
+         AS avg_yearly
+FROM lineitem l
+JOIN pq ON pq.l_partkey = l.l_partkey
+WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * pq.cnt < pq.sumq
+GROUP BY 1"""

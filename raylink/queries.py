@@ -3939,3 +3939,517 @@ def q_quality_score(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return linear_score(docs).sort("doc_id")
+
+
+# ---------------------------------------------------------------- r4 wave 8
+# remaining TPC-H shapes expressible over this schema (no partsupp /
+# shipmode / commitdate columns exist, so Q2/Q11/Q12/Q19-21 are not)
+
+
+def q_nation_trade(sf_dir: str):
+    """TPC-H Q7 shape ("volume shipping"): revenue between every ordered
+    (supplier nation, customer nation) pair per ship year, cross-nation
+    only. Shape: thresholded supplier-nation attach on the lineitem scan,
+    thresholded customer-nation attach on orders, ONE large x large
+    ``hash_join`` on orderkey whose ``post`` hook filters snat != cnat and
+    collapses to integer (snat, cnat, yr) partials inside the join's
+    bucket groups, bounded combine tree. -> (supp_nation, cust_nation,
+    yr, revenue)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import attach_lookup, hash_join, tree_groupby_sum
+
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"skey": b.column("s_suppkey"),
+             "snat": pc.cast(b.column("s_nationkey"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"ckey": b.column("c_custkey"),
+             "cnat": pc.cast(b.column("c_nationkey"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_f(b: pa.Table) -> pa.Table:
+        rev = _cents(b.column("l_extendedprice")) * (
+            100 - _cents(b.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "okey": b.column("l_orderkey"),
+                "skey": b.column("l_suppkey"),
+                "yr": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+                "rev": pa.array(rev),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow")
+    li = attach_lookup(
+        li, supp, on="skey",
+        left_cols={"okey": pa.int64(), "yr": pa.int64(), "rev": pa.int64()},
+        value_cols={"snat": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "supplier"),
+    )
+    orders = attach_lookup(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).map_batches(
+            lambda b: pa.table(
+                {"okey": b.column("o_orderkey"), "ckey": b.column("o_custkey")}
+            ),
+            batch_format="pyarrow",
+        ),
+        cust, on="ckey",
+        left_cols={"okey": pa.int64()}, value_cols={"cnat": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "customer"),
+    ).select_columns(["okey", "cnat"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        sn = b.column("snat").to_numpy(zero_copy_only=False)
+        cn = b.column("cnat").to_numpy(zero_copy_only=False)
+        keep = sn != cn
+        sn, cn = sn[keep], cn[keep]
+        yr = b.column("yr").to_numpy(zero_copy_only=False)[keep]
+        rev = b.column("rev").to_numpy(zero_copy_only=False)[keep]
+        # nations < 2**7, years < 2**12: the packed partial key is tiny
+        key = ((sn << np.int64(7)) | cn) * np.int64(4096) + yr
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, rev)
+        return pa.table(
+            {
+                "snat": pa.array((uk // 4096) >> np.int64(7)),
+                "cnat": pa.array((uk // 4096) & np.int64(0x7F)),
+                "yr": pa.array(uk % 4096),
+                "rev": pa.array(s),
+            }
+        )
+
+    joined = hash_join(
+        li.select_columns(["okey", "snat", "yr", "rev"]), orders, on="okey",
+        left_cols={"snat": pa.int64(), "yr": pa.int64(), "rev": pa.int64()},
+        right_cols={"cnat": pa.int64()},
+        strict=False,
+        post=pair_partial,
+    )
+    agg = tree_groupby_sum(joined, ["snat", "cnat", "yr"], ["rev"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        sn = b.column("snat").to_pylist()
+        cn = b.column("cnat").to_pylist()
+        return pa.table(
+            {
+                "supp_nation": pa.array([nmap[k] for k in sn], pa.string()),
+                "cust_nation": pa.array([nmap[k] for k in cn], pa.string()),
+                "yr": b.column("yr"),
+                "revenue": pa.array(
+                    b.column("sum(rev)").to_numpy(zero_copy_only=False)
+                    .astype(np.float64) / 10000.0
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_market_share(sf_dir: str, region_name: str = "ASIA",
+                   part_type: str = "STANDARD"):
+    """TPC-H Q8 shape ("national market share"): the target nation's share
+    of STANDARD-part revenue among orders of ``region_name`` customers,
+    per order year. The target nation is the region's minimum nationkey
+    (deterministic; the synthetic schema has no fixed 'BRAZIL'). Shape:
+    part-type semi-join on the lineitem scan, thresholded supplier-nation
+    attach, region-filtered customer->order attach, ONE large x large
+    ``hash_join`` on orderkey with per-(year) integer (num, den) partials
+    in its ``post`` hook. -> (yr, mkt_share)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import attach_lookup, hash_join, semi_join, tree_groupby_sum
+
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == region_name, "r_regionkey"].iloc[0])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region_nats = np.sort(
+        nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].to_numpy(np.int64)
+    )
+    target = int(region_nats[0])
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"pkey": b.filter(pc.equal(b.column("p_type"), part_type))
+             .column("p_partkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"skey": b.column("s_suppkey"),
+             "snat": pc.cast(b.column("s_nationkey"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"ckey": b.column("c_custkey"),
+             "cnat": pc.cast(b.column("c_nationkey"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_f(b: pa.Table) -> pa.Table:
+        rev = _cents(b.column("l_extendedprice")) * (
+            100 - _cents(b.column("l_discount"))
+        )
+        return pa.table(
+            {
+                "pkey": b.column("l_partkey"),
+                "okey": b.column("l_orderkey"),
+                "skey": b.column("l_suppkey"),
+                "rev": pa.array(rev),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow")
+    li = semi_join(
+        li, parts, on="pkey",
+        left_cols={"okey": pa.int64(), "skey": pa.int64(), "rev": pa.int64()},
+        n_key_rows=_parquet_rows(sf_dir, "part"),
+    )
+    li = attach_lookup(
+        li, supp, on="skey",
+        left_cols={"okey": pa.int64(), "rev": pa.int64()},
+        value_cols={"snat": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "supplier"),
+    )
+
+    rnset = region_nats  # tiny (<=25): closed over, not shuffled
+
+    def ord_f(b: pa.Table) -> pa.Table:
+        cn = b.column("cnat").to_numpy(zero_copy_only=False)
+        keep = np.isin(cn, rnset)
+        t = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "okey": t.column("okey"),
+                "yr": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        )
+
+    orders = attach_lookup(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ).map_batches(
+            lambda b: pa.table(
+                {"okey": b.column("o_orderkey"),
+                 "ckey": b.column("o_custkey"),
+                 "o_orderdate": b.column("o_orderdate")}
+            ),
+            batch_format="pyarrow",
+        ),
+        cust, on="ckey",
+        left_cols={"okey": pa.int64(), "o_orderdate": pa.timestamp("us")},
+        value_cols={"cnat": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "customer"),
+    ).map_batches(ord_f, batch_format="pyarrow")
+
+    def share_partial(b: pa.Table) -> pa.Table:
+        yr = b.column("yr").to_numpy(zero_copy_only=False)
+        sn = b.column("snat").to_numpy(zero_copy_only=False)
+        rev = b.column("rev").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(yr, return_inverse=True)
+        den = np.zeros(len(uk), np.int64)
+        num = np.zeros(len(uk), np.int64)
+        np.add.at(den, inv, rev)
+        np.add.at(num, inv, np.where(sn == target, rev, 0))
+        return pa.table(
+            {"yr": pa.array(uk), "num": pa.array(num), "den": pa.array(den)}
+        )
+
+    joined = hash_join(
+        li.select_columns(["okey", "snat", "rev"]), orders, on="okey",
+        left_cols={"snat": pa.int64(), "rev": pa.int64()},
+        right_cols={"yr": pa.int64()},
+        strict=False,
+        post=share_partial,
+    )
+    agg = tree_groupby_sum(joined, ["yr"], ["num", "den"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        num = b.column("sum(num)").to_numpy(zero_copy_only=False)
+        den = b.column("sum(den)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "yr": b.column("yr"),
+                "mkt_share": pa.array(
+                    num.astype(np.float64) / den.astype(np.float64)
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape ("promotion effect"): per ship (year, month), the
+    percentage of revenue from PROMO-type parts. Shape: thresholded
+    promo-flag attach on the lineitem scan (0/1 from the part dimension),
+    per-batch integer (num, den) month partials, bounded combine tree, one
+    float division per group. -> (yr, mo, promo_pct)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import attach_lookup, tree_groupby_sum
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "pkey": b.column("p_partkey"),
+                "isp": pc.cast(
+                    pc.equal(b.column("p_type"), "PROMO"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_f(b: pa.Table) -> pa.Table:
+        rev = _cents(b.column("l_extendedprice")) * (
+            100 - _cents(b.column("l_discount"))
+        )
+        yr = pc.cast(pc.year(b.column("l_shipdate")), pa.int64())
+        mo = pc.cast(pc.month(b.column("l_shipdate")), pa.int64())
+        return pa.table(
+            {
+                "pkey": b.column("l_partkey"),
+                "ym": pc.add(pc.multiply(yr, pa.scalar(100, pa.int64())), mo),
+                "rev": pa.array(rev),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(li_f, batch_format="pyarrow")
+    li = attach_lookup(
+        li, parts, on="pkey",
+        left_cols={"ym": pa.int64(), "rev": pa.int64()},
+        value_cols={"isp": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "part"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ym = b.column("ym").to_numpy(zero_copy_only=False)
+        rev = b.column("rev").to_numpy(zero_copy_only=False)
+        isp = b.column("isp").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ym, return_inverse=True)
+        den = np.zeros(len(uk), np.int64)
+        num = np.zeros(len(uk), np.int64)
+        np.add.at(den, inv, rev)
+        np.add.at(num, inv, rev * isp)
+        return pa.table(
+            {"ym": pa.array(uk), "num": pa.array(num), "den": pa.array(den)}
+        )
+
+    agg = tree_groupby_sum(
+        li.map_batches(partial, batch_format="pyarrow"), ["ym"], ["num", "den"]
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ym = b.column("ym").to_numpy(zero_copy_only=False)
+        num = b.column("sum(num)").to_numpy(zero_copy_only=False)
+        den = b.column("sum(den)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "yr": pa.array(ym // 100),
+                "mo": pa.array(ym % 100),
+                "promo_pct": pa.array(
+                    100.0 * (num.astype(np.float64) / den.astype(np.float64))
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape ("top supplier"): supplier(s) with the maximum
+    quarter revenue (1996Q1 shipments). Shape: date-pruned lineitem scan,
+    ``bucketed_sum`` per supplier (unbounded key cardinality), global max
+    as a Dataset aggregate (O(1) on the driver), distributed equality
+    filter. Ties all surface (same as the SQL mirror). -> (s_suppkey,
+    total_revenue)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import bucketed_sum
+
+    lo = np.datetime64("1996-01-01", "us").astype("datetime64[us]")
+    hi = np.datetime64("1996-04-01", "us").astype("datetime64[us]")
+
+    def li_f(b: pa.Table) -> pa.Table:
+        t = b.column("l_shipdate").to_numpy(zero_copy_only=False)
+        keep = (t >= lo) & (t < hi)  # residual filter after row-group pruning
+        b = b.filter(pa.array(keep))
+        rev = _cents(b.column("l_extendedprice")) * (
+            100 - _cents(b.column("l_discount"))
+        )
+        return pa.table({"skey": b.column("l_suppkey"), "rev": pa.array(rev)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= pa.scalar(lo))
+        & (pc.field("l_shipdate") < pa.scalar(hi)),
+    ).map_batches(li_f, batch_format="pyarrow")
+    sums = bucketed_sum(li, key="skey", val="rev", out_val="rev")
+    best = int(sums.max("rev"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("rev"), pa.scalar(best, pa.int64())))
+        return pa.table(
+            {
+                "s_suppkey": t.column("skey"),
+                "total_revenue": pa.array(
+                    t.column("rev").to_numpy(zero_copy_only=False)
+                    .astype(np.float64) / 10000.0
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape ("small-quantity-order revenue"): per part, the
+    yearly-average revenue of lineitems whose quantity is below 20% of
+    that part's average quantity. The threshold is evaluated in exact
+    integers (quantities are whole units): qty < 0.2 * (sumq/cnt) <=>
+    5*qty*cnt < sumq — no float boundary, bit-exact on both sides. Shape:
+    ONE coarse-bucket per-part (sumq, cnt) groupby, thresholded attach of
+    the per-part aggregates back onto the scan, distributed filter,
+    ``bucketed_sum`` of the surviving revenue. -> (p_partkey,
+    avg_yearly)."""
+    import ray.data as rd
+
+    from raylink.join import attach_lookup, bucketed_sum
+    from raylink.util import splitmix64
+
+    def li_f(b: pa.Table) -> pa.Table:
+        q = np.rint(
+            b.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "pkey": b.column("l_partkey"),
+                "qty": pa.array(q),
+                "price": pa.array(_cents(b.column("l_extendedprice"))),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_f, batch_format="pyarrow")
+
+    B = np.uint64(32)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        pk = b.column("pkey").to_numpy(zero_copy_only=False)
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        # per-batch pre-combine before the shuffle
+        uk, inv = np.unique(pk, return_inverse=True)
+        sq = np.zeros(len(uk), np.int64)
+        cn = np.zeros(len(uk), np.int64)
+        np.add.at(sq, inv, qty)
+        np.add.at(cn, inv, 1)
+        return pa.table(
+            {
+                "pb": pa.array(
+                    (splitmix64(uk.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "pkey": pa.array(uk),
+                "sumq": pa.array(sq),
+                "cnt": pa.array(cn),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        pk = g.column("pkey").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(pk, return_inverse=True)
+        sq = np.zeros(len(uk), np.int64)
+        cn = np.zeros(len(uk), np.int64)
+        np.add.at(sq, inv, g.column("sumq").to_numpy(zero_copy_only=False))
+        np.add.at(cn, inv, g.column("cnt").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"pkey": pa.array(uk), "sumq": pa.array(sq), "cnt": pa.array(cn)}
+        )
+
+    per_part = (
+        li.map_batches(bucket, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    attached = attach_lookup(
+        li, per_part, on="pkey",
+        left_cols={"qty": pa.int64(), "price": pa.int64()},
+        value_cols={"sumq": pa.int64(), "cnt": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "part"),
+    )
+
+    def small(b: pa.Table) -> pa.Table:
+        qty = b.column("qty").to_numpy(zero_copy_only=False)
+        sq = b.column("sumq").to_numpy(zero_copy_only=False)
+        cn = b.column("cnt").to_numpy(zero_copy_only=False)
+        keep = 5 * qty * cn < sq  # qty < 0.2*avg, exact in integers
+        t = b.filter(pa.array(keep))
+        return pa.table({"pkey": t.column("pkey"), "price": t.column("price")})
+
+    sums = bucketed_sum(
+        attached.map_batches(small, batch_format="pyarrow"),
+        key="pkey", val="price", out_val="price",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": b.column("pkey"),
+                "avg_yearly": pa.array(
+                    (b.column("price").to_numpy(zero_copy_only=False)
+                     .astype(np.float64) / 100.0) / 7.0
+                ),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
