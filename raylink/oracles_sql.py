@@ -3585,3 +3585,52 @@ FROM lineitem l
 JOIN pq ON pq.l_partkey = l.l_partkey
 WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * pq.cnt < pq.sumq
 GROUP BY 1"""
+
+
+def salsa_sql(iters: int = 8, decimals: int = 8) -> str:
+    """SALSA (algos/salsa.py): HITS with degree-normalized pushes —
+    auth(v) = sum hub(u)/outdeg(u) over in-edges, hub(u) = sum
+    auth(v)/indeg(v) over out-edges, each phase L1-normalized. Unrolled
+    like hits_sql; the engine normalizes one superstep late with the
+    broadcast sender L1 (constant factors cancel), differing only by float
+    association — absorbed by ROUND(.., decimals)."""
+    ctes = [
+        GRAPH_CTES,
+        "sod AS (SELECT src AS vid, COUNT(*)::BIGINT AS d FROM edges GROUP BY src)",
+        "sid AS (SELECT dst AS vid, COUNT(*)::BIGINT AS d FROM edges GROUP BY dst)",
+        "sh0 AS (SELECT vid, 1.0 / nn.n AS hub FROM verts, nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""sar{t} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.ms, 0) AS ar FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(h.hub / od.d) AS ms
+    FROM sh{t - 1} h
+    JOIN edges e ON e.src = h.vid
+    JOIN sod od ON od.vid = h.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid)"""
+        )
+        ctes.append(
+            f"sa{t} AS (SELECT vid, ar / (SELECT SUM(ar) FROM sar{t}) AS auth FROM sar{t})"
+        )
+        ctes.append(
+            f"""shr{t} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.ms, 0) AS hr FROM verts v LEFT JOIN (
+    SELECT e.src AS vid, SUM(a.auth / id.d) AS ms
+    FROM sa{t} a
+    JOIN edges e ON e.dst = a.vid
+    JOIN sid id ON id.vid = a.vid
+    GROUP BY e.src
+  ) s ON s.vid = v.vid)"""
+        )
+        ctes.append(
+            f"sh{t} AS (SELECT vid, hr / (SELECT SUM(hr) FROM shr{t}) AS hub FROM shr{t})"
+        )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT a.vid::BIGINT AS vid, ROUND(a.auth, {decimals}) AS auth,
+       ROUND(h.hub, {decimals}) AS hub
+FROM sa{iters} a JOIN sh{iters} h ON h.vid = a.vid"""
+    )

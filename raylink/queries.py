@@ -4453,3 +4453,34 @@ def q_small_qty_revenue(sf_dir: str):
         )
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def q_salsa(sf_dir: str):
+    """SALSA hubs/authorities (8 iterations, degree-normalized pushes,
+    L1-normalized) over the page link graph — the TKC-resistant sibling of
+    HITS, same flag-tagged UNION graph machinery (raylink/algos/salsa.py)."""
+    from raylink.algos.hits import union_flag_edges
+    from raylink.algos.salsa import salsa
+    from raylink.graph import build_graph
+    from raylink.pipelines import page_edge_tables
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    g = build_graph(
+        union_flag_edges(edges.materialize()), verts, num_parts=P,
+        partitioner="mod", directed=True, edge_cols=["flag"],
+    )
+    _, scores = salsa(g=g, iters=HITS_ITERS, engine="tasks",
+                      ckpt_dir=_ckpt("salsa", sf_dir, HITS_ITERS))
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "auth": pa.array(round_half_away(
+                    batch.column("auth").to_numpy(zero_copy_only=False), 8)),
+                "hub": pa.array(round_half_away(
+                    batch.column("hub").to_numpy(zero_copy_only=False), 8)),
+            }
+        )
+
+    return scores.map_batches(rnd, batch_format="pyarrow")

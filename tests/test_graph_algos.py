@@ -505,6 +505,41 @@ def test_hits(edge_data, engine, tmp_path):
     assert abs(pdf["auth"].sum() - 1.0) < 1e-9 and abs(pdf["hub"].sum() - 1.0) < 1e-9
 
 
+def salsa_oracle(n, edges, iters):
+    uniq = np.unique(edges[:, 0] << np.int64(32) | edges[:, 1])
+    s = (uniq >> np.int64(32)).astype(np.int64)
+    d = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    od = np.bincount(s, minlength=n).astype(np.float64)
+    idg = np.bincount(d, minlength=n).astype(np.float64)
+    ods = np.where(od > 0, od, 1.0)
+    ids = np.where(idg > 0, idg, 1.0)
+    hub = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        auth = np.bincount(d, weights=hub[s] / ods[s], minlength=n)
+        auth /= auth.sum()
+        hub = np.bincount(s, weights=auth[d] / ids[d], minlength=n)
+        hub /= hub.sum()
+    return auth, hub
+
+
+@pytest.mark.parametrize("engine", ["dataset", "tasks"])
+def test_salsa(edge_data, engine, tmp_path):
+    """Degree-normalized hub/auth fixpoint vs a dense numpy oracle; both
+    engines, L1 sums exactly 1 after the final normalize-only superstep."""
+    from raylink.algos.salsa import salsa
+
+    edges, edges_ds, verts_ds = edge_data
+    res, scores = salsa(
+        edges_ds, vertices_ds=verts_ds, num_parts=4, iters=6, engine=engine,
+        ckpt_dir=str(tmp_path / f"salsa-{engine}"),
+    )
+    pdf = scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    ea, eh = salsa_oracle(N, edges, iters=6)
+    np.testing.assert_allclose(pdf["auth"].to_numpy(), ea, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(pdf["hub"].to_numpy(), eh, rtol=0, atol=1e-12)
+    assert abs(pdf["auth"].sum() - 1.0) < 1e-9 and abs(pdf["hub"].sum() - 1.0) < 1e-9
+
+
 def test_local_clustering(edge_data):
     from raylink.algos.triangles import local_clustering
 
