@@ -3634,3 +3634,38 @@ SELECT a.vid::BIGINT AS vid, ROUND(a.auth, {decimals}) AS auth,
        ROUND(h.hub, {decimals}) AS hub
 FROM sa{iters} a JOIN sh{iters} h ON h.vid = a.vid"""
     )
+
+
+def dag_layers_sql(cap: int = 200) -> str:
+    """SCC-condensation longest-path layers (algos/dag.py): the scc_sql
+    mutual-reachability labels, distinct cross-component edges, recursive
+    longest-path depth (MAX d per component — acyclic, terminates at the
+    DAG depth; ``cap`` mirrors the engine's superstep cap)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+mut AS (SELECT r1.a AS v, r1.b AS u FROM reach r1
+        JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+sccm AS (SELECT v.vid, GREATEST(v.vid, COALESCE(MAX(m.u), v.vid)) AS scc
+         FROM verts v LEFT JOIN mut m ON m.v = v.vid GROUP BY v.vid),
+ced AS (SELECT DISTINCT s1.scc AS ls, s2.scc AS ld
+        FROM edges e
+        JOIN sccm s1 ON s1.vid = e.src
+        JOIN sccm s2 ON s2.vid = e.dst
+        WHERE s1.scc <> s2.scc),
+lp AS (
+  SELECT scc AS lab, 0 AS d FROM (SELECT DISTINCT scc FROM sccm)
+  UNION
+  SELECT c.ld, x.d + 1 FROM lp x JOIN ced c ON c.ls = x.lab
+  WHERE x.d < """ + str(cap) + """),
+lay AS (SELECT lab, MAX(d)::BIGINT AS layer FROM lp GROUP BY lab)""",
+            recursive=True,
+        )
+        + """
+SELECT s.vid::BIGINT AS vid, s.scc::BIGINT AS scc, l.layer
+FROM sccm s JOIN lay l ON l.lab = s.scc"""
+    )

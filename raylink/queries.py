@@ -4484,3 +4484,21 @@ def q_salsa(sf_dir: str):
         )
 
     return scores.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_dag_layers(sf_dir: str):
+    """Bow-tie depth stratification of the crawl: SCC labels (resuming
+    q_scc's checkpoints) -> distinct cross-component condensation edges ->
+    ONE BSP max-propagation layering of the acyclic condensation
+    (algos/dag.py) -> layer attached back per vertex. -> (vid, scc,
+    layer)."""
+    from raylink.algos.dag import condensation_layers
+    from raylink.algos.scc import scc
+
+    g_dual = _dual_graph(sf_dir)
+    _, comps = scc(g=g_dual, ckpt_dir=_ckpt("scc", sf_dir), engine="tasks")
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return condensation_layers(
+        edges.materialize(), comps, n_vertices=g_dual.n_vertices,
+        ckpt_dir=_ckpt("dag_layers", sf_dir),
+    )

@@ -1840,3 +1840,44 @@ def test_katz(edge_data, engine, tmp_path):
     np.testing.assert_allclose(pdf["rank"].to_numpy(), exp, rtol=0, atol=1e-12)
     # hubs with in-links score above the floor; beta floor for isolated dsts
     assert (pdf["rank"].to_numpy() >= 1.0 - 1e-15).all()
+
+
+@pytest.mark.parametrize("engine", ["dataset", "tasks"])
+def test_longest_path_layers(ray_session, engine, tmp_path):
+    """Known DAG layers (diamond + chain + isolated); a cycle raises."""
+    import ray.data as rd
+
+    from raylink.algos.dag import longest_path_layers
+
+    # 0->1->3, 0->2->3->4, 5->4, 6 isolated: layers 0,1,1,2,3,0,0
+    edges = np.array(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (5, 4)], dtype=np.int64
+    )
+    eds = rd.from_arrow(
+        pa.table({"src": pa.array(edges[:, 0]), "dst": pa.array(edges[:, 1])})
+    )
+    verts = rd.from_arrow(
+        pa.table({"vid": pa.array(np.arange(7, dtype=np.int64))})
+    )
+    _, layers = longest_path_layers(
+        eds, verts, num_parts=2, engine=engine,
+        ckpt_dir=str(tmp_path / f"dag-{engine}"),
+    )
+    pdf = layers.to_pandas().sort_values("vid").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        pdf["layer"].to_numpy(), [0, 1, 1, 2, 3, 0, 0]
+    )
+
+    cyc = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.array([0, 1, 2], dtype=np.int64)),
+                "dst": pa.array(np.array([1, 2, 0], dtype=np.int64)),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        longest_path_layers(
+            cyc, num_parts=2, engine=engine, max_supersteps=12,
+            ckpt_dir=str(tmp_path / f"cyc-{engine}"),
+        )
