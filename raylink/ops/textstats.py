@@ -995,6 +995,191 @@ def remove_boilerplate(docs_ds, min_docs: int, text_col: str = "text",
     )
 
 
+def dedup_lines(docs_ds, text_col: str = "text", num_buckets: int = 64):
+    """Global first-occurrence LINE dedup (RefinedWeb/C4-style): every
+    newline-split segment is kept only at its first occurrence across the
+    WHOLE corpus — first = minimal (doc_id, position) — and removed
+    everywhere else; documents re-join their surviving lines in order.
+    Runs after boilerplate removal in a curation funnel (boilerplate cuts
+    lines frequent across docs; this cuts every later repeat, including
+    within-run near-mirrors that never cross the frequency bar).
+    -> Dataset (doc_id, clean_text, n_removed, n_lines).
+
+    Shape (two passes over the corpus):
+      1. per-batch: split -> FNV-1a per line -> per-batch lexicographic
+         (doc_id, pos) argmin per hash -> ONE coarse-bucket groupby
+         combines them to the global per-line minimum (the shuffle carries
+         the distinct-line vocabulary, never the text);
+      2. line rows (carrying the text once) ``hash_join`` the min table on
+         the line hash — no broadcast fast path: the min table IS the
+         vocabulary, dataset-sized by definition — keep rows where
+         (doc_id, pos) equals the minimum, re-assemble in a doc-bucketed
+         groupby. Every doc emits a pos=-1 marker row that bypasses the
+         join, so all-lines-removed docs still produce a row.
+    Lexicographic argmin instead of a packed (doc<<32)|pos key: packed
+    int64 minima sign-flip for doc_id >= 2**31, which assert_packable
+    permits. Hash equality stands in for line equality (~2^-64 per
+    distinct pair; a collision can only over-remove, never corrupt)."""
+    import pyarrow.compute as pc
+
+    from raylink.join import hash_join
+    from raylink.util import splitmix64, text_hash64
+
+    B = np.uint64(num_buckets)
+
+    def split_lines(batch: pa.Table):
+        text = pc.fill_null(batch.column(text_col), "").combine_chunks()
+        lines = pc.split_pattern(text.cast(pa.large_string()), "\n")
+        flat = pc.list_flatten(lines)
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        return flat, n_lines.astype(np.int64), text_hash64(flat)
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        flat, n_lines, h = split_lines(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, n_lines)
+        starts = np.r_[np.int64(0), np.cumsum(n_lines)[:-1]]
+        pos = np.arange(len(doc), dtype=np.int64) - starts.repeat(n_lines)
+        hs = h.view(np.int64)
+        order = np.lexsort((pos, doc, hs))
+        hs, doc, pos = hs[order], doc[order], pos[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        hs, doc, pos = hs[first], doc[first], pos[first]
+        return pa.table(
+            {
+                "hb": pa.array(
+                    (splitmix64(hs.view(np.uint64)) % B).astype(np.int32)
+                ),
+                "h": pa.array(hs),
+                "mdoc": pa.array(doc),
+                "mpos": pa.array(pos),
+            }
+        )
+
+    def min_combine(group: pa.Table) -> pa.Table:
+        hs = group.column("h").to_numpy(zero_copy_only=False)
+        doc = group.column("mdoc").to_numpy(zero_copy_only=False)
+        pos = group.column("mpos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc, hs))
+        hs, doc, pos = hs[order], doc[order], pos[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        return pa.table(
+            {
+                "h": pa.array(hs[first]),
+                "mdoc": pa.array(doc[first]),
+                "mpos": pa.array(pos[first]),
+            }
+        )
+
+    mins = (
+        docs_ds.map_batches(min_partial, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(min_combine, batch_format="pyarrow")
+    )
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        flat, n_lines, h = split_lines(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, n_lines)
+        starts = np.r_[np.int64(0), np.cumsum(n_lines)[:-1]]
+        pos = np.arange(len(doc), dtype=np.int64) - starts.repeat(n_lines)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(doc),
+                "pos": pa.array(pos),
+                "nl": pa.array(np.repeat(n_lines, n_lines)),
+                "line": flat.combine_chunks()
+                if isinstance(flat, pa.ChunkedArray) else flat,
+            }
+        )
+
+    def keep_first(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(b.column("doc_id"), b.column("mdoc")),
+            pc.equal(b.column("pos"), b.column("mpos")),
+        )
+        return b.filter(keep).select(["doc_id", "pos", "nl", "line"])
+
+    kept = hash_join(
+        docs_ds.map_batches(line_rows, batch_format="pyarrow"),
+        mins,
+        on="h",
+        left_cols={"doc_id": pa.int64(), "pos": pa.int64(),
+                   "nl": pa.int64(), "line": pa.large_string()},
+        right_cols={"mdoc": pa.int64(), "mpos": pa.int64()},
+        num_buckets=num_buckets,
+        post=keep_first,
+    )
+
+    def markers(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col), "").combine_chunks()
+        lines = pc.split_pattern(text.cast(pa.large_string()), "\n")
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": pa.array(np.full(n, -1, np.int64)),
+                "nl": pa.array(n_lines.astype(np.int64)),
+                "line": pa.array([""] * n, type=pa.large_string()),
+            }
+        )
+
+    rows = kept.union(docs_ds.map_batches(markers, batch_format="pyarrow"))
+
+    def bucket_doc(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array(
+                    (splitmix64(d.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "doc_id": batch.column("doc_id"),
+                "pos": batch.column("pos"),
+                "nl": batch.column("nl"),
+                "line": batch.column("line"),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        p = group.column("pos").to_numpy(zero_copy_only=False)
+        nl = group.column("nl").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d, p, nl = d[order], p[order], nl[order]
+        lines = group.column("line").take(pa.array(order))
+        real = p >= 0  # markers excluded from the text
+        seg = np.r_[True, d[1:] != d[:-1]]
+        starts = np.flatnonzero(seg)
+        doc_ids = d[starts]
+        doc_nl = nl[starts]
+        kept_per_doc = np.add.reduceat(real.astype(np.int64), starts)
+        keep_mask = pa.array(real)
+        offsets = np.r_[np.int64(0), np.cumsum(kept_per_doc)]
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()),
+            lines.filter(keep_mask).combine_chunks()
+            if isinstance(lines, pa.ChunkedArray)
+            else lines.filter(keep_mask),
+        )
+        clean = pc.binary_join(la, pa.scalar("\n", type=pa.large_string()))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids),
+                "clean_text": clean.cast(pa.string()),
+                "n_removed": pa.array(doc_nl - kept_per_doc),
+                "n_lines": pa.array(doc_nl),
+            }
+        )
+
+    return (
+        rows.map_batches(bucket_doc, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
+
+
 def pii_redact(docs_ds):
     """PII redaction: emails -> ``<EMAIL>``, IPv4s -> ``<IP>``, long digit
     runs -> ``<NUM>`` (in that fixed order — each pattern is counted on the

@@ -3669,3 +3669,35 @@ lay AS (SELECT lab, MAX(d)::BIGINT AS layer FROM lp GROUP BY lab)""",
 SELECT s.vid::BIGINT AS vid, s.scc::BIGINT AS scc, l.layer
 FROM sccm s JOIN lay l ON l.lab = s.scc"""
     )
+
+
+def line_dedup_sql() -> str:
+    """Mirrors queries.q_line_dedup + ops.textstats.dedup_lines: plant the
+    promo header / 8-word-head / remainder lines, keep each distinct line
+    only at its first (doc_id, position) occurrence corpus-wide, re-join
+    kept lines in order (engine hash equality == line equality up to the
+    documented ~2^-64 FNV collision trade)."""
+    return """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+planted AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0
+          THEN 'promo variant ' || (doc_id % 3)::VARCHAR || chr(10)
+          ELSE '' END)
+    || array_to_string(ws[1:8], ' ') || chr(10) || array_to_string(ws[9:], ' ')
+    AS t2
+  FROM base),
+l AS (
+  SELECT doc_id, unnest(string_split(t2, chr(10))) AS line,
+         generate_subscripts(string_split(t2, chr(10)), 1) AS i
+  FROM planted),
+kept AS (SELECT doc_id, i, line FROM l
+         QUALIFY ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, i) = 1),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       (t.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
+       t.n_lines::BIGINT AS n_lines
+FROM tot t LEFT JOIN agg a USING (doc_id)"""

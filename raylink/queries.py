@@ -2890,9 +2890,18 @@ def q_boilerplate(sf_dir: str):
     >= 20 distinct docs (the three promo variants; an incidentally shared
     body line would be dropped identically by engine and oracle). Output
     (doc_id, clean_text, n_removed, n_lines)."""
-    import pyarrow.compute as pc
-
     from raylink.ops.textstats import remove_boilerplate
+
+    return remove_boilerplate(_planted_lines(sf_dir), min_docs=BOILER_MIN_DOCS)
+
+
+def _planted_lines(sf_dir: str):
+    """The documents table with deterministic line structure planted (the
+    corpus has no newlines): even doc_ids get a shared 'promo variant
+    <doc_id % 3>' header line; every body splits into its first-8-words
+    line plus the remainder line. Shared by the line-level ops
+    (q_boilerplate, q_line_dedup) and mirrored in their SQL oracles."""
+    import pyarrow.compute as pc
 
     def plant(batch: pa.Table) -> pa.Table:
         text = (
@@ -2921,8 +2930,18 @@ def q_boilerplate(sf_dir: str):
         )
         return pa.table({"doc_id": batch.column("doc_id"), "text": t2})
 
-    planted = _docs(sf_dir).map_batches(plant, batch_format="pyarrow")
-    return remove_boilerplate(planted, min_docs=BOILER_MIN_DOCS)
+    return _docs(sf_dir).map_batches(plant, batch_format="pyarrow")
+
+
+def q_line_dedup(sf_dir: str):
+    """Global first-occurrence line dedup (RefinedWeb/C4-style) over the
+    planted line corpus: every line survives only at its minimal
+    (doc_id, position) occurrence corpus-wide
+    (ops/textstats.dedup_lines). -> (doc_id, clean_text, n_removed,
+    n_lines)."""
+    from raylink.ops.textstats import dedup_lines
+
+    return dedup_lines(_planted_lines(sf_dir))
 
 
 def q_cms_topk(sf_dir: str):

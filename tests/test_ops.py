@@ -1532,6 +1532,39 @@ def test_remove_boilerplate(ray_session):
     assert got5["n_removed"].tolist() == [0] * 5
 
 
+def test_dedup_lines(ray_session):
+    """Global first-occurrence line dedup: each line survives only at its
+    minimal (doc_id, pos); order preserved; all-removed docs -> ''."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import dedup_lines
+
+    texts = [
+        "hello\nfoo\nbar",
+        "hello\nbaz",       # 'hello' first seen at (0,0) -> removed here
+        "foo\nfoo\nnew",    # both 'foo' repeats removed (first at (0,1))
+        "hello",            # everything removed -> ''
+        "bar\nzzz",         # 'bar' first at (0,2) -> removed
+    ]
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(5), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+    ).repartition(3)
+    got = (
+        dedup_lines(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["clean_text"].tolist() == [
+        "hello\nfoo\nbar", "baz", "new", "", "zzz"
+    ]
+    assert got["n_removed"].tolist() == [0, 1, 2, 1, 1]
+    assert got["n_lines"].tolist() == [3, 2, 3, 1, 2]
+
+
 def test_mirror_groups(ray_session):
     import ray.data as rd
 
