@@ -3701,3 +3701,50 @@ SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
        (t.n_lines - COALESCE(a.n_kept, 0))::BIGINT AS n_removed,
        t.n_lines::BIGINT AS n_lines
 FROM tot t LEFT JOIN agg a USING (doc_id)"""
+
+
+def fastrp_sql(dims: int = 8, weights=(0.25, 0.5, 1.0),
+               decimals: int = 8) -> str:
+    """FastRP embeddings (algos/fastrp.py): deterministic sparse sign
+    projection R[v,j] from splitmix64(v*dims + j) % 6 (0 -> +1, 1 -> -1,
+    else 0), iters = len(weights) transition-matrix applications
+    (val/outdeg pushed along out-edges), weighted sum with the engine's
+    exact left-associated op order; ROUND absorbs float summation-order
+    differences (the PageRank-family argument)."""
+    key = f"CAST(g.vid * {dims} + g.j AS UBIGINT)"
+    u = _sm64(key)
+    proj = (f"CASE WHEN ({u}) % 6 = 0 THEN 1.0 "
+            f"WHEN ({u}) % 6 = 1 THEN -1.0 ELSE 0.0 END")
+    ctes = [
+        GRAPH_CTES,
+        f"fdim AS (SELECT unnest(range(0, {dims})) AS j)",
+        "fgrid AS (SELECT v.vid, d.j FROM verts v, fdim d)",
+        "fdeg AS (SELECT src AS vid, COUNT(*)::BIGINT AS d "
+        "FROM edges GROUP BY src)",
+        f"fx0 AS MATERIALIZED (SELECT g.vid, g.j, {proj} AS val FROM fgrid g)",
+    ]
+    for k in range(1, len(weights) + 1):
+        ctes.append(
+            f"""fx{k} AS MATERIALIZED (
+  SELECT g.vid, g.j, COALESCE(s.ms, 0) AS val FROM fgrid g LEFT JOIN (
+    SELECT e.dst AS vid, x.j, SUM(x.val / fd.d) AS ms
+    FROM fx{k - 1} x
+    JOIN edges e ON e.src = x.vid
+    JOIN fdeg fd ON fd.vid = x.vid
+    GROUP BY e.dst, x.j
+  ) s ON s.vid = g.vid AND s.j = g.j)"""
+        )
+    terms = " + ".join(
+        f"{w!r} * fx{k + 1}.val" for k, w in enumerate(weights)
+    )
+    joins = "".join(
+        f"\nJOIN fx{k + 1} ON fx{k + 1}.vid = g.vid AND fx{k + 1}.j = g.j"
+        for k in range(len(weights))
+    )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT g.vid::BIGINT AS vid, g.j::BIGINT AS dim,
+       ROUND({terms}, {decimals}) AS emb
+FROM fgrid g{joins}"""
+    )

@@ -4521,3 +4521,16 @@ def q_dag_layers(sf_dir: str):
         edges.materialize(), comps, n_vertices=g_dual.n_vertices,
         ckpt_dir=_ckpt("dag_layers", sf_dir),
     )
+
+
+def q_fastrp(sf_dir: str):
+    """FastRP node embeddings (8 dims, 3 transition-matrix powers,
+    weights 0.25/0.5/1.0) over the directed page graph — deterministic
+    sparse projection, one d-column BSP job (algos/fastrp.py). ->
+    (vid, dim, emb) rounded to 8 decimals."""
+    from raylink.algos.fastrp import fastrp
+
+    g = page_graph(sf_dir, directed=True)
+    _, out = fastrp(g=g, dims=8, iters=3, engine="tasks",
+                    ckpt_dir=_ckpt("fastrp", sf_dir))
+    return out

@@ -1881,3 +1881,32 @@ def test_longest_path_layers(ray_session, engine, tmp_path):
             cyc, num_parts=2, engine=engine, max_supersteps=12,
             ckpt_dir=str(tmp_path / f"cyc-{engine}"),
         )
+
+
+@pytest.mark.parametrize("engine", ["dataset", "tasks"])
+def test_fastrp(edge_data, engine, tmp_path):
+    """Deterministic-projection FastRP vs a dense numpy P^k R oracle."""
+    from raylink.algos.fastrp import DEFAULT_WEIGHTS, fastrp, projection
+
+    edges, edges_ds, verts_ds = edge_data
+    d = 8
+    _, out = fastrp(
+        edges_ds, vertices_ds=verts_ds, num_parts=4, dims=d, engine=engine,
+        ckpt_dir=str(tmp_path / f"frp-{engine}"),
+    )
+    pdf = out.to_pandas().sort_values(["vid", "dim"]).reset_index(drop=True)
+
+    uniq = np.unique(edges[:, 0] << np.int64(32) | edges[:, 1])
+    s = (uniq >> np.int64(32)).astype(np.int64)
+    t = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    od = np.bincount(s, minlength=N).astype(np.float64)
+    R = projection(np.arange(N, dtype=np.int64), d)
+    x, emb = R.copy(), np.zeros((N, d))
+    for w in DEFAULT_WEIGHTS:
+        nxt = np.zeros_like(x)
+        np.add.at(nxt, t, x[s] / od[s, None])
+        x = nxt
+        emb += w * x
+    got = pdf["emb"].to_numpy().reshape(N, d)
+    np.testing.assert_allclose(got, emb, rtol=0, atol=2e-8)
+    assert np.abs(got).max() > 0  # projection actually propagates
