@@ -739,6 +739,36 @@ def run_graphops_bench() -> dict:
         reps=1,
     )
     out["bpe6_sec"] = med(lambda: bpe_merges(docs, rounds=6), reps=1)
+
+    # r4 eighth wave: SALSA (union graph shared with a HITS build), FastRP
+    # d-column embeddings, SCC-condensation DAG layers, line dedup
+    from raylink.algos.dag import condensation_layers
+    from raylink.algos.fastrp import fastrp
+    from raylink.algos.hits import union_flag_edges
+    from raylink.algos.salsa import salsa
+    from raylink.algos.scc import scc
+    from raylink.ops.textstats import dedup_lines
+
+    g_union = build_graph(union_flag_edges(edges), verts, num_parts=8,
+                          partitioner="hash", directed=True,
+                          edge_cols=["flag"])
+    out["salsa8_sec"] = med(
+        lambda: salsa(g=g_union, iters=8, engine="tasks", resume=False)[
+            1
+        ].count(),
+        reps=1,
+    )
+    out["fastrp_sec"] = med(
+        lambda: fastrp(g=g_dir, engine="tasks")[1].count(), reps=1
+    )
+    _, comps = scc(g=g_dual, engine="tasks")
+    out["dag_layers_sec"] = med(
+        lambda: condensation_layers(
+            edges, comps, n_vertices=g_dir.n_vertices
+        ).count(),
+        reps=1,
+    )
+    out["line_dedup_sec"] = med(lambda: dedup_lines(docs).count(), reps=1)
     ray.shutdown()
     return out
 
@@ -852,6 +882,16 @@ def run_relational_bench() -> dict:
         q_returned_revenue,
     )
 
+    # r4 eighth wave: Q7 nation-pair, Q8 share, Q14 promo, Q15 max, Q17
+    # integer-threshold shapes
+    from raylink.queries import (
+        q_market_share,
+        q_nation_trade,
+        q_promo_revenue,
+        q_small_qty_revenue,
+        q_top_supplier,
+    )
+
     extra = {}
     for nm, fn in [
         ("forecast_revenue", q_forecast_revenue),
@@ -859,6 +899,11 @@ def run_relational_bench() -> dict:
         ("returned_revenue", q_returned_revenue),
         ("part_profit", q_part_profit),
         ("brand_suppliers", q_brand_suppliers),
+        ("nation_trade", q_nation_trade),
+        ("market_share", q_market_share),
+        ("promo_revenue", q_promo_revenue),
+        ("top_supplier", q_top_supplier),
+        ("small_qty_revenue", q_small_qty_revenue),
     ]:
         w, _ = timed(lambda fn=fn: fn(SF_DIR), reps=1)
         extra[f"{nm}_sec"] = round(w, 3)

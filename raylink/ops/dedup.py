@@ -1097,3 +1097,107 @@ def novelty_scores(docs_ds, n: int = 3, num_buckets: int = 64):
         )
 
     return partials.groupby("db").map_groups(per_doc, batch_format="pyarrow")
+
+
+def source_overlap(docs_ds, n: int = 8, num_buckets: int = 32):
+    """Cross-source contamination matrix: for every unordered source pair
+    (a < b), the number of DISTINCT word ``n``-grams occurring in BOTH
+    sources -> Dataset (source_a, source_b, shared_grams). The dataset-
+    audit companion of ``decontaminate``: where that guards one benchmark
+    against the corpus, this quantifies leakage between every pair of
+    ingest sources (mirror sites, syndicated feeds, scraped re-posts).
+
+    Grams use the same rule as every hashed-gram op here (words =
+    [a-z0-9]+ of lower(text), FNV-1a over byte ranges; hash equality
+    stands in for gram equality, the documented ~2^-64 trade). Shape:
+    per-batch distinct (gram, source) rows -> ONE gram-hash coarse-bucket
+    groupby (all rows of a gram colocate, so the per-gram source set is
+    global) -> fully vectorized within-segment pair expansion (each
+    gram's k sources emit C(k,2) source pairs; k is bounded by the SOURCE
+    cardinality, not the corpus) with in-group partial counts -> bounded
+    combine tree over the (source_a, source_b) keys."""
+    from raylink.join import tree_groupby_sum
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gh, counts = _gram_hashes(batch.column("text").to_pylist(), n)
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        gsrc = np.repeat(src, counts)
+        hs = gh.view(np.int64)
+        order = np.lexsort((gsrc, hs))
+        hs, gsrc = hs[order], gsrc[order]
+        first = np.r_[True, (hs[1:] != hs[:-1]) | (gsrc[1:] != gsrc[:-1])]
+        hs, gsrc = hs[first], gsrc[first]
+        return pa.table(
+            {
+                "gb": pa.array(
+                    (splitmix64(hs.view(np.uint64)) % B).astype(np.int32)
+                ),
+                "gh": pa.array(hs),
+                "src": pa.array(gsrc, type=pa.string()),
+            }
+        )
+
+    def pair_counts(group: pa.Table) -> pa.Table:
+        hs = group.column("gh").to_numpy(zero_copy_only=False)
+        src = np.asarray(group.column("src").to_pylist(), dtype=object)
+        order = np.lexsort((src, hs))
+        hs, src = hs[order], src[order]
+        first = np.r_[True, (hs[1:] != hs[:-1]) | (src[1:] != src[:-1])]
+        hs, src = hs[first], src[first]
+        # segments = grams; sources sorted within each segment
+        seg = np.r_[True, hs[1:] != hs[:-1]]
+        seg_start = np.flatnonzero(seg)
+        k = np.diff(np.r_[seg_start, len(hs)])
+        # every row pairs with every position of its segment; keep the
+        # strict upper triangle (partner pos > own pos => src_a < src_b)
+        kk = np.repeat(k, k)                      # per row: its segment size
+        row = np.arange(len(hs), dtype=np.int64)
+        own_pos = row - np.repeat(seg_start, k)
+        tot = int(kk.sum())
+        partner = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.cumsum(kk) - kk, kk)
+        )
+        keep = partner > np.repeat(own_pos, kk)
+        a = src[np.repeat(row, kk)[keep]]
+        b = src[(np.repeat(np.repeat(seg_start, k), kk) + partner)[keep]]
+        if len(a) == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], type=pa.string()),
+                    "source_b": pa.array([], type=pa.string()),
+                    "shared": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        bound = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(bound)
+        cnt = np.diff(np.r_[starts, len(a)])
+        return pa.table(
+            {
+                "source_a": pa.array(a[starts], type=pa.string()),
+                "source_b": pa.array(b[starts], type=pa.string()),
+                "shared": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(pair_counts, batch_format="pyarrow")
+    )
+    agg = tree_groupby_sum(partials, ["source_a", "source_b"], ["shared"])
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "source_a": t.column("source_a"),
+                "source_b": t.column("source_b"),
+                "shared_grams": t.column("sum(shared)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -3748,3 +3748,23 @@ SELECT g.vid::BIGINT AS vid, g.j::BIGINT AS dim,
        ROUND({terms}, {decimals}) AS emb
 FROM fgrid g{joins}"""
     )
+
+
+def source_overlap_sql(n: int = 8) -> str:
+    """Mirrors ops.dedup.source_overlap: distinct (source, gram) pairs,
+    self-joined on the gram with source_a < source_b (engine hash
+    equality == gram equality up to the documented ~2^-64 FNV trade)."""
+    gram = " || ' ' || ".join(
+        f"ws[i+{j}]" for j in range(n)
+    ).replace("ws[i+0]", "ws[i]")
+    return f"""
+WITH w AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+           FROM documents),
+g AS (SELECT source, {gram} AS gram
+      FROM w, unnest(generate_series(1, len(ws) - {n - 1})) AS t(i)
+      WHERE len(ws) >= {n}),
+d AS (SELECT DISTINCT source, gram FROM g)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*)::BIGINT AS shared_grams
+FROM d a JOIN d b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2"""

@@ -4534,3 +4534,17 @@ def q_fastrp(sf_dir: str):
     _, out = fastrp(g=g, dims=8, iters=3, engine="tasks",
                     ckpt_dir=_ckpt("fastrp", sf_dir))
     return out
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source 8-gram contamination matrix over the documents table
+    (ops/dedup.source_overlap): distinct shared grams per unordered
+    source pair. -> (source_a, source_b, shared_grams)."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import source_overlap
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return source_overlap(docs, n=8)

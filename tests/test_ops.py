@@ -2257,3 +2257,36 @@ def test_avg_neighbor_degree(ray_session):
     assert got["n_vertices"].tolist() == [2, 2, 1]
     assert got["sum_nbr_deg"].tolist() == [8, 12, 6]
     assert got["avg_nbr_deg"].tolist() == [4.0, 3.0, 1.5]
+
+
+def test_source_overlap(ray_session):
+    """Known shared-gram counts per source pair; ordering a < b; sources
+    sharing nothing emit no row."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import source_overlap
+
+    g1 = "one two three four"           # 4 words = one 4-gram
+    g2 = "alpha beta gamma delta"
+    texts = [
+        g1 + " tail words here",        # A: grams from g1 + rolling tails
+        g1 + " tail words here",        # B: identical to A
+        g2,                             # A: one gram
+        g2,                             # C: same gram as above
+        "unique only in c here",        # C
+    ]
+    srcs = ["A", "B", "A", "C", "C"]
+    docs = rd.from_arrow(
+        pa.table({"source": pa.array(srcs), "text": pa.array(texts)})
+    ).repartition(2)
+    got = (
+        source_overlap(docs, n=4)
+        .to_pandas()
+        .sort_values(["source_a", "source_b"])
+        .reset_index(drop=True)
+    )
+    # A/B share all 4 grams of doc 0; A/C share the single g2 gram;
+    # B/C share nothing
+    assert list(map(tuple, got.to_numpy())) == [
+        ("A", "B", 4), ("A", "C", 1)
+    ]
