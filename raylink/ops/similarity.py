@@ -788,3 +788,77 @@ def embedding_pairs_lsh(
         paired.map_batches(verify, batch_format="pyarrow"),
         {"id_a": pa.int64(), "id_b": pa.int64(), "cosine": pa.float64()},
     )
+
+
+def centroid_similarity(emb_ds, decimals: int = 6):
+    """Per-label centroid cosine matrix — the cluster-profile audit of a
+    labeled embedding corpus (which classes/sources sit close in embedding
+    space; the vector sibling of ``dedup.source_overlap``). -> Dataset
+    (label_a, label_b, cosine) for every unordered label pair, rounded to
+    ``decimals``.
+
+    Shape: per-batch integer label codes + one ``np.add.at`` fold into a
+    (labels x dim) partial-sum matrix, emitted as (label, dim, s) rows
+    plus a dim=-1 count row per label — the shuffle carries
+    O(labels x dim) rows per batch, never vectors; a bounded combine tree
+    sums the partials; centroids, norms and the pairwise dot matrix are
+    one O(labels^2 x dim) single-block computation at the end (labels are
+    report-cardinality by definition). Float association vs the SQL
+    mirror is absorbed by ROUND(.., decimals), the PageRank-family
+    argument."""
+    from raylink.join import tree_groupby_sum
+    from raylink.util import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _mat(batch)
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ul, inv = np.unique(lab, return_inverse=True)
+        d = m.shape[1]
+        sums = np.zeros((len(ul), d), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        cnt = np.bincount(inv, minlength=len(ul)).astype(np.float64)
+        lbl = np.concatenate([np.repeat(ul, d), ul])
+        dim = np.concatenate(
+            [np.tile(np.arange(d, dtype=np.int64), len(ul)),
+             np.full(len(ul), -1, np.int64)]
+        )
+        s = np.concatenate([sums.ravel(), cnt])
+        return pa.table(
+            {"label": pa.array(lbl), "dim": pa.array(dim), "s": pa.array(s)}
+        )
+
+    agg = tree_groupby_sum(
+        emb_ds.map_batches(partial, batch_format="pyarrow"),
+        ["label", "dim"], ["s"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        dim = b.column("dim").to_numpy(zero_copy_only=False)
+        s = b.column("sum(s)").to_numpy(zero_copy_only=False)
+        ul = np.unique(lab)
+        li = np.searchsorted(ul, lab)
+        d = int(dim.max()) + 1
+        cent = np.zeros((len(ul), d), dtype=np.float64)
+        cnt = np.zeros(len(ul), dtype=np.float64)
+        cm = dim >= 0
+        cent[li[cm], dim[cm]] = s[cm]
+        cnt[li[~cm]] = s[~cm]
+        cent = cent / cnt[:, None]
+        nrm = np.sqrt(np.sum(cent * cent, axis=1))
+        dots = cent @ cent.T
+        ia, ib = np.triu_indices(len(ul), k=1)
+        cos = dots[ia, ib] / (nrm[ia] * nrm[ib])
+        return pa.table(
+            {
+                "label_a": pa.array(ul[ia]),
+                "label_b": pa.array(ul[ib]),
+                "cosine": pa.array(round_half_away(cos, decimals)),
+            }
+        )
+
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -3768,3 +3768,27 @@ SELECT a.source AS source_a, b.source AS source_b,
        COUNT(*)::BIGINT AS shared_grams
 FROM d a JOIN d b ON a.gram = b.gram AND a.source < b.source
 GROUP BY 1, 2"""
+
+
+def centroid_similarity_sql(decimals: int = 6) -> str:
+    """Mirrors ops.similarity.centroid_similarity: per-(label, dim)
+    centroid = SUM(val)/COUNT(*), L2 norms (IEEE sqrt is correctly
+    rounded on both sides), pairwise dot via a dim self-join; float
+    summation order differs from the engine's fixed-order fold — absorbed
+    by ROUND(.., decimals), the PageRank-family argument."""
+    return f"""
+WITH ee AS (SELECT label::BIGINT AS label,
+                   unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS j
+            FROM embeddings),
+ec AS (SELECT label, j, SUM(CAST(v AS DOUBLE)) / COUNT(*) AS c
+       FROM ee GROUP BY 1, 2),
+en AS (SELECT label, SQRT(SUM(c * c)) AS nrm FROM ec GROUP BY 1),
+ed AS (SELECT a.label AS la, b.label AS lb, SUM(a.c * b.c) AS dot
+       FROM ec a JOIN ec b ON a.j = b.j AND a.label < b.label
+       GROUP BY 1, 2)
+SELECT d.la AS label_a, d.lb AS label_b,
+       ROUND(d.dot / (na.nrm * nb.nrm), {decimals}) AS cosine
+FROM ed d
+JOIN en na ON na.label = d.la
+JOIN en nb ON nb.label = d.lb"""

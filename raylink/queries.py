@@ -4548,3 +4548,17 @@ def q_source_overlap(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
     return source_overlap(docs, n=8)
+
+
+def q_centroid_similarity(sf_dir: str):
+    """Per-label centroid cosine matrix over the embeddings table
+    (ops/similarity.centroid_similarity): which labels sit close in
+    embedding space. -> (label_a, label_b, cosine) rounded to 6."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import centroid_similarity
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    return centroid_similarity(emb)

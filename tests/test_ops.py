@@ -2290,3 +2290,45 @@ def test_source_overlap(ray_session):
     assert list(map(tuple, got.to_numpy())) == [
         ("A", "B", 4), ("A", "C", 1)
     ]
+
+
+def test_centroid_similarity(ray_session):
+    """Cosine matrix of per-label centroids vs a dense numpy oracle."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import centroid_similarity
+
+    rng = np.random.default_rng(5)
+    n, d = 120, 16
+    labels = rng.integers(0, 4, size=n).astype(np.int32)
+    m = rng.normal(size=(n, d)).astype(np.float32)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.array(list(m), type=pa.list_(pa.float32())),
+                "label": pa.array(labels),
+            }
+        )
+    ).repartition(4)
+    got = (
+        centroid_similarity(emb)
+        .to_pandas()
+        .sort_values(["label_a", "label_b"])
+        .reset_index(drop=True)
+    )
+    cent = np.stack(
+        [m[labels == l].astype(np.float64).sum(0) / (labels == l).sum()
+         for l in range(4)]
+    )
+    nrm = np.sqrt((cent * cent).sum(1))
+    exp = []
+    for a in range(4):
+        for b in range(a + 1, 4):
+            exp.append((a, b, cent[a] @ cent[b] / (nrm[a] * nrm[b])))
+    assert list(zip(got["label_a"], got["label_b"])) == [
+        (a, b) for a, b, _ in exp
+    ]
+    np.testing.assert_allclose(
+        got["cosine"].to_numpy(), np.round([c for _, _, c in exp], 6),
+        atol=2e-6,
+    )
