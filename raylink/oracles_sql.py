@@ -3792,3 +3792,88 @@ SELECT d.la AS label_a, d.lb AS label_b,
 FROM ed d
 JOIN en na ON na.label = d.la
 JOIN en nb ON nb.label = d.lb"""
+
+
+def part_revenue_share_sql() -> str:
+    """TPC-H Q11 shape (queries.q_part_revenue_share): HAVING against a
+    global aggregate, threshold 1.25/n_parts evaluated in exact integers
+    (4 * rev * n_parts > 5 * total)."""
+    return """
+WITH prs AS (
+  SELECT l_partkey,
+         SUM(ROUND(l_extendedprice * 100)::BIGINT
+             * (100 - ROUND(l_discount * 100)::BIGINT))::BIGINT AS rev
+  FROM lineitem GROUP BY 1),
+prt AS (SELECT SUM(rev)::BIGINT AS t,
+               (SELECT COUNT(*) FROM part)::BIGINT AS np
+        FROM prs)
+SELECT p.l_partkey AS p_partkey, p.rev / 10000.0 AS part_revenue
+FROM prs p, prt
+WHERE 4 * p.rev * prt.np > 5 * prt.t"""
+
+
+def dormant_customers_sql() -> str:
+    """TPC-H Q22 shape (queries.q_dormant_customers): above-average
+    positive balance in exact integers (bal * n > sum), NOT EXISTS
+    recent (>= 2001-01-01) orders, per-nation count + total."""
+    return """
+WITH dcp AS (SELECT SUM(ROUND(c_acctbal * 100)::BIGINT)::BIGINT AS s,
+                    COUNT(*)::BIGINT AS n
+             FROM customer WHERE ROUND(c_acctbal * 100)::BIGINT > 0),
+dcd AS (SELECT c_nationkey, ROUND(c_acctbal * 100)::BIGINT AS bal
+        FROM customer c, dcp
+        WHERE ROUND(c_acctbal * 100)::BIGINT * dcp.n > dcp.s
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= DATE '2001-01-01'))
+SELECT c_nationkey, COUNT(*)::BIGINT AS numcust,
+       SUM(bal)::BIGINT / 100.0 AS totacctbal
+FROM dcd GROUP BY 1"""
+
+
+def cheapest_supplier_sql() -> str:
+    """TPC-H Q2 shape (queries.q_cheapest_supplier): per part the
+    minimum-price line's supplier, ties to the smallest suppkey."""
+    return """
+WITH csm AS (
+  SELECT l_partkey, MIN(ROUND(l_extendedprice * 100)::BIGINT) AS mc
+  FROM lineitem GROUP BY 1),
+csw AS (
+  SELECT l.l_partkey, m.mc, MIN(l.l_suppkey) AS sk
+  FROM lineitem l
+  JOIN csm m ON m.l_partkey = l.l_partkey
+            AND ROUND(l.l_extendedprice * 100)::BIGINT = m.mc
+  GROUP BY 1, 2)
+SELECT w.l_partkey AS p_partkey, w.mc / 100.0 AS min_price,
+       w.sk AS s_suppkey, s.s_name AS s_name
+FROM csw w JOIN supplier s ON s.s_suppkey = w.sk"""
+
+
+def sole_supplier_sql() -> str:
+    """TPC-H Q21 shape (queries.q_sole_supplier): suppliers who were the
+    sole supplier on multi-line orders, counted per supplier."""
+    return """
+WITH sso AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS sk
+  FROM lineitem GROUP BY 1
+  HAVING COUNT(*) >= 2 AND COUNT(DISTINCT l_suppkey) = 1)
+SELECT s.s_suppkey AS s_suppkey, COUNT(*)::BIGINT AS numwait,
+       s.s_name AS s_name
+FROM sso JOIN supplier s ON s.s_suppkey = sso.sk
+GROUP BY 1, 3"""
+
+
+def disjunctive_revenue_sql() -> str:
+    """TPC-H Q19 shape (queries.q_disjunctive_revenue): OR of three
+    (brand, size, quantity-window) branches, integer cents arithmetic."""
+    return """
+SELECT COALESCE(SUM(ROUND(l.l_extendedprice * 100)::BIGINT
+                    * (100 - ROUND(l.l_discount * 100)::BIGINT))::BIGINT,
+                0) / 10000.0 AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size <= 15
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size <= 25
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size <= 35
+       AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)"""
