@@ -3877,3 +3877,38 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size <= 15
        AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 10 AND 20)
    OR (p.p_brand = 'Brand#34' AND p.p_size <= 35
        AND CAST(round(l.l_quantity) AS BIGINT) BETWEEN 20 AND 30)"""
+
+
+def ship_delay_priority_sql() -> str:
+    """TPC-H Q12 shape (queries.q_ship_delay_priority): lines shipped in
+    1997 classed by order->ship latency (late = >90 days), counted by
+    order-priority class."""
+    return """
+SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90
+            THEN 'late' ELSE 'quick' END AS ship_class,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+GROUP BY 1"""
+
+
+def excess_suppliers_sql() -> str:
+    """TPC-H Q20 shape (queries.q_excess_suppliers): suppliers who shipped
+    > 45 units of a 'small%'-named part during 1997, with nation."""
+    return """
+WITH xsp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+xsq AS (SELECT l_suppkey, l_partkey,
+               SUM(CAST(round(l_quantity) AS BIGINT)) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate < DATE '1998-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM xsp)
+        GROUP BY 1, 2),
+xss AS (SELECT DISTINCT l_suppkey FROM xsq WHERE qty > 45)
+SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, n.n_name AS n_name
+FROM xss
+JOIN supplier s ON s.s_suppkey = xss.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey"""

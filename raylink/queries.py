@@ -4954,3 +4954,226 @@ def q_disjunctive_revenue(sf_dir: str):
     return pa.table(
         {"revenue": pa.array([total / 10000.0], type=pa.float64())}
     )
+
+
+def q_ship_delay_priority(sf_dir: str):
+    """TPC-H Q12 shape ("shipping modes and order priority", adapted to
+    the shipped columns: no l_shipmode/commitdate/receiptdate, so the
+    class attribute is the order->ship latency — 'late' when the line
+    shipped more than 90 days after the order, else 'quick'): per class,
+    how many lines belong to high-priority (1-URGENT / 2-HIGH) vs
+    low-priority orders. Shape: scanner-filtered 1997 fact scan, the order
+    dimension folded to TWO int64 columns (epoch-day + priority bit)
+    before the thresholded lookup attaches it, per-batch 2x2 bincount
+    partials, ONE 4-scalar Dataset aggregate — O(1) on the driver.
+    -> (ship_class, high_line_count, low_line_count), 2 rows."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import attach_lookup
+
+    d0 = pa.scalar(np.datetime64("1997-01-01", "us").item(), type=pa.timestamp("us"))
+    d1 = pa.scalar(np.datetime64("1998-01-01", "us").item(), type=pa.timestamp("us"))
+
+    def o_f(b: pa.Table) -> pa.Table:
+        pri = b.column("o_orderpriority")
+        high = pc.or_(
+            pc.equal(pri, pa.scalar("1-URGENT")), pc.equal(pri, pa.scalar("2-HIGH"))
+        ).to_numpy(zero_copy_only=False)
+        odays = (
+            b.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "odays": pa.array(odays),
+                "high": pa.array(high.astype(np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(o_f, batch_format="pyarrow")
+
+    def li_f(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), d0),
+                    pc.less(b.column("l_shipdate"), d1))
+        )
+        sdays = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {"o_orderkey": t.column("l_orderkey"), "sdays": pa.array(sdays)}
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= d0) & (pc.field("l_shipdate") < d1),
+    ).map_batches(li_f, batch_format="pyarrow")
+    att = attach_lookup(
+        li, orders, on="o_orderkey",
+        left_cols={"sdays": pa.int64()},
+        value_cols={"odays": pa.int64(), "high": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "orders"),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        late = (
+            b.column("sdays").to_numpy(zero_copy_only=False)
+            - b.column("odays").to_numpy(zero_copy_only=False)
+        ) > 90
+        high = b.column("high").to_numpy(zero_copy_only=False).astype(bool)
+        c = np.bincount(2 * late.astype(np.int64) + high, minlength=4)
+        return pa.table(
+            {
+                "qh": pa.array([int(c[1])], type=pa.int64()),
+                "ql": pa.array([int(c[0])], type=pa.int64()),
+                "lh": pa.array([int(c[3])], type=pa.int64()),
+                "ll": pa.array([int(c[2])], type=pa.int64()),
+            }
+        )
+
+    s = att.map_batches(partial, batch_format="pyarrow").sum(
+        ["qh", "ql", "lh", "ll"]
+    )
+    return pa.table(
+        {
+            "ship_class": pa.array(["late", "quick"]),
+            "high_line_count": pa.array(
+                [int(s["sum(lh)"]), int(s["sum(qh)"])], type=pa.int64()
+            ),
+            "low_line_count": pa.array(
+                [int(s["sum(ll)"]), int(s["sum(ql)"])], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape ("potential part promotion", adapted: no partsupp
+    availability column, so 'excess' is a fixed shipped-quantity bar):
+    suppliers who shipped more than 45 units of some 'small%'-named part
+    during 1997, with their nation — the nested-semi-join pyramid. Shape:
+    the part-name filter broadcast as a distinct-key SEMI-join onto the
+    scanner-filtered fact scan (zero shuffles), per-batch (supp, part)
+    qty pre-combine, ONE hash(supp) bucket groupby (a supplier's pairs
+    colocate, so the per-pair sums and the per-supplier DISTINCT are both
+    global), then supplier + nation names attach via thresholded lookups.
+    -> (s_suppkey, s_name, n_name)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import attach_lookup, semi_join
+    from raylink.util import splitmix64
+
+    B = np.uint64(64)
+    d0 = pa.scalar(np.datetime64("1997-01-01", "us").item(), type=pa.timestamp("us"))
+    d1 = pa.scalar(np.datetime64("1998-01-01", "us").item(), type=pa.timestamp("us"))
+
+    small = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"l_partkey": b.filter(
+                pc.starts_with(b.column("p_name"), "small")
+            ).column("p_partkey")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def li_f(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), d0),
+                    pc.less(b.column("l_shipdate"), d1))
+        )
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = np.rint(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        # per-batch (supp, part) qty pre-combine
+        order = np.lexsort((pk, sk))
+        sk, pk, qty = sk[order], pk[order], qty[order]
+        first = np.ones(len(sk), bool)
+        first[1:] = (sk[1:] != sk[:-1]) | (pk[1:] != pk[:-1])
+        starts = np.flatnonzero(first)
+        qsum = np.add.reduceat(qty, starts) if len(sk) else qty[:0]
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk[starts]),
+                "skey": pa.array(sk[starts]),
+                "qty": pa.array(qsum),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= d0) & (pc.field("l_shipdate") < d1),
+    ).map_batches(li_f, batch_format="pyarrow")
+    matched = semi_join(
+        li, small, on="l_partkey",
+        left_cols={"skey": pa.int64(), "qty": pa.int64()},
+        n_key_rows=_parquet_rows(sf_dir, "part"),
+    )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        sk = b.column("skey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "sb", pa.array((splitmix64(sk.astype(np.uint64)) % B).astype(np.int32))
+        )
+
+    def winners(g: pa.Table) -> pa.Table:
+        sk = g.column("skey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = g.column("qty").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, sk))
+        sk, pk, qty = sk[order], pk[order], qty[order]
+        first = np.ones(len(sk), bool)
+        first[1:] = (sk[1:] != sk[:-1]) | (pk[1:] != pk[:-1])
+        starts = np.flatnonzero(first)
+        qsum = np.add.reduceat(qty, starts) if len(sk) else qty[:0]
+        hits = np.unique(sk[starts][qsum > 45])
+        return pa.table({"s_suppkey": pa.array(hits)})
+
+    supps = (
+        matched.map_batches(bucket, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(winners, batch_format="pyarrow")
+    )
+    supplier = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).map_batches(
+        lambda b: b.rename_columns(["s_suppkey", "s_name", "n_nationkey"]),
+        batch_format="pyarrow",
+    )
+    named = attach_lookup(
+        supps, supplier, on="s_suppkey",
+        left_cols={},
+        value_cols={"s_name": pa.string(), "n_nationkey": pa.int64()},
+        n_lookup_rows=_parquet_rows(sf_dir, "supplier"),
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    out = attach_lookup(
+        named, nation, on="n_nationkey",
+        left_cols={"s_suppkey": pa.int64(), "s_name": pa.string()},
+        value_cols={"n_name": pa.string()},
+        n_lookup_rows=_parquet_rows(sf_dir, "nation"),
+    )
+    return out.map_batches(
+        lambda b: b.select(["s_suppkey", "s_name", "n_name"]),
+        batch_format="pyarrow",
+    )
