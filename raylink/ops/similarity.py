@@ -862,3 +862,130 @@ def centroid_similarity(emb_ds, decimals: int = 6):
     return agg.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def _quantize(m: np.ndarray, scale: int) -> np.ndarray:
+    """float64 matrix -> int64 fixed-point, rounding half away from zero
+    (matches SQL CAST(round(v * scale) AS BIGINT))."""
+    return np.copysign(np.floor(np.abs(m) * scale + 0.5), m).astype(np.int64)
+
+
+def _int_round_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Exact integer round-half-away-from-zero of s/n (n > 0) — no float
+    anywhere, so the SQL mirror ((2s+n)//(2n), sign-cased) is bit-equal."""
+    pos = (2 * np.abs(s) + n) // (2 * n)
+    return np.where(s >= 0, pos, -pos)
+
+
+def kmeans_lloyd(emb_ds, k: int = 8, rounds: int = 3, scale: int = 10**6):
+    """Distributed Lloyd k-means over an embedding corpus — the clustering
+    stage of semantic curation (cluster-then-filter / SemDeDup-style
+    pipelines): ``rounds`` centroid updates from k seed vectors, then the
+    final hard assignment. -> Dataset (vec_id, cluster:int64).
+
+    INTEGER-EXACT by construction (no float associativity anywhere, so the
+    SQL oracle matches bit-for-bit): vectors quantize to int64 fixed-point
+    (``scale``, round half away), distances are int64
+    ``|x|^2 - 2x.c + |c|^2`` (exact: 64 dims x (2 scale)^2 ~ 1e15 << 2^63;
+    numpy integer matmul, no BLAS float path), argmin ties go to the
+    smallest cluster id (np.argmin first-hit == SQL ORDER BY d2, k), and
+    the centroid update rounds s/n half-away in pure integer arithmetic
+    (``(2s+n) // (2n)`` sign-cased). Empty clusters keep their previous
+    centroid.
+
+    Scale shape: centroids (k x dim int64) broadcast via ``ray.put`` once
+    per round; each round is ONE streaming pass emitting k x (dim+1)
+    int64 partial rows per batch (``np.add.at`` fold — the
+    ``centroid_similarity`` pattern) through the bounded combine tree; the
+    driver folds k x (dim+1) scalars per round, never rows. Seeds = the k
+    smallest vec_ids (per-batch k-smallest pre-filter, then a k-row sort).
+    """
+    import ray
+
+    from raylink.join import tree_groupby_sum
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.argsort(vid, kind="stable")[:k]
+        m = _quantize(_mat(batch)[keep], scale)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[keep]),
+                "q": pa.array(list(m), type=pa.list_(pa.int64())),
+            }
+        )
+
+    seeds = (
+        emb_ds.map_batches(seed_partial, batch_format="pyarrow")
+        .sort("vec_id")
+        .limit(k)
+        .to_pandas()
+    )
+    cents = np.stack([np.asarray(r, dtype=np.int64) for r in seeds["q"]])
+    if len(cents) < k:
+        raise ValueError(f"kmeans_lloyd: corpus has fewer than k={k} vectors")
+    dim = cents.shape[1]
+
+    def update_partial(cref):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            x = _quantize(_mat(batch), scale)
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2 * (x @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d2, axis=1)
+            s = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(s, a, x)
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            kk = np.concatenate([np.repeat(np.arange(k, dtype=np.int64), dim),
+                                 np.arange(k, dtype=np.int64)])
+            jj = np.concatenate(
+                [np.tile(np.arange(dim, dtype=np.int64), k),
+                 np.full(k, -1, np.int64)]
+            )
+            return pa.table(
+                {"ck": pa.array(kk), "cj": pa.array(jj),
+                 "cs": pa.array(np.concatenate([s.ravel(), n]))}
+            )
+
+        return fn
+
+    for _ in range(rounds):
+        cref = ray.put(cents)
+        agg = tree_groupby_sum(
+            emb_ds.map_batches(update_partial(cref), batch_format="pyarrow"),
+            ["ck", "cj"], ["cs"],
+        ).to_pandas()
+        kk = agg["ck"].to_numpy(np.int64)
+        jj = agg["cj"].to_numpy(np.int64)
+        ss = agg["sum(cs)"].to_numpy(np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        n[kk[jj == -1]] = ss[jj == -1]
+        s = np.zeros((k, dim), dtype=np.int64)
+        grid = jj >= 0
+        s[kk[grid], jj[grid]] = ss[grid]
+        nz = n > 0
+        new = cents.copy()
+        new[nz] = _int_round_div(s[nz], n[nz, None])
+        cents = new
+
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _quantize(_mat(batch), scale)
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            }
+        )
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")

@@ -3912,3 +3912,50 @@ SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, n.n_name AS n_name
 FROM xss
 JOIN supplier s ON s.s_suppkey = xss.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey"""
+
+
+def kmeans_sql(k: int = 8, rounds: int = 3, scale: int = 10**6) -> str:
+    """Mirrors queries.q_kmeans / ops.similarity.kmeans_lloyd bit-for-bit:
+    int64 fixed-point vectors, integer squared distances, argmin ties to
+    the smallest cluster (ROW_NUMBER ORDER BY d2, k == np.argmin
+    first-hit), centroid update s/n rounded half away in PURE integer
+    arithmetic ((2s+n)//(2n), sign-cased), empty clusters keep the
+    previous centroid (COALESCE over a LEFT JOIN). ``rounds`` update
+    rounds unrolled, then the final assignment."""
+    parts = [
+        f"""
+WITH kme AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS j,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS x
+  FROM embeddings),
+kini AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+kmc0 AS (
+  SELECT i.k, m.j, m.x AS c FROM kini i JOIN kme m ON m.vec_id = i.vec_id)"""
+    ]
+    for r in range(1, rounds + 2):
+        parts.append(f""",
+kd{r} AS (
+  SELECT m.vec_id, c.k, SUM((m.x - c.c) * (m.x - c.c)) AS d2
+  FROM kme m JOIN kmc{r - 1} c ON c.j = m.j GROUP BY 1, 2),
+ka{r} AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+    FROM kd{r}) WHERE rn = 1)""")
+        if r <= rounds:
+            parts.append(f""",
+ks{r} AS (
+  SELECT a.k, m.j, SUM(m.x) AS s, COUNT(*) AS n
+  FROM ka{r} a JOIN kme m ON m.vec_id = a.vec_id GROUP BY 1, 2),
+kmc{r} AS (
+  SELECT p.k, p.j,
+         COALESCE(CASE WHEN u.s >= 0 THEN (2 * u.s + u.n) // (2 * u.n)
+                       ELSE -((-2 * u.s + u.n) // (2 * u.n)) END,
+                  p.c) AS c
+  FROM kmc{r - 1} p LEFT JOIN ks{r} u ON u.k = p.k AND u.j = p.j)""")
+    parts.append(f"""
+SELECT vec_id, k AS cluster FROM ka{rounds + 1}""")
+    return "".join(parts)

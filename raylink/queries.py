@@ -5177,3 +5177,23 @@ def q_excess_suppliers(sf_dir: str):
         lambda b: b.select(["s_suppkey", "s_name", "n_name"]),
         batch_format="pyarrow",
     )
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding corpus (k=8, 3 centroid
+    updates + final hard assignment) — the clustering stage of semantic
+    curation (cluster-then-filter / SemDeDup-style pipelines). INTEGER-
+    EXACT end to end (fixed-point quantization, int64 distances, pure-
+    integer centroid rounding), so the unrolled SQL oracle matches
+    bit-for-bit; see ops.similarity.kmeans_lloyd for the scale shape
+    (broadcast centroids, k x (dim+1) int64 partial rows per batch,
+    bounded combine tree, O(k x dim) driver state).
+    -> (vec_id, cluster)."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import kmeans_lloyd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_lloyd(emb, k=8, rounds=3)

@@ -2332,3 +2332,73 @@ def test_centroid_similarity(ray_session):
         got["cosine"].to_numpy(), np.round([c for _, _, c in exp], 6),
         atol=2e-6,
     )
+
+
+def _kmeans_replica(tbl, k, rounds, scale=10**6):
+    """Pure-numpy replica of kmeans_lloyd's integer-exact contract."""
+    from raylink.ops.similarity import _int_round_div, _quantize
+
+    vid = tbl.column("vec_id").to_numpy()
+    flat = tbl.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    x = _quantize(flat.reshape(len(vid), -1), scale)
+    order = np.argsort(vid, kind="stable")[:k]
+    cents = x[order].copy()
+    for r in range(rounds + 1):
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        a = np.argmin(d2, axis=1)
+        if r == rounds:
+            return dict(zip(vid.tolist(), a.tolist()))
+        s = np.zeros((k, x.shape[1]), dtype=np.int64)
+        np.add.at(s, a, x)
+        n = np.bincount(a, minlength=k).astype(np.int64)
+        nz = n > 0
+        cents[nz] = _int_round_div(s[nz], n[nz, None])
+
+
+def test_kmeans_lloyd_matches_replica(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.similarity import kmeans_lloyd
+
+    tbl = _emb_table(n=90, dim=16, seed=11)
+    got = kmeans_lloyd(rd.from_arrow(tbl), k=4, rounds=3).to_pandas()
+    exp = _kmeans_replica(tbl, k=4, rounds=3)
+    assert dict(zip(got["vec_id"], got["cluster"])) == exp
+    # 4 well-separated blobs with k=4 seeds: every blob is one cluster
+    lab = got.sort_values("vec_id")["cluster"].to_numpy()
+    for m in range(4):
+        assert len(set(lab[np.arange(90) % 4 == m])) == 1
+
+
+def test_kmeans_lloyd_empty_cluster_and_ties(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.similarity import kmeans_lloyd
+
+    # two duplicate far-apart points + k=3: one seed never wins a vector
+    # after round 1, so its cluster goes empty and must keep its centroid;
+    # identical vectors tie on every distance -> smallest cluster id
+    vecs = np.array(
+        [[0.0, 0.0], [0.0, 0.0], [10.0, 10.0], [10.0, 10.0], [0.1, 0.0]],
+        dtype=np.float32,
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    got = kmeans_lloyd(rd.from_arrow(tbl), k=3, rounds=2).to_pandas()
+    exp = _kmeans_replica(tbl, k=3, rounds=2)
+    assert dict(zip(got["vec_id"], got["cluster"])) == exp
+    # the two duplicates of vec 0/1 land in the SAME cluster (tie determinism)
+    m = dict(zip(got["vec_id"], got["cluster"]))
+    assert m[0] == m[1] and m[2] == m[3]
