@@ -892,6 +892,19 @@ def run_relational_bench() -> dict:
         q_top_supplier,
     )
 
+    # r4 ninth wave: the shapes completing the 22-query TPC-H sweep —
+    # Q2 argmin, Q11 global-threshold, Q12 class-counts, Q19 disjunction,
+    # Q20 semi-join pyramid, Q21 sole-supplier, Q22 anti-join
+    from raylink.queries import (
+        q_cheapest_supplier,
+        q_disjunctive_revenue,
+        q_dormant_customers,
+        q_excess_suppliers,
+        q_part_revenue_share,
+        q_ship_delay_priority,
+        q_sole_supplier,
+    )
+
     extra = {}
     for nm, fn in [
         ("forecast_revenue", q_forecast_revenue),
@@ -904,6 +917,13 @@ def run_relational_bench() -> dict:
         ("promo_revenue", q_promo_revenue),
         ("top_supplier", q_top_supplier),
         ("small_qty_revenue", q_small_qty_revenue),
+        ("cheapest_supplier", q_cheapest_supplier),
+        ("part_revenue_share", q_part_revenue_share),
+        ("ship_delay_priority", q_ship_delay_priority),
+        ("disjunctive_revenue", q_disjunctive_revenue),
+        ("excess_suppliers", q_excess_suppliers),
+        ("sole_supplier", q_sole_supplier),
+        ("dormant_customers", q_dormant_customers),
     ]:
         w, _ = timed(lambda fn=fn: fn(SF_DIR), reps=1)
         extra[f"{nm}_sec"] = round(w, 3)
