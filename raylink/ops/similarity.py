@@ -902,6 +902,35 @@ def kmeans_lloyd(emb_ds, k: int = 8, rounds: int = 3, scale: int = 10**6):
     """
     import ray
 
+    cents = _lloyd_centroids(emb_ds, k, rounds, scale)
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _quantize(_mat(batch), scale)
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+            }
+        )
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _lloyd_centroids(
+    emb_ds, k: int, rounds: int, scale: int
+) -> np.ndarray:
+    """The ``rounds`` Lloyd centroid updates of ``kmeans_lloyd`` (seed
+    selection + per-round streaming integer partials); returns the final
+    (k x dim) int64 centroid matrix."""
+    import ray
+
     from raylink.join import tree_groupby_sum
 
     def seed_partial(batch: pa.Table) -> pa.Table:
@@ -971,9 +1000,39 @@ def kmeans_lloyd(emb_ds, k: int = 8, rounds: int = 3, scale: int = 10**6):
         new[nz] = _int_round_div(s[nz], n[nz, None])
         cents = new
 
+    return cents
+
+
+def semantic_dedup(
+    emb_ds,
+    k: int = 8,
+    rounds: int = 3,
+    tau: int = 1_450_000_000_000,
+    scale: int = 10**6,
+):
+    """SemDeDup-style semantic near-duplicate pruning (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding corpus, then inside
+    each cluster drop every vector that has a SMALLER-vec_id neighbor
+    within squared fixed-point L2 distance ``tau`` — the deterministic
+    keep-first epsilon-ball rule. -> Dataset (vec_id, cluster) survivors.
+
+    INTEGER-EXACT like ``kmeans_lloyd`` (same quantization and centroid
+    arithmetic; the near-dup test ``sum((a-b)^2) < tau`` is int64), so the
+    SQL oracle matches bit-for-bit — no cosine/float threshold boundary.
+
+    Scale shape: the pairwise test runs per CLUSTER (one hash-bucketed
+    groupby carrying (vec_id, cluster, qvec) rows — the only vector
+    shuffle), so the quadratic term is O((N/k)^2 x k); SemDeDup's own
+    contract: k must grow with the corpus (k ~ N/5000 in the paper) to
+    keep clusters bounded. Ties/ordering are vec_id-deterministic,
+    independent of partitioning.
+    """
+    import ray
+
+    cents = _lloyd_centroids(emb_ds, k, rounds, scale)
     cref = ray.put(cents)
 
-    def assign(batch: pa.Table) -> pa.Table:
+    def assign_q(batch: pa.Table) -> pa.Table:
         c = ray.get(cref)
         x = _quantize(_mat(batch), scale)
         d2 = (
@@ -983,9 +1042,41 @@ def kmeans_lloyd(emb_ds, k: int = 8, rounds: int = 3, scale: int = 10**6):
         )
         return pa.table(
             {
-                "vec_id": batch.column("vec_id"),
                 "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64)),
+                "vec_id": batch.column("vec_id"),
+                "q": pa.array(list(x), type=pa.list_(pa.int64())),
             }
         )
 
-    return emb_ds.map_batches(assign, batch_format="pyarrow")
+    def prune(group: pa.Table) -> pa.Table:
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        flat = (
+            group.column("q").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        x = flat.reshape(len(vid), -1)
+        order = np.argsort(vid, kind="stable")
+        vid, x = vid[order], x[order]
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2 * (x @ x.T)
+            + (x * x).sum(axis=1)[None, :]
+        )
+        near = d2 < tau
+        # drop row i iff any j<i (strictly smaller vec_id) is within tau
+        drop = np.tril(near, k=-1).any(axis=1)
+        keep = ~drop
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[keep]),
+                "cluster": group.column("cluster").take(
+                    pa.array(order[keep])
+                ),
+            }
+        )
+
+    return (
+        emb_ds.map_batches(assign_q, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+    )

@@ -3914,14 +3914,11 @@ JOIN supplier s ON s.s_suppkey = xss.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey"""
 
 
-def kmeans_sql(k: int = 8, rounds: int = 3, scale: int = 10**6) -> str:
-    """Mirrors queries.q_kmeans / ops.similarity.kmeans_lloyd bit-for-bit:
-    int64 fixed-point vectors, integer squared distances, argmin ties to
-    the smallest cluster (ROW_NUMBER ORDER BY d2, k == np.argmin
-    first-hit), centroid update s/n rounded half away in PURE integer
-    arithmetic ((2s+n)//(2n), sign-cased), empty clusters keep the
-    previous centroid (COALESCE over a LEFT JOIN). ``rounds`` update
-    rounds unrolled, then the final assignment."""
+def _kmeans_ctes(k: int, rounds: int, scale: int) -> str:
+    """The shared Lloyd CTE chain (kme quantized dims, kini seeds, kmc0 and
+    ``rounds`` unrolled update rounds, final assignment ka{rounds+1}) —
+    used by kmeans_sql and semantic_dedup_sql so the two oracles cannot
+    drift."""
     parts = [
         f"""
 WITH kme AS (
@@ -3956,6 +3953,48 @@ kmc{r} AS (
                        ELSE -((-2 * u.s + u.n) // (2 * u.n)) END,
                   p.c) AS c
   FROM kmc{r - 1} p LEFT JOIN ks{r} u ON u.k = p.k AND u.j = p.j)""")
-    parts.append(f"""
-SELECT vec_id, k AS cluster FROM ka{rounds + 1}""")
     return "".join(parts)
+
+
+def kmeans_sql(k: int = 8, rounds: int = 3, scale: int = 10**6) -> str:
+    """Mirrors queries.q_kmeans / ops.similarity.kmeans_lloyd bit-for-bit:
+    int64 fixed-point vectors, integer squared distances, argmin ties to
+    the smallest cluster (ROW_NUMBER ORDER BY d2, k == np.argmin
+    first-hit), centroid update s/n rounded half away in PURE integer
+    arithmetic ((2s+n)//(2n), sign-cased), empty clusters keep the
+    previous centroid (COALESCE over a LEFT JOIN). ``rounds`` update
+    rounds unrolled, then the final assignment."""
+    return (
+        _kmeans_ctes(k, rounds, scale)
+        + f"""
+SELECT vec_id, k AS cluster FROM ka{rounds + 1}"""
+    )
+
+
+def semantic_dedup_sql(
+    k: int = 8,
+    rounds: int = 3,
+    tau: int = 1_450_000_000_000,
+    scale: int = 10**6,
+) -> str:
+    """Mirrors queries.q_semantic_dedup / ops.similarity.semantic_dedup:
+    the shared Lloyd chain assigns clusters, then a within-cluster pair
+    join computes int64 squared L2 distances and NOT EXISTS drops every
+    vector with a smaller-vec_id neighbor under ``tau`` — all integer, so
+    the threshold has no float boundary."""
+    return (
+        _kmeans_ctes(k, rounds, scale)
+        + f""",
+sdv AS (SELECT vec_id, k AS cluster FROM ka{rounds + 1}),
+sdd AS (
+  SELECT a.vec_id AS vi,
+         SUM((ma.x - mb.x) * (ma.x - mb.x)) AS d2
+  FROM sdv a
+  JOIN sdv b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+  JOIN kme ma ON ma.vec_id = a.vec_id
+  JOIN kme mb ON mb.vec_id = b.vec_id AND mb.j = ma.j
+  GROUP BY a.vec_id, b.vec_id)
+SELECT v.vec_id, v.cluster FROM sdv v
+WHERE NOT EXISTS (SELECT 1 FROM sdd d
+                  WHERE d.vi = v.vec_id AND d.d2 < {tau})"""
+    )

@@ -5197,3 +5197,21 @@ def q_kmeans(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return kmeans_lloyd(emb, k=8, rounds=3)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic near-dup pruning (cluster with Lloyd
+    k-means, then inside each cluster drop every vector with a
+    smaller-vec_id neighbor within int64 squared-L2 ``tau``) — the
+    embedding sibling of dedup_exact/dedup_minhash; see
+    ops.similarity.semantic_dedup for the scale contract (quadratic term
+    bounded per cluster; k grows with the corpus).
+    -> (vec_id, cluster) survivors."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import semantic_dedup
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(emb, k=8, rounds=3)

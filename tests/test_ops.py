@@ -2402,3 +2402,31 @@ def test_kmeans_lloyd_empty_cluster_and_ties(ray_session):
     # the two duplicates of vec 0/1 land in the SAME cluster (tie determinism)
     m = dict(zip(got["vec_id"], got["cluster"]))
     assert m[0] == m[1] and m[2] == m[3]
+
+
+def test_semantic_dedup_keep_first(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.similarity import _quantize, semantic_dedup
+
+    tbl = _emb_table(n=80, dim=16, seed=7)
+    got = semantic_dedup(
+        rd.from_arrow(tbl), k=4, rounds=2, tau=40 * 10**12
+    ).to_pandas()
+    # replica: same assignment (kmeans replica), then the keep-first rule
+    assign = _kmeans_replica(tbl, k=4, rounds=2)
+    flat = tbl.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    ).astype(np.float64)
+    x = _quantize(flat.reshape(80, -1), 10**6)
+    exp = []
+    for v in range(80):
+        dup = any(
+            assign[u] == assign[v]
+            and int(((x[u] - x[v]) ** 2).sum()) < 40 * 10**12
+            for u in range(v)
+        )
+        if not dup:
+            exp.append((v, assign[v]))
+    assert sorted(zip(got["vec_id"], got["cluster"])) == exp
+    assert 0 < len(exp) < 80  # tau chosen so the rule actually prunes
