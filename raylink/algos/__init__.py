@@ -33,3 +33,7 @@ from raylink.algos.centrality import (  # noqa: F401
     harmonic_centrality,
 )
 from raylink.algos.walks import node2vec_walks, random_walks  # noqa: F401
+from raylink.algos.eigenvector import (  # noqa: F401
+    EigenvectorPower,
+    eigenvector_centrality,
+)

@@ -3138,6 +3138,39 @@ def katz_sql(iters: int = 8, alpha: float = 0.05, beta: float = 1.0,
     )
 
 
+def eigenvector_sql(iters: int = 8, decimals: int = 8) -> str:
+    """Mirrors algos.eigenvector.eigenvector_centrality: x0 = 1/N,
+    x_t = (in-neighbor sum of x_{t-1}) / SUM(x_{t-1}), final output
+    x_K / SUM(x_K) — L1-normalized power iteration. Float association
+    differences are absorbed by ROUND(.., decimals) on both sides; a
+    zero norm (edgeless graph) yields all-zero scores on both sides."""
+    ctes = [
+        GRAPH_CTES,
+        "ev0 AS (SELECT vid, 1.0 / (SELECT n FROM nn) AS x FROM verts)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""ev{t} AS MATERIALIZED (
+  SELECT v.vid,
+         CASE WHEN (SELECT SUM(x) FROM ev{t - 1}) = 0 THEN 0.0
+              ELSE COALESCE(s.ms, 0) / (SELECT SUM(x) FROM ev{t - 1}) END AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.x) AS ms
+    FROM ev{t - 1} p JOIN edges e ON e.src = p.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid)"""
+        )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT vid::BIGINT AS vid,
+       ROUND(CASE WHEN (SELECT SUM(x) FROM ev{iters}) = 0 THEN 0.0
+                  ELSE x / (SELECT SUM(x) FROM ev{iters}) END,
+             {decimals}) AS score
+FROM ev{iters}"""
+    )
+
+
 def node2vec_sql(walk_len: int = 6, w_return: int = 1, w_common: int = 4,
                  w_far: int = 2, seed: int = 0) -> str:
     """Mirrors algos.walks.node2vec_walks bit-for-bit: candidate weight =

@@ -217,6 +217,36 @@ def q_katz(sf_dir: str):
     return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
+EIGEN_ITERS = 8
+
+
+def q_eigenvector(sf_dir: str):
+    """Eigenvector centrality (8 power iterations, L1-normalized) over the
+    directed page graph — the undamped PageRank sibling; HITS-style
+    broadcast-partial normalization, one superstep per iteration."""
+    from raylink.algos.eigenvector import eigenvector_centrality
+
+    g = page_graph(sf_dir, directed=True)
+    _, scores = eigenvector_centrality(
+        g=g, iters=EIGEN_ITERS, engine="tasks",
+        ckpt_dir=_ckpt("eigenvector", sf_dir, EIGEN_ITERS),
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "score": pa.array(
+                    round_half_away(
+                        batch.column("x").to_numpy(zero_copy_only=False), 8
+                    )
+                ),
+            }
+        )
+
+    return scores.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_host_top_pages(sf_dir: str):
     """Top-3 pages per host by PageRank (the crawl's per-site
     representative-page pick): resumes q_pagerank's checkpoints, parses

@@ -1824,6 +1824,36 @@ def katz_oracle(n, edges, iters, alpha=0.05, beta=1.0):
     return x
 
 
+def eigenvector_oracle(n, edges, iters):
+    uniq = np.unique(edges[:, 0] << np.int64(32) | edges[:, 1])
+    s = (uniq >> np.int64(32)).astype(np.int64)
+    d = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    x = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        norm = x.sum()
+        x = np.bincount(d, weights=x[s], minlength=n) / norm
+    return x / x.sum()
+
+
+@pytest.mark.parametrize("engine", ["dataset", "tasks"])
+def test_eigenvector(edge_data, engine, tmp_path):
+    from raylink.algos.eigenvector import eigenvector_centrality
+    from raylink.graph import build_graph
+
+    edges, edges_ds, verts_ds = edge_data
+    g = build_graph(edges_ds, verts_ds, num_parts=4, directed=True)
+    res, scores = eigenvector_centrality(
+        g=g, iters=6, engine=engine,
+        ckpt_dir=str(tmp_path / f"eig-{engine}"),
+    )
+    pdf = scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    exp = eigenvector_oracle(N, edges, iters=6)
+    np.testing.assert_allclose(pdf["x"].to_numpy(), exp, rtol=0, atol=1e-12)
+    # exactly L1-normalized output; supersteps = iters + final two
+    assert abs(pdf["x"].to_numpy().sum() - 1.0) < 1e-12
+    assert res.supersteps_run == 8
+
+
 @pytest.mark.parametrize("engine", ["dataset", "tasks"])
 def test_katz(edge_data, engine, tmp_path):
     from raylink.algos.pagerank import katz
