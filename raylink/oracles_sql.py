@@ -2442,6 +2442,31 @@ ORDER BY c DESC, src, dst LIMIT {k}"""
     )
 
 
+def resource_alloc_sql(k: int = 50, scale: int = 10**6) -> str:
+    """Mirrors algos.triangles.resource_allocation: int64 fixed-point RA
+    scores (sum over common neighbours z of scale // deg(z)) for canonical
+    non-adjacent pairs on the undirected simple graph, top-k by
+    (score DESC, src, dst) — all-integer arithmetic, no float boundary."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """uer AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            "adjr AS (SELECT a AS v, b AS n FROM uer UNION ALL SELECT b, a FROM uer)",
+            "degr AS (SELECT v, count(*)::BIGINT AS dg FROM adjr GROUP BY v)",
+            f"""wppr AS (SELECT x.n AS u, y.n AS w, ({scale} // d.dg)::BIGINT AS wt
+  FROM adjr x JOIN adjr y ON x.v = y.v AND x.n < y.n
+  JOIN degr d ON d.v = x.v)""",
+            "kpr AS (SELECT u, w, SUM(wt)::BIGINT AS sc FROM wppr GROUP BY u, w)",
+            """nepr AS (SELECT u, w, sc FROM kpr
+  WHERE NOT EXISTS (SELECT 1 FROM uer WHERE uer.a = kpr.u AND uer.b = kpr.w))""",
+        )
+        + f"""
+SELECT u AS src, w AS dst, sc AS score FROM nepr
+ORDER BY sc DESC, src, dst LIMIT {k}"""
+    )
+
+
 def mirrors_sql() -> str:
     """Mirrors queries.q_mirrors: plant (s % 10 == 6 outlink sets copied to
     s+1, s+1's own edges dropped), then group pages by identical distinct

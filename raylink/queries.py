@@ -2880,6 +2880,17 @@ def q_link_prediction(sf_dir: str):
     return link_prediction(edges, k=50)
 
 
+def q_resource_alloc(sf_dir: str):
+    """Resource-Allocation link prediction: top-50 non-adjacent page pairs
+    by sum over common neighbours z of RA_SCALE // deg(z) — the
+    degree-weighted sibling of ``link_prediction``, integer-exact in fixed
+    point (no libm logs)."""
+    from raylink.algos.triangles import resource_allocation
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return resource_allocation(edges, k=50)
+
+
 def q_mirrors(sf_dir: str):
     """Mirror/alias detection over a deterministically planted edge set
     (the pii_scan precedent — the closed-form synthetic graph has no

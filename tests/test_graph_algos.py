@@ -879,6 +879,33 @@ def test_link_prediction(edge_data, ray_session):
         ] == cand[:k]
 
 
+def test_resource_allocation(edge_data, ray_session):
+    from raylink.algos.triangles import RA_SCALE, resource_allocation
+
+    edges, edges_ds, _ = edge_data
+    # brute-force oracle: score(u, w) = sum over common z of SCALE // deg(z)
+    A = np.zeros((N, N), dtype=np.int64)
+    for s, d in edges:
+        if s != d:
+            A[s, d] = A[d, s] = 1
+    deg = A.sum(axis=1)
+    W = A * (RA_SCALE // np.maximum(deg, 1))[:, None]  # column z weighted
+    S = A @ W  # S[u, w] = sum over z adj to both of SCALE // deg(z)
+    cand = [
+        (int(S[u, w]), u, w)
+        for u in range(N)
+        for w in range(u + 1, N)
+        if S[u, w] > 0 and A[u, w] == 0
+    ]
+    cand.sort(key=lambda r: (-r[0], r[1], r[2]))
+    for k in (10, 50):
+        got = resource_allocation(edges_ds, k=k).to_pandas()
+        assert [
+            (c, u, w)
+            for c, u, w in zip(got["score"], got["src"], got["dst"])
+        ] == cand[:k]
+
+
 def test_khop_egonet(edge_data, ray_session):
     from raylink.pipelines import khop_egonet
 
