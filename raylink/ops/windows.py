@@ -352,3 +352,88 @@ def event_transitions(events_ds, user_col: str = "user_id",
         ),
         batch_format="pyarrow",
     )
+
+
+def rolling_active_users(events_ds, window_days: int = 7,
+                         num_buckets: int = 64):
+    """Daily active users + trailing ``window_days``-day rolling DISTINCT
+    active users — the DAU/WAU product-analytics pair. -> Dataset
+    (day, dau, wau) with one row per epoch-day (UTC) that has >= 1 event;
+    dau = distinct users that day, wau = distinct users in
+    [day - window_days + 1, day]. All integer, no float boundary.
+
+    The rolling distinct does NOT sum daily counts (users active on several
+    days would double-count): each globally-distinct (day, user) pair is
+    expanded to the ``window_days`` target days it makes active, and the
+    expansion is distinct-counted again. Dataflow: per-batch distinct
+    packed (day << 32 | user) keys -> ``bucketed_distinct`` ->
+    (a) per-day sum -> DAU; (b) vectorized x``window_days`` expansion ->
+    ``bucketed_distinct`` -> per-day sum -> WAU; one ``hash_join`` of the
+    two day tables (day cardinality = date range, tiny next to events).
+    Shuffles carry at most distinct-pair rows, never raw events."""
+    from raylink.join import bucketed_distinct, bucketed_sum, hash_join
+    from raylink.util import assert_packable
+
+    W = int(window_days)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        assert_packable(uid, "rolling_active_users user_id")
+        assert_packable(day, "rolling_active_users day")
+        key = np.unique((day << np.int64(32)) | uid)
+        return pa.table({"du": pa.array(key)})
+
+    dup = bucketed_distinct(
+        events_ds.map_batches(pairs, batch_format="pyarrow"),
+        "du", num_buckets=num_buckets,
+    ).materialize()  # consumed by both the DAU and the WAU branch
+
+    def day_ones(batch: pa.Table) -> pa.Table:
+        k = batch.column("du").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(k >> np.int64(32)),
+                "c": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    dau = bucketed_sum(
+        dup.map_batches(day_ones, batch_format="pyarrow"),
+        "day", "c", out_val="dau", num_buckets=num_buckets,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        k = batch.column("du").to_numpy(zero_copy_only=False)
+        day = k >> np.int64(32)
+        uid = k & np.int64(0xFFFFFFFF)
+        td = (day[:, None] + np.arange(W, dtype=np.int64)).ravel()
+        tu = np.unique((td << np.int64(32)) | np.repeat(uid, W))
+        return pa.table({"tu": pa.array(tu)})
+
+    wau_pairs = bucketed_distinct(
+        dup.map_batches(expand, batch_format="pyarrow"),
+        "tu", num_buckets=num_buckets,
+    )
+
+    def tday_ones(batch: pa.Table) -> pa.Table:
+        k = batch.column("tu").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(k >> np.int64(32)),
+                "c": pa.array(np.ones(len(k), dtype=np.int64)),
+            }
+        )
+
+    wau = bucketed_sum(
+        wau_pairs.map_batches(tday_ones, batch_format="pyarrow"),
+        "day", "c", out_val="wau", num_buckets=num_buckets,
+    )
+    # every data day appears in the expansion (offset 0), so strict holds;
+    # expansion-only tail days (after the last event) are dropped by the
+    # left-driven join — the output is exactly the days with events
+    return hash_join(
+        dau, wau, on="day",
+        left_cols={"dau": pa.int64()}, right_cols={"wau": pa.int64()},
+    )

@@ -3291,6 +3291,22 @@ FROM a JOIN c USING (user_id)
 GROUP BY 1, 2"""
 
 
+def rolling_actives_sql(window_days: int = 7) -> str:
+    """ops/windows.rolling_active_users: day = epoch-day floor of ts,
+    dau = distinct users per day, wau = distinct users over the trailing
+    ``window_days`` days — mirrored as the same distinct-(day, user)
+    expansion; output rows are exactly the days WITH events."""
+    return f"""
+WITH rap AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+rad AS (SELECT day, count(*)::BIGINT AS dau FROM rap GROUP BY day),
+rax AS (SELECT DISTINCT day + j AS td, user_id
+        FROM rap, unnest(generate_series(0, {window_days - 1})) AS t(j)),
+raw_ AS (SELECT td, count(*)::BIGINT AS wau FROM rax GROUP BY td)
+SELECT d.day::BIGINT AS day, d.dau, w.wau
+FROM rad d JOIN raw_ w ON w.td = d.day"""
+
+
 def reciprocity_sql() -> str:
     """pipelines.edge_reciprocity: distinct non-self directed edges;
     reciprocal iff the reverse edge exists; one IEEE division."""

@@ -2029,6 +2029,18 @@ def q_event_transitions(sf_dir: str):
     return event_transitions(ev)
 
 
+def q_rolling_actives(sf_dir: str):
+    """DAU + 7-day rolling distinct active users per epoch-day — the
+    product-analytics WAU pair; distinct-pair expansion, never a sum of
+    daily counts (multi-day users would double-count)."""
+    import ray.data as rd
+
+    from raylink.ops.windows import rolling_active_users
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return rolling_active_users(ev, window_days=7)
+
+
 def q_cohort_retention(sf_dir: str):
     """Day-grain cohort retention matrix over the events table: cohort =
     each user's first active epoch-day; cells count distinct users active

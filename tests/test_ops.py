@@ -2187,6 +2187,34 @@ def test_cohort_retention(ray_session):
     assert list(map(tuple, got.to_numpy().tolist())) == exp
 
 
+def test_rolling_active_users(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.windows import rolling_active_users
+
+    day_us = 86_400_000_000
+    # (user, day): u1 active d0,d1; u2 active d0 twice; u3 active d4
+    rows = [(1, 0), (1, 1), (2, 0), (2, 0), (3, 4)]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [r[1] * day_us + 5 for r in rows], type=pa.timestamp("us")
+            ),
+        }
+    )
+    got = (
+        rolling_active_users(rd.from_arrow(tbl).repartition(3), window_days=3)
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    # d0: dau {1,2}=2, wau(d-2..d0) {1,2}=2; d1: dau {1}=1, wau {1,2}=2;
+    # d4: dau {3}=1, wau(d2..d4) {3}=1 — days 2,3 have no events: no rows
+    exp = [(0, 2, 2), (1, 1, 2), (4, 1, 1)]
+    assert list(map(tuple, got[["day", "dau", "wau"]].to_numpy().tolist())) == exp
+
+
 def test_event_transitions(ray_session):
     import ray.data as rd
 
