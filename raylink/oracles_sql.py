@@ -2467,6 +2467,36 @@ ORDER BY sc DESC, src, dst LIMIT {k}"""
     )
 
 
+def rich_club_sql() -> str:
+    """Mirrors pipelines.rich_club_curve: undirected simple graph,
+    N_k = vertices with deg > k, E_k = edges with min(deg_a, deg_b) > k,
+    phi = ROUND(2.0 * E / (N * (N - 1.0)), 8), rows with N_k >= 2 for
+    k in [0, max_deg)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """uerc AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            "adjrc AS (SELECT a AS v FROM uerc UNION ALL SELECT b FROM uerc)",
+            "degrc AS (SELECT v, count(*)::BIGINT AS dg FROM adjrc GROUP BY v)",
+            """merc AS (SELECT LEAST(da.dg, db.dg) AS m
+  FROM uerc JOIN degrc da ON da.v = uerc.a JOIN degrc db ON db.v = uerc.b)""",
+            """krc AS (SELECT unnest(generate_series(
+  0, (SELECT MAX(dg) FROM degrc) - 1)) AS k)""",
+        )
+        + """
+SELECT k::BIGINT AS k,
+       n::BIGINT AS n_nodes,
+       e::BIGINT AS n_edges,
+       ROUND(2.0 * e / (n * (n - 1.0)), 8) AS phi
+FROM (SELECT k,
+             (SELECT count(*) FROM degrc WHERE dg > k) AS n,
+             (SELECT count(*) FROM merc WHERE m > k) AS e
+      FROM krc)
+WHERE n >= 2"""
+    )
+
+
 def mirrors_sql() -> str:
     """Mirrors queries.q_mirrors: plant (s % 10 == 6 outlink sets copied to
     s+1, s+1's own edges dropped), then group pages by identical distinct

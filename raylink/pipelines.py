@@ -759,3 +759,101 @@ def avg_neighbor_degree(edges_ds):
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rich_club_curve(edges_ds, num_buckets: int = 64):
+    """Rich-club coefficient curve of the undirected simple graph
+    (Colizza et al. 2006, public): for every degree threshold k in
+    [0, max_deg), phi(k) = 2 * E_k / (N_k * (N_k - 1)) where N_k counts
+    vertices with deg > k and E_k the edges with BOTH endpoints' deg > k
+    — the link-farm / elite-core connectivity diagnostic. -> Dataset
+    (k, n_nodes, n_edges, phi), rows where N_k >= 2 only.
+
+    Scale shape: E_k needs deg on both endpoints — one ``pair_attach``
+    (two coarse-bucket shuffles, no broadcast); both histograms are then
+    per-batch partials summed into O(max_deg) rows, and the survival-
+    function finish runs on that single tiny block (never O(V) anywhere
+    off-cluster). One IEEE division per output row, identical in the SQL
+    mirror."""
+    from raylink.algos.triangles import _distinct_and_degrees
+    from raylink.join import bucketed_sum, pair_attach
+    from raylink.util import round_half_away
+
+    distinct, deg_ds = _distinct_and_degrees(edges_ds)
+    att = pair_attach(distinct, deg_ds, {"deg": pa.int64()}, id_col="vid")
+
+    def edge_hist(batch: pa.Table) -> pa.Table:
+        m = np.minimum(
+            batch.column("deg_a").to_numpy(zero_copy_only=False),
+            batch.column("deg_b").to_numpy(zero_copy_only=False),
+        )
+        d, c = np.unique(m, return_counts=True)
+        return pa.table(
+            {"d": pa.array(d), "ec": pa.array(c.astype(np.int64))}
+        )
+
+    def vert_hist(batch: pa.Table) -> pa.Table:
+        d, c = np.unique(
+            batch.column("deg").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {"d": pa.array(d), "nc": pa.array(c.astype(np.int64))}
+        )
+
+    eh = bucketed_sum(
+        att.map_batches(edge_hist, batch_format="pyarrow"),
+        "d", "ec", num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: pa.table(
+            {"d": b.column("d"), "ec": b.column("sum(ec)"),
+             "nc": pa.array(np.zeros(b.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+    )
+    nh = bucketed_sum(
+        deg_ds.map_batches(vert_hist, batch_format="pyarrow"),
+        "d", "nc", num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: pa.table(
+            {"d": b.column("d"), "ec": pa.array(np.zeros(b.num_rows, np.int64)),
+             "nc": b.column("sum(nc)")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        ec = batch.column("ec").to_numpy(zero_copy_only=False)
+        nc = batch.column("nc").to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table(
+                {"k": pa.array([], type=pa.int64()),
+                 "n_nodes": pa.array([], type=pa.int64()),
+                 "n_edges": pa.array([], type=pa.int64()),
+                 "phi": pa.array([], type=pa.float64())}
+            )
+        md = int(d.max())
+        ecf = np.zeros(md + 1, np.int64)
+        ncf = np.zeros(md + 1, np.int64)
+        np.add.at(ecf, d, ec)
+        np.add.at(ncf, d, nc)
+        # survival: counts with value > k, for k = 0..md-1
+        e_gt = np.cumsum(ecf[::-1])[::-1]  # e_gt[j] = count with d >= j
+        n_gt = np.cumsum(ncf[::-1])[::-1]
+        k = np.arange(md, dtype=np.int64)
+        N = n_gt[1:]  # deg > k  ==  deg >= k+1
+        E = e_gt[1:]
+        keep = N >= 2
+        k, N, E = k[keep], N[keep], E[keep]
+        phi = round_half_away(2.0 * E / (N * (N - 1.0)), 8)
+        return pa.table(
+            {"k": pa.array(k), "n_nodes": pa.array(N),
+             "n_edges": pa.array(E), "phi": pa.array(phi)}
+        )
+
+    return (
+        eh.union(nh)
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )

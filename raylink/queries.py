@@ -2903,6 +2903,16 @@ def q_resource_alloc(sf_dir: str):
     return resource_allocation(edges, k=50)
 
 
+def q_rich_club(sf_dir: str):
+    """Rich-club coefficient curve phi(k) over the undirected page graph —
+    elite-core connectivity (link-farm diagnostic); O(max_deg) histogram
+    survival functions, one pair_attach for edge min-degrees."""
+    from raylink.pipelines import rich_club_curve
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return rich_club_curve(edges)
+
+
 def q_mirrors(sf_dir: str):
     """Mirror/alias detection over a deterministically planted edge set
     (the pii_scan precedent — the closed-form synthetic graph has no

@@ -906,6 +906,28 @@ def test_resource_allocation(edge_data, ray_session):
         ] == cand[:k]
 
 
+def test_rich_club(edge_data, ray_session):
+    from raylink.pipelines import rich_club_curve
+
+    edges, edges_ds, _ = edge_data
+    A = np.zeros((N, N), dtype=np.int64)
+    for s, d in edges:
+        if s != d:
+            A[s, d] = A[d, s] = 1
+    deg = A.sum(axis=1)
+    ue = [(u, w) for u in range(N) for w in range(u + 1, N) if A[u, w]]
+    exp = []
+    for k in range(int(deg.max())):
+        nk = int((deg > k).sum())
+        ek = sum(1 for u, w in ue if deg[u] > k and deg[w] > k)
+        if nk >= 2:
+            exp.append((k, nk, ek, round(2.0 * ek / (nk * (nk - 1.0)), 8)))
+    got = rich_club_curve(edges_ds).to_pandas().sort_values("k")
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
+    # phi is monotone-ish toward 1 at the top of the curve for this fixture
+    assert got["phi"].iloc[-1] <= 1.0 + 1e-12
+
+
 def test_khop_egonet(edge_data, ray_session):
     from raylink.pipelines import khop_egonet
 
