@@ -1349,3 +1349,203 @@ def search_topk(docs_ds, terms: list[str], k: int = 20,
 
     scored = docs_ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
+LM_SCALE = 10**6
+
+
+def lm_score(docs_ds, num_buckets: int = 64):
+    """Smoothed bigram language-model likelihood score per document — the
+    CCNet/KenLM-style fluency signal of a curation pipeline, in int64
+    FIXED POINT so the score is bit-portable across engines (the kmeans
+    precedent: libm log/exp are not; integer ratios are). Per adjacent
+    ``[a-z]+`` word-pair occurrence (w1, w2):
+
+        p = ((bc(w1 w2) + 1) * LM_SCALE) // (uc(w1) + V)
+
+    — add-one-smoothed conditional bigram probability, floored to 1e-6
+    fixed point; bc = corpus bigram count, uc = corpus occurrence count of
+    the LEFT word, V = corpus distinct-word count. The doc score is the
+    occurrence mean, ONE IEEE division: lm_score =
+    round_half_away(lp_sum / (n_bigrams * LM_SCALE), 8). -> Dataset
+    (doc_id, n_bigrams, lp_sum, lm_score); docs with < 2 words score 0.
+
+    Dataflow (the bigram_coherence shape plus one more lookup relation,
+    everything distributed, nothing broadcast but the scalar V):
+    global bigram counts and global unigram counts each via per-batch
+    hash-keyed partials + one coarse-bucket combine; per-(doc, bigram)
+    multiplicity rows then flow through TWO ``hash_join``s — bigram count
+    on the FNV bigram hash, left-word count on the FNV word hash — with
+    the per-doc partial computed INSIDE the second join task. The SQL
+    mirror groups by the bigram/word STRINGS, so an FNV collision fails
+    the oracle gate, never passes silently (~2^-64 per vocab pair)."""
+    import pyarrow.compute as pc
+
+    from raylink.join import anti_join, hash_join, with_typed_empty
+    from raylink.util import round_half_away, splitmix64, text_hash64
+
+    B = np.uint64(num_buckets)
+
+    def _grams(batch: pa.Table, what: str) -> pa.Table:
+        """what='bigram': (bh, c) distinct bigram counts of the batch;
+        what='word': (wh, c) word-occurrence counts of the batch;
+        what='doc': (doc_id, bh, w1h, c) per-(doc, bigram) multiplicity."""
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_idx, codes, dic = _word_codes(text)
+        if what == "word":
+            wh = text_hash64(dic).astype(np.int64)
+            uc_, cc = np.unique(codes, return_counts=True)
+            return pa.table(
+                {"wh": pa.array(wh[uc_]), "c": pa.array(cc.astype(np.int64))}
+            )
+        if len(doc_idx) < 2:
+            cols = {"bh": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64())}
+            if what == "doc":
+                cols["doc_id"] = pa.array([], type=pa.int64())
+                cols["w1h"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        adj = doc_idx[1:] == doc_idx[:-1]
+        V = np.int64(len(dic))
+        left_c = codes[:-1][adj]
+        pid = left_c * V + codes[1:][adj]
+        if what == "doc":
+            key = doc_idx[:-1][adj]
+            uk, c = np.unique(key * (V * V) + pid, return_counts=True)
+            upid = uk % (V * V)
+            udoc = doc_ids[(uk // (V * V)).astype(np.int64)]
+        else:
+            upid, c = np.unique(pid, return_counts=True)
+        left = dic.take(pa.array(upid // V))
+        right = dic.take(pa.array(upid % V))
+        bigrams = pc.binary_join_element_wise(
+            pc.cast(left, pa.string()), pc.cast(right, pa.string()), " "
+        )
+        bh = text_hash64(bigrams).astype(np.int64)
+        cols = {"bh": pa.array(bh), "c": pa.array(c.astype(np.int64))}
+        if what == "doc":
+            cols["doc_id"] = pa.array(udoc)
+            cols["w1h"] = pa.array(text_hash64(left).astype(np.int64))
+        return pa.table(cols)
+
+    def _bucket_comb(key: str, out: str):
+        def bucket(batch: pa.Table) -> pa.Table:
+            h = batch.column(key).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "hb",
+                pa.array((splitmix64(h.astype(np.uint64)) % B).astype(np.int32)),
+            )
+
+        def comb(group: pa.Table) -> pa.Table:
+            h = group.column(key).to_numpy(zero_copy_only=False)
+            c = group.column("c").to_numpy(zero_copy_only=False)
+            uh, inv = np.unique(h, return_inverse=True)
+            s = np.zeros(len(uh), dtype=np.int64)
+            np.add.at(s, inv, c)
+            return pa.table({key: pa.array(uh), out: pa.array(s)})
+
+        return bucket, comb
+
+    bb, bc_ = _bucket_comb("bh", "bc")
+    bcounts = (
+        docs_ds.map_batches(lambda b: _grams(b, "bigram"), batch_format="pyarrow")
+        .map_batches(bb, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(bc_, batch_format="pyarrow")
+    )
+    wb, wc_ = _bucket_comb("wh", "uc")
+    ucounts = (
+        docs_ds.map_batches(lambda b: _grams(b, "word"), batch_format="pyarrow")
+        .map_batches(wb, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(wc_, batch_format="pyarrow")
+    ).materialize()  # consumed by count() and the join
+    V_corpus = int(ucounts.count())  # scalar: corpus distinct-word count
+
+    doc_rows = docs_ds.map_batches(
+        lambda b: _grams(b, "doc"), batch_format="pyarrow"
+    )
+    with_bc = hash_join(
+        doc_rows, bcounts, on="bh",
+        left_cols={"doc_id": pa.int64(), "w1h": pa.int64(), "c": pa.int64()},
+        right_cols={"bc": pa.int64()},
+    )
+
+    def per_doc_partial(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        occ = group.column("c").to_numpy(zero_copy_only=False)
+        bcv = group.column("bc").to_numpy(zero_copy_only=False)
+        ucv = group.column("uc").to_numpy(zero_copy_only=False)
+        lp1 = ((bcv + 1) * np.int64(LM_SCALE)) // (ucv + np.int64(V_corpus))
+        ud, inv = np.unique(d, return_inverse=True)
+        lps = np.zeros(len(ud), dtype=np.int64)
+        nbg = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(lps, inv, occ * lp1)
+        np.add.at(nbg, inv, occ)
+        return pa.table(
+            {"doc_id": pa.array(ud), "lps": pa.array(lps), "nbg": pa.array(nbg)}
+        )
+
+    ucounts_j = ucounts.map_batches(
+        lambda b: pa.table({"w1h": b.column("wh"), "uc": b.column("uc")}),
+        batch_format="pyarrow",
+    )
+    partials = hash_join(
+        with_bc, ucounts_j, on="w1h",
+        left_cols={"doc_id": pa.int64(), "c": pa.int64(), "bc": pa.int64()},
+        right_cols={"uc": pa.int64()},
+        post=per_doc_partial,
+    )
+
+    def doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "db",
+            pa.array((splitmix64(d.astype(np.uint64)) % B).astype(np.int32)),
+        )
+
+    def doc_comb(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        s1 = group.column("lps").to_numpy(zero_copy_only=False)
+        s2 = group.column("nbg").to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        lps = np.zeros(len(ud), dtype=np.int64)
+        nbg = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(lps, inv, s1)
+        np.add.at(nbg, inv, s2)
+        sc = np.zeros(len(ud), dtype=np.float64)
+        pos = nbg > 0
+        sc[pos] = round_half_away(
+            lps[pos] / (nbg[pos] * float(LM_SCALE)), 8
+        )
+        return pa.table(
+            {"doc_id": pa.array(ud), "n_bigrams": pa.array(nbg),
+             "lp_sum": pa.array(lps), "lm_score": pa.array(sc)}
+        )
+
+    scored = (
+        partials.map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("db")
+        .map_groups(doc_comb, batch_format="pyarrow")
+    )
+    ids = docs_ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id")}),
+        batch_format="pyarrow",
+    )
+    zeros = anti_join(
+        ids, scored, on="doc_id", left_cols={}
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"),
+             "n_bigrams": pa.array(np.zeros(len(b), dtype=np.int64)),
+             "lp_sum": pa.array(np.zeros(len(b), dtype=np.int64)),
+             "lm_score": pa.array(np.zeros(len(b), dtype=np.float64))}
+        ),
+        batch_format="pyarrow",
+    )
+    return with_typed_empty(
+        scored.union(zeros),
+        {"doc_id": pa.int64(), "n_bigrams": pa.int64(),
+         "lp_sum": pa.int64(), "lm_score": pa.float64()},
+    )

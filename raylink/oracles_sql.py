@@ -2140,6 +2140,36 @@ SELECT w.doc_id,
 FROM w LEFT JOIN per USING (doc_id) ORDER BY w.doc_id"""
 
 
+def lm_score_sql(scale: int = 10**6) -> str:
+    """Mirrors ops.textstats.lm_score: adjacent [a-z]+ pairs of
+    lower(text), per-occurrence fixed-point smoothed conditional
+    probability ((bc+1)*scale) // (uc(w1)+V) — all-integer sums, one
+    double division, round-half-away(8) == ROUND for positive args.
+    Groups by the bigram/word STRINGS, so an engine-side FNV collision
+    fails here."""
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+g AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bigram
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2),
+bcn AS (SELECT bigram, count(*)::BIGINT AS c FROM g GROUP BY bigram),
+ucn AS (SELECT word, count(*)::BIGINT AS c
+        FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+vvn AS (SELECT count(*)::BIGINT AS v FROM ucn),
+per AS (SELECT g.doc_id,
+               SUM((b.c + 1) * {scale} // (u.c + (SELECT v FROM vvn)))::BIGINT AS lps,
+               COUNT(*)::BIGINT AS nbg
+        FROM g JOIN bcn b USING (bigram) JOIN ucn u ON u.word = g.w1
+        GROUP BY g.doc_id)
+SELECT w.doc_id,
+       COALESCE(per.nbg, 0)::BIGINT AS n_bigrams,
+       COALESCE(per.lps, 0)::BIGINT AS lp_sum,
+       CASE WHEN COALESCE(per.nbg, 0) = 0 THEN 0.0
+            ELSE ROUND(per.lps / (per.nbg * {scale}.0), 8) END AS lm_score
+FROM w LEFT JOIN per USING (doc_id) ORDER BY w.doc_id"""
+
+
 def events_latest_sql() -> str:
     """Mirrors ops.select.latest_by_key(user_id, ts, event_id): the single
     newest event per user, ties by event_id ASC."""

@@ -1843,6 +1843,15 @@ def q_bigram_coherence(sf_dir: str):
     return bigram_coherence(_docs(sf_dir)).sort("doc_id")
 
 
+def q_lm_score(sf_dir: str):
+    """Smoothed bigram-LM likelihood score per doc (fixed-point CCNet-style
+    fluency signal): mean over bigram occurrences of
+    ((bc+1)*SCALE) // (uc(w1)+V)."""
+    from raylink.ops.textstats import lm_score
+
+    return lm_score(_docs(sf_dir)).sort("doc_id")
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup resolution: connected components over the n-gram Jaccard
     pair graph -> one cluster id (min doc_id) per document. Composes the

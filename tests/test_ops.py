@@ -1835,6 +1835,50 @@ def test_funnel_vs_bruteforce(ray_session):
     assert got.equals(want)
 
 
+def test_lm_score(ray_session):
+    """Engine == brute-force python replica of the fixed-point smoothed
+    bigram LM: lp = ((bc+1)*SCALE) // (uc(w1)+V) per occurrence."""
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from raylink.ops.textstats import LM_SCALE, lm_score
+    from raylink.util import round_half_away
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown cat sleeps",
+        "the the the the",
+        "word",
+        "",
+        "Quick! brown-fox; THE quick BROWN fox",
+    ]
+    words = [re.findall(r"[a-z]+", t.lower()) for t in texts]
+    uc = collections.Counter(w for ws in words for w in ws)
+    bc = collections.Counter(
+        (ws[i], ws[i + 1]) for ws in words for i in range(len(ws) - 1)
+    )
+    V = len(uc)
+    exp = []
+    for d, ws in enumerate(words):
+        occ = [(ws[i], ws[i + 1]) for i in range(len(ws) - 1)]
+        lps = sum(((bc[o] + 1) * LM_SCALE) // (uc[o[0]] + V) for o in occ)
+        n = len(occ)
+        sc = float(round_half_away(np.array([lps / (n * LM_SCALE)]), 8)[0]) if n else 0.0
+        exp.append((d, n, lps, sc))
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": texts}
+        )
+    ).repartition(3)
+    got = (
+        lm_score(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
+
+
 def test_bigram_coherence(ray_session):
     """Engine == brute-force python replica: corpus bigram counts joined
     back per occurrence; multiplicities counted; short/empty docs 0.0."""
