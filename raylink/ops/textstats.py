@@ -1549,3 +1549,104 @@ def lm_score(docs_ds, num_buckets: int = 64):
         {"doc_id": pa.int64(), "n_bigrams": pa.int64(),
          "lp_sum": pa.int64(), "lm_score": pa.float64()},
     )
+
+
+DSIR_D = 1024  # hashed feature buckets (unigrams + bigrams share the space)
+
+
+def dsir_weights(docs_ds, target_source: str, num_features: int = DSIR_D):
+    """DSIR-style importance score per document (Xie et al. 2023, public:
+    Data Selection via Importance Resampling — hashed n-gram features,
+    target-vs-raw likelihood ratio). This is the LINEAR-DOMAIN fixed-point
+    variant: per feature bucket f,
+
+        r[f] = ((ct[f] + 1) * LM_SCALE) // (cr[f] + 1)
+
+    — add-one-smoothed target/raw occurrence-count ratio (ct = occurrences
+    in target-source docs, cr = in the whole corpus); the doc score is the
+    occurrence mean of r, one IEEE division. Log-domain DSIR sums
+    log(p_t/p_r) — libm logs are not bit-portable across engines (the
+    kmeans/lm_score precedent), integer ratios are; the linear mean keeps
+    the same target-likeness ordering signal. -> Dataset (doc_id, n_feats,
+    ratio_sum, dsir_score); featureless docs score 0.
+
+    Features: every [a-z]+ unigram occurrence and every adjacent-bigram
+    occurrence, FNV-1a-hashed mod ``num_features`` (hash collisions merge
+    buckets IDENTICALLY on both engines — inherent to hashed DSIR, not a
+    silent-failure channel). Scale shape: the histogram pass reduces to
+    <= num_features rows (driver-bounded by D, the IVF-codebook
+    precedent), the ratio table broadcasts once via ray.put, and scoring
+    is a shuffle-free per-batch pass."""
+    import ray
+    import pyarrow.compute as pc
+
+    from raylink.util import round_half_away, text_hash64
+
+    D = int(num_features)
+
+    def _occ_feats(batch: pa.Table):
+        """Per-occurrence feature ids + doc segmentation for one batch."""
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        doc_idx, codes, dic = _word_codes(text)
+        dic_h = (text_hash64(dic) % np.uint64(D)).astype(np.int64)
+        uf = dic_h[codes]
+        adj = doc_idx[1:] == doc_idx[:-1]
+        V = np.int64(max(len(dic), 1))
+        lc, rc = codes[:-1][adj], codes[1:][adj]
+        if len(lc):
+            pid = lc * V + rc
+            upid, inv = np.unique(pid, return_inverse=True)
+            bigrams = pc.binary_join_element_wise(
+                pc.cast(dic.take(pa.array(upid // V)), pa.string()),
+                pc.cast(dic.take(pa.array(upid % V)), pa.string()),
+                " ",
+            )
+            bf = (text_hash64(bigrams) % np.uint64(D)).astype(np.int64)[inv]
+        else:
+            bf = np.empty(0, np.int64)
+        f_all = np.concatenate([uf, bf])
+        d_all = np.concatenate([doc_idx, doc_idx[:-1][adj]])
+        return f_all, d_all
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        f_all, d_all = _occ_feats(batch)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        is_t = (src == target_source)[d_all]
+        cr = np.bincount(f_all, minlength=D).astype(np.int64)
+        ct = np.bincount(f_all[is_t], minlength=D).astype(np.int64)
+        nz = np.flatnonzero(cr)
+        return pa.table(
+            {"f": pa.array(nz.astype(np.int64)), "ct": pa.array(ct[nz]),
+             "cr": pa.array(cr[nz])}
+        )
+
+    hist = (
+        docs_ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("f")
+        .sum(["ct", "cr"])
+        .take_all()  # <= D rows — bounded by num_features, never by corpus
+    )
+    ct = np.zeros(D, np.int64)
+    cr = np.zeros(D, np.int64)
+    for row in hist:
+        ct[row["f"]] = row["sum(ct)"]
+        cr[row["f"]] = row["sum(cr)"]
+    r = ((ct + 1) * np.int64(LM_SCALE)) // (cr + 1)
+    r_ref = ray.put(r)  # broadcast once, read per task
+
+    def score(batch: pa.Table) -> pa.Table:
+        rv = ray.get(r_ref)
+        f_all, d_all = _occ_feats(batch)
+        n = batch.num_rows
+        rs = np.zeros(n, np.int64)
+        np.add.at(rs, d_all, rv[f_all])
+        nf = np.bincount(d_all, minlength=n).astype(np.int64)
+        sc = np.zeros(n, np.float64)
+        pos = nf > 0
+        sc[pos] = round_half_away(rs[pos] / (nf[pos] * float(LM_SCALE)), 8)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_feats": pa.array(nf),
+             "ratio_sum": pa.array(rs), "dsir_score": pa.array(sc)}
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -2170,6 +2170,43 @@ SELECT w.doc_id,
 FROM w LEFT JOIN per USING (doc_id) ORDER BY w.doc_id"""
 
 
+def dsir_weights_sql(target_source: str = "src0", d: int = 1024,
+                     scale: int = 10**6) -> str:
+    """Mirrors ops.textstats.dsir_weights: unigram + bigram occurrences of
+    [a-z]+ words, FNV-1a mod d feature buckets, fixed-point add-one
+    target/raw ratio r = ((ct+1)*scale) // (cr+1), doc score = occurrence
+    mean with one double division. Hash collisions merge buckets
+    identically on both sides (inherent to hashed DSIR)."""
+    return f"""
+WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+           FROM documents),
+occ AS (
+  SELECT doc_id, unnest(ws) AS g FROM w
+  UNION ALL
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 2),
+gh AS MATERIALIZED (
+  SELECT g, CAST({_fnv64('g')} % {d} AS BIGINT) AS f
+  FROM (SELECT DISTINCT g FROM occ)),
+ofr AS (SELECT occ.doc_id, gh.f FROM occ JOIN gh USING (g)),
+crr AS (SELECT f, count(*)::BIGINT AS c FROM ofr GROUP BY f),
+ctt AS (SELECT f, count(*)::BIGINT AS c FROM ofr
+        JOIN documents dd USING (doc_id)
+        WHERE dd.source = '{target_source}' GROUP BY f),
+rr AS (SELECT crr.f,
+              ((COALESCE(ctt.c, 0) + 1) * {scale}) // (crr.c + 1) AS r
+       FROM crr LEFT JOIN ctt ON ctt.f = crr.f),
+per AS (SELECT ofr.doc_id, SUM(rr.r)::BIGINT AS rs, COUNT(*)::BIGINT AS nf
+        FROM ofr JOIN rr USING (f) GROUP BY ofr.doc_id)
+SELECT d2.doc_id,
+       COALESCE(per.nf, 0)::BIGINT AS n_feats,
+       COALESCE(per.rs, 0)::BIGINT AS ratio_sum,
+       CASE WHEN COALESCE(per.nf, 0) = 0 THEN 0.0
+            ELSE ROUND(per.rs / (per.nf * {scale}.0), 8) END AS dsir_score
+FROM documents d2 LEFT JOIN per ON per.doc_id = d2.doc_id"""
+
+
 def events_latest_sql() -> str:
     """Mirrors ops.select.latest_by_key(user_id, ts, event_id): the single
     newest event per user, ties by event_id ASC."""

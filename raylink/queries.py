@@ -1852,6 +1852,23 @@ def q_lm_score(sf_dir: str):
     return lm_score(_docs(sf_dir)).sort("doc_id")
 
 
+DSIR_TARGET = "src0"
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style hashed n-gram importance scores against the src0 target
+    distribution (linear-domain fixed-point variant) — the data-selection
+    signal for importance resampling."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import dsir_weights
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return dsir_weights(docs, target_source=DSIR_TARGET)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup resolution: connected components over the n-gram Jaccard
     pair graph -> one cluster id (min doc_id) per document. Composes the

@@ -1879,6 +1879,64 @@ def test_lm_score(ray_session):
     assert list(map(tuple, got.to_numpy().tolist())) == exp
 
 
+def test_dsir_weights(ray_session):
+    """Engine == brute-force replica: hashed unigram+bigram occurrence
+    features, fixed-point add-one target/raw ratio mean."""
+    import collections
+    import re
+
+    import ray.data as rd
+
+    from raylink.ops.textstats import LM_SCALE, dsir_weights
+    from raylink.util import round_half_away, text_hash64
+
+    texts = [
+        "the quick brown fox",
+        "the quick brown cat",
+        "lorem ipsum dolor sit amet",
+        "the quick quick quick fox",
+        "",
+    ]
+    srcs = ["tgt", "raw", "raw", "tgt", "raw"]
+    D = 64
+
+    def feats(ws):
+        u = [w for w in ws]
+        b = [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+        h = text_hash64(u + b) % np.uint64(D)
+        return h.astype(np.int64) if len(u + b) else np.empty(0, np.int64)
+
+    words = [re.findall(r"[a-z]+", t.lower()) for t in texts]
+    cr = collections.Counter()
+    ct = collections.Counter()
+    for ws, s in zip(words, srcs):
+        for f in feats(ws):
+            cr[int(f)] += 1
+            if s == "tgt":
+                ct[int(f)] += 1
+    exp = []
+    for d, ws in enumerate(words):
+        fs = feats(ws)
+        rs = sum(((ct[int(f)] + 1) * LM_SCALE) // (cr[int(f)] + 1) for f in fs)
+        nf = len(fs)
+        sc = float(round_half_away(np.array([rs / (nf * LM_SCALE)]), 8)[0]) if nf else 0.0
+        exp.append((d, nf, rs, sc))
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": texts, "source": srcs}
+        )
+    ).repartition(2)
+    got = (
+        dsir_weights(docs, target_source="tgt", num_features=D)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
+    # target docs score above the unrelated raw doc
+    assert got["dsir_score"][0] > got["dsir_score"][2]
+    assert got["dsir_score"][3] > got["dsir_score"][2]
+
+
 def test_bigram_coherence(ray_session):
     """Engine == brute-force python replica: corpus bigram counts joined
     back per occurrence; multiplicities counted; short/empty docs 0.0."""
