@@ -2207,6 +2207,71 @@ SELECT d2.doc_id,
 FROM documents d2 LEFT JOIN per ON per.doc_id = d2.doc_id"""
 
 
+def _perceptron_ctes(dim: int, rounds: int) -> str:
+    """Shared unrolled-round CTE chain mirroring ops.train.perceptron_train
+    bit-for-bit: hashed [a-z]+ word counts (FNV-1a mod dim) + bias feature
+    at j=dim, planted label y = sign(mass[0, dim/2) - mass[dim/2, dim)),
+    batch updates w += SUM(y*x) over margin-<=0 docs — all integer."""
+    half = dim // 2
+    ctes = [
+        "ppw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws"
+        " FROM documents)",
+        f"""pgh AS MATERIALIZED (
+  SELECT word, CAST({_fnv64('word')} % {dim} AS BIGINT) AS j
+  FROM (SELECT DISTINCT unnest(ws) AS word FROM ppw))""",
+        f"""pdw AS MATERIALIZED (
+  SELECT doc_id, j, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(ws) AS word FROM ppw) o JOIN pgh USING (word)
+  GROUP BY doc_id, j
+  UNION ALL SELECT doc_id, {dim}::BIGINT, 1::BIGINT FROM documents)""",
+        f"""plab AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN SUM(CASE WHEN j < {half} THEN c
+                           WHEN j < {dim} THEN -c ELSE 0 END) >= 0
+              THEN 1 ELSE -1 END::BIGINT AS y
+  FROM pdw GROUP BY doc_id)""",
+        f"pp0 AS (SELECT unnest(generate_series(0, {dim}))::BIGINT AS j, "
+        "0::BIGINT AS w)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""pm{t} AS MATERIALIZED (
+  SELECT d.doc_id, SUM(d.c * p.w)::BIGINT AS m
+  FROM pdw d JOIN pp{t - 1} p USING (j) GROUP BY d.doc_id)"""
+        )
+        ctes.append(
+            f"""pu{t} AS (
+  SELECT d.j, SUM(l.y * d.c)::BIGINT AS u
+  FROM pdw d JOIN plab l USING (doc_id) JOIN pm{t} m ON m.doc_id = d.doc_id
+  WHERE l.y * m.m <= 0 GROUP BY d.j)"""
+        )
+        ctes.append(
+            f"""pp{t} AS MATERIALIZED (
+  SELECT p.j, (p.w + COALESCE(u.u, 0))::BIGINT AS w
+  FROM pp{t - 1} p LEFT JOIN pu{t} u USING (j))"""
+        )
+    return _with(*ctes)
+
+
+def perceptron_sql(dim: int = 64, rounds: int = 6) -> str:
+    """Final perceptron weight vector after ``rounds`` unrolled batch
+    updates (mirrors ops.train.perceptron_train, all-integer)."""
+    return _perceptron_ctes(dim, rounds) + f"""
+SELECT j, w FROM pp{rounds}"""
+
+
+def perceptron_scores_sql(dim: int = 64, rounds: int = 6) -> str:
+    """Per-doc label/prediction/margin of the trained perceptron (mirrors
+    ops.train.perceptron_eval; yhat = +1 iff margin >= 0)."""
+    return _perceptron_ctes(dim, rounds) + f"""
+, pfm AS (SELECT d.doc_id, SUM(d.c * p.w)::BIGINT AS m
+          FROM pdw d JOIN pp{rounds} p USING (j) GROUP BY d.doc_id)
+SELECT l.doc_id, l.y,
+       CASE WHEN pfm.m >= 0 THEN 1 ELSE -1 END::BIGINT AS yhat,
+       pfm.m AS margin
+FROM plab l JOIN pfm ON pfm.doc_id = l.doc_id"""
+
+
 def events_latest_sql() -> str:
     """Mirrors ops.select.latest_by_key(user_id, ts, event_id): the single
     newest event per user, ties by event_id ASC."""

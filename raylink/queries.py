@@ -1869,6 +1869,39 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(docs, target_source=DSIR_TARGET)
 
 
+PERC_DIM = 64
+PERC_ROUNDS = 6
+
+
+def q_perceptron(sf_dir: str):
+    """Batch-perceptron training of a hashed bag-of-words linear classifier
+    (6 full-corpus rounds, integer updates) -> the dim+1 final weights —
+    the TRAINING side of the curation stack's quality classifier."""
+    import ray.data as rd
+
+    from raylink.ops.train import perceptron_train
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    weights, _ = perceptron_train(docs, dim=PERC_DIM, rounds=PERC_ROUNDS)
+    return weights
+
+
+def q_perceptron_scores(sf_dir: str):
+    """Inference with the trained perceptron: per-doc planted label y,
+    prediction yhat and integer margin — train + eval end-to-end."""
+    import ray.data as rd
+
+    from raylink.ops.train import perceptron_eval, perceptron_train
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    weights, _ = perceptron_train(docs, dim=PERC_DIM, rounds=PERC_ROUNDS)
+    return perceptron_eval(docs, weights, dim=PERC_DIM)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup resolution: connected components over the n-gram Jaccard
     pair graph -> one cluster id (min doc_id) per document. Composes the

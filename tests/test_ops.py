@@ -1937,6 +1937,60 @@ def test_dsir_weights(ray_session):
     assert got["dsir_score"][3] > got["dsir_score"][2]
 
 
+def test_perceptron_train(ray_session):
+    """Engine == brute-force batch-perceptron replica; the planted linear
+    label is learnable (training mistakes shrink to ~0)."""
+    import re
+
+    import ray.data as rd
+
+    from raylink.ops.train import perceptron_eval, perceptron_train
+    from raylink.util import text_hash64
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 25)))
+        for _ in range(200)
+    ]
+    D, R = 16, 5
+
+    def feats(t):
+        ws = re.findall(r"[a-z]+", t.lower())
+        x = np.zeros(D + 1, np.int64)
+        for w in ws:
+            x[int(text_hash64([w])[0] % np.uint64(D))] += 1
+        x[D] = 1
+        return x
+
+    X = np.stack([feats(t) for t in texts])
+    y = np.where(
+        X[:, : D // 2].sum(1) - X[:, D // 2 : D].sum(1) >= 0, 1, -1
+    ).astype(np.int64)
+    w = np.zeros(D + 1, np.int64)
+    mist = []
+    for _ in range(R):
+        m = X @ w
+        bad = (y * m) <= 0
+        mist.append(int(bad.sum()))
+        w = w + (y[bad, None] * X[bad]).sum(axis=0, dtype=np.int64)
+
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": texts}
+        )
+    ).repartition(4)
+    weights, got_mist = perceptron_train(docs, dim=D, rounds=R)
+    wdf = weights.to_pandas().sort_values("j")
+    np.testing.assert_array_equal(wdf["w"].to_numpy(), w)
+    assert got_mist == mist
+    # learnability: the planted rule is linearly separable by construction
+    ev = perceptron_eval(docs, weights, dim=D).to_pandas()
+    acc = (ev["y"] == ev["yhat"]).mean()
+    assert acc >= 0.95
+
+
 def test_bigram_coherence(ray_session):
     """Engine == brute-force python replica: corpus bigram counts joined
     back per occurrence; multiplicities counted; short/empty docs 0.0."""
