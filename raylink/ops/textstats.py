@@ -1650,3 +1650,100 @@ def dsir_weights(docs_ds, target_source: str, num_features: int = DSIR_D):
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def _ed1(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 predicate (O(len) two-pointer)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1 or a == b:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+def typo_pairs(vocab_ds, num_buckets: int = 32, max_len: int = 24):
+    """Edit-distance-1 pairs over a vocabulary — the typo/OCR-variant
+    detection step of a text-cleaning pipeline, via SymSpell-style
+    DELETION-NEIGHBORHOOD blocking (Garbe 2012, public): every word keys
+    itself plus each of its one-character-deletion variants; two words at
+    edit distance 1 ALWAYS share a key (substitution -> same deletion at
+    that position; insertion/deletion -> the shorter word IS a variant of
+    the longer), so the blocking is complete — never O(V^2). Candidates
+    sharing a key are verified with the exact ``_ed1`` predicate (a
+    shared key only bounds ed <= 2). -> Dataset (word_a, word_b), a < b,
+    distinct.
+
+    ``vocab_ds``: Dataset with a ``word`` string column (distinct rows not
+    required — deduped here). Deletion variants are generated VECTORIZED
+    per position (one pair of Arrow slice kernels per position, bounded by
+    ``max_len``; longer words key on their first max_len+1 positions —
+    still complete for pairs whose edit lies in that prefix window, and
+    exact-complete whenever words are <= max_len long). The per-pair
+    verify is a python loop, deletion-pruned (the minhash-verify
+    precedent)."""
+    import pyarrow.compute as pc
+
+    from raylink.util import splitmix64, text_hash64
+
+    B = np.uint64(num_buckets)
+
+    def keys(batch: pa.Table) -> pa.Table:
+        w = pc.fill_null(batch.column("word").combine_chunks(), "")
+        ln = pc.utf8_length(w).to_numpy(zero_copy_only=False)
+        outs_w, outs_k = [w], [w]  # the word keys itself (0-deletion)
+        for i in range(min(int(ln.max(initial=0)), max_len + 1)):
+            m = ln > i  # words long enough to delete position i
+            if not m.any():
+                break
+            wi = w.filter(pa.array(m))
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(wi, 0, i),
+                pc.utf8_slice_codeunits(wi, i + 1, 1 << 30),
+                "",
+            )
+            outs_w.append(wi)
+            outs_k.append(var)
+        words = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in outs_w])
+        ks = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in outs_k])
+        kb = (splitmix64(text_hash64(ks)) % B).astype(np.int32)
+        return pa.table({"kb": pa.array(kb), "k": ks, "word": words})
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        df = group.select(["k", "word"]).to_pandas()
+        df = df.drop_duplicates()
+        out_a, out_b = [], []
+        for _, seg in df.groupby("k", sort=False):
+            ws = sorted(set(seg["word"]))
+            for i in range(len(ws)):
+                for j in range(i + 1, len(ws)):
+                    if _ed1(ws[i], ws[j]):
+                        out_a.append(ws[i])
+                        out_b.append(ws[j])
+        if not out_a:
+            return pa.table({"pb": pa.array([], type=pa.int32()),
+                             "word_a": pa.array([], type=pa.string()),
+                             "word_b": pa.array([], type=pa.string())})
+        pair = pa.array([f"{a}\x00{b}" for a, b in zip(out_a, out_b)])
+        pb = (splitmix64(text_hash64(pair)) % B).astype(np.int32)
+        return pa.table({"pb": pa.array(pb), "word_a": pa.array(out_a),
+                         "word_b": pa.array(out_b)})
+
+    def pair_dedup(group: pa.Table) -> pa.Table:
+        df = group.select(["word_a", "word_b"]).to_pandas()
+        df = df.drop_duplicates().sort_values(["word_a", "word_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        vocab_ds.map_batches(keys, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(block_pairs, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(pair_dedup, batch_format="pyarrow")
+        .select_columns(["word_a", "word_b"])
+    )

@@ -2207,6 +2207,25 @@ SELECT d2.doc_id,
 FROM documents d2 LEFT JOIN per ON per.doc_id = d2.doc_id"""
 
 
+def typo_pairs_sql() -> str:
+    """Mirrors queries.q_typo_pairs / ops.textstats.typo_pairs: vocabulary
+    = corpus [a-z]+ words plus planted 2nd-char-deleted first words of
+    doc_id % 7 == 2 docs; output = distinct (a < b) pairs at levenshtein
+    distance exactly 1 (the oracle brute-forces V^2 — the engine's
+    deletion blocking is the scale path, provably complete for ed = 1)."""
+    return """
+WITH tpd AS (SELECT doc_id, lower(text) AS t FROM documents),
+tpv AS (
+  SELECT DISTINCT unnest(regexp_extract_all(t, '[a-z]+')) AS word FROM tpd
+  UNION
+  SELECT substr(fw, 1, 1) || substr(fw, 3) AS word
+  FROM (SELECT doc_id, regexp_extract(t, '[a-z]+') AS fw FROM tpd)
+  WHERE doc_id % 7 = 2 AND length(fw) >= 4)
+SELECT a.word AS word_a, b.word AS word_b
+FROM tpv a JOIN tpv b ON a.word < b.word
+WHERE levenshtein(a.word, b.word) = 1"""
+
+
 def _perceptron_ctes(dim: int, rounds: int) -> str:
     """Shared unrolled-round CTE chain mirroring ops.train.perceptron_train
     bit-for-bit: hashed [a-z]+ word counts (FNV-1a mod dim) + bias feature

@@ -1869,6 +1869,46 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(docs, target_source=DSIR_TARGET)
 
 
+def q_typo_pairs(sf_dir: str):
+    """Edit-distance-1 vocabulary pairs via SymSpell deletion-neighborhood
+    blocking, over the corpus vocabulary plus deterministically planted
+    typos (the pii_scan precedent — the closed-form corpus has no natural
+    typos): docs with doc_id % 7 == 2 contribute their first word with the
+    2nd character deleted (words of length >= 4 only)."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.textstats import _word_codes, typo_pairs
+
+    def vocab_rows(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        _, _, dic = _word_codes(text)
+        words = [pc.cast(dic, pa.string())]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        st = pc.extract_regex(pc.utf8_lower(text), r"(?P<fw>[a-z]+)")
+        fw = pc.fill_null(pc.struct_field(st, "fw"), "")
+        keep = (
+            (ids % 7 == 2)
+            & (pc.utf8_length(fw).to_numpy(zero_copy_only=False) >= 4)
+        )
+        if keep.any():
+            fwk = fw.filter(pa.array(keep))
+            words.append(
+                pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(fwk, 0, 1),
+                    pc.utf8_slice_codeunits(fwk, 2, 1 << 30),
+                    "",
+                )
+            )
+        out = pa.concat_arrays(
+            [w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
+             for w in words]
+        )
+        return pa.table({"word": out})
+
+    vocab = _docs(sf_dir).map_batches(vocab_rows, batch_format="pyarrow")
+    return typo_pairs(vocab)
+
+
 PERC_DIM = 64
 PERC_ROUNDS = 6
 

@@ -1991,6 +1991,45 @@ def test_perceptron_train(ray_session):
     assert acc >= 0.95
 
 
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+def test_typo_pairs(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from raylink.ops.textstats import _ed1, typo_pairs
+
+    vocab = [
+        "accommodate", "accomodate", "acommodate",  # deletions of the first
+        "cat", "cut", "cast", "cats", "dog", "dig", "dug",
+        "hello", "hallo", "hullo", "help",
+        "ab", "ba", "abc", "a",
+    ]
+    # _ed1 == (brute-force levenshtein == 1) over every pair
+    for a, b in itertools.combinations(vocab, 2):
+        assert _ed1(a, b) == (_lev(a, b) == 1), (a, b)
+    exp = sorted(
+        (min(a, b), max(a, b))
+        for a, b in itertools.combinations(set(vocab), 2)
+        if _lev(a, b) == 1
+    )
+    ds = rd.from_arrow(
+        pa.table({"word": pa.array(vocab * 2)})  # dupes must not matter
+    ).repartition(3)
+    got = typo_pairs(ds).to_pandas().sort_values(["word_a", "word_b"])
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
+
+
 def test_bigram_coherence(ray_session):
     """Engine == brute-force python replica: corpus bigram counts joined
     back per occurrence; multiplicities counted; short/empty docs 0.0."""
