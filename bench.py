@@ -769,6 +769,56 @@ def run_graphops_bench() -> dict:
         reps=1,
     )
     out["line_dedup_sec"] = med(lambda: dedup_lines(docs).count(), reps=1)
+
+    # r4 tenth wave: eigenvector power iteration, weighted link prediction,
+    # rich-club curve, fixed-point LM/DSIR scoring, perceptron training,
+    # typo blocking, DAU/WAU rolling distincts
+    from raylink.algos.eigenvector import eigenvector_centrality
+    from raylink.algos.triangles import resource_allocation
+    from raylink.ops.textstats import dsir_weights, lm_score, typo_pairs
+    from raylink.ops.train import perceptron_train
+    from raylink.ops.windows import rolling_active_users
+    from raylink.pipelines import rich_club_curve
+
+    out["eigenvector8_sec"] = med(
+        lambda: eigenvector_centrality(
+            g=g_dir, iters=8, engine="tasks", resume=False
+        )[1].count(),
+        reps=1,
+    )
+    out["resource_alloc_sec"] = med(
+        lambda: resource_allocation(edges, k=50).count(), reps=1
+    )
+    out["rich_club_sec"] = med(lambda: rich_club_curve(edges).count(), reps=1)
+    out["lm_score_sec"] = med(lambda: lm_score(docs).count(), reps=1)
+    docs_src = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).materialize()
+    out["dsir_sec"] = med(
+        lambda: dsir_weights(docs_src, target_source="src0").count(), reps=1
+    )
+    out["perceptron6_sec"] = med(
+        lambda: perceptron_train(docs, dim=64, rounds=6)[0].count(), reps=1
+    )
+
+    def vocab_rows(b: pa.Table) -> pa.Table:
+        from raylink.ops.textstats import _word_codes
+
+        _, _, dic = _word_codes(b.column("text").combine_chunks())
+        return pa.table({"word": pa.array(dic.to_pylist(), type=pa.string())})
+
+    out["typo_pairs_sec"] = med(
+        lambda: typo_pairs(
+            docs.map_batches(vocab_rows, batch_format="pyarrow")
+        ).count(),
+        reps=1,
+    )
+    ev = rd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["ts", "user_id"]
+    ).materialize()
+    out["rolling_actives_sec"] = med(
+        lambda: rolling_active_users(ev, window_days=7).count(), reps=1
+    )
     ray.shutdown()
     return out
 

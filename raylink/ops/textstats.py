@@ -1354,7 +1354,8 @@ def search_topk(docs_ds, terms: list[str], k: int = 20,
 LM_SCALE = 10**6
 
 
-def lm_score(docs_ds, num_buckets: int = 64):
+def lm_score(docs_ds, num_buckets: int = 64,
+             broadcast_threshold: int = 1 << 16, force: str | None = None):
     """Smoothed bigram language-model likelihood score per document — the
     CCNet/KenLM-style fluency signal of a curation pipeline, in int64
     FIXED POINT so the score is bit-portable across engines (the kmeans
@@ -1372,11 +1373,19 @@ def lm_score(docs_ds, num_buckets: int = 64):
 
     Dataflow (the bigram_coherence shape plus one more lookup relation,
     everything distributed, nothing broadcast but the scalar V):
-    global bigram counts and global unigram counts each via per-batch
-    hash-keyed partials + one coarse-bucket combine; per-(doc, bigram)
-    multiplicity rows then flow through TWO ``hash_join``s — bigram count
-    on the FNV bigram hash, left-word count on the FNV word hash — with
-    the per-doc partial computed INSIDE the second join task. The SQL
+    global bigram counts (FNV bigram hash, left-word hash carried) and
+    global unigram counts each via per-batch hash-keyed partials + one
+    coarse-bucket combine; the unigram join then runs on the
+    vocabulary^2-bounded DISTINCT-bigram relation, producing a per-bigram
+    fixed-point lp1 lookup table — per-(doc, bigram) occurrence rows pay
+    only ONE ``hash_join`` (against lp1, per-doc partial computed INSIDE
+    the join task), never a per-occurrence unigram shuffle. Below
+    ``broadcast_threshold`` distinct bigrams the lp1 table instead
+    broadcasts via ``ray.put`` and scoring collapses to a single
+    shuffle-free map over the docs (the thresholded attach pattern of the
+    relational dimension joins — at a 10^12-token crawl vocab^2 exceeds
+    any driver, so the join path stays); ``force`` pins a path for
+    testing ('broadcast' | 'shuffle'), both bit-identical. The SQL
     mirror groups by the bigram/word STRINGS, so an FNV collision fails
     the oracle gate, never passes silently (~2^-64 per vocab pair)."""
     import pyarrow.compute as pc
@@ -1387,9 +1396,11 @@ def lm_score(docs_ds, num_buckets: int = 64):
     B = np.uint64(num_buckets)
 
     def _grams(batch: pa.Table, what: str) -> pa.Table:
-        """what='bigram': (bh, c) distinct bigram counts of the batch;
+        """what='bigram': (bh, w1h, c) distinct bigram counts of the batch
+        (w1h = left-word hash, carried so the unigram join can happen on
+        the vocabulary^2-bounded bigram relation, never per occurrence);
         what='word': (wh, c) word-occurrence counts of the batch;
-        what='doc': (doc_id, bh, w1h, c) per-(doc, bigram) multiplicity."""
+        what='doc': (doc_id, bh, c) per-(doc, bigram) multiplicity."""
         text = pc.fill_null(batch.column("text").combine_chunks(), "")
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         doc_idx, codes, dic = _word_codes(text)
@@ -1404,6 +1415,7 @@ def lm_score(docs_ds, num_buckets: int = 64):
                     "c": pa.array([], type=pa.int64())}
             if what == "doc":
                 cols["doc_id"] = pa.array([], type=pa.int64())
+            else:
                 cols["w1h"] = pa.array([], type=pa.int64())
             return pa.table(cols)
         adj = doc_idx[1:] == doc_idx[:-1]
@@ -1426,6 +1438,7 @@ def lm_score(docs_ds, num_buckets: int = 64):
         cols = {"bh": pa.array(bh), "c": pa.array(c.astype(np.int64))}
         if what == "doc":
             cols["doc_id"] = pa.array(udoc)
+        else:
             cols["w1h"] = pa.array(text_hash64(left).astype(np.int64))
         return pa.table(cols)
 
@@ -1447,12 +1460,36 @@ def lm_score(docs_ds, num_buckets: int = 64):
 
         return bucket, comb
 
-    bb, bc_ = _bucket_comb("bh", "bc")
+    bb, _ = _bucket_comb("bh", "bc")
+
+    def bc_comb(group: pa.Table) -> pa.Table:
+        # per-bh count sum, w1h carried (identical for every row of a bh —
+        # an FNV bigram collision would merge counts and FAIL the oracle)
+        h = group.column("bh").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        w1 = group.column("w1h").to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table(
+                {"bh": pa.array([], type=pa.int64()),
+                 "w1h": pa.array([], type=pa.int64()),
+                 "bc": pa.array([], type=pa.int64())}
+            )
+        order = np.argsort(h, kind="stable")
+        h, c, w1 = h[order], c[order], w1[order]
+        first = np.concatenate(([True], h[1:] != h[:-1]))
+        seg = np.cumsum(first) - 1
+        s = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+        np.add.at(s, seg, c)
+        return pa.table(
+            {"bh": pa.array(h[first]), "w1h": pa.array(w1[first]),
+             "bc": pa.array(s)}
+        )
+
     bcounts = (
         docs_ds.map_batches(lambda b: _grams(b, "bigram"), batch_format="pyarrow")
         .map_batches(bb, batch_format="pyarrow")
         .groupby("hb")
-        .map_groups(bc_, batch_format="pyarrow")
+        .map_groups(bc_comb, batch_format="pyarrow")
     )
     wb, wc_ = _bucket_comb("wh", "uc")
     ucounts = (
@@ -1463,21 +1500,86 @@ def lm_score(docs_ds, num_buckets: int = 64):
     ).materialize()  # consumed by count() and the join
     V_corpus = int(ucounts.count())  # scalar: corpus distinct-word count
 
+    bc_mat = bcounts.materialize()
+    n_bigrams_tot = bc_mat.count()
+    use_bcast = force == "broadcast" or (
+        force is None
+        and n_bigrams_tot <= broadcast_threshold
+        and V_corpus <= broadcast_threshold
+    )
+    if use_bcast:
+        import ray
+
+        bdf = bc_mat.to_pandas()   # <= broadcast_threshold rows by the gate
+        udf = ucounts.to_pandas()  # <= broadcast_threshold rows by the gate
+        uw = udf["wh"].to_numpy(np.int64)
+        uo = np.argsort(uw, kind="stable")
+        uw, uv = uw[uo], udf["uc"].to_numpy(np.int64)[uo]
+        w1 = bdf["w1h"].to_numpy(np.int64)
+        ucv = uv[np.searchsorted(uw, w1)]
+        bh_k = bdf["bh"].to_numpy(np.int64)
+        lp1 = ((bdf["bc"].to_numpy(np.int64) + 1) * np.int64(LM_SCALE)) // (
+            ucv + np.int64(V_corpus)
+        )
+        bo = np.argsort(bh_k, kind="stable")
+        ref = ray.put((bh_k[bo], lp1[bo]))
+
+        def bscore(batch: pa.Table) -> pa.Table:
+            bhs, lp1s = ray.get(ref)
+            t = _grams(batch, "doc")
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            n = len(ids)
+            lps = np.zeros(n, np.int64)
+            nbg = np.zeros(n, np.int64)
+            if t.num_rows:
+                order = np.argsort(ids, kind="stable")
+                d = t.column("doc_id").to_numpy(zero_copy_only=False)
+                row = order[np.searchsorted(ids[order], d)]
+                p = np.searchsorted(
+                    bhs, t.column("bh").to_numpy(zero_copy_only=False)
+                )
+                c = t.column("c").to_numpy(zero_copy_only=False)
+                np.add.at(lps, row, c * lp1s[p])
+                np.add.at(nbg, row, c)
+            sc = np.zeros(n, np.float64)
+            pos = nbg > 0
+            sc[pos] = round_half_away(
+                lps[pos] / (nbg[pos] * float(LM_SCALE)), 8
+            )
+            return pa.table(
+                {"doc_id": batch.column("doc_id"), "n_bigrams": pa.array(nbg),
+                 "lp_sum": pa.array(lps), "lm_score": pa.array(sc)}
+            )
+
+        return docs_ds.map_batches(bscore, batch_format="pyarrow")
+
+    # lp1 per DISTINCT bigram: the unigram join runs on the
+    # vocabulary^2-bounded bigram relation, never on per-occurrence rows
+    ucounts_j = ucounts.map_batches(
+        lambda b: pa.table({"w1h": b.column("wh"), "uc": b.column("uc")}),
+        batch_format="pyarrow",
+    )
+
+    def lp1_rows(batch: pa.Table) -> pa.Table:
+        bcv = batch.column("bc").to_numpy(zero_copy_only=False)
+        ucv = batch.column("uc").to_numpy(zero_copy_only=False)
+        lp1 = ((bcv + 1) * np.int64(LM_SCALE)) // (ucv + np.int64(V_corpus))
+        return pa.table({"bh": batch.column("bh"), "lp1": pa.array(lp1)})
+
+    lp1_tbl = hash_join(
+        bc_mat, ucounts_j, on="w1h",
+        left_cols={"bh": pa.int64(), "bc": pa.int64()},
+        right_cols={"uc": pa.int64()},
+    ).map_batches(lp1_rows, batch_format="pyarrow")
+
     doc_rows = docs_ds.map_batches(
         lambda b: _grams(b, "doc"), batch_format="pyarrow"
-    )
-    with_bc = hash_join(
-        doc_rows, bcounts, on="bh",
-        left_cols={"doc_id": pa.int64(), "w1h": pa.int64(), "c": pa.int64()},
-        right_cols={"bc": pa.int64()},
     )
 
     def per_doc_partial(group: pa.Table) -> pa.Table:
         d = group.column("doc_id").to_numpy(zero_copy_only=False)
         occ = group.column("c").to_numpy(zero_copy_only=False)
-        bcv = group.column("bc").to_numpy(zero_copy_only=False)
-        ucv = group.column("uc").to_numpy(zero_copy_only=False)
-        lp1 = ((bcv + 1) * np.int64(LM_SCALE)) // (ucv + np.int64(V_corpus))
+        lp1 = group.column("lp1").to_numpy(zero_copy_only=False)
         ud, inv = np.unique(d, return_inverse=True)
         lps = np.zeros(len(ud), dtype=np.int64)
         nbg = np.zeros(len(ud), dtype=np.int64)
@@ -1487,14 +1589,10 @@ def lm_score(docs_ds, num_buckets: int = 64):
             {"doc_id": pa.array(ud), "lps": pa.array(lps), "nbg": pa.array(nbg)}
         )
 
-    ucounts_j = ucounts.map_batches(
-        lambda b: pa.table({"w1h": b.column("wh"), "uc": b.column("uc")}),
-        batch_format="pyarrow",
-    )
     partials = hash_join(
-        with_bc, ucounts_j, on="w1h",
-        left_cols={"doc_id": pa.int64(), "c": pa.int64(), "bc": pa.int64()},
-        right_cols={"uc": pa.int64()},
+        doc_rows, lp1_tbl, on="bh",
+        left_cols={"doc_id": pa.int64(), "c": pa.int64()},
+        right_cols={"lp1": pa.int64()},
         post=per_doc_partial,
     )
 

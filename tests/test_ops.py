@@ -1873,10 +1873,12 @@ def test_lm_score(ray_session):
              "text": texts}
         )
     ).repartition(3)
-    got = (
-        lm_score(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
-    )
-    assert list(map(tuple, got.to_numpy().tolist())) == exp
+    for force in ("broadcast", "shuffle"):  # both paths bit-identical
+        got = (
+            lm_score(docs, force=force)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(map(tuple, got.to_numpy().tolist())) == exp, force
 
 
 def test_dsir_weights(ray_session):
