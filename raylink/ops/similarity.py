@@ -1080,3 +1080,46 @@ def semantic_dedup(
         .groupby("cluster")
         .map_groups(prune, batch_format="pyarrow")
     )
+
+
+def embedding_gram(emb_ds, scale: int = 10**6):
+    """Exact int64 Gram matrix G = X^T X of the fixed-point-quantized
+    embedding corpus -> Dataset (i, j, g), upper triangle (i <= j) — the
+    covariance / PCA / whitening building block of an embedding-curation
+    stack, computed as ONE streaming pass: each batch contributes a single
+    d x d integer matmul partial (numpy int64 — no BLAS float path),
+    folded through the bounded combine tree; d(d+1)/2 output rows.
+
+    Integer-exact by the kmeans quantization contract
+    (CAST(round(v * scale) AS BIGINT) == _quantize): no float
+    associativity anywhere, SQL mirror matches bit-for-bit. int64
+    exactness bound: N * (scale * max|v|)^2 < 2^63 — at scale=1e6 and
+    |v| <= 2 that is ~2e6 rows; quantize coarser (smaller ``scale``) for
+    bigger corpora (documented, the relational-layer int64-bound trade)."""
+    from raylink.join import tree_groupby_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _quantize(_mat(batch), scale)
+        if x.shape[0] == 0:
+            return pa.table(
+                {"i": pa.array([], type=pa.int64()),
+                 "j": pa.array([], type=pa.int64()),
+                 "v": pa.array([], type=pa.int64())}
+            )
+        g = x.T @ x
+        iu, ju = np.triu_indices(g.shape[0])
+        return pa.table(
+            {"i": pa.array(iu.astype(np.int64)),
+             "j": pa.array(ju.astype(np.int64)),
+             "v": pa.array(g[iu, ju])}
+        )
+
+    agg = tree_groupby_sum(
+        emb_ds.map_batches(partial, batch_format="pyarrow"), ["i", "j"], ["v"]
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"i": b.column("i"), "j": b.column("j"), "g": b.column("sum(v)")}
+        ),
+        batch_format="pyarrow",
+    )

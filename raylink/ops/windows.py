@@ -437,3 +437,50 @@ def rolling_active_users(events_ds, window_days: int = 7,
         dau, wau, on="day",
         left_cols={"dau": pa.int64()}, right_cols={"wau": pa.int64()},
     )
+
+
+def running_total(events_ds, num_buckets: int = 64):
+    """Per-user running cumulative ``value`` in event-time order
+    (ts, event_id) -> Dataset (event_id, user_id, ts, cum_value) — the
+    ledger/balance window primitive. One hash(user) coarse-bucket shuffle
+    (all of a user's events co-locate); the per-user prefix sum is a
+    sequential left-associated float64 cumsum whose association noise vs
+    the SQL windowed SUM is absorbed by round-half-away(6) on both sides."""
+    from raylink.util import round_half_away, splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "ub",
+            pa.array((splitmix64(u.astype(np.uint64)) % B).astype(np.int32)),
+        )
+
+    def cum(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        val = group.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, val = u[order], ts[order], eid[order], val[order]
+        bounds = np.r_[
+            np.flatnonzero(np.r_[True, u[1:] != u[:-1]]), len(u)
+        ]
+        cum_v = np.empty(len(u), np.float64)
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):  # per user: sequential
+            cum_v[s0:s1] = np.cumsum(val[s0:s1])     # left-assoc prefix sum
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(u),
+                "ts": pa.array(ts),
+                "cum_value": pa.array(round_half_away(cum_v, 6)),
+            }
+        )
+
+    return (
+        events_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(cum, batch_format="pyarrow")
+    )

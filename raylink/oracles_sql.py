@@ -3472,6 +3472,52 @@ FROM a JOIN c USING (user_id)
 GROUP BY 1, 2"""
 
 
+def embedding_gram_sql(scale: int = 10**6) -> str:
+    """Mirrors ops.similarity.embedding_gram: the kmeans quantization
+    contract (CAST(round(v * scale) AS BIGINT)), integer products, upper
+    triangle (0-based dims)."""
+    return f"""
+WITH geq AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS j,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS x
+  FROM embeddings)
+SELECT a.j::BIGINT AS i, b.j::BIGINT AS j, SUM(a.x * b.x)::BIGINT AS g
+FROM geq a JOIN geq b ON b.vec_id = a.vec_id AND b.j >= a.j
+GROUP BY 1, 2"""
+
+
+def running_total_sql() -> str:
+    """Mirrors ops.windows.running_total: per-user windowed SUM in
+    (ts, event_id) order; ROUND(.., 6) absorbs prefix-sum association
+    differences between the sequential cumsum and the window aggregate."""
+    return """
+SELECT event_id, user_id, ts,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+FROM events"""
+
+
+def host_link_locality_sql() -> str:
+    """Mirrors pipelines.host_link_locality: distinct directed page edges,
+    host = the synthesized 'site<vid % 97>.example' label (closed form of
+    the URL rule the engine parses back with RE2), intra share with one
+    double division."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """hle AS (SELECT DISTINCT src, dst FROM edges)""",
+            """hlc AS (SELECT 'site' || CAST(src % 97 AS VARCHAR) || '.example' AS host,
+         count(*)::BIGINT AS n,
+         count(*) FILTER (src % 97 = dst % 97)::BIGINT AS ni
+  FROM hle GROUP BY 1)""",
+        )
+        + """
+SELECT host, n AS n_links, ni AS n_intra, ROUND(ni / n, 8) AS locality
+FROM hlc"""
+    )
+
+
 def rolling_actives_sql(window_days: int = 7) -> str:
     """ops/windows.rolling_active_users: day = epoch-day floor of ts,
     dau = distinct users per day, wau = distinct users over the trailing

@@ -857,3 +857,68 @@ def rich_club_curve(edges_ds, num_buckets: int = 64):
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
     )
+
+
+def host_link_locality(edges_ds, num_buckets: int = 64):
+    """Per-source-host link locality over the DISTINCT page edges:
+    n_links (distinct outgoing edges of the host's pages), n_intra (those
+    staying on the same host), locality = intra share — the classic
+    site-insularity / boilerplate-navigation diagnostic of a crawl.
+    -> Dataset (host, n_links, n_intra, locality r8).
+
+    Hosts are parsed from the synthesized URL STRINGS with the Arrow RE2
+    kernels (the domain_stats path — exercising the real string pipeline,
+    not the closed-form id rule the oracle uses); per-batch
+    dictionary-encode + bincount partials, one host-cardinality groupby,
+    one IEEE division per host."""
+    import pyarrow.compute as pc
+
+    from raylink.synth import urls_of
+    from raylink.util import round_half_away
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("src")
+        d = batch.column("dst")
+
+        def host_of(col):
+            url = urls_of(col)
+            return pc.replace_substring_regex(
+                pc.replace_substring_regex(
+                    url, pattern="^https://", replacement=""
+                ),
+                pattern="/.*$", replacement="",
+            )
+
+        hs = host_of(s)
+        hd = host_of(d)
+        same = pc.equal(hs, hd).to_numpy(zero_copy_only=False)
+        he = (
+            hs.combine_chunks() if isinstance(hs, pa.ChunkedArray) else hs
+        ).dictionary_encode()
+        codes = he.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nh = len(he.dictionary)
+        n = np.bincount(codes, minlength=nh).astype(np.int64)
+        ni = np.bincount(codes[same], minlength=nh).astype(np.int64)
+        return pa.table(
+            {"host": he.dictionary, "n": pa.array(n), "ni": pa.array(ni)}
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False)
+        ni = batch.column("sum(ni)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_links": pa.array(n),
+                "n_intra": pa.array(ni),
+                "locality": pa.array(round_half_away(ni / n, 8)),
+            }
+        )
+
+    return (
+        distinct_edges(edges_ds)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .sum(["n", "ni"])
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -2128,6 +2128,44 @@ def q_event_transitions(sf_dir: str):
     return event_transitions(ev)
 
 
+def q_embedding_gram(sf_dir: str):
+    """Exact int64 Gram matrix of the quantized embedding corpus (upper
+    triangle) — the covariance/PCA building block; one streaming pass of
+    d x d integer matmul partials."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import embedding_gram
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_gram(emb)
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running cumulative event value in (ts, event_id) order —
+    the ledger/balance window primitive; one user-bucket shuffle."""
+    import ray.data as rd
+
+    from raylink.ops.windows import running_total
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return running_total(ev)
+
+
+def q_host_link_locality(sf_dir: str):
+    """Per-host intra-site link share over the distinct page edges — the
+    site-insularity diagnostic; hosts parsed from URL strings with Arrow
+    RE2, one host-cardinality groupby."""
+    from raylink.pipelines import host_link_locality
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return host_link_locality(edges)
+
+
 def q_rolling_actives(sf_dir: str):
     """DAU + 7-day rolling distinct active users per epoch-day — the
     product-analytics WAU pair; distinct-pair expansion, never a sum of

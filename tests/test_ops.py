@@ -2655,3 +2655,75 @@ def test_semantic_dedup_keep_first(ray_session):
             exp.append((v, assign[v]))
     assert sorted(zip(got["vec_id"], got["cluster"])) == exp
     assert 0 < len(exp) < 80  # tau chosen so the rule actually prunes
+
+
+def test_embedding_gram(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.similarity import _quantize, embedding_gram
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(50, 8).astype(np.float32)
+    ds = rd.from_arrow(
+        pa.table(
+            {"vec_id": pa.array(range(50), type=pa.int64()),
+             "embedding": pa.array([list(map(float, r)) for r in X],
+                                   type=pa.list_(pa.float32()))}
+        )
+    ).repartition(4)
+    got = embedding_gram(ds).to_pandas().sort_values(["i", "j"])
+    q = _quantize(X.astype(np.float64), 10**6)
+    G = q.T @ q
+    iu, ju = np.triu_indices(8)
+    exp = list(zip(iu.tolist(), ju.tolist(), G[iu, ju].tolist()))
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
+
+
+def test_running_total(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.windows import running_total
+
+    # deliberately shuffled input; ties on ts break by event_id
+    rows = [
+        (5, 30, 1, 2.0), (1, 10, 1, 1.5), (3, 20, 1, -0.5),
+        (2, 10, 2, 4.0), (4, 25, 2, 1.0), (6, 10, 1, 0.25),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+    got = (
+        running_total(rd.from_arrow(tbl).repartition(3))
+        .to_pandas().sort_values(["user_id", "ts", "event_id"])
+    )
+    # user 1 order: (1,ts10), (6,ts10), (3,ts20), (5,ts30)
+    assert got["cum_value"].tolist() == [1.5, 1.75, 1.25, 3.25, 4.0, 5.0]
+
+
+def test_host_link_locality(ray_session):
+    import ray.data as rd
+
+    from raylink.pipelines import host_link_locality
+
+    # hosts are vid % 97: 0 and 97 share site0; 1 is site1
+    edges = pa.table(
+        {
+            "src": pa.array([0, 0, 97, 1, 0], type=pa.int64()),  # dup (0,97)
+            "dst": pa.array([97, 1, 0, 2, 97], type=pa.int64()),
+        }
+    )
+    got = (
+        host_link_locality(rd.from_arrow(edges).repartition(2))
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    )
+    # site0: distinct out-edges (0,97),(0,1),(97,0) -> 3 links, 2 intra
+    # site1: (1,2) -> 1 link, 0 intra
+    assert list(map(tuple, got.to_numpy().tolist())) == [
+        ("site0.example", 3, 2, round(2 / 3, 8)),
+        ("site1.example", 1, 0, 0.0),
+    ]
