@@ -1845,3 +1845,35 @@ def typo_pairs(vocab_ds, num_buckets: int = 32, max_len: int = 24):
         .map_groups(pair_dedup, batch_format="pyarrow")
         .select_columns(["word_a", "word_b"])
     )
+
+
+def dsir_resample(docs_ds, target_source: str, num_features: int = DSIR_D,
+                  seed: int = 0):
+    """Importance RESAMPLING on the DSIR weights — the selection step that
+    completes the DSIR pipeline (weight, then sample proportionally):
+    doc kept iff splitmix64(doc_id XOR seed) % LM_SCALE < p_keep, with
+    p_keep = ratio_sum // n_feats (the doc's fixed-point mean target/raw
+    ratio; <= LM_SCALE because target counts are a subset of raw counts).
+    Deterministic — no RNG state, resumable, identical across engines and
+    parallelism. -> Dataset (doc_id, n_feats, ratio_sum, p_keep), kept
+    rows only; featureless docs are never kept (p_keep = 0)."""
+    from raylink.util import splitmix64
+
+    weighted = dsir_weights(docs_ds, target_source, num_features)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        nf = batch.column("n_feats").to_numpy(zero_copy_only=False)
+        rs = batch.column("ratio_sum").to_numpy(zero_copy_only=False)
+        p = np.where(nf > 0, rs // np.maximum(nf, 1), 0)
+        draw = (
+            splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+            % np.uint64(LM_SCALE)
+        ).astype(np.int64)
+        m = draw < p
+        return pa.table(
+            {"doc_id": pa.array(ids[m]), "n_feats": pa.array(nf[m]),
+             "ratio_sum": pa.array(rs[m]), "p_keep": pa.array(p[m])}
+        )
+
+    return weighted.map_batches(keep, batch_format="pyarrow")

@@ -2207,6 +2207,21 @@ SELECT d2.doc_id,
 FROM documents d2 LEFT JOIN per ON per.doc_id = d2.doc_id"""
 
 
+def dsir_sample_sql(target_source: str = "src0", d: int = 1024,
+                    scale: int = 10**6, seed: int = 0) -> str:
+    """Mirrors ops.textstats.dsir_resample: wraps the dsir_weights chain,
+    p_keep = ratio_sum // n_feats, kept iff
+    splitmix64(doc_id XOR seed) % scale < p_keep (bit-mirrored)."""
+    draw = _sm64(f"xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT))")
+    return f"""
+WITH dsw AS ({dsir_weights_sql(target_source, d, scale)})
+SELECT doc_id, n_feats, ratio_sum,
+       CASE WHEN n_feats > 0 THEN ratio_sum // n_feats ELSE 0 END AS p_keep
+FROM dsw
+WHERE CAST({draw} % CAST({scale} AS UBIGINT) AS BIGINT) <
+      CASE WHEN n_feats > 0 THEN ratio_sum // n_feats ELSE 0 END"""
+
+
 def typo_pairs_sql() -> str:
     """Mirrors queries.q_typo_pairs / ops.textstats.typo_pairs: vocabulary
     = corpus [a-z]+ words plus planted 2nd-char-deleted first words of

@@ -1942,6 +1942,20 @@ def q_perceptron_scores(sf_dir: str):
     return perceptron_eval(docs, weights, dim=PERC_DIM)
 
 
+def q_dsir_sample(sf_dir: str):
+    """DSIR importance resampling against src0: docs kept with probability
+    proportional to their fixed-point target/raw ratio (deterministic
+    splitmix64 draw — no RNG state)."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import dsir_resample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return dsir_resample(docs, target_source=DSIR_TARGET)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup resolution: connected components over the n-gram Jaccard
     pair graph -> one cluster id (min doc_id) per document. Composes the

@@ -1938,6 +1938,22 @@ def test_dsir_weights(ray_session):
     assert got["dsir_score"][0] > got["dsir_score"][2]
     assert got["dsir_score"][3] > got["dsir_score"][2]
 
+    # resampling: kept set == brute-force deterministic draw
+    from raylink.ops.textstats import dsir_resample
+    from raylink.util import splitmix64
+
+    kept = (
+        dsir_resample(docs, target_source="tgt", num_features=D)
+        .to_pandas().sort_values("doc_id")
+    )
+    exp_keep = []
+    for d, nf, rs, _ in exp:
+        p = rs // nf if nf else 0
+        draw = int(splitmix64(np.array([d], np.uint64))[0] % np.uint64(LM_SCALE))
+        if draw < p:
+            exp_keep.append((d, nf, rs, p))
+    assert list(map(tuple, kept.to_numpy().tolist())) == exp_keep
+
 
 def test_perceptron_train(ray_session):
     """Engine == brute-force batch-perceptron replica; the planted linear
