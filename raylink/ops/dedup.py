@@ -1201,3 +1201,146 @@ def source_overlap(docs_ds, n: int = 8, num_buckets: int = 32):
         ),
         batch_format="pyarrow",
     )
+
+
+def minhash_pairs_incremental(
+    old_docs_ds, new_docs_ds, n: int = 3, tau: float = 0.7,
+    bands: int = 32, rows: int = 4, seed: int = 7,
+):
+    """Continuous-crawl incremental near-dup: the MinHash-LSH pairs that
+    TOUCH the new batch (old-new and new-new), exact Jaccard >= tau —
+    bit-identical to filtering ``minhash_pairs(old ∪ new)`` down to pairs
+    with >= 1 new side, but old x old candidates NEVER FORM: inside each
+    LSH-bucket segment pairs are generated new x all only, so the
+    incremental cost tracks the NEW batch's bucket collisions, not the
+    corpus size (the point of indexing a continuous crawl). In production
+    the old side's signatures and gram-sets come from the previous run's
+    persisted parquet (both are plain Datasets); recomputed here from the
+    docs for self-containment. -> Dataset (doc_a, doc_b, jaccard r6)."""
+    import pyarrow as pa
+
+    from raylink.util import round_half_away, unpack_hi
+
+    hasher = MinHasher(n=n, perms=bands * rows, seed=seed)
+
+    def tag(is_new: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "is_new",
+                pa.array(np.full(batch.num_rows, is_new, dtype=np.int8)),
+            )
+
+        return fn
+
+    docs = old_docs_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_docs_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        flags = batch.column("is_new").to_numpy(zero_copy_only=False)
+        sigt = hasher(batch.drop_columns(["is_new"]))
+        ids = sigt.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], type=pa.int64()),
+                 "is_new": pa.array([], type=pa.int8()),
+                 "bucket": pa.array([], type=pa.uint64())}
+            )
+        sig = np.array(sigt.column("sig").to_pylist(), dtype=np.uint64)
+        out_id, out_new, out_bucket = [], [], []
+        for bi in range(bands):
+            band = sig[:, bi * rows : (bi + 1) * rows]
+            h = np.zeros(len(ids), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for c in range(rows):
+                    h = h * np.uint64(1099511628211) + band[:, c]
+            out_id.append(ids)
+            out_new.append(flags)
+            out_bucket.append((np.uint64(bi) << np.uint64(56)) ^ (h >> np.uint64(8)))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id)),
+                "is_new": pa.array(np.concatenate(out_new)),
+                "bucket": pa.array(np.concatenate(out_bucket)),
+            }
+        )
+
+    buckets = docs.map_batches(to_buckets, batch_format="pyarrow")
+
+    def coarse(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "cb", pa.array((bk % np.uint64(64)).astype(np.int32))
+        )
+
+    def cand(group: pa.Table) -> pa.Table:
+        bk = group.column("bucket").to_numpy(zero_copy_only=False)
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        nw = group.column("is_new").to_numpy(zero_copy_only=False)
+        _assert_packable(ids)
+        order = np.lexsort((ids, bk))
+        bk, ids, nw = bk[order], ids[order], nw[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        keys = []
+        for st, en in zip(starts, ends):
+            docs_seg, first = np.unique(ids[st:en], return_index=True)
+            flags = nw[st:en][first]
+            newd = docs_seg[flags == 1]
+            if len(newd) == 0 or len(docs_seg) < 2:
+                continue  # old x old pairs never form
+            a = np.repeat(newd, len(docs_seg))
+            b = np.tile(docs_seg, len(newd))
+            m = a != b
+            a, b = a[m], b[m]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            keys.append(np.unique((lo << np.int64(32)) | hi))
+        if not keys:
+            return pa.table({"key": pa.array([], type=pa.int64())})
+        return pa.table({"key": pa.array(np.unique(np.concatenate(keys)))})
+
+    cand_keys = (
+        buckets.map_batches(coarse, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(cand, batch_format="pyarrow")
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+    )
+    gram_sets = docs.drop_columns(["is_new"]).map_batches(
+        _GramSetHasher(n), batch_format="pyarrow"
+    )
+    paired = _pair_attach(cand_keys, gram_sets, {"grams": pa.list_(pa.uint64())})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        ga = batch.column("grams_a").combine_chunks()
+        gb = batch.column("grams_b").combine_chunks()
+        fa = ga.flatten().to_numpy(zero_copy_only=False)
+        fb = gb.flatten().to_numpy(zero_copy_only=False)
+        oa = ga.offsets.to_numpy(zero_copy_only=False)
+        ob = gb.offsets.to_numpy(zero_copy_only=False)
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(key)):
+            sa = fa[oa[i] : oa[i + 1]]
+            sb = fb[ob[i] : ob[i + 1]]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            u = len(sa) + len(sb) - inter
+            j = inter / u if u else 0.0
+            if j >= tau:
+                out_a.append(int(unpack_hi(key[i])))
+                out_b.append(int(key[i] & np.int64(0xFFFFFFFF)))
+                out_j.append(float(round_half_away(j, 6)))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "jaccard": pa.array(out_j, type=pa.float64()),
+            }
+        )
+
+    return _with_typed_empty(
+        paired.map_batches(verify, batch_format="pyarrow"),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(), "jaccard": pa.float64()},
+    )

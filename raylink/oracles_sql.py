@@ -1557,7 +1557,8 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
 def dedup_minhash_sql(n: int = 3, tau: float = 0.5, bands: int = 32,
-                      rows: int = 4, seed: int = 7) -> str:
+                      rows: int = 4, seed: int = 7,
+                      pair_filter: str = "") -> str:
     """MinHash-LSH near-dup pairs (mirrors ops.dedup.minhash_pairs exactly,
     including which pairs the LSH *finds*): the 128 permutation seeds are
     inlined as literals (same numpy PRNG stream the engine uses), gram
@@ -1616,7 +1617,7 @@ inter AS (
 SELECT ia::BIGINT AS doc_a, ib::BIGINT AS doc_b,
        ROUND(i.c * 1.0 / (sa.nb + sb.nb - i.c), 6) AS jaccard
 FROM inter i JOIN sz sa ON sa.doc_id = i.ia JOIN sz sb ON sb.doc_id = i.ib
-WHERE ROUND(i.c * 1.0 / (sa.nb + sb.nb - i.c), 6) >= {tau}"""
+WHERE ROUND(i.c * 1.0 / (sa.nb + sb.nb - i.c), 6) >= {tau}{pair_filter}"""
 
 
 def graph_kmeans_sql(k: int = 6, seed: int = 42, iterations: int = 2,

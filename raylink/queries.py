@@ -1581,6 +1581,27 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_pairs(_docs(sf_dir), n=3, tau=0.5)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental MinHash near-dup for a continuous crawl: docs with
+    doc_id % 10 == 4 play the newly-crawled batch; output = the LSH pairs
+    touching the new batch (old x old candidates never form)."""
+    from raylink.ops.dedup import minhash_pairs_incremental
+
+    docs = _docs(sf_dir)
+
+    def split(want_new: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 4) == want_new
+            return batch.filter(pa.array(m))
+
+        return fn
+
+    old = docs.map_batches(split(False), batch_format="pyarrow")
+    new = docs.map_batches(split(True), batch_format="pyarrow")
+    return minhash_pairs_incremental(old, new, n=3, tau=0.5)
+
+
 def q_dedup_simhash(sf_dir: str):
     from raylink.ops.dedup import simhash_pairs
 

@@ -84,6 +84,35 @@ def test_minhash_pairs_vs_brute(docs_ds):
     assert got == exp
 
 
+def test_minhash_pairs_incremental(docs_ds):
+    """incremental(old, new) == minhash_pairs(old ∪ new) filtered to pairs
+    touching the new batch; old x old pairs absent."""
+    from raylink.ops.dedup import minhash_pairs_incremental
+
+    full = minhash_pairs(docs_ds, n=3, tau=0.5).to_pandas()
+    is_new = lambda d: d % 3 == 0  # every 3rd doc plays the new batch
+    exp = sorted(
+        (a, b, j)
+        for a, b, j in zip(full["doc_a"], full["doc_b"], full["jaccard"])
+        if is_new(a) or is_new(b)
+    )
+
+    def split(want):
+        def fn(batch):
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((ids % 3 == 0) == want))
+
+        return fn
+
+    old = docs_ds.map_batches(split(False), batch_format="pyarrow")
+    new = docs_ds.map_batches(split(True), batch_format="pyarrow")
+    got = minhash_pairs_incremental(old, new, n=3, tau=0.5).to_pandas()
+    assert sorted(zip(got["doc_a"], got["doc_b"], got["jaccard"])) == exp
+    # and the full set DOES contain an old-old pair the incremental drops
+    assert any(not (is_new(a) or is_new(b))
+               for a, b in zip(full["doc_a"], full["doc_b"]))
+
+
 def test_simhash_pairs(docs_ds):
     pdf = simhash_pairs(docs_ds, max_hamming=3).to_pandas()
     got = set(zip(pdf["doc_a"], pdf["doc_b"]))
