@@ -1065,3 +1065,74 @@ def four_clique_count(
 
     total = final.groupby("kb").map_groups(close, batch_format="pyarrow").sum("t")
     return int(total or 0) // 6
+
+
+def link_prediction_eval(edges_ds, k: int = 100, holdout_mod: int = 5,
+                         num_buckets: int = 64):
+    """Held-out evaluation of common-neighbour link prediction — the
+    model-validation step of a link-prediction pipeline: canonical simple
+    edges split deterministically (splitmix64(packed key) % holdout_mod:
+    residue 0 = TEST, rest = TRAIN), predictions = ``link_prediction``
+    top-k on the TRAIN graph, scored by membership in the held-out TEST
+    edges. -> one-row Table (k, n_preds, n_test, hits, precision r8);
+    n_preds can fall short of k on sparse graphs.
+
+    Scale shape: everything up to the k result rows is the
+    link_prediction dataflow; the hit count is one ``anti_join`` of the
+    k-row prediction set against the test keys (distributed — the test
+    set is dataset-sized, never collected); the driver folds 4 scalars."""
+    import pyarrow as pa
+
+    from raylink.join import anti_join
+    from raylink.util import splitmix64
+
+    distinct, _ = _distinct_and_degrees(edges_ds)
+
+    def split(want_test: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch.column("key").to_numpy(zero_copy_only=False)
+            m = (splitmix64(key.astype(np.uint64)) % np.uint64(holdout_mod)
+                 == 0) == want_test
+            return pa.table({"key": pa.array(key[m])})
+
+        return fn
+
+    train_keys = distinct.map_batches(split(False), batch_format="pyarrow")
+    test_keys = distinct.map_batches(split(True), batch_format="pyarrow").materialize()
+
+    def unpack_edges(batch: pa.Table) -> pa.Table:
+        a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    preds = link_prediction(
+        train_keys.map_batches(unpack_edges, batch_format="pyarrow"),
+        k=k, num_buckets=num_buckets,
+    ).materialize()
+    n_preds = preds.count()
+
+    def pred_keys(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array((s << np.int64(32)) | d)})
+
+    misses = anti_join(
+        preds.map_batches(pred_keys, batch_format="pyarrow"),
+        test_keys, on="key", left_cols={}, num_buckets=num_buckets,
+    ).count()
+    hits = n_preds - misses
+    n_test = test_keys.count()
+    from raylink.util import round_half_away
+
+    precision = (
+        float(round_half_away(np.array([hits / n_preds]), 8)[0])
+        if n_preds else 0.0
+    )
+    return pa.table(
+        {
+            "k": pa.array([k], type=pa.int64()),
+            "n_preds": pa.array([n_preds], type=pa.int64()),
+            "n_test": pa.array([n_test], type=pa.int64()),
+            "hits": pa.array([hits], type=pa.int64()),
+            "precision": pa.array([precision], type=pa.float64()),
+        }
+    )

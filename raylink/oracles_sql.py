@@ -2634,6 +2634,41 @@ ORDER BY sc DESC, src, dst LIMIT {k}"""
     )
 
 
+def link_pred_eval_sql(k: int = 100, holdout_mod: int = 5) -> str:
+    """Mirrors algos.triangles.link_prediction_eval: splitmix64 packed-key
+    holdout (residue 0 = test), common-neighbour top-k on the train
+    adjacency (c DESC, u, w — the engine's tie order), hit count against
+    the held-out edges, one double division."""
+    key = _sm64("CAST(a * 4294967296 + b AS UBIGINT)")
+    return (
+        _with(
+            GRAPH_CTES,
+            """uelp AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            f"""uelk AS (SELECT a, b,
+  CAST({key} % CAST({holdout_mod} AS UBIGINT) AS BIGINT) AS r FROM uelp)""",
+            "trnlp AS (SELECT a, b FROM uelk WHERE r <> 0)",
+            "tstlp AS (SELECT a, b FROM uelk WHERE r = 0)",
+            "adjlp AS (SELECT a AS v, b AS n FROM trnlp UNION ALL SELECT b, a FROM trnlp)",
+            """kplp AS (SELECT x.n AS u, y.n AS w, count(*)::BIGINT AS c
+  FROM adjlp x JOIN adjlp y ON x.v = y.v AND x.n < y.n GROUP BY u, w)""",
+            """nelp AS (SELECT u, w, c FROM kplp
+  WHERE NOT EXISTS (SELECT 1 FROM trnlp WHERE trnlp.a = kplp.u AND trnlp.b = kplp.w))""",
+            f"prlp AS (SELECT u, w FROM nelp ORDER BY c DESC, u, w LIMIT {k})",
+        )
+        + f"""
+SELECT {k}::BIGINT AS k,
+       (SELECT count(*) FROM prlp)::BIGINT AS n_preds,
+       (SELECT count(*) FROM tstlp)::BIGINT AS n_test,
+       (SELECT count(*) FROM prlp p JOIN tstlp t
+        ON t.a = p.u AND t.b = p.w)::BIGINT AS hits,
+       CASE WHEN (SELECT count(*) FROM prlp) = 0 THEN 0.0
+            ELSE ROUND((SELECT count(*) FROM prlp p JOIN tstlp t
+                        ON t.a = p.u AND t.b = p.w)
+                       / (SELECT count(*) FROM prlp), 8) END AS precision"""
+    )
+
+
 def rich_club_sql() -> str:
     """Mirrors pipelines.rich_club_curve: undirected simple graph,
     N_k = vertices with deg > k, E_k = edges with min(deg_a, deg_b) > k,
@@ -3532,6 +3567,23 @@ def host_link_locality_sql() -> str:
 SELECT host, n AS n_links, ni AS n_intra, ROUND(ni / n, 8) AS locality
 FROM hlc"""
     )
+
+
+def props_stats_sql() -> str:
+    """Mirrors queries.q_props_stats: the integer k field of the JSON
+    props payload via the same RE2 pattern (missing/unparseable -> 0,
+    matching the engine's fill_null), per-event-type integer stats."""
+    return r"""
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       SUM(k)::BIGINT AS sum_k,
+       MIN(k)::BIGINT AS min_k,
+       MAX(k)::BIGINT AS max_k
+FROM (SELECT event_type,
+             COALESCE(TRY_CAST(regexp_extract(COALESCE(props, ''),
+                 '"k":\s*(-?\d+)', 1) AS BIGINT), 0) AS k
+      FROM events)
+GROUP BY event_type"""
 
 
 def rolling_actives_sql(window_days: int = 7) -> str:

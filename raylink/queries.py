@@ -2201,6 +2201,64 @@ def q_host_link_locality(sf_dir: str):
     return host_link_locality(edges)
 
 
+def q_props_stats(sf_dir: str):
+    """Log-payload field extraction: the integer ``k`` field of the JSON
+    ``props`` column pulled with one vectorized RE2 kernel (no per-row
+    JSON parser on the hot path), then per-event-type integer stats —
+    the schema-on-read step of every event pipeline. -> (event_type, n,
+    sum_k, min_k, max_k)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = pc.extract_regex(
+            pc.fill_null(batch.column("props").combine_chunks(), ""),
+            r'"k":\s*(?P<k>-?\d+)',
+        )
+        k = pc.cast(
+            pc.fill_null(pc.struct_field(st, "k"), "0"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = len(et.dictionary)
+        n = np.bincount(codes, minlength=nt).astype(np.int64)
+        s = np.zeros(nt, np.int64)
+        np.add.at(s, codes, k)
+        mn = np.full(nt, np.iinfo(np.int64).max, np.int64)
+        mx = np.full(nt, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, codes, k)
+        np.maximum.at(mx, codes, k)
+        return pa.table(
+            {"event_type": et.dictionary, "n": pa.array(n),
+             "sum_k": pa.array(s), "min_k": pa.array(mn),
+             "max_k": pa.array(mx)}
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("sum(n)"),
+                "sum_k": batch.column("sum(sum_k)"),
+                "min_k": batch.column("min(min_k)"),
+                "max_k": batch.column("max(max_k)"),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n"), Sum("sum_k"), Min("min_k"), Max("max_k"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
 def q_rolling_actives(sf_dir: str):
     """DAU + 7-day rolling distinct active users per epoch-day — the
     product-analytics WAU pair; distinct-pair expansion, never a sum of
@@ -3083,6 +3141,16 @@ def q_rich_club(sf_dir: str):
 
     _, edges, _, _ = page_edge_tables(sf_dir)
     return rich_club_curve(edges)
+
+
+def q_link_pred_eval(sf_dir: str):
+    """Held-out evaluation of the common-neighbour link predictor:
+    deterministic 1-in-5 edge holdout, top-100 predictions on the train
+    graph, precision against the held-out edges."""
+    from raylink.algos.triangles import link_prediction_eval
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return link_prediction_eval(edges, k=100, holdout_mod=5)
 
 
 def q_mirrors(sf_dir: str):

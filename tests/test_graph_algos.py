@@ -928,6 +928,41 @@ def test_rich_club(edge_data, ray_session):
     assert got["phi"].iloc[-1] <= 1.0 + 1e-12
 
 
+def test_link_prediction_eval(edge_data, ray_session):
+    from raylink.algos.triangles import link_prediction_eval
+    from raylink.util import splitmix64
+
+    edges, edges_ds, _ = edge_data
+    # brute-force replica: same holdout, CN top-k on train, hits in test
+    canon = sorted(
+        {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    )
+    keys = np.array([(a << 32) | b for a, b in canon], dtype=np.uint64)
+    # NB: % must be uint64 — uint64 % python-int promotes to float64
+    rs = splitmix64(keys) % np.uint64(5)
+    test = {c for c, r in zip(canon, rs) if r == 0}
+    train = [c for c in canon if c not in test]
+    A = np.zeros((N, N), dtype=np.int64)
+    for a, b in train:
+        A[a, b] = A[b, a] = 1
+    C = A @ A
+    cand = sorted(
+        ((int(C[u, w]), u, w)
+         for u in range(N) for w in range(u + 1, N)
+         if C[u, w] > 0 and A[u, w] == 0),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )
+    k = 25
+    preds = [(u, w) for _, u, w in cand[:k]]
+    hits = sum(1 for p in preds if p in test)
+    got = link_prediction_eval(edges_ds, k=k, holdout_mod=5).to_pandas()
+    assert got["k"][0] == k
+    assert got["n_preds"][0] == len(preds)
+    assert got["n_test"][0] == len(test)
+    assert got["hits"][0] == hits
+    assert got["precision"][0] == round(hits / len(preds), 8)
+
+
 def test_khop_egonet(edge_data, ray_session):
     from raylink.pipelines import khop_egonet
 
