@@ -1166,6 +1166,47 @@ lbl AS (
 SELECT vid::BIGINT AS doc_id, MIN(l)::BIGINT AS cluster FROM lbl GROUP BY vid"""
 
 
+def dedup_survivors_sql(n: int = 3, tau: float = 0.5) -> str:
+    """Mirrors queries.q_dedup_survivors: wraps the dedup_clusters chain,
+    keeps canonical docs (doc_id == cluster) with their cluster size."""
+    return f"""
+WITH dsc AS ({dedup_clusters_sql(n, tau)}),
+dss AS (SELECT cluster, count(*)::BIGINT AS n_in_cluster
+        FROM dsc GROUP BY cluster)
+SELECT dsc.doc_id, dss.n_in_cluster
+FROM dsc JOIN dss USING (cluster)
+WHERE dsc.doc_id = dsc.cluster"""
+
+
+def event_anomalies_sql() -> str:
+    """Mirrors queries.q_event_anomalies: per-(type, day) counts, z > 3
+    spike test cleared of denominators — (n*x - s)^2 > 9*(n*s2 - s^2),
+    all integer."""
+    return """
+WITH dce AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                    count(*)::BIGINT AS cnt
+             FROM events GROUP BY 1, 2),
+ste AS (SELECT event_type, count(*)::BIGINT AS n, SUM(cnt)::BIGINT AS s,
+               SUM(cnt * cnt)::BIGINT AS s2
+        FROM dce GROUP BY 1)
+SELECT d.event_type, d.day::BIGINT AS day, d.cnt,
+       CASE WHEN (st.n * d.cnt - st.s) * (st.n * d.cnt - st.s)
+                 > 9 * (st.n * st.s2 - st.s * st.s)
+            THEN 1 ELSE 0 END::BIGINT AS flagged
+FROM dce d JOIN ste st USING (event_type)"""
+
+
+def mixture_sample_sql(seed: int = 11) -> str:
+    """Mirrors queries.q_mixture_sample: keep rate ((N % 10) + 1) * 100
+    permille for source 'srcN', splitmix64(doc_id XOR seed) % 1000 draw
+    (bit-mirrored)."""
+    draw = _sm64(f"xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT))")
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE CAST({draw} % CAST(1000 AS UBIGINT) AS BIGINT)
+      < (CAST(substr(source, 4) AS BIGINT) % 10 + 1) * 100"""
+
+
 PAGE_TEXT_CTES = (
     """k AS (
   SELECT d.doc_id, d.text,

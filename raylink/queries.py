@@ -2006,6 +2006,43 @@ def q_dedup_clusters(sf_dir: str):
     )
 
 
+def q_dedup_survivors(sf_dir: str):
+    """The dedup OUTPUT corpus: one canonical doc (min doc_id) per
+    near-dup cluster, annotated with its cluster size — the row-level
+    decision the cluster resolution exists for."""
+    from raylink.join import bucketed_sum, hash_join
+
+    comps = q_dedup_clusters(sf_dir)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cluster": batch.column("cluster"),
+             "c": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    sizes = bucketed_sum(
+        comps.map_batches(ones, batch_format="pyarrow"),
+        "cluster", "c", out_val="n_in_cluster",
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False)
+        m = d == cl
+        return pa.table({"cluster": pa.array(cl[m])})
+
+    return hash_join(
+        comps.map_batches(canon, batch_format="pyarrow"), sizes,
+        on="cluster", left_cols={}, right_cols={"n_in_cluster": pa.int64()},
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("cluster"),
+             "n_in_cluster": b.column("n_in_cluster")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_host_vocab(sf_dir: str):
     """Per-host vocabulary-richness estimate (HLL distinct words per
     site, p=8) — the grouped sketch: shuffle carries at most
@@ -2257,6 +2294,123 @@ def q_props_stats(sf_dir: str):
         .aggregate(Sum("n"), Sum("sum_k"), Min("min_k"), Max("max_k"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def q_event_anomalies(sf_dir: str):
+    """Per-type daily-volume anomaly flags WITHOUT float boundaries: day
+    (type, day) counts, then the z > 3 test evaluated in pure integers —
+    (n*x - s)^2 > 9*(n*s2 - s^2) is z^2 > 9 cleared of denominators
+    (int64-exact while n*x < ~3e9; documented). -> (event_type, day, cnt,
+    flagged). The per-type stats table is type-cardinality-bounded
+    (take_all + ray.put broadcast, the codebook precedent)."""
+    import ray
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def day_rows(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = codes * np.int64(1 << 32) + day  # batch-local pack
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": et.dictionary.take(pa.array(uk >> np.int64(32))),
+                "day": pa.array(uk & np.int64(0xFFFFFFFF)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        ev.map_batches(day_rows, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .sum("c")
+        .materialize()  # consumed by the stats pass and the flag pass
+    )
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
+        et = batch.column("event_type").combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = len(et.dictionary)
+        n = np.bincount(codes, minlength=nt).astype(np.int64)
+        s = np.zeros(nt, np.int64)
+        s2 = np.zeros(nt, np.int64)
+        np.add.at(s, codes, c)
+        np.add.at(s2, codes, c * c)
+        return pa.table(
+            {"event_type": et.dictionary, "n": pa.array(n),
+             "s": pa.array(s), "s2": pa.array(s2)}
+        )
+
+    stats = (
+        counts.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["n", "s", "s2"])
+        .take_all()  # one row per event type — type-cardinality-bounded
+    )
+    smap = {
+        r["event_type"]: (r["sum(n)"], r["sum(s)"], r["sum(s2)"])
+        for r in stats
+    }
+    sref = ray.put(smap)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sref)
+        et = batch.column("event_type").to_pylist()
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
+        n = np.array([sm[t][0] for t in et], np.int64)
+        s = np.array([sm[t][1] for t in et], np.int64)
+        s2 = np.array([sm[t][2] for t in et], np.int64)
+        dev = n * c - s
+        fl = (dev * dev > 9 * (n * s2 - s * s)).astype(np.int64)
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "day": batch.column("day"), "cnt": pa.array(c),
+             "flagged": pa.array(fl)}
+        )
+
+    return counts.map_batches(flag, batch_format="pyarrow")
+
+
+MIX_SEED = 11
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data-mixture downsampling: per-source keep rate
+    ((N % 10) + 1) / 10 for source 'srcN', applied as a deterministic
+    splitmix64 draw per doc — the corpus-reweighting step before
+    training-data packing. -> kept (doc_id, source) rows."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.util import splitmix64
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").combine_chunks()
+        num = pc.cast(
+            pc.utf8_slice_codeunits(src, 3, 1 << 30), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        rate = (num % 10 + 1) * np.int64(100)  # permille
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        draw = (
+            splitmix64(ids.astype(np.uint64) ^ np.uint64(MIX_SEED))
+            % np.uint64(1000)
+        ).astype(np.int64)
+        m = draw < rate
+        return pa.table(
+            {"doc_id": pa.array(ids[m]), "source": src.filter(pa.array(m))}
+        )
+
+    return docs.map_batches(keep, batch_format="pyarrow")
 
 
 def q_rolling_actives(sf_dir: str):

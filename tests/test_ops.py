@@ -2772,3 +2772,45 @@ def test_host_link_locality(ray_session):
         ("site0.example", 3, 2, round(2 / 3, 8)),
         ("site1.example", 1, 0, 0.0),
     ]
+
+
+def test_event_anomalies_identity(ray_session):
+    """The integer z^2 clearing — (n*x-s)^2 > 9*(n*s2-s^2) — flags exactly
+    the float z > 3 days, on a planted spike."""
+    from raylink.queries import q_event_anomalies
+    import tempfile, os
+    import ray.data as rd
+
+    day_us = 86_400_000_000
+    # type 'a': 30 quiet days of 10 events + one 300-event spike day
+    rows = []
+    eid = 0
+    for d in range(30):
+        for _ in range(10):
+            rows.append(("a", d))
+    for _ in range(300):
+        rows.append(("a", 30))
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), type=pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "ts": pa.array([r[1] * day_us + 1 for r in rows],
+                           type=pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(len(rows), np.int64)),
+            "value": pa.array(np.zeros(len(rows), np.float64)),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, os.path.join(td, "events.parquet"))
+        got = q_event_anomalies(td).to_pandas().sort_values("day")
+    cnt = got["cnt"].to_numpy(np.float64)
+    mu, sd = cnt.mean(), cnt.std()  # population std, matching the identity
+    z = (cnt - mu) / sd
+    np.testing.assert_array_equal(
+        got["flagged"].to_numpy(np.int64), (np.abs(z) > 3).astype(np.int64)
+    )
+    assert got["flagged"].to_numpy()[-1] == 1  # the spike day
+    assert got["flagged"].to_numpy()[:-1].sum() == 0
