@@ -1510,17 +1510,21 @@ def lm_score(docs_ds, num_buckets: int = 64,
     if use_bcast:
         import ray
 
-        bdf = bc_mat.to_pandas()   # <= broadcast_threshold rows by the gate
-        udf = ucounts.to_pandas()  # <= broadcast_threshold rows by the gate
-        uw = udf["wh"].to_numpy(np.int64)
-        uo = np.argsort(uw, kind="stable")
-        uw, uv = uw[uo], udf["uc"].to_numpy(np.int64)[uo]
-        w1 = bdf["w1h"].to_numpy(np.int64)
-        ucv = uv[np.searchsorted(uw, w1)]
-        bh_k = bdf["bh"].to_numpy(np.int64)
-        lp1 = ((bdf["bc"].to_numpy(np.int64) + 1) * np.int64(LM_SCALE)) // (
-            ucv + np.int64(V_corpus)
-        )
+        if n_bigrams_tot == 0:  # bigram-less corpus: empty lookup table
+            bh_k = np.empty(0, np.int64)
+            lp1 = np.empty(0, np.int64)
+        else:
+            bdf = bc_mat.to_pandas()   # <= threshold rows by the gate
+            udf = ucounts.to_pandas()  # <= threshold rows by the gate
+            uw = udf["wh"].to_numpy(np.int64)
+            uo = np.argsort(uw, kind="stable")
+            uw, uv = uw[uo], udf["uc"].to_numpy(np.int64)[uo]
+            w1 = bdf["w1h"].to_numpy(np.int64)
+            ucv = uv[np.searchsorted(uw, w1)]
+            bh_k = bdf["bh"].to_numpy(np.int64)
+            lp1 = ((bdf["bc"].to_numpy(np.int64) + 1) * np.int64(LM_SCALE)) // (
+                ucv + np.int64(V_corpus)
+            )
         bo = np.argsort(bh_k, kind="stable")
         ref = ray.put((bh_k[bo], lp1[bo]))
 
@@ -1535,9 +1539,16 @@ def lm_score(docs_ds, num_buckets: int = 64,
                 order = np.argsort(ids, kind="stable")
                 d = t.column("doc_id").to_numpy(zero_copy_only=False)
                 row = order[np.searchsorted(ids[order], d)]
-                p = np.searchsorted(
-                    bhs, t.column("bh").to_numpy(zero_copy_only=False)
-                )
+                bh_q = t.column("bh").to_numpy(zero_copy_only=False)
+                p = np.searchsorted(bhs, bh_q)
+                # every doc bigram is in the corpus counts by construction;
+                # guard the invariant (a miss would read a WRONG lp1)
+                if len(bhs) == 0 or not (
+                    bhs[np.minimum(p, len(bhs) - 1)] == bh_q
+                ).all():
+                    raise AssertionError(
+                        "lm_score broadcast table is missing a doc bigram"
+                    )
                 c = t.column("c").to_numpy(zero_copy_only=False)
                 np.add.at(lps, row, c * lp1s[p])
                 np.add.at(nbg, row, c)

@@ -2814,3 +2814,42 @@ def test_event_anomalies_identity(ray_session):
     )
     assert got["flagged"].to_numpy()[-1] == 1  # the spike day
     assert got["flagged"].to_numpy()[:-1].sum() == 0
+
+
+def test_new_ops_edge_cases(ray_session):
+    """Degenerate inputs for the wave-10/11 ops: edgeless graphs, empty
+    vocabularies, zero-bigram corpora."""
+    import ray.data as rd
+
+    from raylink.algos.eigenvector import eigenvector_centrality
+    from raylink.ops.textstats import lm_score, typo_pairs
+    from raylink.pipelines import rich_club_curve
+
+    # eigenvector on an edgeless graph -> all-zero scores, no crash
+    empty_edges = rd.from_arrow(
+        pa.table({"src": pa.array([], type=pa.int64()),
+                  "dst": pa.array([], type=pa.int64())})
+    )
+    verts = rd.from_arrow(
+        pa.table({"vid": pa.array(np.arange(5, dtype=np.int64))})
+    )
+    _, scores = eigenvector_centrality(
+        empty_edges, vertices_ds=verts, num_parts=2, iters=3,
+    )
+    assert (scores.to_pandas()["x"] == 0.0).all()
+
+    # rich club over zero edges -> empty typed result
+    assert rich_club_curve(empty_edges).count() == 0
+
+    # typo_pairs on an empty vocabulary -> empty, no crash
+    noword = rd.from_arrow(pa.table({"word": pa.array([], type=pa.string())}))
+    assert typo_pairs(noword).count() == 0
+
+    # lm_score over a zero-bigram corpus (single words) -> all zeros
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": ["word", ""]})
+    )
+    got = lm_score(docs).to_pandas().sort_values("doc_id")
+    assert got["n_bigrams"].tolist() == [0, 0]
+    assert got["lm_score"].tolist() == [0.0, 0.0]
