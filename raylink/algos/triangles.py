@@ -1136,3 +1136,44 @@ def link_prediction_eval(edges_ds, k: int = 100, holdout_mod: int = 5,
             "precision": pa.array([precision], type=pa.float64()),
         }
     )
+
+
+def recommend_topk(edges_ds, k: int = 3, num_buckets: int = 64):
+    """Per-vertex link recommendations — the "people/pages you may know"
+    recsys shape: each vertex's top-k NON-adjacent candidates by
+    common-neighbour count (common DESC, cand ASC), 1-based rank.
+    -> Dataset (vid, cand, common, rk).
+
+    Dataflow: the shared wedge-count relation -> distributed anti-join
+    against the canonical edge keys -> each surviving pair feeds BOTH
+    endpoints' candidate lists -> ``group_topk`` per vid (per-batch top-k
+    pre-reduction bounds the shuffle at k rows per vid per block). Same
+    wedge-volume skew surface as every common-neighbour operator."""
+    import pyarrow as pa
+
+    from raylink.join import anti_join
+    from raylink.ops.select import group_topk
+
+    distinct, _ = _distinct_and_degrees(edges_ds)
+    pair_counts = _common_neighbor_counts(distinct, num_buckets)
+    nonedges = anti_join(
+        pair_counts, distinct, on="key",
+        left_cols={"sum(c)": pa.int64()}, num_buckets=num_buckets,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        u, w = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": pa.array(np.concatenate([u, w])),
+                "cand": pa.array(np.concatenate([w, u])),
+                "common": pa.array(np.concatenate([c, c])),
+            }
+        )
+
+    return group_topk(
+        nonedges.map_batches(expand, batch_format="pyarrow"),
+        key_col="vid", score_col="common", k=k, id_col="cand",
+        num_buckets=num_buckets,
+    )

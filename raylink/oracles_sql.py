@@ -2710,6 +2710,32 @@ SELECT {k}::BIGINT AS k,
     )
 
 
+def recommend_topk_sql(k: int = 3) -> str:
+    """Mirrors algos.triangles.recommend_topk: non-adjacent
+    common-neighbour pairs feed both endpoints' lists, ROW_NUMBER per vid
+    over (common DESC, cand ASC), top-k."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """uert AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            "adjrt AS (SELECT a AS v, b AS n FROM uert UNION ALL SELECT b, a FROM uert)",
+            """kprt AS (SELECT x.n AS u, y.n AS w, count(*)::BIGINT AS c
+  FROM adjrt x JOIN adjrt y ON x.v = y.v AND x.n < y.n GROUP BY u, w)""",
+            """nert AS (SELECT u, w, c FROM kprt
+  WHERE NOT EXISTS (SELECT 1 FROM uert WHERE uert.a = kprt.u AND uert.b = kprt.w))""",
+            """cdrt AS (SELECT u AS vid, w AS cand, c FROM nert
+  UNION ALL SELECT w, u, c FROM nert)""",
+        )
+        + f"""
+SELECT vid, cand, c AS common, rk FROM (
+  SELECT vid, cand, c,
+         ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, cand) AS rk
+  FROM cdrt)
+WHERE rk <= {k}"""
+    )
+
+
 def rich_club_sql() -> str:
     """Mirrors pipelines.rich_club_curve: undirected simple graph,
     N_k = vertices with deg > k, E_k = edges with min(deg_a, deg_b) > k,

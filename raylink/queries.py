@@ -3307,6 +3307,16 @@ def q_link_pred_eval(sf_dir: str):
     return link_prediction_eval(edges, k=100, holdout_mod=5)
 
 
+def q_recommend_topk(sf_dir: str):
+    """Per-page top-3 link recommendations by common neighbours — the
+    recsys sibling of link_prediction (per-vertex lists instead of one
+    global top-k)."""
+    from raylink.algos.triangles import recommend_topk
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return recommend_topk(edges, k=3)
+
+
 def q_mirrors(sf_dir: str):
     """Mirror/alias detection over a deterministically planted edge set
     (the pii_scan precedent — the closed-form synthetic graph has no

@@ -963,6 +963,33 @@ def test_link_prediction_eval(edge_data, ray_session):
     assert got["precision"][0] == round(hits / len(preds), 8)
 
 
+def test_recommend_topk(edge_data, ray_session):
+    from raylink.algos.triangles import recommend_topk
+
+    edges, edges_ds, _ = edge_data
+    A = np.zeros((N, N), dtype=np.int64)
+    for s, d in edges:
+        if s != d:
+            A[s, d] = A[d, s] = 1
+    C = A @ A
+    exp = []
+    for v in range(N):
+        cands = sorted(
+            ((int(C[v, w]), w) for w in range(N)
+             if w != v and A[v, w] == 0 and C[v, w] > 0),
+            key=lambda r: (-r[0], r[1]),
+        )[:3]
+        exp.extend((v, w, c, i + 1) for i, (c, w) in enumerate(cands))
+    got = (
+        recommend_topk(edges_ds, k=3)
+        .to_pandas().sort_values(["vid", "rk"]).reset_index(drop=True)
+    )
+    assert list(map(tuple, got[["vid", "cand", "common", "rk"]]
+                    .to_numpy().tolist())) == sorted(
+        exp, key=lambda r: (r[0], r[3])
+    )
+
+
 def test_khop_egonet(edge_data, ray_session):
     from raylink.pipelines import khop_egonet
 
