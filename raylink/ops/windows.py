@@ -484,3 +484,48 @@ def running_total(events_ds, num_buckets: int = 64):
         .groupby("ub")
         .map_groups(cum, batch_format="pyarrow")
     )
+
+
+def event_gap_quantiles(events_ds, qs=(0.5, 0.9, 0.99), num_buckets: int = 64):
+    """Per-event-type exact quantiles of the gap since the SAME USER's
+    previous event (microseconds) — the inter-arrival latency profile
+    behind session-gap / alerting thresholds. One hash(user) bucket
+    shuffle orders each user's stream by (ts, event_id) and emits one
+    (event_type, gap_us) row per non-first event (type = the LATER
+    event's); quantiles via ``group_quantiles`` (the distributed exact
+    histogram, quantile_disc rule). -> Dataset (event_type, q, gap_us)."""
+    from raylink.ops.select import group_quantiles
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "ub",
+            pa.array((splitmix64(u.astype(np.uint64)) % B).astype(np.int32)),
+        )
+
+    def gaps(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").combine_chunks()
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        same = np.r_[False, u[1:] == u[:-1]]
+        gap = np.empty(len(u), np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(order[same])),
+                "gap_us": pa.array(gap[same]),
+            }
+        )
+
+    rows = (
+        events_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+    return group_quantiles(rows, "event_type", "gap_us", list(qs))

@@ -3653,6 +3653,26 @@ FROM (SELECT event_type,
 GROUP BY event_type"""
 
 
+def gap_quantiles_sql(qs=(0.5, 0.9, 0.99)) -> str:
+    """Mirrors ops.windows.event_gap_quantiles: LAG per user over
+    (ts, event_id), gap grouped by the later event's type, quantile_disc
+    (== group_quantiles' ceil(q*n)-1 rule)."""
+    base = """
+WITH gpq AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events)
+"""
+    parts = " UNION ALL ".join(
+        f"SELECT event_type, CAST({q} AS DOUBLE) AS q, "
+        f"quantile_disc(gap_us, {q})::BIGINT AS gap_us "
+        f"FROM gpq WHERE gap_us IS NOT NULL GROUP BY event_type"
+        for q in qs
+    )
+    return base + parts
+
+
 def rolling_actives_sql(window_days: int = 7) -> str:
     """ops/windows.rolling_active_users: day = epoch-day floor of ts,
     dau = distinct users per day, wau = distinct users over the trailing

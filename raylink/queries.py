@@ -2413,6 +2413,24 @@ def q_mixture_sample(sf_dir: str):
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+GAP_QS = (0.5, 0.9, 0.99)
+
+
+def q_gap_quantiles(sf_dir: str):
+    """Per-event-type exact p50/p90/p99 of the gap since the same user's
+    previous event — the inter-arrival latency profile (session-gap /
+    alerting threshold picking)."""
+    import ray.data as rd
+
+    from raylink.ops.windows import event_gap_quantiles
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return event_gap_quantiles(ev, qs=GAP_QS)
+
+
 def q_rolling_actives(sf_dir: str):
     """DAU + 7-day rolling distinct active users per epoch-day — the
     product-analytics WAU pair; distinct-pair expansion, never a sum of

@@ -2853,3 +2853,32 @@ def test_new_ops_edge_cases(ray_session):
     got = lm_score(docs).to_pandas().sort_values("doc_id")
     assert got["n_bigrams"].tolist() == [0, 0]
     assert got["lm_score"].tolist() == [0.0, 0.0]
+
+
+def test_event_gap_quantiles(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.windows import event_gap_quantiles
+
+    # user 1 gaps: 10, 20, 70 (types of the LATER event: b, a, b)
+    # user 2 gaps: 5 (type a); user 3: single event -> no gap
+    rows = [
+        (1, 1, 0, "a"), (2, 1, 10, "b"), (3, 1, 30, "a"), (4, 1, 100, "b"),
+        (5, 2, 0, "b"), (6, 2, 5, "a"), (7, 3, 0, "a"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    got = (
+        event_gap_quantiles(rd.from_arrow(tbl).repartition(3), qs=(0.5, 1.0))
+        .to_pandas().sort_values(["event_type", "q"]).reset_index(drop=True)
+    )
+    # type a gaps: [5, 20] -> p50 = sorted[ceil(.5*2)-1] = 5, p100 = 20
+    # type b gaps: [10, 70] -> p50 = 10, p100 = 70
+    exp = [("a", 0.5, 5), ("a", 1.0, 20), ("b", 0.5, 10), ("b", 1.0, 70)]
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
