@@ -304,3 +304,50 @@ def media_features(media_ds, batch_size: int = 64, concurrency: int = 4):
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+def media_dedup(media_ds):
+    """Exact media dedup by PAYLOAD BYTES — the image-corpus sibling of
+    ops.dedup.exact_dedup (identical binary blob => one kept copy):
+    md5 of the raw ``media`` bytes, coarse-bucket groupby, keep the
+    smallest media_id per content. -> Dataset (keep_id, n_copies), one
+    row per distinct blob. Content addressing happens BEFORE any decode —
+    the standard cheap first pass of an image pipeline (bytes equality
+    needs no codec, so it works on the stub and the PIL path alike)."""
+    import hashlib
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(b or b"").hexdigest()
+            for b in batch.column("media").to_pylist()
+        ]
+        return pa.table(
+            {"media_id": batch.column("media_id"), "h": pa.array(h)}
+        )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_pylist()
+        b = np.array([int(x[:8], 16) % 64 for x in h], dtype=np.int32)
+        return batch.append_column("b", pa.array(b))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ids = group.column("media_id").to_numpy(zero_copy_only=False)
+        hs = np.array(group.column("h").to_pylist())
+        order = np.lexsort((ids, hs))
+        ids, hs = ids[order], hs[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        seg = np.cumsum(first) - 1
+        counts = np.bincount(seg)
+        return pa.table(
+            {
+                "keep_id": pa.array(ids[first]),
+                "n_copies": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        media_ds.map_batches(add_hash, batch_format="pyarrow")
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

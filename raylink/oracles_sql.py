@@ -2736,6 +2736,15 @@ WHERE rk <= {k}"""
     )
 
 
+def media_dedup_sql() -> str:
+    """Mirrors queries.q_media_dedup: the RLNK blob embeds the full text
+    bytes, so blob equality <=> text equality — keep min doc_id per
+    distinct text with the copy count."""
+    return """
+SELECT MIN(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY COALESCE(text, '')"""
+
+
 def rich_club_sql() -> str:
     """Mirrors pipelines.rich_club_curve: undirected simple graph,
     N_k = vertices with deg > k, E_k = edges with min(deg_a, deg_b) > k,

@@ -2803,6 +2803,15 @@ def q_length_quantiles(sf_dir: str):
 
 
 # ------------------------------------------------------------ multimodal stub
+def q_media_dedup(sf_dir: str):
+    """Exact media dedup on raw payload bytes over the documents-derived
+    RLNK corpus — identical blob <=> identical text, so the oracle dedups
+    by the text string; content addressing before any decode."""
+    from raylink.ops.multimodal import media_dedup, media_from_documents
+
+    return media_dedup(media_from_documents(_docs(sf_dir)))
+
+
 def q_media_features(sf_dir: str):
     """Decode features over a deterministic media corpus derived from the
     documents table (text bytes wrapped as RLNKIMG1 blobs) — the byte

@@ -2882,3 +2882,24 @@ def test_event_gap_quantiles(ray_session):
     # type b gaps: [10, 70] -> p50 = 10, p100 = 70
     exp = [("a", 0.5, 5), ("a", 1.0, 20), ("b", 0.5, 10), ("b", 1.0, 70)]
     assert list(map(tuple, got.to_numpy().tolist())) == exp
+
+
+def test_media_dedup(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.multimodal import media_dedup
+
+    blobs = [b"imgA", b"imgB", b"imgA", b"", None, b"imgB", b"imgC"]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(len(blobs)), type=pa.int64()),
+            "media": pa.array(blobs, type=pa.binary()),
+        }
+    )
+    got = (
+        media_dedup(rd.from_arrow(tbl).repartition(3))
+        .to_pandas().sort_values("keep_id").reset_index(drop=True)
+    )
+    # None and b"" hash identically (md5 of b"") -> one group {3, 4}
+    exp = [(0, 2), (1, 2), (3, 2), (6, 1)]
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
