@@ -199,3 +199,22 @@ def test_property_bpe_merge_flat_equals_sequential_scan(words, pair):
         exp_r.extend([i] * len(out))
     assert got_f.tolist() == exp_f
     assert got_r.tolist() == exp_r
+
+
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=8),
+    st.text(alphabet="abc", min_size=0, max_size=8),
+)
+@settings(max_examples=300, deadline=None)
+def test_ed1_equals_levenshtein(a, b):
+    """ops.textstats._ed1 == (full DP levenshtein == 1) on a tiny alphabet
+    (small alphabet maximizes boundary collisions: equal strings,
+    transpositions, repeated runs)."""
+    from raylink.ops.textstats import _ed1
+
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    assert _ed1(a, b) == (dp[len(b)] == 1)
