@@ -675,3 +675,68 @@ def dataset_checksum(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
         .repartition(1)
         .map_batches(fold, batch_format="pyarrow", batch_size=None)
     )
+
+
+SPLIT_NAMES = ("train", "val", "test")
+
+
+def train_split(ds, id_col: str = "doc_id", by: str = "source",
+                chars_col: str = "n_chars", seed: int = 0,
+                bounds: tuple = (80, 90)):
+    """Deterministic mutually-exclusive train/val/test assignment per row
+    (the dataset-versioning step before training-data packing): a row's
+    split is decided by splitmix64(uint64(id) ^ seed) % 100 —
+    < bounds[0] -> train, < bounds[1] -> val, else test — so the
+    assignment is reproducible under any partitioning/replay (the hash IS
+    the coin) and a doc never leaks across splits between runs. -> Dataset
+    (<by>, split, n_docs, sum_chars) — the per-stratum audit table; the
+    assignment itself is a pure per-batch map, no shuffle, and the audit
+    aggregate is a bounded combine tree (cells <= n_strata * 3). Mirrored
+    bit-for-bit in SQL by ``oracles_sql.train_split_sql``."""
+    from raylink.join import tree_groupby_sum
+
+    sd = U64(np.uint64(seed))
+    lo, hi = int(bounds[0]), int(bounds[1])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = (splitmix64(ids ^ sd) % np.uint64(100)).astype(np.int64)
+        code = np.where(r < lo, 0, np.where(r < hi, 1, 2)).astype(np.int64)
+        by_col = batch.column(by)
+        if isinstance(by_col, pa.ChunkedArray):
+            by_col = by_col.combine_chunks()
+        enc = by_col.dictionary_encode()
+        bcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = batch.column(chars_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = bcode * 3 + code
+        ng = len(enc.dictionary) * 3
+        cnt = np.bincount(key, minlength=ng).astype(np.int64)
+        s = np.zeros(ng, dtype=np.int64)
+        np.add.at(s, key, ch)
+        keep = cnt > 0
+        idx = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                by: enc.dictionary.take(pa.array(idx // 3)),
+                "split": pa.array([SPLIT_NAMES[i % 3] for i in idx],
+                                  type=pa.string()),
+                "n_docs": pa.array(cnt[idx]),
+                "sum_chars": pa.array(s[idx]),
+            }
+        )
+
+    agg = tree_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [by, "split"], ["n_docs", "sum_chars"],
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                by: b.column(by),
+                "split": b.column("split"),
+                "n_docs": b.column("sum(n_docs)"),
+                "sum_chars": b.column("sum(sum_chars)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -529,3 +529,99 @@ def event_gap_quantiles(events_ds, qs=(0.5, 0.9, 0.99), num_buckets: int = 64):
         .map_groups(gaps, batch_format="pyarrow")
     )
     return group_quantiles(rows, "event_type", "gap_us", list(qs))
+
+
+def event_trigrams(events_ds, user_col: str = "user_id",
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   id_col: str = "event_id", num_buckets: int = 64):
+    """Clickstream path motifs: for each user's event sequence (ordered by
+    ts, ties by event id), count every run of THREE consecutive event types
+    across the corpus -> Dataset (t1, t2, t3, n) — the 3-gram sibling of
+    ``event_transitions`` (funnel discovery / Markov-order-2 check).
+
+    Shape: identical to ``event_transitions`` — ONE hash(user) coarse-bucket
+    groupby (a user's events colocate, so adjacency is global), per-group
+    vectorized triple extraction on dictionary codes with in-group
+    pre-counts (cells <= n_types^3), then the bounded combine tree. Raw
+    event rows shuffle once; nothing is driver-side."""
+    from raylink.join import tree_groupby_sum
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(
+                    (splitmix64(u.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "u": pa.array(u),
+                "t": batch.column(ts_col),
+                "i": batch.column(id_col),
+                "y": batch.column(type_col),
+            }
+        )
+
+    _empty = pa.table(
+        {
+            "t1": pa.array([], type=pa.string()),
+            "t2": pa.array([], type=pa.string()),
+            "t3": pa.array([], type=pa.string()),
+            "n": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        if len(u) < 3:
+            return _empty
+        ts = group.column("t")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        t = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = group.column("i").to_numpy(zero_copy_only=False)
+        y = group.column("y")
+        if isinstance(y, pa.ChunkedArray):
+            y = y.combine_chunks()
+        enc = y.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((i, t, u))
+        u, code = u[order], code[order]
+        # u is sorted, so u[2:] == u[:-2] implies the middle row matches too
+        same = u[2:] == u[:-2]
+        if not same.any():
+            return _empty
+        a = code[:-2][same]
+        b = code[1:-1][same]
+        c = code[2:][same]
+        nd = np.int64(len(enc.dictionary))
+        key = (a * nd + b) * nd + c
+        uk, cnt = np.unique(key, return_counts=True)
+        dic = enc.dictionary
+        return pa.table(
+            {
+                "t1": dic.take(pa.array(uk // (nd * nd))),
+                "t2": dic.take(pa.array((uk // nd) % nd)),
+                "t3": dic.take(pa.array(uk % nd)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+    agg = tree_groupby_sum(partials, ["t1", "t2", "t3"], ["n"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "t1": b.column("t1"),
+                "t2": b.column("t2"),
+                "t3": b.column("t3"),
+                "n": b.column("sum(n)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -4463,3 +4463,93 @@ SELECT v.vec_id, v.cluster FROM sdv v
 WHERE NOT EXISTS (SELECT 1 FROM sdd d
                   WHERE d.vi = v.vec_id AND d.d2 < {tau})"""
     )
+
+
+def neighbor_jaccard_sql(k: int = 50, scale: int = 10**9) -> str:
+    """Mirrors algos.triangles.neighbor_jaccard: int64 fixed-point Jaccard
+    ((scale * common) // (deg_u + deg_w - common)) for canonical
+    non-adjacent pairs on the undirected simple graph, top-k by
+    (score DESC, src, dst) — integer floor division on both sides."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """uenj AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            "adjnj AS (SELECT a AS v, b AS n FROM uenj UNION ALL SELECT b, a FROM uenj)",
+            "degnj AS (SELECT v, count(*)::BIGINT AS dg FROM adjnj GROUP BY v)",
+            """wpnj AS (SELECT x.n AS u, y.n AS w
+  FROM adjnj x JOIN adjnj y ON x.v = y.v AND x.n < y.n)""",
+            "kpnj AS (SELECT u, w, count(*)::BIGINT AS c FROM wpnj GROUP BY u, w)",
+            """nenj AS (SELECT u, w, c FROM kpnj
+  WHERE NOT EXISTS (SELECT 1 FROM uenj WHERE uenj.a = kpnj.u AND uenj.b = kpnj.w))""",
+            f"""scnj AS (SELECT u, w, c,
+  (({scale}::BIGINT * c) // (du.dg + dw.dg - c))::BIGINT AS score
+  FROM nenj JOIN degnj du ON du.v = nenj.u JOIN degnj dw ON dw.v = nenj.w)""",
+        )
+        + f"""
+SELECT u AS src, w AS dst, c AS common, score FROM scnj
+ORDER BY score DESC, src, dst LIMIT {k}"""
+    )
+
+
+def event_trigrams_sql() -> str:
+    """ops/windows.event_trigrams: per-user sequences ordered by
+    (ts, event_id), runs of three consecutive event types counted."""
+    return """
+WITH s3 AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS nx1,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS nx2
+  FROM events)
+SELECT event_type AS t1, nx1 AS t2, nx2 AS t3, count(*)::BIGINT AS n
+FROM s3 WHERE nx2 IS NOT NULL
+GROUP BY 1, 2, 3"""
+
+
+def train_split_sql(seed: int = 17, bounds: tuple = (80, 90)) -> str:
+    """ops/select.train_split: splitmix64(doc_id XOR seed) % 100 assignment
+    (< bounds[0] train, < bounds[1] val, else test), per-(source, split)
+    doc counts + char sums (bit-mirrored draw)."""
+    draw = _sm64(f"xor(CAST(doc_id AS UBIGINT), CAST({seed} AS UBIGINT))")
+    return f"""
+WITH asg AS (
+  SELECT source, n_chars,
+         CASE WHEN CAST({draw} % CAST(100 AS UBIGINT) AS BIGINT) < {bounds[0]}
+              THEN 'train'
+              WHEN CAST({draw} % CAST(100 AS UBIGINT) AS BIGINT) < {bounds[1]}
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, count(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM asg GROUP BY source, split"""
+
+
+def degree_gini_sql(scale: int = 10**9) -> str:
+    """pipelines.degree_gini: Gini of the undirected distinct-neighbour
+    degree distribution over edge-incident vertices — exact rank-sum over
+    runs of equal degrees (c*before + c*(c+1)//2), all-integer; the scaled
+    ratio goes through HUGEINT (DuckDB errors on native int64 overflow)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """uegi AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst)""",
+            "adjgi AS (SELECT a AS v, b AS n FROM uegi UNION ALL SELECT b, a FROM uegi)",
+            "deggi AS (SELECT v, count(*)::BIGINT AS k FROM adjgi GROUP BY v)",
+            "hgi AS (SELECT k, count(*)::BIGINT AS c FROM deggi GROUP BY k)",
+            """cgi AS (SELECT k, c,
+  COALESCE(SUM(c) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)::BIGINT AS bf FROM hgi)""",
+            """tgi AS (SELECT SUM(c)::BIGINT AS n, SUM(k * c)::BIGINT AS s,
+  SUM(k * (c * bf + c * (c + 1) // 2))::BIGINT AS r FROM cgi)""",
+        )
+        + f"""
+SELECT n AS n_vertices, s AS sum_deg,
+       (2 * r - (n + 1) * s)::BIGINT AS gini_num,
+       (n * s)::BIGINT AS gini_den,
+       CAST(({scale}::HUGEINT * (2 * r - (n + 1) * s)) // (CAST(n AS HUGEINT) * s)
+            AS BIGINT) AS gini_scaled
+FROM tgi"""
+    )

@@ -922,3 +922,70 @@ def host_link_locality(edges_ds, num_buckets: int = 64):
         .sum(["n", "ni"])
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+GINI_SCALE = 10**9
+
+
+def degree_gini(edges_ds):
+    """Gini coefficient of the undirected distinct-neighbour degree
+    distribution over edge-incident vertices — the one-number inequality
+    summary of the power law (link-farm / hub-concentration diagnostic).
+    -> single-row Dataset (n_vertices, sum_deg, gini_num, gini_den,
+    gini_scaled) where, with degrees sorted ascending d_1..d_n,
+    gini = (2 * sum_i i*d_i - (n+1) * sum_d) / (n * sum_d) — reported as
+    exact int64 numerator/denominator plus the floor-scaled integer
+    (GINI_SCALE * num) // den (bit-portable; computed in Python bigints —
+    no float ever crosses the engine/oracle boundary). int64 bound: the
+    num/den COLUMNS require
+    n * sum_deg < 2^63 — holds through ~1e8-vertex graphs at web degrees;
+    beyond that keep gini_scaled (always < GINI_SCALE) and widen the
+    ratio columns to decimal128.
+
+    Scale shape: the degree table streams into per-batch (deg -> count)
+    histogram partials, a bounded combine tree (cells = distinct degree
+    values, O(max_deg)), and ONE final single-block pass that turns runs of
+    equal degrees into exact rank sums (rank-sum of a run = c*before +
+    c*(c+1)/2 — order within a run does not change sum_i i*d_i). The
+    driver never sees per-vertex rows."""
+    from raylink.algos.triangles import _distinct_and_degrees
+    from raylink.join import tree_groupby_sum
+
+    _, deg_ds = _distinct_and_degrees(edges_ds)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(d, return_counts=True)
+        return pa.table({"k": pa.array(uk.astype(np.int64)),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    hist = tree_groupby_sum(
+        deg_ds.map_batches(hist_partial, batch_format="pyarrow"), ["k"], ["c"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        k, c = k[order], c[order]
+        n = int(c.sum())
+        s = int((k * c).sum())
+        before = np.cumsum(c) - c
+        # sum over vertices of rank*deg, ranks 1..n ascending by deg
+        r = int((k * (c * before + c * (c + 1) // 2)).sum())
+        num = 2 * r - (n + 1) * s
+        den = n * s
+        return pa.table(
+            {
+                "n_vertices": pa.array([n], type=pa.int64()),
+                "sum_deg": pa.array([s], type=pa.int64()),
+                "gini_num": pa.array([num], type=pa.int64()),
+                "gini_den": pa.array([den], type=pa.int64()),
+                "gini_scaled": pa.array([(GINI_SCALE * num) // den],
+                                        type=pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

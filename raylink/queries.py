@@ -5709,3 +5709,61 @@ def q_semantic_dedup(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return semantic_dedup(emb, k=8, rounds=3)
+
+
+def q_neighbor_jaccard(sf_dir: str):
+    """Jaccard link prediction: top-50 non-adjacent page pairs by
+    neighbourhood Jaccard in int64 fixed point ((JAC_SCALE * common) //
+    (deg_u + deg_w - common)) — the degree-normalized sibling of
+    link_prediction/resource_alloc (common-neighbour counts alone rank
+    hub pairs first; Jaccard ranks by overlap FRACTION)."""
+    from raylink.algos.triangles import neighbor_jaccard
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return neighbor_jaccard(edges, k=50)
+
+
+def q_event_trigrams(sf_dir: str):
+    """Clickstream path motifs: counts of every run of three consecutive
+    event types over per-user (ts, event_id)-ordered sequences — the
+    3-gram sibling of event_transitions (funnel discovery)."""
+    import ray.data as rd
+
+    from raylink.ops.windows import event_trigrams
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return event_trigrams(ev)
+
+
+SPLIT_SEED = 17
+SPLIT_BOUNDS = (80, 90)
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test split audit: every doc is assigned by
+    splitmix64(doc_id ^ 17) % 100 (< 80 train, < 90 val, else test) and
+    the per-(source, split) doc counts + char sums are reported — the
+    dataset-versioning step before packing; the hash IS the coin, so the
+    assignment is stable under any partitioning/replay."""
+    import ray.data as rd
+
+    from raylink.ops.select import train_split
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return train_split(docs, seed=SPLIT_SEED, bounds=SPLIT_BOUNDS)
+
+
+def q_degree_gini(sf_dir: str):
+    """Gini coefficient of the undirected distinct-neighbour degree
+    distribution over edge-incident pages — the one-number
+    hub-concentration summary of the degree power law (exact int64
+    numerator/denominator + floor-scaled integer; no float boundary)."""
+    from raylink.pipelines import degree_gini
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return degree_gini(edges)

@@ -2051,3 +2051,56 @@ def test_fastrp(edge_data, engine, tmp_path):
     got = pdf["emb"].to_numpy().reshape(N, d)
     np.testing.assert_allclose(got, emb, rtol=0, atol=2e-8)
     assert np.abs(got).max() > 0  # projection actually propagates
+
+
+def test_neighbor_jaccard(edge_data, ray_session):
+    from raylink.algos.triangles import JAC_SCALE, neighbor_jaccard
+
+    edges, edges_ds, _ = edge_data
+    # brute-force oracle: score = (SCALE*common) // (deg_u + deg_w - common)
+    A = np.zeros((N, N), dtype=np.int64)
+    for s, d in edges:
+        if s != d:
+            A[s, d] = A[d, s] = 1
+    C = A @ A
+    deg = A.sum(axis=1)
+    cand = []
+    for u in range(N):
+        for w in range(u + 1, N):
+            c = int(C[u, w])
+            if c > 0 and A[u, w] == 0:
+                s = (JAC_SCALE * c) // int(deg[u] + deg[w] - c)
+                cand.append((s, u, w, c))
+    cand.sort(key=lambda r: (-r[0], r[1], r[2]))
+    for k in (10, 50):
+        got = neighbor_jaccard(edges_ds, k=k).to_pandas()
+        assert [
+            (s, u, w, c)
+            for s, u, w, c in zip(
+                got["score"], got["src"], got["dst"], got["common"]
+            )
+        ] == [(s, u, w, c) for s, u, w, c in cand[:k]]
+
+
+def test_degree_gini(edge_data, ray_session):
+    from raylink.pipelines import GINI_SCALE, degree_gini
+
+    edges, edges_ds, _ = edge_data
+    # brute-force oracle: sorted-degree rank formula over incident vertices
+    adj = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    degs = sorted(len(v) for v in adj.values())
+    n = len(degs)
+    s = sum(degs)
+    r = sum((i + 1) * d for i, d in enumerate(degs))
+    num, den = 2 * r - (n + 1) * s, n * s
+    got = degree_gini(edges_ds).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (
+        row["n_vertices"], row["sum_deg"], row["gini_num"],
+        row["gini_den"], row["gini_scaled"],
+    ) == (n, s, num, den, (GINI_SCALE * num) // den)

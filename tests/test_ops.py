@@ -2903,3 +2903,75 @@ def test_media_dedup(ray_session):
     # None and b"" hash identically (md5 of b"") -> one group {3, 4}
     exp = [(0, 2), (1, 2), (3, 2), (6, 1)]
     assert list(map(tuple, got.to_numpy().tolist())) == exp
+
+
+def test_event_trigrams(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.windows import event_trigrams
+
+    rows = [  # (user, ts, id, type)
+        (1, 10, 1, "view"), (1, 20, 2, "click"), (1, 30, 3, "view"),
+        (1, 30, 4, "buy"),  # tie on ts -> id order: view before buy
+        (2, 5, 5, "view"), (2, 6, 6, "click"),  # only 2 events: no trigram
+        (3, 1, 7, "a"), (3, 2, 8, "b"), (3, 3, 9, "c"), (3, 4, 10, "b"),
+        (3, 5, 11, "c"),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+        }
+    )
+    got = (
+        event_trigrams(rd.from_arrow(tbl).repartition(4))
+        .to_pandas()
+        .sort_values(["t1", "t2", "t3"])
+        .reset_index(drop=True)
+    )
+    exp = sorted(
+        [
+            ("view", "click", "view", 1), ("click", "view", "buy", 1),
+            ("a", "b", "c", 1), ("b", "c", "b", 1), ("c", "b", "c", 1),
+        ]
+    )
+    assert list(map(tuple, got.to_records(index=False))) == exp
+
+
+def test_train_split(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.select import SPLIT_NAMES, train_split
+    from raylink.util import splitmix64
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    src = np.array([f"s{int(i) % 3}" for i in ids])
+    ch = (ids * 7 % 91 + 1).astype(np.int64)
+    tbl = pa.table(
+        {"doc_id": pa.array(ids), "source": pa.array(src),
+         "n_chars": pa.array(ch)}
+    )
+    got = (
+        train_split(rd.from_arrow(tbl).repartition(5), seed=17)
+        .to_pandas()
+        .sort_values(["source", "split"])
+        .reset_index(drop=True)
+    )
+    # brute-force replica of the hash coin
+    r = (splitmix64(ids.astype(np.uint64) ^ np.uint64(17)) % np.uint64(100)
+         ).astype(np.int64)
+    code = np.where(r < 80, 0, np.where(r < 90, 1, 2))
+    exp = {}
+    for i in range(n):
+        key = (src[i], SPLIT_NAMES[code[i]])
+        cnt, s = exp.get(key, (0, 0))
+        exp[key] = (cnt + 1, s + int(ch[i]))
+    exp_rows = sorted(
+        (k[0], k[1], v[0], v[1]) for k, v in exp.items()
+    )
+    assert list(map(tuple, got.to_records(index=False))) == exp_rows
+    # every doc lands in exactly one split
+    assert got["n_docs"].sum() == n
