@@ -1123,3 +1123,84 @@ def embedding_gram(emb_ds, scale: int = 10**6):
         ),
         batch_format="pyarrow",
     )
+
+
+PCA_SCALE = 10**6
+
+
+def _tdiv_int(a: int, b: int) -> int:
+    """Truncating integer division (DuckDB's ``//`` rounds toward zero;
+    Python's floors — the mirror must match DuckDB on negatives)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def pca_topdir(emb_ds, scale: int = 10**6, rounds: int = 12,
+               pscale: int = PCA_SCALE):
+    """Top principal direction of the UNCENTERED quantized embedding
+    corpus: integer power iteration on the exact int64 Gram matrix
+    G = X^T X -> Dataset (d, v) with |v| <= pscale — every iteration is
+    w = G v (Python bigints — |G v| exceeds int64, the SQL mirror goes
+    through HUGEINT) followed by v = trunc(w * pscale / max|w|), so no
+    float ever crosses the engine/oracle boundary and the direction is
+    bit-reproducible (fixed v0 = 1, fixed round count — the
+    eigenvector-centrality precedent applied to the d x d spectrum).
+
+    Scale shape: the Gram is ONE streaming pass (``embedding_gram``); the
+    iteration runs in a single task over the d(d+1)/2 gram rows (d is the
+    embedding width — 64-4096 — never the corpus), so the expensive part
+    stays distributed and the iterative part is O(d^2 * rounds) scalar
+    work."""
+    from raylink.ops.similarity import embedding_gram
+
+    gram = embedding_gram(emb_ds, scale)
+
+    def power(batch: pa.Table) -> pa.Table:
+        ii = batch.column("i").to_numpy(zero_copy_only=False)
+        jj = batch.column("j").to_numpy(zero_copy_only=False)
+        gg = batch.column("g").to_numpy(zero_copy_only=False)
+        d = int(max(ii.max(initial=-1), jj.max(initial=-1))) + 1
+        if d == 0:
+            return pa.table({"d": pa.array([], type=pa.int64()),
+                             "v": pa.array([], type=pa.int64())})
+        G = [[0] * d for _ in range(d)]
+        for a, b, g in zip(ii.tolist(), jj.tolist(), gg.tolist()):
+            G[a][b] = g
+            G[b][a] = g
+        v = [1] * d
+        for _ in range(rounds):
+            w = [sum(Gr[c] * v[c] for c in range(d)) for Gr in G]
+            m = max(max(abs(x) for x in w), 1)
+            v = [_tdiv_int(x * pscale, m) for x in w]
+        return pa.table(
+            {"d": pa.array(np.arange(d, dtype=np.int64)),
+             "v": pa.array(np.array(v, dtype=np.int64))}
+        )
+
+    return gram.repartition(1).map_batches(
+        power, batch_format="pyarrow", batch_size=None
+    )
+
+
+def pca_project(emb_ds, scale: int = 10**6, rounds: int = 12,
+                pscale: int = PCA_SCALE):
+    """Project every embedding onto the corpus's top principal direction
+    (``pca_topdir``) in exact integer arithmetic -> Dataset
+    (vec_id, proj) with proj = sum_d x_q[d] * v[d] — the 1-D PCA reduce
+    used for spectral ordering / duplicate-axis diagnostics.
+
+    The direction is O(d) values pulled once to the driver and closed over
+    by the projection map (the IVF-codebook bounded-broadcast contract:
+    the pull is the embedding WIDTH, never corpus-sized). int64 bound:
+    d * scale*max|x| * pscale < 2^63 — 3.4e13 at d=64, documented."""
+    comp = pca_topdir(emb_ds, scale, rounds, pscale).to_pandas()
+    v = comp.sort_values("d")["v"].to_numpy().astype(np.int64)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        x = _quantize(_mat(batch), scale)
+        p = x @ v if x.shape[0] else np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {"vec_id": batch.column("vec_id"), "proj": pa.array(p)}
+        )
+
+    return emb_ds.map_batches(proj, batch_format="pyarrow")

@@ -1888,3 +1888,63 @@ def dsir_resample(docs_ds, target_source: str, num_features: int = DSIR_D,
         )
 
     return weighted.map_batches(keep, batch_format="pyarrow")
+
+
+def lang_fertility(docs_ds):
+    """Per-language tokenizer-fertility audit: (lang, n_docs, sum_tokens,
+    sum_chars) over the corpus — the chars-per-token comparison that
+    decides tokenizer/vocab allocation across languages in a training-data
+    mix. Token counting is the TextStats RE2 partition (alnum runs + lone
+    symbols), chars are utf8 lengths — all integers, mirrored exactly in
+    SQL. Shape: per-batch dictionary-coded bincount partials -> bounded
+    combine tree (cells = #languages); no per-doc rows shuffle."""
+    import pyarrow.compute as pc
+
+    from raylink.join import tree_groupby_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_tokens = (
+            pc.count_substring_regex(text, pattern="[A-Za-z0-9]+")
+            .to_numpy(zero_copy_only=False)
+            + pc.count_substring_regex(text, pattern=r"[^A-Za-z0-9\s]")
+            .to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        lang = batch.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        enc = lang.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = len(enc.dictionary)
+        cnt = np.bincount(code, minlength=ng).astype(np.int64)
+        st = np.zeros(ng, dtype=np.int64)
+        np.add.at(st, code, n_tokens)
+        sc = np.zeros(ng, dtype=np.int64)
+        np.add.at(sc, code, n_chars)
+        return pa.table(
+            {
+                "lang": enc.dictionary,
+                "n_docs": pa.array(cnt),
+                "sum_tokens": pa.array(st),
+                "sum_chars": pa.array(sc),
+            }
+        )
+
+    agg = tree_groupby_sum(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], ["n_docs", "sum_tokens", "sum_chars"],
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_docs": b.column("sum(n_docs)"),
+                "sum_tokens": b.column("sum(sum_tokens)"),
+                "sum_chars": b.column("sum(sum_chars)"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

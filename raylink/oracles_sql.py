@@ -4553,3 +4553,76 @@ SELECT n AS n_vertices, s AS sum_deg,
             AS BIGINT) AS gini_scaled
 FROM tgi"""
     )
+
+
+def pca_project_sql(scale: int = 10**6, rounds: int = 12,
+                    pscale: int = 10**6) -> str:
+    """Mirrors ops.similarity.pca_project: the kmeans quantization contract,
+    exact Gram (symmetrized), ``rounds`` unrolled integer power iterations
+    (w = G v through HUGEINT — |G v| exceeds int64 — then
+    v = (w * pscale) // max|w|, DuckDB's // truncating toward zero exactly
+    like the engine's _tdiv_int), final exact integer projection."""
+    ctes = [
+        f"""pcq AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {scale}) AS BIGINT) AS x
+  FROM embeddings)""",
+        """pcg AS MATERIALIZED (SELECT a.j AS i, b.j AS j, SUM(a.x * b.x)::BIGINT AS g
+  FROM pcq a JOIN pcq b ON b.vec_id = a.vec_id AND b.j >= a.j GROUP BY 1, 2)""",
+        """pcs AS MATERIALIZED (SELECT i, j, g FROM pcg
+  UNION ALL SELECT j, i, g FROM pcg WHERE i <> j)""",
+        "pv0 AS (SELECT DISTINCT i AS d, CAST(1 AS HUGEINT) AS v FROM pcs)",
+    ]
+    # every per-round CTE is MATERIALIZED: pv{t} references pw{t} twice
+    # (via pm{t}), so inlining would re-evaluate the whole chain 2^rounds
+    # times
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"""pw{t} AS MATERIALIZED (
+  SELECT g.i AS d, SUM(CAST(g.g AS HUGEINT) * p.v) AS w
+  FROM pcs g JOIN pv{t - 1} p ON p.d = g.j GROUP BY 1)"""
+        )
+        ctes.append(
+            f"pm{t} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM pw{t})"
+        )
+        ctes.append(
+            f"pv{t} AS MATERIALIZED (SELECT d, (w * {pscale}) // m AS v FROM pw{t}, pm{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT q.vec_id, SUM(q.x * CAST(p.v AS BIGINT))::BIGINT AS proj
+FROM pcq q JOIN pv{rounds} p ON p.d = q.j GROUP BY 1"""
+    )
+
+
+def crawl_frontier_sql(fetched_mod: int = 4, fetched_res: int = 1,
+                       k: int = 100) -> str:
+    """pipelines.frontier_rank: distinct fetched->unfetched links (planted
+    residue membership), per-target distinct in-link counts, top-k by
+    (n_inlinks DESC, vid)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            f"""fre AS (SELECT DISTINCT src, dst FROM edges
+  WHERE src % {fetched_mod} <> {fetched_res}
+    AND dst % {fetched_mod} = {fetched_res})""",
+            "frc AS (SELECT dst AS vid, count(*)::BIGINT AS n_inlinks FROM fre GROUP BY dst)",
+        )
+        + f"""
+SELECT vid, n_inlinks FROM frc
+ORDER BY n_inlinks DESC, vid LIMIT {k}"""
+    )
+
+
+def lang_fertility_sql() -> str:
+    """ops/textstats.lang_fertility: per-language doc counts, RE2 token
+    totals (the TextStats partition), utf8 char totals."""
+    return (
+        "SELECT lang, count(*)::BIGINT AS n_docs, "
+        + "SUM(len(regexp_extract_all(text, '"
+        + TOKEN_PATTERN
+        + "')))::BIGINT AS sum_tokens, "
+        + "SUM(length(text))::BIGINT AS sum_chars FROM documents GROUP BY lang"
+    )

@@ -989,3 +989,65 @@ def degree_gini(edges_ds):
     return hist.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def frontier_rank(edges_ds, fetched_mod: int = 4, fetched_res: int = 1,
+                  k: int = 100, num_buckets: int = 64):
+    """Crawl-frontier prioritization: rank DISCOVERED-BUT-UNFETCHED pages
+    by how many distinct fetched pages link to them — the scheduling pass
+    that decides what a crawler fetches next. Fetched membership is the
+    planted closed form vid % fetched_mod != fetched_res (the pii_scan
+    precedent — the synthetic corpus has no fetch log); a real crawl swaps
+    in an anti-join against the fetch-log vid set, same dataflow. ->
+    Dataset (vid, n_inlinks), top-k by (n_inlinks DESC, vid).
+
+    Shape: per-batch filter (fetched src -> unfetched dst, so src != dst
+    by residue) -> packed-key exact dedup (``bucketed_distinct``: a
+    page linking twice counts once) -> per-dst ``bucketed_sum`` ->
+    per-block local top-k coalesced into one final top-k block. The
+    driver never holds more than the k result rows."""
+    from raylink.join import bucketed_distinct, bucketed_sum
+    from raylink.util import assert_packable
+
+    M = np.int64(fetched_mod)
+    R = np.int64(fetched_res)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        m = (s % M != R) & (d % M == R)
+        s, d = s[m], d[m]
+        assert_packable(s, "frontier_rank src")
+        assert_packable(d, "frontier_rank dst")
+        return pa.table({"key": pa.array((s << np.int64(32)) | d)})
+
+    distinct = bucketed_distinct(
+        edges_ds.map_batches(pack, batch_format="pyarrow"), "key",
+        num_buckets=num_buckets,
+    )
+
+    def per_dst(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        d = key & np.int64(0xFFFFFFFF)
+        uk, cnt = np.unique(d, return_counts=True)
+        return pa.table({"vid": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    counts = bucketed_sum(
+        distinct.map_batches(per_dst, batch_format="pyarrow"),
+        "vid", "c", out_val="n_inlinks", num_buckets=num_buckets,
+    )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        v = batch.column("vid").to_numpy(zero_copy_only=False)
+        n = batch.column("n_inlinks").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -n))[:k]
+        return pa.table(
+            {"vid": pa.array(v[order]), "n_inlinks": pa.array(n[order])}
+        )
+
+    return (
+        counts.map_batches(topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+    )

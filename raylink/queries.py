@@ -5767,3 +5767,43 @@ def q_degree_gini(sf_dir: str):
 
     _, edges, _, _ = page_edge_tables(sf_dir)
     return degree_gini(edges)
+
+
+def q_pca_project(sf_dir: str):
+    """1-D PCA reduce of the embedding corpus: integer power iteration on
+    the exact int64 Gram matrix (uncentered), then every vector's exact
+    integer projection onto the resulting direction — spectral ordering /
+    dominant-axis diagnostics with no float on the engine/oracle
+    boundary."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import pca_project
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(emb, rounds=12)
+
+
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier prioritization: top-100 unfetched pages (planted
+    fetch membership vid % 4 != 1) by distinct in-links from fetched
+    pages — the what-to-fetch-next scheduling pass."""
+    from raylink.pipelines import frontier_rank
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return frontier_rank(edges, fetched_mod=4, fetched_res=1, k=100)
+
+
+def q_lang_fertility(sf_dir: str):
+    """Per-language tokenizer-fertility audit: doc counts, exact RE2 token
+    totals and utf8 char totals per lang — the chars-per-token comparison
+    behind tokenizer/vocab allocation in a training mix."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import lang_fertility
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return lang_fertility(docs)

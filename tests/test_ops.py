@@ -2975,3 +2975,112 @@ def test_train_split(ray_session):
     assert list(map(tuple, got.to_records(index=False))) == exp_rows
     # every doc lands in exactly one split
     assert got["n_docs"].sum() == n
+
+
+def test_pca_project(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.similarity import (PCA_SCALE, _quantize, _tdiv_int,
+                                        pca_project)
+
+    rng = np.random.default_rng(5)
+    n, d = 60, 6
+    # planted dominant direction: fixed-round power iteration converges
+    # only with an eigengap (the operator contract is fixed rounds, not
+    # convergence detection)
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    x = np.outer(rng.normal(size=n), u) * 0.4 + rng.normal(size=(n, d)) * 0.05
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in x],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    emb = rd.from_arrow(tbl).repartition(4)
+    got = (
+        pca_project(emb, scale=10**6, rounds=12)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # brute-force replica in Python ints
+    xq = _quantize(np.asarray(
+        [np.asarray(r, dtype=np.float64) for r in tbl.column("embedding").to_pylist()]
+    ), 10**6)
+    G = (xq.T @ xq).tolist()
+    v = [1] * d
+    for _ in range(12):
+        w = [sum(G[r][c] * v[c] for c in range(d)) for r in range(d)]
+        m = max(max(abs(t) for t in w), 1)
+        v = [_tdiv_int(t * PCA_SCALE, m) for t in w]
+    exp = [int(sum(int(xq[i, c]) * v[c] for c in range(d))) for i in range(n)]
+    assert got["proj"].tolist() == exp
+    # the direction is aligned with the true top eigenvector
+    vals, vecs = np.linalg.eigh(np.asarray(G, dtype=np.float64))
+    top = vecs[:, -1]
+    vn = np.asarray(v, dtype=np.float64)
+    cos = abs(float(top @ vn) / (np.linalg.norm(top) * np.linalg.norm(vn)))
+    assert cos > 0.999
+
+
+def test_frontier_rank(ray_session):
+    import ray.data as rd
+
+    from raylink.pipelines import frontier_rank
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 40, 400).astype(np.int64)
+    dst = rng.integers(0, 40, 400).astype(np.int64)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(4)
+    got = frontier_rank(edges, fetched_mod=4, fetched_res=1, k=10).to_pandas()
+    # brute force: distinct fetched->unfetched links per target
+    pairs = {(int(s), int(d)) for s, d in zip(src, dst)
+             if s % 4 != 1 and d % 4 == 1}
+    cnt = {}
+    for _, d in pairs:
+        cnt[d] = cnt.get(d, 0) + 1
+    exp = sorted(((v, n) for v, n in cnt.items()),
+                 key=lambda r: (-r[1], r[0]))[:10]
+    assert list(zip(got["vid"], got["n_inlinks"])) == exp
+
+
+def test_lang_fertility(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.textstats import lang_fertility
+
+    docs = pa.table(
+        {
+            "lang": pa.array(["en", "de", "en", "xx", "de", "en"]),
+            "text": pa.array(
+                ["a b c!", "zwei Wörter", "", "???", "noch-mehr text",
+                 "one, two"]
+            ),
+        }
+    )
+    got = (
+        lang_fertility(rd.from_arrow(docs).repartition(3))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    import re
+
+    def toks(t):
+        return len(re.findall(r"[A-Za-z0-9]+", t)) + len(
+            re.findall(r"[^A-Za-z0-9\s]", t)
+        )
+
+    exp = {}
+    for lg, tx in zip(docs.column("lang").to_pylist(),
+                      docs.column("text").to_pylist()):
+        n, st, sc = exp.get(lg, (0, 0, 0))
+        exp[lg] = (n + 1, st + toks(tx), sc + len(tx))
+    exp_rows = sorted((k, *v) for k, v in exp.items())
+    assert list(map(tuple, got.to_records(index=False))) == exp_rows
