@@ -4626,3 +4626,31 @@ def lang_fertility_sql() -> str:
         + "')))::BIGINT AS sum_tokens, "
         + "SUM(length(text))::BIGINT AS sum_chars FROM documents GROUP BY lang"
     )
+
+
+def kmeans_inertia_sql(k: int = 8, rounds: int = 3, scale: int = 10**6) -> str:
+    """Mirrors ops.similarity.kmeans_inertia: the shared Lloyd chain's
+    final assignment joined back to its own distance rows, per-cluster
+    counts + exact int64 SSE."""
+    r = rounds + 1
+    return (
+        _kmeans_ctes(k, rounds, scale)
+        + f"""
+SELECT a.k AS cluster, count(*)::BIGINT AS n, SUM(d.d2)::BIGINT AS sse
+FROM ka{r} a JOIN kd{r} d ON d.vec_id = a.vec_id AND d.k = a.k
+GROUP BY a.k"""
+    )
+
+
+def cluster_labels_sql(k: int = 8, rounds: int = 3, scale: int = 10**6) -> str:
+    """Mirrors ops.similarity.cluster_label_counts: final Lloyd assignment
+    joined to the label column, (cluster, label) counts."""
+    r = rounds + 1
+    return (
+        _kmeans_ctes(k, rounds, scale)
+        + f"""
+SELECT a.k AS cluster, CAST(e.label AS BIGINT) AS label,
+       count(*)::BIGINT AS n
+FROM ka{r} a JOIN embeddings e ON e.vec_id = a.vec_id
+GROUP BY 1, 2"""
+    )

@@ -5807,3 +5807,31 @@ def q_lang_fertility(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]
     )
     return lang_fertility(docs)
+
+
+def q_kmeans_inertia(sf_dir: str):
+    """Per-cluster k-means quality: member counts + exact int64
+    within-cluster squared-error sums against the final Lloyd centroids —
+    the elbow/convergence audit of the clustering stage."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import kmeans_inertia
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_inertia(emb, k=8, rounds=3)
+
+
+def q_cluster_labels(sf_dir: str):
+    """Cluster x label contingency of the Lloyd assignment vs the corpus
+    label column — the purity / external-evaluation audit."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import cluster_label_counts
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return cluster_label_counts(emb, k=8, rounds=3)

@@ -3084,3 +3084,48 @@ def test_lang_fertility(ray_session):
         exp[lg] = (n + 1, st + toks(tx), sc + len(tx))
     exp_rows = sorted((k, *v) for k, v in exp.items())
     assert list(map(tuple, got.to_records(index=False))) == exp_rows
+
+
+def test_kmeans_inertia_and_labels(ray_session):
+    import ray.data as rd
+
+    from raylink.ops.similarity import (_lloyd_centroids, _mat, _quantize,
+                                        cluster_label_counts, kmeans_inertia)
+
+    rng = np.random.default_rng(3)
+    n, d, k = 80, 5, 4
+    x = rng.normal(size=(n, d)) * 0.4
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in x],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array((np.arange(n) % 3).astype(np.int32)),
+        }
+    )
+    emb = rd.from_arrow(tbl).repartition(4)
+    cents = _lloyd_centroids(emb, k, 2, 10**6)
+    xq = _quantize(_mat(tbl), 10**6)
+    d2 = ((xq * xq).sum(1, keepdims=True) - 2 * (xq @ cents.T)
+          + (cents * cents).sum(1)[None, :])
+    a = np.argmin(d2, axis=1)
+    md = d2[np.arange(n), a]
+
+    got = (kmeans_inertia(emb, k=k, rounds=2).to_pandas()
+           .sort_values("cluster").reset_index(drop=True))
+    exp = sorted(
+        (int(c), int((a == c).sum()), int(md[a == c].sum()))
+        for c in np.unique(a)
+    )
+    assert list(map(tuple, got.to_records(index=False))) == exp
+
+    got2 = (cluster_label_counts(emb, k=k, rounds=2).to_pandas()
+            .sort_values(["cluster", "label"]).reset_index(drop=True))
+    lab = (np.arange(n) % 3).astype(np.int64)
+    exp2 = {}
+    for c, l in zip(a, lab):
+        exp2[(int(c), int(l))] = exp2.get((int(c), int(l)), 0) + 1
+    exp2_rows = sorted((c, l, v) for (c, l), v in exp2.items())
+    assert list(map(tuple, got2.to_records(index=False))) == exp2_rows
