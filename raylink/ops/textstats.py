@@ -1948,3 +1948,45 @@ def lang_fertility(docs_ds):
         ),
         batch_format="pyarrow",
     )
+
+
+def lexical_diversity(docs_ds):
+    """-> Dataset (doc_id, n_words, n_types, n_hapax, rep_mass) — the
+    vocabulary-richness profile a curation pipeline thresholds on (low
+    type/token ratio or high repeat mass flags template/spam text; hapax
+    share estimates vocabulary growth).
+
+    All four stats are integer-exact: per (doc, word) occurrence counts c
+    give n_types = |{c}|, n_hapax = |{c == 1}|, rep_mass = sum c^2 (the
+    numerator of Yule's K). One streaming actor-pool pass, zero shuffle:
+    words via the shared ``_word_codes`` vectorized extractor, per-doc
+    counts via one packed (doc_idx << 32 | code) unique — no per-row
+    Python. Scale: output is one row per input row; embarrassingly
+    parallel."""
+    from raylink.util import unpack_hi
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        n = len(text)
+        doc_idx, codes, _ = _word_codes(text)
+        n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        key = (doc_idx << np.int64(32)) | codes
+        ukey, cnt = np.unique(key, return_counts=True)
+        udoc = unpack_hi(ukey).astype(np.int64)
+        n_types = np.bincount(udoc, minlength=n).astype(np.int64)
+        n_hapax = np.bincount(udoc[cnt == 1], minlength=n).astype(np.int64)
+        rep = np.zeros(n, dtype=np.int64)
+        np.add.at(rep, udoc, cnt.astype(np.int64) ** 2)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "n_types": pa.array(n_types),
+                "n_hapax": pa.array(n_hapax),
+                "rep_mass": pa.array(rep),
+            }
+        )
+
+    return docs_ds.map_batches(stats, batch_format="pyarrow", batch_size=512)

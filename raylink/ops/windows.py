@@ -625,3 +625,63 @@ def event_trigrams(events_ds, user_col: str = "user_id",
         ),
         batch_format="pyarrow",
     )
+
+
+def window_topk(events_ds, size_sec: int = 3600, k: int = 3):
+    """Windowed heavy hitters: per tumbling window, the top-``k`` event
+    types by count -> (window_start:int64 epoch sec, event_type, n_events,
+    rank 1..k). Ties break on event_type ascending (deterministic).
+
+    Shape: per-batch (window, type) partial counts (dictionary-encode +
+    bincount over combined codes — no per-row Python), one groupby-sum
+    shuffle whose key cardinality is windows x types (tiny vs the event
+    stream), then an in-group top-k. The same pre-aggregate-then-shuffle
+    profile as ``tumbling_window``; event volume never reaches the
+    shuffle."""
+    from raylink.join import tree_groupby_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        ws = (ts.astype("datetime64[s]").astype(np.int64) // size_sec) * size_sec
+        enc = pc.dictionary_encode(
+            batch.column("event_type").combine_chunks()
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # pack (window ordinal, type code) into one bincount key
+        uw, winv = np.unique(ws, return_inverse=True)
+        nt = len(enc.dictionary)
+        cnt = np.bincount(winv * nt + codes, minlength=len(uw) * nt)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "window_start": pa.array(uw[nz // nt]),
+                "event_type": enc.dictionary.take(pa.array(nz % nt)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    counts = tree_groupby_sum(
+        events_ds.map_batches(partial, batch_format="pyarrow"),
+        ["window_start", "event_type"], ["n"],
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        n = group.column("sum(n)").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, -n))[:k]
+        return pa.table(
+            {
+                "window_start": group.column("window_start").take(
+                    pa.array(order)
+                ),
+                "event_type": pa.array(et[order]),
+                "n_events": pa.array(n[order]),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            }
+        )
+
+    return counts.groupby("window_start").map_groups(
+        topk, batch_format="pyarrow"
+    )

@@ -4654,3 +4654,38 @@ SELECT a.k AS cluster, CAST(e.label AS BIGINT) AS label,
 FROM ka{r} a JOIN embeddings e ON e.vec_id = a.vec_id
 GROUP BY 1, 2"""
     )
+
+
+# ------------------------------------------------------------- r4 wave 14
+def lexical_diversity_sql() -> str:
+    """Mirror of ops.textstats.lexical_diversity: per (doc, word)
+    occurrence counts over WORD_PATTERN words; all-integer outputs."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_PATTERN}') AS ws
+  FROM documents),
+u AS (SELECT doc_id, x AS word FROM w, unnest(ws) AS t(x)),
+c AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM u GROUP BY 1, 2)
+SELECT w.doc_id,
+       COALESCE(SUM(c.c), 0)::BIGINT AS n_words,
+       COUNT(c.word)::BIGINT AS n_types,
+       COALESCE(SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_hapax,
+       COALESCE(SUM(c.c * c.c), 0)::BIGINT AS rep_mass
+FROM w LEFT JOIN c ON c.doc_id = w.doc_id
+GROUP BY w.doc_id"""
+
+
+def window_topk_sql(size_sec: int = 3600, k: int = 3) -> str:
+    """Mirror of ops.windows.window_topk: tumbling-window event-type
+    top-k, ties on event_type ascending."""
+    return f"""
+WITH c AS (
+  SELECT (CAST(floor(epoch(ts) / {size_sec}) AS BIGINT) * {size_sec})
+           AS window_start,
+         event_type, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type)
+               AS rank FROM c)
+SELECT window_start, event_type, n_events, rank::BIGINT AS rank
+FROM r WHERE rank <= {k}"""

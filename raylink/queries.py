@@ -5835,3 +5835,27 @@ def q_cluster_labels(sf_dir: str):
         columns=["vec_id", "embedding", "label"],
     )
     return cluster_label_counts(emb, k=8, rounds=3)
+
+
+# ------------------------------------------------------------- r4 wave 14
+def q_lexical_diversity(sf_dir: str):
+    """Vocabulary-richness profile per document (type/token counts, hapax
+    count, Yule's-K repeat mass) — integer-exact, one streaming actor-pool
+    pass, zero shuffle."""
+    from raylink.ops.textstats import lexical_diversity
+
+    return lexical_diversity(_docs(sf_dir))
+
+
+def q_window_topk(sf_dir: str):
+    """Windowed heavy hitters: per tumbling hour, the top-3 event types by
+    count — per-batch bincount partials, one bounded combine tree, in-group
+    top-k."""
+    import ray.data as rd
+
+    from raylink.ops.windows import window_topk
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+    return window_topk(ev, size_sec=3600, k=3)
