@@ -1316,3 +1316,307 @@ def cluster_label_counts(emb_ds, k: int = 8, rounds: int = 3,
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------- r4 wave 14
+def _quantize_int8(m: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 scalar quantization: q = round-half-away
+    (x / max|x| * 127), zero vectors stay zero. float64 in, int64 out (the
+    values fit int8 — int64 keeps downstream dot products overflow-free).
+    The SQL mirror is CAST(round(x / mx * 127) AS BIGINT) — identical IEEE
+    op sequence."""
+    mx = np.abs(m).max(axis=1, keepdims=True)
+    safe = np.where(mx == 0, 1.0, mx)
+    y = m / safe * 127.0
+    return np.copysign(np.floor(np.abs(y) + 0.5), y).astype(np.int64)
+
+
+def quantized_knn(emb_ds, query_ids: list[int], k: int = 5):
+    """Brute-force kNN over int8-quantized vectors -> (query_id,
+    neighbor_id, qcos r6, rank 1..k), self excluded.
+
+    The 4x-memory / SIMD-int8 scale path for embedding search: each side
+    quantizes to int8 (per-vector max-abs scale); similarity is the exact
+    integer dot product normalized by the exact integer norms, qcos =
+    idot / sqrt(|qa|^2) / sqrt(|qb|^2) — every intermediate is either an
+    exact int64 or a fixed-order IEEE op, so the SQL mirror is bit-equal
+    BEFORE the r6 round (unlike float-matmul cosine, which leans on the
+    round). Same distributed shape as ``knn_brute``: broadcast quantized
+    query matrix, per-batch local top-k, one bounded groupby merge."""
+    import pyarrow.compute as pc
+    import ray
+
+    from raylink.util import round_half_away
+
+    qlist = pa.array(sorted(int(q) for q in query_ids), type=pa.int64())
+    q_pdf = emb_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=qlist)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    qm = _quantize_int8(np.array(q_pdf["embedding"].tolist(), dtype=np.float64))
+    qn = np.sqrt((qm * qm).sum(axis=1).astype(np.float64))  # exact ints
+    ref = ray.put((q_ids, qm, qn))
+
+    empty = pa.table(
+        {"query_id": pa.array([], type=pa.int64()),
+         "neighbor_id": pa.array([], type=pa.int64()),
+         "qcos": pa.array([], type=pa.float64())}
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi, qmat, qnrm = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return empty
+        m = _quantize_int8(_mat(batch))
+        nb = np.sqrt((m * m).sum(axis=1).astype(np.float64))
+        nb[nb == 0] = 1.0
+        qn_ = qnrm.copy()
+        qn_[qn_ == 0] = 1.0
+        idot = (qmat @ m.T).astype(np.float64)  # exact: |q||v| <= 127^2*dim
+        sims = round_half_away(idot / qn_[:, None] / nb[None, :], 6)
+        out_q, out_n, out_s = [], [], []
+        for r, q in enumerate(qi):
+            mask = ids != q
+            s, nid = sims[r][mask], ids[mask]
+            if len(s) == 0:
+                continue
+            take = min(len(s), k)
+            order = np.lexsort((nid, -s))[:take]
+            out_q.append(np.full(take, q, dtype=np.int64))
+            out_n.append(nid[order])
+            out_s.append(s[order])
+        if not out_q:
+            return empty
+        return pa.table(
+            {"query_id": pa.array(np.concatenate(out_q)),
+             "neighbor_id": pa.array(np.concatenate(out_n)),
+             "qcos": pa.array(np.concatenate(out_s))}
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        s = group.column("qcos").to_numpy(zero_copy_only=False)
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        q = group.column("query_id")[0].as_py()
+        order = np.lexsort((nid, -s))[:k]
+        return pa.table(
+            {"query_id": pa.array(np.full(len(order), q, dtype=np.int64)),
+             "neighbor_id": pa.array(nid[order]),
+             "qcos": pa.array(s[order]),
+             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))}
+        )
+
+    return (
+        emb_ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )
+
+
+def knn_all(emb_ds, k: int = 3, num_blocks: int = 8):
+    """EXACT k nearest neighbors for EVERY vector -> (vec_id, neighbor_id,
+    cosine r6, rank 1..k) — the dataset-sized exact sibling of
+    ``knn_brute`` (no broadcast query matrix) and of ``knn_join`` (no
+    recall loss).
+
+    Shape: the ``embedding_pairs`` block-pair replication — every
+    unordered pair meets in exactly one of the K*(K+1)/2 pair groups —
+    but instead of thresholding, each group emits each member's LOCAL
+    top-k vs the group's other side; the global top-k per vector is a
+    subset of the union of its local top-ks (each local list covers the
+    candidates it saw exactly once), recovered by one groupby merge.
+    Shuffle volume O(N * num_blocks * k) rows; compute O(N^2) because the
+    result is exact — use ``knn_join`` for the subquadratic approximate
+    path."""
+    from raylink.util import round_half_away, splitmix64
+
+    K = num_blocks
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        blk = (splitmix64(ids.astype(np.uint64)) % np.uint64(K)).astype(np.int64)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        out = []
+        for j in range(K):
+            lo = np.minimum(blk, j)
+            hi = np.maximum(blk, j)
+            out.append(
+                pa.table(
+                    {"pb": pa.array(lo * K + hi), "vec_id": pa.array(ids),
+                     "embedding": emb}
+                )
+            )
+        return pa.concat_tables(out)
+
+    empty = pa.table(
+        {"vec_id": pa.array([], type=pa.int64()),
+         "neighbor_id": pa.array([], type=pa.int64()),
+         "cosine": pa.array([], type=pa.float64())}
+    )
+
+    def _emit_topk(ids_q, ids_c, sims):
+        """per-row local top-k of sims (rows = queries, cols = candidates);
+        self-pairs masked by the caller."""
+        out_q, out_n, out_s = [], [], []
+        for r in range(len(ids_q)):
+            s, nid = sims[r], ids_c
+            ok = np.isfinite(s)
+            s, nid = s[ok], nid[ok]
+            if len(s) == 0:
+                continue
+            take = min(len(s), k)
+            order = np.lexsort((nid, -s))[:take]
+            out_q.append(np.full(take, ids_q[r], dtype=np.int64))
+            out_n.append(nid[order])
+            out_s.append(s[order])
+        if not out_q:
+            return None
+        return (np.concatenate(out_q), np.concatenate(out_n),
+                np.concatenate(out_s))
+
+    def cross(group: pa.Table) -> pa.Table:
+        pb = int(group.column("pb")[0].as_py())
+        bi, bj = pb // K, pb % K
+        ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+        uniq, first = np.unique(ids, return_index=True)
+        g = group.take(pa.array(first))
+        ids = uniq
+        m = _normalize(_mat(g))
+        blk = (splitmix64(ids.astype(np.uint64)) % np.uint64(K)).astype(np.int64)
+        parts = []
+        if bi == bj:
+            sel = blk == bi
+            ids_i, m_i = ids[sel], m[sel]
+            if len(ids_i) >= 2:
+                sims = round_half_away(m_i @ m_i.T, 6)
+                np.fill_diagonal(sims, -np.inf)
+                parts.append(_emit_topk(ids_i, ids_i, sims))
+        else:
+            sel_i, sel_j = blk == bi, blk == bj
+            if sel_i.any() and sel_j.any():
+                ids_i, ids_j = ids[sel_i], ids[sel_j]
+                sims = round_half_away(m[sel_i] @ m[sel_j].T, 6)
+                parts.append(_emit_topk(ids_i, ids_j, sims))
+                parts.append(_emit_topk(ids_j, ids_i, sims.T))
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return empty
+        return pa.table(
+            {"vec_id": pa.array(np.concatenate([p[0] for p in parts])),
+             "neighbor_id": pa.array(np.concatenate([p[1] for p in parts])),
+             "cosine": pa.array(np.concatenate([p[2] for p in parts]))}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        s = group.column("cosine").to_numpy(zero_copy_only=False)
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False)
+        v = group.column("vec_id")[0].as_py()
+        order = np.lexsort((nid, -s))[:k]
+        return pa.table(
+            {"vec_id": pa.array(np.full(len(order), v, dtype=np.int64)),
+             "neighbor_id": pa.array(nid[order]),
+             "cosine": pa.array(s[order]),
+             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))}
+        )
+
+    return (
+        emb_ds.select_columns(["vec_id", "embedding"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(cross, batch_format="pyarrow")
+        .groupby("vec_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def knn_outliers(emb_ds, k: int = 3, top_n: int = 20, num_blocks: int = 8):
+    """Distance-to-kth-neighbor outlier scoring: the ``top_n`` vectors
+    whose kth-nearest-neighbor cosine is LOWEST -> (vec_id, kth_cosine,
+    rank 1..top_n) — the classic kNN outlier detector (Ramaswamy et al.),
+    the curation signal for off-distribution documents.
+
+    Shape: ``knn_all``'s exact per-vector kth neighbor, then a distributed
+    sort + limit on (kth_cosine asc, vec_id). Vectors with fewer than k
+    neighbors (tiny corpora) are skipped — their kth distance is
+    undefined."""
+    import pyarrow.compute as pc
+
+    kth = knn_all(emb_ds, k=k, num_blocks=num_blocks).map_batches(
+        lambda b: b.filter(pc.equal(b.column("rank"), k)).select(
+            ["vec_id", "cosine"]
+        ),
+        batch_format="pyarrow",
+    )
+    top = kth.sort(["cosine", "vec_id"]).limit(top_n)
+
+    def number(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": batch.column("vec_id"),
+             "kth_cosine": batch.column("cosine"),
+             "rank": pa.array(np.arange(1, len(batch) + 1, dtype=np.int64))}
+        )
+
+    return top.repartition(1).map_batches(
+        number, batch_format="pyarrow", batch_size=None
+    )
+
+
+def mmr_rerank(emb_ds, query_id: int = 0, n_candidates: int = 20,
+               k: int = 5, lam: float = 0.7):
+    """Maximal Marginal Relevance diversified top-k (Carbonell-Goldstein):
+    from the query's ``n_candidates`` nearest vectors, greedily select
+    ``k`` maximizing lam*cos(q,d) - (1-lam)*max cos(d, selected) ->
+    (vec_id, mmr_score r6, sel_rank 1..k). First pick is pure relevance.
+
+    Shape: candidate generation is the distributed ``knn_brute`` scan;
+    the greedy runs on the driver over the n_candidates-row result — a
+    BOUNDED pull by construction (n_candidates is a query parameter, never
+    data-sized), the same contract as knn_brute's query set. All
+    comparisons use r6-rounded cosines and (score desc, vec_id asc)
+    tie-breaks, so the unrolled-greedy SQL mirror selects identically."""
+    from raylink.util import round_half_away
+
+    cand_ds = knn_brute(emb_ds, query_ids=[query_id], k=n_candidates)
+    cand = cand_ds.to_pandas().sort_values("rank")
+    cids = cand["neighbor_id"].to_numpy(np.int64)
+    rel = cand["cosine"].to_numpy(np.float64)  # already r6
+
+    import pyarrow.compute as pc
+    import ray
+
+    clist = pa.array(sorted(int(c) for c in cids), type=pa.int64())
+    cm_pdf = emb_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=clist)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    order = np.argsort(cm_pdf["vec_id"].to_numpy(np.int64))
+    cvids = cm_pdf["vec_id"].to_numpy(np.int64)[order]
+    cm = _normalize(
+        np.array(cm_pdf["embedding"].tolist(), dtype=np.float64)[order]
+    )
+    pos = np.searchsorted(cvids, cids)
+    pair = round_half_away(cm @ cm.T, 6)  # candidate x candidate cosines
+
+    sel_ids, sel_scores = [], []
+    remaining = np.arange(len(cids))
+    sel_pos: list[int] = []
+    for _ in range(min(k, len(cids))):
+        if sel_pos:
+            maxsim = pair[np.ix_(pos[remaining], pos[sel_pos])].max(axis=1)
+        else:
+            maxsim = np.zeros(len(remaining))
+        score = round_half_away(lam * rel[remaining] - (1 - lam) * maxsim, 6)
+        best = np.lexsort((cids[remaining], -score))[0]
+        sel_ids.append(int(cids[remaining[best]]))
+        sel_scores.append(float(score[best]))
+        sel_pos.append(int(remaining[best]))
+        remaining = np.delete(remaining, best)
+
+    return pa.table(
+        {"vec_id": pa.array(np.array(sel_ids, dtype=np.int64)),
+         "mmr_score": pa.array(np.array(sel_scores, dtype=np.float64)),
+         "sel_rank": pa.array(np.arange(1, len(sel_ids) + 1, dtype=np.int64))}
+    )

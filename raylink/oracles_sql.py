@@ -4689,3 +4689,116 @@ r AS (SELECT *, row_number() OVER (PARTITION BY window_start
                AS rank FROM c)
 SELECT window_start, event_type, n_events, rank::BIGINT AS rank
 FROM r WHERE rank <= {k}"""
+
+
+def quantized_knn_sql(k: int = 5, n_queries: int = 10) -> str:
+    """Mirror of ops.similarity.quantized_knn: int8 per-vector max-abs
+    quantization, exact integer dot/norms, qcos = dot/sqrt(na)/sqrt(nb)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+q8 AS (SELECT vec_id,
+              CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+                   ELSE list_transform(v, x -> round(x / mx * 127)) END AS q
+       FROM s),
+qs AS (SELECT vec_id, q,
+              list_dot_product(q, q) AS nrm FROM q8),
+qq AS (SELECT * FROM qs WHERE vec_id < {n_queries}),
+p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.q, b.q)
+               / sqrt(CASE WHEN a.nrm = 0 THEN 1 ELSE a.nrm END)
+               / sqrt(CASE WHEN b.nrm = 0 THEN 1 ELSE b.nrm END), 6) AS qcos
+  FROM qq a JOIN qs b ON b.vec_id <> a.vec_id)
+SELECT query_id::BIGINT AS query_id, neighbor_id::BIGINT AS neighbor_id,
+       qcos, rank::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY qcos DESC, neighbor_id) AS rank
+      FROM p)
+WHERE rank <= {k}"""
+
+
+def knn_graph_sql(k: int = 3) -> str:
+    """Mirror of ops.similarity.knn_all: exact kNN for every vector."""
+    return f"""
+WITH s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+SELECT vid::BIGINT AS vec_id, nid::BIGINT AS neighbor_id, cosine,
+       rank::BIGINT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY vid
+                                   ORDER BY cosine DESC, nid) AS rank
+      FROM s)
+WHERE rank <= {k}"""
+
+
+def knn_outliers_sql(k: int = 3, top_n: int = 20) -> str:
+    """Mirror of ops.similarity.knn_outliers: kth-NN cosine ascending."""
+    return f"""
+WITH s AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vid
+                                   ORDER BY cosine DESC, nid) AS rk FROM s),
+kth AS (SELECT vid, cosine FROM r WHERE rk = {k}),
+o AS (SELECT vid, cosine,
+             row_number() OVER (ORDER BY cosine, vid) AS rank FROM kth)
+SELECT vid::BIGINT AS vec_id, cosine AS kth_cosine, rank::BIGINT AS rank
+FROM o WHERE rank <= {top_n}"""
+
+
+def mmr_rerank_sql(query_id: int = 0, n_candidates: int = 20, k: int = 5,
+                   lam: float = 0.7) -> str:
+    """Mirror of ops.similarity.mmr_rerank: unrolled greedy MMR selection.
+    The diversity weight is emitted as repr(1 - lam) so the IEEE value
+    matches the engine's ``1 - lam`` exactly (0.7 -> 0.30000000000000004)."""
+    lam_r, dlam_r = repr(lam), repr(1 - lam)
+    ctes = [f"""cand AS (
+  SELECT neighbor_id AS vid, cosine AS rel
+  FROM (SELECT e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])), 6)
+                 AS cosine,
+               row_number() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                          e.vec_id) AS rk
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id = {query_id})
+  WHERE rk <= {n_candidates})""",
+            """pairsim AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id
+   AND a.vec_id IN (SELECT vid FROM cand)
+   AND b.vec_id IN (SELECT vid FROM cand))""",
+            f"""sel1 AS (
+  SELECT vid, ROUND({lam_r} * rel, 6) AS score, 1 AS r FROM cand
+  ORDER BY ROUND({lam_r} * rel, 6) DESC, vid LIMIT 1)""",
+            "selected1 AS (SELECT * FROM sel1)"]
+    for i in range(2, k + 1):
+        ctes.append(f"""sc{i} AS (
+  SELECT c.vid,
+         ROUND({lam_r} * c.rel - {dlam_r} * (
+           SELECT MAX(p.cos) FROM pairsim p
+           WHERE p.a = c.vid
+             AND p.b IN (SELECT vid FROM selected{i - 1})), 6) AS score
+  FROM cand c WHERE c.vid NOT IN (SELECT vid FROM selected{i - 1}))""")
+        ctes.append(f"""sel{i} AS (
+  SELECT vid, score, {i} AS r FROM sc{i} ORDER BY score DESC, vid LIMIT 1)""")
+        ctes.append(f"""selected{i} AS (
+  SELECT * FROM selected{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT vid::BIGINT AS vec_id, score AS mmr_score, r::BIGINT AS sel_rank
+FROM selected{k}""")

@@ -5859,3 +5859,41 @@ def q_window_topk(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
     )
     return window_topk(ev, size_sec=3600, k=3)
+
+
+def q_quantized_knn(sf_dir: str):
+    """Int8 scalar-quantized brute kNN (the 4x-memory embedding-search
+    scale path): exact integer dot products over per-vector max-abs
+    quantization; broadcast query matrix, per-batch local top-k, bounded
+    merge."""
+    from raylink.ops.similarity import quantized_knn
+
+    return quantized_knn(_emb(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact kNN GRAPH construction (k=3 for every vector) — the building
+    block of graph-based ANN indexes and agglomerative clustering; block-
+    pair replication, per-group local top-k, one groupby merge. O(N^2)
+    compute because exact; ``knn_join`` is the approximate scale path."""
+    from raylink.ops.similarity import knn_all
+
+    return knn_all(_emb(sf_dir), k=3)
+
+
+def q_knn_outliers(sf_dir: str):
+    """kNN outlier detection (Ramaswamy): the 20 vectors with the lowest
+    3rd-nearest-neighbor cosine — off-distribution document flagging for
+    curation; knn_graph + distributed sort + limit."""
+    from raylink.ops.similarity import knn_outliers
+
+    return knn_outliers(_emb(sf_dir), k=3, top_n=20)
+
+
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-Marginal-Relevance diversified top-5 from the 20 nearest
+    candidates of query vector 0 (lambda=0.7) — retrieval reranking with a
+    diversity penalty; distributed candidate scan, bounded greedy."""
+    from raylink.ops.similarity import mmr_rerank
+
+    return mmr_rerank(_emb(sf_dir), query_id=0, n_candidates=20, k=5)

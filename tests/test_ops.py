@@ -3129,3 +3129,94 @@ def test_kmeans_inertia_and_labels(ray_session):
         exp2[(int(c), int(l))] = exp2.get((int(c), int(l)), 0) + 1
     exp2_rows = sorted((c, l, v) for (c, l), v in exp2.items())
     assert list(map(tuple, got2.to_records(index=False))) == exp2_rows
+
+
+# ---------------------------------------------------------------- r4 wave 14
+def test_knn_all_matches_brute(ray_session):
+    """knn_all (block-pair exact kNN graph) agrees with the broadcast
+    brute-force path for a sample of query vectors."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import knn_all
+
+    tbl = _emb_table(n=90)
+    ds = rd.from_arrow(tbl)
+    got = knn_all(ds, k=5, num_blocks=4).to_pandas()
+    exp = _brute_topk(tbl, [0, 7, 33, 89], 5)
+    for q in [0, 7, 33, 89]:
+        sub = got[got["vec_id"] == q].sort_values("rank")
+        assert list(zip(sub["neighbor_id"], sub["cosine"])) == exp[q]
+
+
+def test_quantized_knn_values(ray_session):
+    """quantized_knn's qcos equals the independent int8-quantize + integer
+    dot computation, and ranking is internally consistent."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import quantized_knn
+
+    tbl = _emb_table(n=40)
+    ds = rd.from_arrow(tbl)
+    got = quantized_knn(ds, [0, 1], k=4).to_pandas()
+
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    mx = np.abs(m).max(axis=1, keepdims=True)
+    y = m / np.where(mx == 0, 1.0, mx) * 127.0
+    q8 = np.copysign(np.floor(np.abs(y) + 0.5), y)
+    nrm = np.sqrt((q8 * q8).sum(axis=1))
+    for _, row in got.iterrows():
+        a, b = int(row["query_id"]), int(row["neighbor_id"])
+        ref = np.round(q8[a] @ q8[b] / nrm[a] / nrm[b], 6)
+        assert row["qcos"] == ref
+    for q in (0, 1):
+        sub = got[got["query_id"] == q].sort_values("rank")
+        assert (np.diff(sub["qcos"].to_numpy()) <= 0).all()
+        assert len(sub) == 4 and q not in set(sub["neighbor_id"])
+
+
+def test_knn_outliers_plants_far_vector(ray_session):
+    """A vector far from every cluster must surface as the top outlier."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import knn_outliers
+
+    tbl = _emb_table(n=50)
+    m = np.array(tbl.column("embedding").to_pylist(), dtype=np.float32)
+    far = -m.mean(axis=0) * 50  # opposite of the data mass
+    m = np.vstack([m, far[None, :]])
+    tbl2 = pa.table(
+        {"vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+         "embedding": pa.array([v.tolist() for v in m],
+                               type=pa.list_(pa.float32()))}
+    )
+    got = knn_outliers(rd.from_arrow(tbl2), k=3, top_n=5).to_pandas()
+    assert int(got[got["rank"] == 1]["vec_id"].iloc[0]) == len(m) - 1
+
+
+def test_mmr_prefers_diversity(ray_session):
+    """With two near-duplicate top candidates, MMR must not pick both
+    before an orthogonal (less relevant) one."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import mmr_rerank
+
+    dim = 8
+    q = np.zeros(dim); q[0] = 1.0
+    # dup1/dup2: a near-duplicate pair at 45 deg relevance (~0.707);
+    # diverse: same relevance but orthogonal to the pair's second axis ->
+    # after picking dup1, MMR scores diverse 0.7*0.707 - 0.3*0.5 = 0.345
+    # vs dup2 0.7*0.707 - 0.3*1.0 = 0.195.
+    dup1 = np.zeros(dim); dup1[0] = 1.0; dup1[1] = 1.0
+    dup2 = dup1.copy(); dup2[1] = 1.001
+    diverse = np.zeros(dim); diverse[0] = 1.0; diverse[2] = 1.0
+    vecs = [q, dup1, dup2, diverse]
+    tbl = pa.table(
+        {"vec_id": pa.array(np.arange(4, dtype=np.int64)),
+         "embedding": pa.array([np.asarray(v, np.float32).tolist()
+                                for v in vecs], type=pa.list_(pa.float32()))}
+    )
+    out = mmr_rerank(rd.from_arrow(tbl), query_id=0, n_candidates=3, k=2,
+                     lam=0.7).to_pandas().sort_values("sel_rank")
+    picks = list(out["vec_id"])
+    assert picks[0] in (1, 2)      # pure relevance first
+    assert picks[1] == 3           # diversity beats the second duplicate
