@@ -190,3 +190,74 @@ def maximal_matching(
         )
     out = res.state_dataset().select_columns(["vid", "mate", "match_round"])
     return res, out
+
+
+def coarsen_graph(edges_ds, matching_ds, num_buckets: int = 64):
+    """Heavy-edge-matching graph coarsening (the multilevel-partitioning /
+    multigrid primitive, METIS-style): contract every matched pair to its
+    MIN-vid representative, drop collapsed self-loops, and sum parallel
+    edges into coarse weights -> Dataset (csrc, cdst, weight), csrc < cdst.
+
+    Dataflow: canonical distinct undirected edge keys -> ``pair_attach``
+    of each endpoint's representative (two coarse-bucket shuffles, no
+    broadcast of the dataset-sized rep table) -> re-canonicalize on coarse
+    ids -> one coarse-bucket sum. Every stage is the packed-key machinery;
+    nothing driver-side. The coarse graph is ~half the vertices per level —
+    iterate for a multilevel hierarchy."""
+    import pyarrow as pa
+
+    from raylink.join import bucketed_distinct, bucketed_sum, pair_attach
+    from raylink.util import assert_packable, unpack_hi
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep]).astype(np.int64)
+        b = np.maximum(s[keep], d[keep]).astype(np.int64)
+        assert_packable(a, "coarsen vid")
+        assert_packable(b, "coarsen vid")
+        return pa.table({"key": pa.array(np.unique((a << np.int64(32)) | b))})
+
+    distinct = bucketed_distinct(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), "key",
+        num_buckets=num_buckets,
+    )
+
+    def rep_rows(batch: pa.Table) -> pa.Table:
+        v = batch.column("vid").to_numpy(zero_copy_only=False)
+        m = batch.column("mate").to_numpy(zero_copy_only=False)
+        r = np.where(m >= 0, np.minimum(v, m), v).astype(np.int64)
+        return pa.table({"vid": pa.array(v), "r": pa.array(r)})
+
+    rep = matching_ds.map_batches(rep_rows, batch_format="pyarrow")
+    att = pair_attach(
+        distinct, rep, value_fields={"r": pa.int64()},
+        num_buckets=num_buckets, id_col="vid",
+    )
+
+    def coarse_keys(batch: pa.Table) -> pa.Table:
+        ra = batch.column("r_a").to_numpy(zero_copy_only=False)
+        rb = batch.column("r_b").to_numpy(zero_copy_only=False)
+        keep = ra != rb  # contracted (matched) edges vanish
+        lo = np.minimum(ra[keep], rb[keep])
+        hi = np.maximum(ra[keep], rb[keep])
+        return pa.table(
+            {"ck": pa.array((lo << np.int64(32)) | hi),
+             "c": pa.array(np.ones(keep.sum(), dtype=np.int64))}
+        )
+
+    summed = bucketed_sum(
+        att.map_batches(coarse_keys, batch_format="pyarrow"),
+        "ck", "c", out_val="weight", num_buckets=num_buckets,
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("ck").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"csrc": pa.array(unpack_hi(k)),
+             "cdst": pa.array(k & np.int64(0xFFFFFFFF)),
+             "weight": batch.column("weight")}
+        )
+
+    return summed.map_batches(unpack, batch_format="pyarrow")

@@ -1246,3 +1246,81 @@ def neighbor_jaccard(edges_ds, k: int = 50, num_buckets: int = 64):
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def two_hop_sizes(edges_ds, num_buckets: int = 64):
+    """Exact 2-hop neighbourhood size |{u : 1 <= dist(v,u) <= 2}| per
+    edge-incident vertex of the undirected simple graph -> Dataset
+    (vid, two_hop). The exact counterpart of ``hyperanf``'s round-2 ball
+    estimate — the local-density / influence-radius feature.
+
+    Dataflow: canonical distinct edges -> adjacency rows bucketed by the
+    wedge MIDDLE vertex -> per-group ORDERED neighbour-pair generation
+    (both directions of each unordered wedge) unioned with the direct
+    edges -> one coarse-bucket exact distinct on the packed (v<<32)|u key
+    -> per-vertex count via one more coarse-bucket sum. Wedge volume is
+    O(sum deg^2) — the documented common-neighbour skew surface; degree-cap
+    hubs upstream at crawl scale."""
+    import pyarrow as pa
+
+    from raylink.join import bucketed_distinct, bucketed_sum
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+    distinct, _ = _distinct_and_degrees(edges_ds)
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        v = np.concatenate([a, b])
+        n = np.concatenate([b, a])
+        return pa.table(
+            {"bkt": pa.array((splitmix64(v.astype(np.uint64)) % B).astype(np.int32)),
+             "v": pa.array(v), "n": pa.array(n)}
+        )
+
+    def hop_keys(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, v))
+        v, n = v[order], n[order]
+        _, starts, counts = np.unique(v, return_index=True, return_counts=True)
+        total = int((counts * (counts - 1)).sum())  # ordered wedge pairs
+        keys = np.empty(total + 2 * len(v), dtype=np.int64)
+        pos = 0
+        for s0, c in zip(starts, counts):  # per-middle; hubs dominate anyway
+            if c < 2:
+                continue
+            seg = n[s0 : s0 + c]
+            iu, iw = np.triu_indices(c, k=1)
+            m = len(iu)
+            keys[pos : pos + m] = (seg[iu] << np.int64(32)) | seg[iw]
+            keys[pos + m : pos + 2 * m] = (seg[iw] << np.int64(32)) | seg[iu]
+            pos += 2 * m
+        # direct neighbours (already localized here: every edge of v is in
+        # v's middle bucket as an adjacency row)
+        keys[pos : pos + len(v)] = (v << np.int64(32)) | n
+        pos += len(v)
+        keys[pos : pos + len(v)] = (n << np.int64(32)) | v
+        pos += len(v)
+        uk = np.unique(keys[:pos])  # pre-dedup before the distinct shuffle
+        return pa.table({"key": pa.array(uk)})
+
+    pairs = (
+        distinct.map_batches(adj_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(hop_keys, batch_format="pyarrow")
+    )
+    dedup = bucketed_distinct(pairs, "key", num_buckets=num_buckets)
+
+    def per_vertex(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vid": pa.array(unpack_hi(k)),
+             "c": pa.array(np.ones(len(k), dtype=np.int64))}
+        )
+
+    counts = bucketed_sum(
+        dedup.map_batches(per_vertex, batch_format="pyarrow"),
+        "vid", "c", out_val="two_hop", num_buckets=num_buckets,
+    )
+    return counts

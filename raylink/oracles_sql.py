@@ -2990,12 +2990,14 @@ def coloring_sql(rounds: int = 32, seed: int = 0) -> str:
     )
 
 
-def matching_sql(rounds: int = 32) -> str:
-    """Mirrors algos.matching.maximal_matching round for round: edge
-    priority = splitmix64(splitmix64(src) XOR splitmix64(dst)) (symmetric;
-    incident ties impossible — splitmix is a bijection), per round every
-    unmatched vertex's best alive edge is its (pri, partner) minimum, and
-    mutual bests match. Unrolled; rounds past convergence are no-ops."""
+def _matching_ctes(rounds: int = 32) -> list:
+    """CTE chain mirroring algos.matching.maximal_matching round for round:
+    edge priority = splitmix64(splitmix64(src) XOR splitmix64(dst))
+    (symmetric; incident ties impossible — splitmix is a bijection), per
+    round every unmatched vertex's best alive edge is its (pri, partner)
+    minimum, and mutual bests match. Unrolled; rounds past convergence are
+    no-ops. Final table: mt{rounds} (vid, mate, match_round) — matched
+    vertices only. Shared by matching_sql and coarsen_sql."""
     ctes = [
         GRAPH_CTES,
         f"""pv AS MATERIALIZED (
@@ -3032,12 +3034,43 @@ def matching_sql(rounds: int = 32) -> str:
   SELECT v AS vid, o AS mate, CAST({r} AS BIGINT) AS match_round
   FROM wn{r})"""
         )
+    return ctes
+
+
+def matching_sql(rounds: int = 32) -> str:
+    """See _matching_ctes."""
     return (
-        _with(*ctes)
+        _with(*_matching_ctes(rounds))
         + f"""
 SELECT vv.vid, COALESCE(m.mate, -1) AS mate,
        COALESCE(m.match_round, -1) AS match_round
 FROM verts vv LEFT JOIN mt{rounds} m ON m.vid = vv.vid ORDER BY vv.vid"""
+    )
+
+
+def coarsen_sql(rounds: int = 32) -> str:
+    """Mirror of algos.matching.coarsen_graph: contract the maximal
+    matching to MIN-vid representatives, drop self-loops, sum parallel
+    edges."""
+    ctes = _matching_ctes(rounds) + [
+        f"""rep AS (
+  SELECT vv.vid,
+         CASE WHEN m.mate IS NOT NULL THEN LEAST(vv.vid, m.mate)
+              ELSE vv.vid END AS r
+  FROM verts vv LEFT JOIN mt{rounds} m ON m.vid = vv.vid)""",
+        """ce AS (
+  SELECT LEAST(ra.r, rb.r) AS csrc, GREATEST(ra.r, rb.r) AS cdst
+  FROM (SELECT src, dst FROM und WHERE src < dst) e
+  JOIN rep ra ON ra.vid = e.src
+  JOIN rep rb ON rb.vid = e.dst
+  WHERE ra.r <> rb.r)""",
+    ]
+    return (
+        _with(*ctes)
+        + """
+SELECT csrc::BIGINT AS csrc, cdst::BIGINT AS cdst,
+       count(*)::BIGINT AS weight
+FROM ce GROUP BY 1, 2"""
     )
 
 
@@ -4802,3 +4835,20 @@ def mmr_rerank_sql(query_id: int = 0, n_candidates: int = 20, k: int = 5,
             + f"""
 SELECT vid::BIGINT AS vec_id, score AS mmr_score, r::BIGINT AS sel_rank
 FROM selected{k}""")
+
+
+def two_hop_sizes_sql() -> str:
+    """Mirror of algos.triangles.two_hop_sizes: distinct vertices within
+    undirected distance 1..2, self excluded."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """n2 AS (
+  SELECT u.src AS a, u.dst AS c FROM und u
+  UNION
+  SELECT u1.src, u2.dst FROM und u1 JOIN und u2 ON u2.src = u1.dst
+  WHERE u2.dst <> u1.src)""",
+        )
+        + """
+SELECT a::BIGINT AS vid, count(*)::BIGINT AS two_hop FROM n2 GROUP BY a"""
+    )

@@ -5897,3 +5897,30 @@ def q_mmr_rerank(sf_dir: str):
     from raylink.ops.similarity import mmr_rerank
 
     return mmr_rerank(_emb(sf_dir), query_id=0, n_candidates=20, k=5)
+
+
+def q_two_hop_sizes(sf_dir: str):
+    """Exact 2-hop neighbourhood size per edge-incident page — the local
+    influence-radius feature (hyperanf's exact round-2 sibling); wedge
+    generation + coarse-bucket distinct + per-vertex sum."""
+    from raylink.algos.triangles import two_hop_sizes
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return two_hop_sizes(edges)
+
+
+def q_coarsen(sf_dir: str):
+    """Heavy-edge-matching graph coarsening (multilevel-partitioning
+    primitive): contract the maximal matching's pairs to min-vid
+    representatives over the undirected page graph -> (csrc, cdst, weight)
+    parallel-edge-summed coarse edges; reuses q_matching's checkpointed
+    BSP result."""
+    from raylink.algos.matching import coarsen_graph, maximal_matching
+
+    g = page_graph(sf_dir, directed=False)
+    _, matched = maximal_matching(
+        g=g, max_rounds=MATCH_ROUNDS, engine="tasks",
+        ckpt_dir=_ckpt("matching", sf_dir),
+    )
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return coarsen_graph(edges, matched)
