@@ -4852,3 +4852,61 @@ def two_hop_sizes_sql() -> str:
         + """
 SELECT a::BIGINT AS vid, count(*)::BIGINT AS two_hop FROM n2 GROUP BY a"""
     )
+
+
+def bowtie_sql() -> str:
+    """Mirror of algos.bowtie: the directed transitive closure gives SCC
+    labels (scc_sql's convention), the core = largest SCC (ties -> min
+    label), frontier-BFS recursive sets for the four reachability legs,
+    CC_CTE for the weak components. Every consumer of the closure and of a
+    recursive set is MATERIALIZED — without it DuckDB re-expands the
+    closure per reference and OOMs at sf0.1."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """reach AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+sccm AS MATERIALIZED (
+  SELECT v.vid, GREATEST(v.vid, COALESCE(MAX(m.u), v.vid)) AS scc
+  FROM verts v LEFT JOIN (
+    SELECT r1.a AS v, r1.b AS u FROM reach r1
+    JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a) m ON m.v = v.vid
+  GROUP BY v.vid),
+core AS MATERIALIZED (
+  SELECT scc FROM (SELECT scc, count(*) AS size FROM sccm GROUP BY scc)
+  ORDER BY size DESC, scc LIMIT 1),
+corev AS MATERIALIZED (
+  SELECT vid FROM sccm WHERE scc = (SELECT scc FROM core)),
+fwdc AS (SELECT vid FROM corev UNION
+         SELECT e.dst FROM fwdc f JOIN edges e ON e.src = f.vid),
+fwdm AS MATERIALIZED (SELECT vid FROM fwdc),
+bwdc AS (SELECT vid FROM corev UNION
+         SELECT e.src FROM bwdc f JOIN edges e ON e.dst = f.vid),
+bwdm AS MATERIALIZED (SELECT vid FROM bwdc),
+finc AS (SELECT vid FROM bwdm UNION
+         SELECT e.dst FROM finc f JOIN edges e ON e.src = f.vid),
+finm AS MATERIALIZED (SELECT vid FROM finc),
+boutc AS (SELECT vid FROM fwdm UNION
+          SELECT e.src FROM boutc f JOIN edges e ON e.dst = f.vid),
+boutm AS MATERIALIZED (SELECT vid FROM boutc)""",
+            CC_CTE,
+            """compm AS MATERIALIZED (SELECT vid, component FROM comp),
+wcccore AS MATERIALIZED (
+  SELECT component FROM compm WHERE vid = (SELECT scc FROM core))""",
+            recursive=True,
+        )
+        + """
+SELECT v.vid::BIGINT AS vid,
+       CASE WHEN s.scc = (SELECT scc FROM core) THEN 'CORE'
+            WHEN v.vid IN (SELECT vid FROM bwdm) THEN 'IN'
+            WHEN v.vid IN (SELECT vid FROM fwdm) THEN 'OUT'
+            WHEN v.vid IN (SELECT vid FROM finm)
+                 AND v.vid IN (SELECT vid FROM boutm) THEN 'TUBE'
+            WHEN v.vid IN (SELECT vid FROM finm)
+                 OR v.vid IN (SELECT vid FROM boutm) THEN 'TENDRIL'
+            WHEN c.component = (SELECT component FROM wcccore) THEN 'OTHER'
+            ELSE 'DISCONNECTED' END AS region
+FROM verts v JOIN sccm s ON s.vid = v.vid JOIN compm c ON c.vid = v.vid"""
+    )

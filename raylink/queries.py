@@ -5924,3 +5924,24 @@ def q_coarsen(sf_dir: str):
     )
     _, edges, _, _ = page_edge_tables(sf_dir)
     return coarsen_graph(edges, matched)
+
+
+def q_bowtie(sf_dir: str):
+    """Bow-tie decomposition of the directed page graph (Broder WWW 2000):
+    every page labeled CORE / IN / OUT / TUBE / TENDRIL / OTHER /
+    DISCONNECTED relative to the largest SCC. Composition: checkpointed
+    SCC + CC results, four supersource-BFS reachability legs, one
+    coarse-bucket classification shuffle (algos/bowtie.py)."""
+    from raylink.algos import connected_components
+    from raylink.algos.bowtie import bowtie
+    from raylink.algos.scc import scc
+
+    _, sccs = scc(g=_dual_graph(sf_dir), ckpt_dir=_ckpt("scc", sf_dir),
+                  engine="tasks")
+    g = page_graph(sf_dir, directed=False)
+    _, comps = connected_components(
+        g=g, ckpt_dir=_ckpt("cc", sf_dir), engine="tasks"
+    )
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    de = distinct_edges(edges).materialize()  # consumed by 4 reach legs
+    return bowtie(de, sccs, comps, ckpt_root=_ckpt("bowtie", sf_dir))

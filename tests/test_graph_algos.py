@@ -2104,3 +2104,36 @@ def test_degree_gini(edge_data, ray_session):
         row["n_vertices"], row["sum_deg"], row["gini_num"],
         row["gini_den"], row["gini_scaled"],
     ) == (n, s, num, den, (GINI_SCALE * num) // den)
+
+
+def test_bowtie_regions(ray_session):
+    """Hand-built graph exercising every bow-tie region:
+    core cycle 1->2->3->1; 0->1 (IN); 3->4 (OUT); 0->5->4 (TUBE);
+    0->6 (TENDRIL fwd); 7->4 (TENDRIL bwd); 8->6 (OTHER: points INTO a
+    tendril, unreachable from IN and reaching no OUT); 9->10 separate
+    (DISCONNECTED)."""
+    import ray.data as rd
+
+    from raylink.algos.bowtie import bowtie
+
+    e = [(1, 2), (2, 3), (3, 1), (0, 1), (3, 4), (0, 5), (5, 4), (0, 6),
+         (7, 4), (8, 6), (9, 10)]
+    edges = rd.from_arrow(pa.table(
+        {"src": pa.array([a for a, _ in e], type=pa.int64()),
+         "dst": pa.array([b for _, b in e], type=pa.int64())}
+    ))
+    # scc = max vid of the strong component; comps = min vid of the weak one
+    sccs = rd.from_arrow(pa.table(
+        {"vid": pa.array(list(range(11)), type=pa.int64()),
+         "scc": pa.array([0, 3, 3, 3, 4, 5, 6, 7, 8, 9, 10],
+                         type=pa.int64())}
+    ))
+    comps = rd.from_arrow(pa.table(
+        {"vid": pa.array(list(range(11)), type=pa.int64()),
+         "component": pa.array([0] * 9 + [9, 9], type=pa.int64())}
+    ))
+    got = bowtie(edges, sccs, comps).to_pandas().set_index("vid")["region"]
+    expect = {0: "IN", 1: "CORE", 2: "CORE", 3: "CORE", 4: "OUT",
+              5: "TUBE", 6: "TENDRIL", 7: "TENDRIL", 8: "OTHER",
+              9: "DISCONNECTED", 10: "DISCONNECTED"}
+    assert {v: got[v] for v in expect} == expect
