@@ -176,3 +176,81 @@ def spanning_forest(
 
     out = joined.map_batches(finish, batch_format="pyarrow")
     return res, out
+
+
+def bipartite_components(edges_ds, forest_ds, num_buckets: int = 32):
+    """Per-component bipartiteness test via BFS-layer parity -> Dataset
+    (component, is_bipartite). A graph is bipartite iff no edge joins two
+    vertices at the same BFS-layer parity (same-parity edge <=> odd cycle),
+    so the checkpointed spanning forest's ``dist`` IS the 2-coloring
+    attempt and the test is one distributed edge scan.
+
+    Dataflow: (vid, dist%2, root) from the forest -> ``pair_attach`` of
+    both endpoints' parity+root onto the canonical distinct edge keys (two
+    coarse-bucket shuffles, no broadcast) -> per-component violation sum
+    unioned with zero rows for every root (singletons included) -> one
+    coarse-bucket sum. Nothing driver-side."""
+    import pyarrow as pa
+
+    from raylink.join import bucketed_distinct, bucketed_sum, pair_attach
+    from raylink.util import assert_packable, unpack_hi
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        a = np.minimum(s[keep], d[keep]).astype(np.int64)
+        b = np.maximum(s[keep], d[keep]).astype(np.int64)
+        assert_packable(a, "bipartite vid")
+        assert_packable(b, "bipartite vid")
+        return pa.table({"key": pa.array(np.unique((a << np.int64(32)) | b))})
+
+    keys = bucketed_distinct(
+        edges_ds.map_batches(canon, batch_format="pyarrow"), "key",
+        num_buckets=64,
+    )
+
+    def par_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vid": batch.column("vid"),
+             "par": pa.array((d % 2).astype(np.int64)),
+             "root": batch.column("root")}
+        )
+
+    att = pair_attach(
+        keys, forest_ds.map_batches(par_rows, batch_format="pyarrow"),
+        value_fields={"par": pa.int64(), "root": pa.int64()},
+        num_buckets=64, id_col="vid",
+    )
+
+    def viol(batch: pa.Table) -> pa.Table:
+        pa_ = batch.column("par_a").to_numpy(zero_copy_only=False)
+        pb_ = batch.column("par_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"root": batch.column("root_a"),
+             "v": pa.array((pa_ == pb_).astype(np.int64))}
+        )
+
+    def root_zeros(batch: pa.Table) -> pa.Table:
+        p = batch.column("parent").to_numpy(zero_copy_only=False)
+        r = batch.column("vid").to_numpy(zero_copy_only=False)[p == -1]
+        return pa.table(
+            {"root": pa.array(r.astype(np.int64)),
+             "v": pa.array(np.zeros(len(r), dtype=np.int64))}
+        )
+
+    rows = att.map_batches(viol, batch_format="pyarrow").union(
+        forest_ds.map_batches(root_zeros, batch_format="pyarrow")
+    )
+    summed = bucketed_sum(rows, "root", "v", out_val="nviol",
+                          num_buckets=num_buckets)
+    return summed.map_batches(
+        lambda b: pa.table(
+            {"component": b.column("root"),
+             "is_bipartite": pa.array(
+                 b.column("nviol").to_numpy(zero_copy_only=False) == 0
+             )}
+        ),
+        batch_format="pyarrow",
+    )

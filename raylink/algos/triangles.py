@@ -1324,3 +1324,101 @@ def two_hop_sizes(edges_ds, num_buckets: int = 64):
         "vid", "c", out_val="two_hop", num_buckets=num_buckets,
     )
     return counts
+
+
+def cocitation_pairs(edges_ds, k: int = 50, num_buckets: int = 64,
+                     mode: str = "cocitation"):
+    """Co-citation / bibliographic-coupling pair ranking over the DIRECTED
+    simple graph (Small 1973 / Kessler 1963 — the classic citation-graph
+    similarity signals):
+
+      cocitation   pairs {a < b} by |{m : m->a and m->b}| — cited together
+      bibcoupling  pairs {a < b} by |{m : a->m and b->m}| — cite the same
+
+    -> Dataset (src, dst, common, rank 1..k) ordered by (common DESC, src,
+    dst). Dataflow mirrors ``_common_neighbor_counts`` with the wedge
+    middle pinned to the citing page (cocitation) or the cited page
+    (bibcoupling): distinct directed edges -> per-middle canonical pair
+    generation with per-group pre-combine -> one coarse-bucket pair sum ->
+    per-block local top-k coalesced to one block. Wedge volume is
+    O(sum outdeg^2) / O(sum indeg^2) — degree-cap hubs upstream at crawl
+    scale (the documented common-neighbour skew surface)."""
+    import pyarrow as pa
+
+    from raylink.join import bucketed_sum
+    from raylink.pipelines import distinct_edges
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+    mid_col, nbr_col = (
+        ("src", "dst") if mode == "cocitation" else ("dst", "src")
+    )
+
+    de = distinct_edges(edges_ds)
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        v = batch.column(mid_col).to_numpy(zero_copy_only=False)
+        n = batch.column(nbr_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"bkt": pa.array(
+                (splitmix64(v.astype(np.uint64)) % B).astype(np.int32)
+             ),
+             "v": pa.array(v), "n": pa.array(n)}
+        )
+
+    def wedge_pairs(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, v))
+        v, n = v[order], n[order]
+        _, starts, counts = np.unique(v, return_index=True,
+                                      return_counts=True)
+        total = int((counts * (counts - 1) // 2).sum())
+        if total == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        keys = np.empty(total, dtype=np.int64)
+        pos = 0
+        for s0, c in zip(starts, counts):  # per-middle; hubs dominate
+            if c < 2:
+                continue
+            seg = n[s0 : s0 + c]
+            iu, iw = np.triu_indices(c, k=1)
+            m = len(iu)
+            keys[pos : pos + m] = (seg[iu] << np.int64(32)) | seg[iw]
+            pos += m
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    counts = bucketed_sum(
+        de.map_batches(adj_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(wedge_pairs, batch_format="pyarrow"),
+        "key", "c", out_val="common", num_buckets=num_buckets,
+    )
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if "key" in batch.column_names:  # first (per-block) pass
+            a, b = _unpack(batch.column("key").to_numpy(zero_copy_only=False))
+        else:  # final coalesced pass re-ranks the block winners
+            a = batch.column("src").to_numpy(zero_copy_only=False)
+            b = batch.column("dst").to_numpy(zero_copy_only=False)
+        c = batch.column("common").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -c))[:k]
+        return pa.table(
+            {"src": pa.array(a[order]), "dst": pa.array(b[order]),
+             "common": pa.array(c[order])}
+        )
+
+    def number(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.arange(1, len(batch) + 1, dtype=np.int64))
+        )
+
+    return (
+        counts.map_batches(topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(topk, batch_format="pyarrow", batch_size=None)
+        .map_batches(number, batch_format="pyarrow", batch_size=None)
+    )

@@ -4910,3 +4910,60 @@ SELECT v.vid::BIGINT AS vid,
             ELSE 'DISCONNECTED' END AS region
 FROM verts v JOIN sccm s ON s.vid = v.vid JOIN compm c ON c.vid = v.vid"""
     )
+
+
+def cocitation_sql(k: int = 50, mode: str = "cocitation") -> str:
+    """Mirror of algos.triangles.cocitation_pairs."""
+    if mode == "cocitation":
+        join = "e2.src = e1.src AND e1.dst < e2.dst"
+        a, b = "e1.dst", "e2.dst"
+    else:
+        join = "e2.dst = e1.dst AND e1.src < e2.src"
+        a, b = "e1.src", "e2.src"
+    return (
+        _with(
+            GRAPH_CTES,
+            f"""co AS (
+  SELECT {a} AS a, {b} AS b, count(*)::BIGINT AS common
+  FROM edges e1 JOIN edges e2 ON {join}
+  GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (ORDER BY common DESC, a, b) AS rank
+       FROM co)""",
+        )
+        + f"""
+SELECT a::BIGINT AS src, b::BIGINT AS dst, common, rank::BIGINT AS rank
+FROM rk WHERE rank <= {k}"""
+    )
+
+
+def bipartite_sql(cap: int = 64) -> str:
+    """Mirror of algos.spanning.bipartite_components: a component is
+    bipartite iff no undirected edge joins equal BFS-layer parities
+    (spanning_forest_sql's multi-source dist)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            CC_CTE,
+            f"""bfs AS (
+  SELECT DISTINCT component AS vid, 0 AS d FROM comp
+  UNION
+  SELECT e.dst, x.d + 1 FROM bfs x JOIN und e ON e.src = x.vid WHERE x.d < {cap}
+),
+dist AS (SELECT vid, MIN(d) AS d FROM bfs GROUP BY vid),
+viol AS (
+  SELECT c.component AS root,
+         SUM(CASE WHEN (a.d + b.d) % 2 = 0 THEN 1 ELSE 0 END) AS nviol
+  FROM und e
+  JOIN dist a ON a.vid = e.src
+  JOIN dist b ON b.vid = e.dst
+  JOIN comp c ON c.vid = e.src
+  WHERE e.src < e.dst
+  GROUP BY 1),
+roots AS (SELECT DISTINCT component AS root FROM comp)""",
+            recursive=True,
+        )
+        + """
+SELECT r.root::BIGINT AS component,
+       COALESCE(v.nviol, 0) = 0 AS is_bipartite
+FROM roots r LEFT JOIN viol v ON v.root = r.root"""
+    )

@@ -5945,3 +5945,36 @@ def q_bowtie(sf_dir: str):
     _, edges, _, _ = page_edge_tables(sf_dir)
     de = distinct_edges(edges).materialize()  # consumed by 4 reach legs
     return bowtie(de, sccs, comps, ckpt_root=_ckpt("bowtie", sf_dir))
+
+
+def q_cocitation(sf_dir: str):
+    """Co-citation similarity (Small 1973): top-50 page pairs by the
+    number of pages that link to BOTH — the inbound-wedge sibling of
+    link_prediction; directed wedge generation + coarse-bucket pair sum."""
+    from raylink.algos.triangles import cocitation_pairs
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return cocitation_pairs(edges, k=50, mode="cocitation")
+
+
+def q_bibcoupling(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963): top-50 page pairs by the
+    number of pages BOTH link to — the outbound-wedge dual of
+    cocitation."""
+    from raylink.algos.triangles import cocitation_pairs
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return cocitation_pairs(edges, k=50, mode="bibcoupling")
+
+
+def q_bipartite(sf_dir: str):
+    """Per-component bipartiteness (odd-cycle detection) via BFS-layer
+    parity over the checkpointed spanning forest — one distributed edge
+    scan + per-component sum."""
+    from raylink.algos import spanning_forest
+    from raylink.algos.spanning import bipartite_components
+
+    g = page_graph(sf_dir, directed=False)
+    _, forest = spanning_forest(g=g, ckpt_dir=_ckpt("forest", sf_dir))
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return bipartite_components(edges, forest.materialize())

@@ -2137,3 +2137,31 @@ def test_bowtie_regions(ray_session):
               5: "TUBE", 6: "TENDRIL", 7: "TENDRIL", 8: "OTHER",
               9: "DISCONNECTED", 10: "DISCONNECTED"}
     assert {v: got[v] for v in expect} == expect
+
+
+def test_bipartite_components(ray_session):
+    """Even cycle 0-1-2-3-0 (bipartite), triangle 10-11-12 (odd cycle),
+    isolated vertex 20 (trivially bipartite)."""
+    import ray.data as rd
+
+    from raylink.algos.spanning import bipartite_components
+
+    e = [(0, 1), (1, 2), (2, 3), (3, 0), (10, 11), (11, 12), (12, 10)]
+    edges = rd.from_arrow(pa.table(
+        {"src": pa.array([a for a, _ in e], type=pa.int64()),
+         "dst": pa.array([b for _, b in e], type=pa.int64())}
+    ))
+    # hand-built BFS forest: roots are component minima
+    vids = [0, 1, 2, 3, 10, 11, 12, 20]
+    root = [0, 0, 0, 0, 10, 10, 10, 20]
+    dist = [0, 1, 2, 1, 0, 1, 1, 0]
+    parent = [-1, 0, 1, 0, -1, 10, 10, -1]
+    forest = rd.from_arrow(pa.table(
+        {"vid": pa.array(vids, type=pa.int64()),
+         "root": pa.array(root, type=pa.int64()),
+         "dist": pa.array(dist, type=pa.int64()),
+         "parent": pa.array(parent, type=pa.int64())}
+    ))
+    got = bipartite_components(edges, forest).to_pandas()
+    got = dict(zip(got["component"], got["is_bipartite"]))
+    assert got == {0: True, 10: False, 20: True}
