@@ -1620,3 +1620,72 @@ def mmr_rerank(emb_ds, query_id: int = 0, n_candidates: int = 20,
          "mmr_score": pa.array(np.array(sel_scores, dtype=np.float64)),
          "sel_rank": pa.array(np.arange(1, len(sel_ids) + 1, dtype=np.int64))}
     )
+
+
+def kcenter_select(emb_ds, k: int = 5, start_id: int = 0):
+    """Greedy k-center / farthest-point coreset selection (Gonzalez 1985
+    2-approximation — the diversity-sampling primitive for training-data
+    subset selection): start from ``start_id``; each step adds the vector
+    whose MAXIMUM cosine to the selected set is MINIMAL (i.e. the farthest
+    point), ties by vec_id. -> pa.Table (vec_id, far_cos r6, sel_rank
+    1..k); the first row carries far_cos = -2.0 (no selected set yet).
+
+    Shape: each of the k-1 steps is one distributed scan (the <=k selected
+    vectors broadcast via ray.put, per-batch vectorized max-cos) followed
+    by a distributed sort + limit(1) — only the single winning row reaches
+    the driver per step. k is a query parameter, never data-sized."""
+    import pyarrow.compute as pc
+    import ray
+
+    from raylink.util import round_half_away
+
+    def fetch_vec(vid: int) -> np.ndarray:
+        one = emb_ds.map_batches(
+            lambda b: b.filter(pc.equal(b.column("vec_id"), vid)),
+            batch_format="pyarrow",
+        ).take(1)
+        return _normalize(
+            np.asarray(one[0]["embedding"], dtype=np.float64)[None, :]
+        )[0]
+
+    sel_ids = [int(start_id)]
+    sel_far = [-2.0]
+    sel_mat = [fetch_vec(start_id)]
+
+    for _ in range(k - 1):
+        ref = ray.put((np.array(sel_ids, dtype=np.int64),
+                       np.stack(sel_mat)))
+
+        def maxcos(batch: pa.Table) -> pa.Table:
+            ids_s, mat = ray.get(ref)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                                 "mc": pa.array([], type=pa.float64())})
+            m = _normalize(_mat(batch))
+            sims = round_half_away(m @ mat.T, 6)  # r6 per pair, THEN max
+            mc = sims.max(axis=1)
+            keep = ~np.isin(ids, ids_s)
+            return pa.table({"vec_id": pa.array(ids[keep]),
+                             "mc": pa.array(mc[keep])})
+
+        win = (
+            emb_ds.select_columns(["vec_id", "embedding"])
+            .map_batches(maxcos, batch_format="pyarrow")
+            .sort(["mc", "vec_id"])
+            .limit(1)
+            .take(1)
+        )
+        if not win:
+            break
+        vid = int(win[0]["vec_id"])
+        sel_ids.append(vid)
+        sel_far.append(float(win[0]["mc"]))
+        sel_mat.append(fetch_vec(vid))
+
+    return pa.table(
+        {"vec_id": pa.array(np.array(sel_ids, dtype=np.int64)),
+         "far_cos": pa.array(np.array(sel_far, dtype=np.float64)),
+         "sel_rank": pa.array(np.arange(1, len(sel_ids) + 1,
+                                        dtype=np.int64))}
+    )

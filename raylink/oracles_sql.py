@@ -4967,3 +4967,97 @@ SELECT r.root::BIGINT AS component,
        COALESCE(v.nviol, 0) = 0 AS is_bipartite
 FROM roots r LEFT JOIN viol v ON v.root = r.root"""
     )
+
+
+def kcenter_sql(k: int = 8, start_id: int = 0) -> str:
+    """Mirror of ops.similarity.kcenter_select: unrolled greedy
+    farthest-point steps; per-pair r6 round BEFORE the max, ties by
+    vec_id."""
+    ctes = [f"""sel1 AS (
+  SELECT CAST({start_id} AS BIGINT) AS vid,
+         CAST(-2.0 AS DOUBLE) AS far_cos, 1 AS r)""",
+            "selected1 AS (SELECT * FROM sel1)"]
+    for i in range(2, k + 1):
+        ctes.append(f"""sc{i} AS (
+  SELECT e.vec_id AS vid,
+         MAX(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(s.embedding AS DOUBLE[])), 6))
+           AS mc
+  FROM embeddings e JOIN embeddings s
+    ON s.vec_id IN (SELECT vid FROM selected{i - 1})
+  WHERE e.vec_id NOT IN (SELECT vid FROM selected{i - 1})
+  GROUP BY e.vec_id)""")
+        ctes.append(f"""sel{i} AS (
+  SELECT vid, mc AS far_cos, {i} AS r FROM sc{i}
+  ORDER BY mc, vid LIMIT 1)""")
+        ctes.append(f"""selected{i} AS (
+  SELECT * FROM selected{i - 1} UNION ALL SELECT * FROM sel{i})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT vid::BIGINT AS vec_id, far_cos, r::BIGINT AS sel_rank
+FROM selected{k}""")
+
+
+def crawl_schedule_sql(fetched_mod: int = 4, fetched_res: int = 1,
+                       host_mod: int = 97) -> str:
+    """Mirror of pipelines.crawl_schedule: frontier in-link counts, then
+    row_number per host ordered by (n_inlinks DESC, vid)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            f"""fre AS (SELECT DISTINCT src, dst FROM edges
+  WHERE src % {fetched_mod} <> {fetched_res}
+    AND dst % {fetched_mod} = {fetched_res})""",
+            "frc AS (SELECT dst AS vid, count(*)::BIGINT AS n_inlinks FROM fre GROUP BY dst)",
+        )
+        + f"""
+SELECT vid::BIGINT AS vid, (vid % {host_mod})::BIGINT AS host, n_inlinks,
+       row_number() OVER (PARTITION BY vid % {host_mod}
+                          ORDER BY n_inlinks DESC, vid)::BIGINT AS slot
+FROM frc"""
+    )
+
+
+def spam_mass_sql(seeds=(0, 1, 2, 7), pr_iters: int = 30,
+                  ppr_iters: int = 12, alpha: float = 0.85) -> str:
+    """Mirror of queries.q_spam_mass: the unrolled PageRank chain and the
+    per-seed PPR chains in one WITH; trust = ROUND(mean of r8-rounded
+    per-seed PPRs, 8), spam_mass = ROUND((pr - trust)/pr, 6) — the exact
+    float op order of the engine's vectorized ratio."""
+    tp = repr(1.0 - alpha)
+    ctes = _pagerank_ctes(pr_iters)  # GRAPH_CTES, deg, pr1..prN
+    for i, s in enumerate(seeds):
+        ctes.append(
+            f"p{i}_0 AS (SELECT vid, CASE WHEN vid = {s} THEN 1.0 ELSE 0.0 "
+            f"END AS r FROM verts)"
+        )
+        for t in range(1, ppr_iters + 1):
+            ctes.append(
+                f"""p{i}_{t} AS MATERIALIZED (
+  SELECT v.vid,
+         {alpha} * COALESCE(m.ms, 0)
+         + {tp} * (CASE WHEN v.vid = {s} THEN 1.0 ELSE 0.0 END) AS r
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.r / d.outdeg) AS ms
+    FROM p{i}_{t - 1} p JOIN deg d ON d.vid = p.vid
+    JOIN edges e ON e.src = p.vid
+    GROUP BY e.dst
+  ) m ON m.vid = v.vid)"""
+            )
+    trust_sum = " + ".join(
+        f"ROUND(p{i}.r, 8)" for i in range(len(seeds))
+    )
+    joins = "\n".join(
+        f"JOIN p{i}_{ppr_iters} p{i} ON p{i}.vid = pr.vid"
+        for i in range(len(seeds))
+    )
+    return (
+        _with(*ctes)
+        + f"""
+SELECT vid, pr, trust, ROUND((pr - trust) / pr, 6) AS spam_mass
+FROM (
+  SELECT pr.vid::BIGINT AS vid, ROUND(pr.rank, 8) AS pr,
+         ROUND(({trust_sum}) / {float(len(seeds))!r}, 8) AS trust
+  FROM pr{pr_iters} pr
+{joins})"""
+    )

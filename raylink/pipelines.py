@@ -1051,3 +1051,77 @@ def frontier_rank(edges_ds, fetched_mod: int = 4, fetched_res: int = 1,
         .repartition(1)
         .map_batches(topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def crawl_schedule(edges_ds, fetched_mod: int = 4, fetched_res: int = 1,
+                   host_mod: int = 97, num_buckets: int = 64):
+    """Politeness-aware crawl scheduling: every discovered-but-unfetched
+    page gets a per-HOST fetch slot — slot s means "s-th wave", so a
+    crawler issuing one request per host per wave never hammers a single
+    server while still fetching highest-value pages first. Priority within
+    a host = (distinct in-links from fetched pages DESC, vid); host is the
+    planted vid % host_mod (the host_rank convention — a real crawl swaps
+    in the url host). -> Dataset (vid, host, n_inlinks, slot 1..).
+
+    Shape: ``frontier_rank``'s distinct fetched->unfetched in-link counts
+    (packed-key dedup + per-dst sum), then ONE groupby(host) ranking pass
+    — host cardinality bounds the group count, and per-host frontier
+    volume bounds group size (politeness means a crawler only needs the
+    top slots per host; cap with a LIMIT downstream)."""
+    from raylink.join import bucketed_distinct, bucketed_sum
+    from raylink.util import assert_packable
+
+    M = np.int64(fetched_mod)
+    R = np.int64(fetched_res)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        m = (s % M != R) & (d % M == R)
+        s, d = s[m], d[m]
+        assert_packable(s, "crawl_schedule src")
+        assert_packable(d, "crawl_schedule dst")
+        return pa.table({"key": pa.array((s << np.int64(32)) | d)})
+
+    distinct = bucketed_distinct(
+        edges_ds.map_batches(pack, batch_format="pyarrow"), "key",
+        num_buckets=num_buckets,
+    )
+
+    def per_dst(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        d = key & np.int64(0xFFFFFFFF)
+        uk, cnt = np.unique(d, return_counts=True)
+        return pa.table({"vid": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    counts = bucketed_sum(
+        distinct.map_batches(per_dst, batch_format="pyarrow"),
+        "vid", "c", out_val="n_inlinks", num_buckets=num_buckets,
+    )
+
+    H = np.int64(host_mod)
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        v = batch.column("vid").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vid": pa.array(v), "host": pa.array(v % H),
+             "n_inlinks": batch.column("n_inlinks")}
+        )
+
+    def slots(group: pa.Table) -> pa.Table:
+        v = group.column("vid").to_numpy(zero_copy_only=False)
+        n = group.column("n_inlinks").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -n))
+        return pa.table(
+            {"vid": pa.array(v[order]),
+             "host": group.column("host").take(pa.array(order)),
+             "n_inlinks": pa.array(n[order]),
+             "slot": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))}
+        )
+
+    return (
+        counts.map_batches(add_host, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(slots, batch_format="pyarrow")
+    )

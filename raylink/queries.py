@@ -5978,3 +5978,56 @@ def q_bipartite(sf_dir: str):
     _, forest = spanning_forest(g=g, ckpt_dir=_ckpt("forest", sf_dir))
     _, edges, _, _ = page_edge_tables(sf_dir)
     return bipartite_components(edges, forest.materialize())
+
+
+def q_kcenter(sf_dir: str):
+    """Greedy k-center coreset selection (Gonzalez farthest-point, k=8
+    from vec_id 0) — diversity sampling for subset selection; k
+    distributed scans, one winning row per step on the driver."""
+    from raylink.ops.similarity import kcenter_select
+
+    return kcenter_select(_emb(sf_dir), k=8, start_id=0)
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Politeness-aware crawl scheduling: per-host fetch slots for the
+    unfetched frontier, priority = distinct in-links from fetched pages —
+    one wave per slot, one request per host per wave."""
+    from raylink.pipelines import crawl_schedule
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return crawl_schedule(edges, fetched_mod=4, fetched_res=1, host_mod=97)
+
+
+def q_spam_mass(sf_dir: str):
+    """Spam mass (Gyongyi et al., TrustRank VLDB 2004): the fraction of a
+    page's PageRank NOT explained by trust flowing from the trusted seed
+    set — spam_mass = (pr - trust)/pr where trust = the mean of the
+    per-seed personalized-PageRank columns (teleport uniform over the
+    seeds, by linearity). Reuses the checkpointed q_pagerank and q_ppr BSP
+    results; ONE distributed hash join + a vectorized ratio — the classic
+    web-spam demotion signal."""
+    from raylink.join import hash_join
+
+    pr = q_pagerank(sf_dir)
+    ppr = q_ppr(sf_dir)
+    nseeds = len(HARMONIC_SEEDS)
+    joined = hash_join(
+        ppr, pr, on="vid",
+        left_cols={f"r{i}": pa.float64() for i in range(nseeds)},
+        right_cols={"rank": pa.float64()},
+    )
+
+    def sm(batch: pa.Table) -> pa.Table:
+        p = batch.column("rank").to_numpy(zero_copy_only=False)
+        t = batch.column("r0").to_numpy(zero_copy_only=False).copy()
+        for i in range(1, nseeds):
+            t = t + batch.column(f"r{i}").to_numpy(zero_copy_only=False)
+        trust = round_half_away(t / float(nseeds), 8)
+        mass = round_half_away((p - trust) / p, 6)
+        return pa.table(
+            {"vid": batch.column("vid"), "pr": pa.array(p),
+             "trust": pa.array(trust), "spam_mass": pa.array(mass)}
+        )
+
+    return joined.map_batches(sm, batch_format="pyarrow")
