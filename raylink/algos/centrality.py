@@ -445,3 +445,66 @@ def closeness_of_seeds(g: LinkGraph, seeds: list[int], ckpt_dir: str | None = No
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def effective_diameter_of_seeds(g: LinkGraph, seeds: list[int],
+                                q_num: int = 9, q_den: int = 10,
+                                ckpt_dir: str | None = None,
+                                resume: bool = True,
+                                engine: str = "dataset"):
+    """Seed-sampled effective diameter (Leskovec's 90th-percentile
+    distance, here exact over the seed sample instead of HLL-approximate):
+    the smallest hop distance d such that at least q_num/q_den of all
+    reachable (seed, v) pairs lie within d. All-integer, so the SQL mirror
+    is bit-exact: threshold = (q_num * n_pairs + (q_den - 1)) // q_den
+    (ceiling division). -> one-row Dataset (eff_diameter, n_pairs,
+    n_within).
+
+    Reuses the SAME MultiSourceBFS checkpoints as harmonic/closeness (pass
+    their ckpt_dir: zero extra supersteps); the distance histogram is a
+    per-batch bincount + a bounded combine tree (cardinality <= the BFS
+    depth cap) — one scalar row reaches the driver."""
+    from raylink.join import tree_groupby_sum
+
+    _, out = harmonic_centrality(
+        g, seeds, ckpt_dir=ckpt_dir, resume=resume, engine=engine
+    )
+    k = len(seeds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ds, cs = [], []
+        for j in range(k):
+            d = batch.column(f"d{j}").to_numpy(zero_copy_only=False)
+            d = d[d >= 0]
+            u, c = np.unique(d, return_counts=True)
+            ds.append(u)
+            cs.append(c.astype(np.int64))
+        dd = np.concatenate(ds) if ds else np.array([], np.int64)
+        cc = np.concatenate(cs) if cs else np.array([], np.int64)
+        u, inv = np.unique(dd, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cc)
+        return pa.table({"d": pa.array(u), "c": pa.array(s)})
+
+    hist = tree_groupby_sum(
+        out.map_batches(partial, batch_format="pyarrow"), ["d"], ["c"]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("d").to_numpy(zero_copy_only=False)
+        c = batch.column("sum(c)").to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d, c = d[order], c[order]
+        total = int(c.sum())
+        thresh = (q_num * total + (q_den - 1)) // q_den
+        cum = np.cumsum(c)
+        i = int(np.searchsorted(cum, thresh))
+        return pa.table(
+            {"eff_diameter": pa.array([int(d[i])], type=pa.int64()),
+             "n_pairs": pa.array([total], type=pa.int64()),
+             "n_within": pa.array([int(cum[i])], type=pa.int64())}
+        )
+
+    return hist.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

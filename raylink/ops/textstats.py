@@ -1990,3 +1990,153 @@ def lexical_diversity(docs_ds):
         )
 
     return docs_ds.map_batches(stats, batch_format="pyarrow", batch_size=512)
+
+
+def distinctive_terms(docs_ds, k: int = 10, num_buckets: int = 64):
+    """Per-source distinctive vocabulary: the top-``k`` words per source by
+    chi-squared association between word document-frequency and source
+    membership — the corpus-composition / topicality audit of a training
+    mix (which terms make each source different).
+
+    Scoring is int64 fixed point, so the SQL mirror is bit-exact: with
+    a = docs in source containing w, dft = docs anywhere containing w,
+    n_s = source size, N = corpus size, the chi2 numerator's cross term
+    reduces to diff = a*N - n_s*dft, and
+      score = (diff * diff * 1000) // (dft*(N-dft)*n_s*(N-n_s))
+    (monotone in chi2 at fixed N; 0 when the denominator vanishes).
+    int64-exact while diff^2 * 1000 < 2^63 — guaranteed for corpora up to
+    ~50k docs in the adversarial worst case and far beyond for Zipfian
+    vocabularies; at crawl scale score per shard or switch the final
+    division to float.
+
+    Shape: per-batch distinct (source, word) presence rows pre-combined ->
+    ONE word-hash bucket groupby (all sources of a word co-locate, so dft
+    is in-group exact) with the tiny source-size table broadcast ->
+    per-bucket local per-source top-k -> one coalesced final top-k block.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from raylink.join import tree_groupby_sum
+    from raylink.util import splitmix64, text_hash64, unpack_hi
+
+    B = np.uint64(num_buckets)
+
+    src_counts = tree_groupby_sum(
+        docs_ds.map_batches(
+            lambda b: pa.table(
+                {"source": b.column("source"),
+                 "c": pa.array(np.ones(len(b), dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["source"], ["c"],
+    ).to_pandas()  # bounded: one row per source
+    ns_map = dict(zip(src_counts["source"], src_counts["sum(c)"]))
+    N = int(src_counts["sum(c)"].sum())
+    ref = ray.put(ns_map)
+
+    def rows(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        doc_idx, codes, dic = _word_codes(text)
+        senc = batch.column("source").combine_chunks().dictionary_encode()
+        scodes = senc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (doc, word) -> per (source, word) presence counts
+        ukey = np.unique((doc_idx << np.int64(32)) | codes)
+        udoc = unpack_hi(ukey).astype(np.int64)
+        ucode = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+        sw = (scodes[udoc] << np.int64(32)) | ucode
+        usw, cnt = np.unique(sw, return_counts=True)
+        us = unpack_hi(usw).astype(np.int64)
+        uw = (usw & np.int64(0xFFFFFFFF)).astype(np.int64)
+        terms = pc.cast(dic, pa.string()).take(pa.array(uw))
+        bkt = (splitmix64(text_hash64(dic)[uw]) % B).astype(np.int32)
+        return pa.table(
+            {"b": pa.array(bkt),
+             "token": terms,
+             "source": pc.cast(senc.dictionary, pa.string()).take(
+                 pa.array(us)
+             ),
+             "a": pa.array(cnt.astype(np.int64))}
+        )
+
+    def score_topk(group: pa.Table) -> pa.Table:
+        ns_ = ray.get(ref)
+        tok = group.column("token").combine_chunks().dictionary_encode()
+        tcodes = tok.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        src = group.column("source").to_numpy(zero_copy_only=False)
+        a0 = group.column("a").to_numpy(zero_copy_only=False)
+        # combine per (token, source) across batch partials, then dft
+        key = (tcodes << np.int64(32)) | np.searchsorted(
+            np.sort(np.unique(src)), src
+        )
+        usrc = np.sort(np.unique(src))
+        ukey, inv = np.unique(key, return_inverse=True)
+        a = np.zeros(len(ukey), np.int64)
+        np.add.at(a, inv, a0)
+        ut = unpack_hi(ukey).astype(np.int64)
+        usx = (ukey & np.int64(0xFFFFFFFF)).astype(np.int64)
+        dft = np.zeros(int(ut.max()) + 1 if len(ut) else 0, np.int64)
+        np.add.at(dft, ut, a)
+        dftv = dft[ut]
+        n_s = np.array([ns_[usrc[i]] for i in usx], dtype=np.int64)
+        diff = a * np.int64(N) - n_s * dftv
+        denom = dftv * (np.int64(N) - dftv) * n_s * (np.int64(N) - n_s)
+        score = np.where(
+            denom > 0, (diff * diff * np.int64(1000)) // np.maximum(denom, 1),
+            np.int64(0),
+        )
+        # local per-source top-k
+        keep = []
+        for sx in np.unique(usx):
+            m = np.flatnonzero(usx == sx)
+            toks = np.asarray(
+                pc.cast(tok.dictionary, pa.string()).to_numpy(
+                    zero_copy_only=False
+                )
+            )[ut[m]]
+            order = np.lexsort((toks, -score[m]))[:k]
+            keep.append(m[order])
+        if not keep:
+            return pa.table(
+                {"source": pa.array([], type=pa.string()),
+                 "token": pa.array([], type=pa.string()),
+                 "df_in": pa.array([], type=pa.int64()),
+                 "df_total": pa.array([], type=pa.int64()),
+                 "score": pa.array([], type=pa.int64())}
+            )
+        sel = np.concatenate(keep)
+        toks_all = np.asarray(
+            pc.cast(tok.dictionary, pa.string()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        return pa.table(
+            {"source": pa.array(usrc[usx[sel]]),
+             "token": pa.array(toks_all[ut[sel]]),
+             "df_in": pa.array(a[sel]),
+             "df_total": pa.array(dftv[sel]),
+             "score": pa.array(score[sel])}
+        )
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        s = group.column("score").to_numpy(zero_copy_only=False)
+        t = group.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((t, -s))[:k]
+        idx = pa.array(order)
+        return pa.table(
+            {"source": group.column("source").take(idx),
+             "token": pa.array(t[order]),
+             "df_in": group.column("df_in").take(idx),
+             "df_total": group.column("df_total").take(idx),
+             "score": pa.array(s[order]),
+             "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))}
+        )
+
+    return (
+        docs_ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(score_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pyarrow")
+    )

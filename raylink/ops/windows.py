@@ -685,3 +685,53 @@ def window_topk(events_ds, size_sec: int = 3600, k: int = 3):
     return counts.groupby("window_start").map_groups(
         topk, batch_format="pyarrow"
     )
+
+
+def late_events(events_ds, allowed_lateness_sec: int = 300,
+                num_buckets: int = 64):
+    """Watermark-style late-data detection: in per-user ARRIVAL order
+    (event_id — the repo's running_total convention), an event is LATE
+    when its event time trails the user's watermark (the max event time
+    of earlier-arriving events) by more than ``allowed_lateness_sec`` —
+    the out-of-order-stream audit a windowed pipeline needs before
+    trusting its window closes. -> Dataset (event_id, user_id, skew_sec,
+    late) with skew_sec = max(watermark - ts, 0) in whole seconds, int64.
+
+    One hash(user) coarse-bucket shuffle; the per-user running max is a
+    vectorized np.maximum.accumulate per user segment — all-integer, so
+    the SQL window-function mirror is bit-exact."""
+    from raylink.util import splitmix64
+
+    B = np.uint64(num_buckets)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "ub",
+            pa.array((splitmix64(u.astype(np.uint64)) % B).astype(np.int32)),
+        )
+
+    def flag(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts").to_numpy(zero_copy_only=False)
+        ep = ts.astype("datetime64[s]").astype(np.int64)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, u))  # arrival order within user
+        u, ep, eid = u[order], ep[order], eid[order]
+        bounds = np.r_[np.flatnonzero(np.r_[True, u[1:] != u[:-1]]), len(u)]
+        skew = np.zeros(len(u), np.int64)
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):  # per user: sequential
+            run = np.maximum.accumulate(ep[s0:s1])
+            # watermark BEFORE this event: shift the running max by one
+            skew[s0 + 1 : s1] = np.maximum(run[:-1] - ep[s0 + 1 : s1], 0)
+        return pa.table(
+            {"event_id": pa.array(eid), "user_id": pa.array(u),
+             "skew_sec": pa.array(skew),
+             "late": pa.array(skew > allowed_lateness_sec)}
+        )
+
+    return (
+        events_ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(flag, batch_format="pyarrow")
+    )

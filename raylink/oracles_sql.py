@@ -5061,3 +5061,88 @@ FROM (
   FROM pr{pr_iters} pr
 {joins})"""
     )
+
+
+def effective_diameter_sql(seeds=(0, 1, 2, 7), cap: int = 160,
+                           q_num: int = 9, q_den: int = 10) -> str:
+    """Mirror of algos.centrality.effective_diameter_of_seeds: per-seed
+    BFS distances (harmonic_sql's CTEs), pooled distance histogram,
+    ceiling-division threshold, smallest d with cum >= threshold."""
+    ctes = [GRAPH_CTES]
+    for j, seed in enumerate(seeds):
+        ctes.append(
+            f"""b{j} AS (
+  SELECT CAST({seed} AS BIGINT) AS vid, 0 AS d
+  UNION
+  SELECT e.dst, x.d + 1 FROM b{j} x JOIN edges e ON e.src = x.vid WHERE x.d < {cap}
+)"""
+        )
+        ctes.append(
+            f"m{j} AS (SELECT vid, MIN(d) AS d FROM b{j} GROUP BY vid)"
+        )
+    pool = " UNION ALL ".join(
+        f"SELECT d FROM m{j}" for j in range(len(seeds))
+    )
+    ctes.append(f"pool AS ({pool})")
+    ctes.append(
+        """hist AS (SELECT d, count(*)::BIGINT AS c FROM pool GROUP BY d),
+cum AS (SELECT d, SUM(c) OVER (ORDER BY d) AS cc,
+               (SELECT SUM(c) FROM hist) AS total FROM hist)"""
+    )
+    return (
+        _with(*ctes, recursive=True)
+        + f"""
+SELECT d::BIGINT AS eff_diameter, total::BIGINT AS n_pairs,
+       cc::BIGINT AS n_within
+FROM cum
+WHERE cc >= ({q_num} * total + {q_den - 1}) // {q_den}
+ORDER BY d LIMIT 1"""
+    )
+
+
+def distinctive_terms_sql(k: int = 10) -> str:
+    """Mirror of ops.textstats.distinctive_terms: doc-frequency chi2 in
+    int64 fixed point (diff = a*N - n_s*dft; score = diff^2*1000 // denom),
+    ties (score DESC, token)."""
+    return f"""
+WITH w AS (
+  SELECT d.doc_id, d.source, x AS word
+  FROM (SELECT doc_id, source,
+               list_distinct(regexp_extract_all(lower(text), '{WORD_PATTERN}')) AS ws
+        FROM documents) d, unnest(d.ws) AS t(x)),
+a AS (SELECT source, word, count(*)::BIGINT AS df_in FROM w GROUP BY 1, 2),
+tt AS (SELECT word, count(*)::BIGINT AS dft FROM w GROUP BY 1),
+ns AS (SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+nt AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (
+  SELECT a.source, a.word AS token, a.df_in, tt.dft AS df_total,
+         CASE WHEN tt.dft * (nt.n - tt.dft) * ns.n_s * (nt.n - ns.n_s) > 0
+              THEN ((a.df_in * nt.n - ns.n_s * tt.dft)
+                    * (a.df_in * nt.n - ns.n_s * tt.dft) * 1000)
+                   // (tt.dft * (nt.n - tt.dft) * ns.n_s * (nt.n - ns.n_s))
+              ELSE 0 END AS score
+  FROM a JOIN tt ON tt.word = a.word JOIN ns ON ns.source = a.source, nt),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, token) AS rank
+      FROM sc)
+SELECT source, token, df_in, df_total, score::BIGINT AS score,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= {k}"""
+
+
+def late_events_sql(allowed_lateness_sec: int = 300) -> str:
+    """Mirror of ops.windows.late_events: per-user running max event time
+    over arrival (event_id) order, shifted by one row."""
+    return f"""
+WITH e AS (SELECT event_id, user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+w AS (SELECT event_id, user_id,
+             MAX(ep) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS wm,
+             ep
+      FROM e)
+SELECT event_id, user_id,
+       GREATEST(COALESCE(wm - ep, 0), 0)::BIGINT AS skew_sec,
+       GREATEST(COALESCE(wm - ep, 0), 0) > {allowed_lateness_sec} AS late
+FROM w"""

@@ -6031,3 +6031,44 @@ def q_spam_mass(sf_dir: str):
         )
 
     return joined.map_batches(sm, batch_format="pyarrow")
+
+
+def q_effective_diameter(sf_dir: str):
+    """Seed-sampled effective diameter (90th-percentile reachable-pair hop
+    distance) — resumes the harmonic/closeness MultiSourceBFS checkpoints;
+    all-integer threshold arithmetic, one scalar row."""
+    from raylink.algos.centrality import effective_diameter_of_seeds
+
+    g = page_graph(sf_dir, directed=True)
+    return effective_diameter_of_seeds(
+        g, HARMONIC_SEEDS, engine="tasks",
+        ckpt_dir=_ckpt("harmonic", sf_dir, *HARMONIC_SEEDS),
+    )
+
+
+def q_distinctive_terms(sf_dir: str):
+    """Per-source distinctive vocabulary: top-10 words per source by int64
+    fixed-point chi-squared association — the training-mix composition
+    audit; one word-hash bucket shuffle."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import distinctive_terms
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return distinctive_terms(docs, k=10)
+
+
+def q_late_events(sf_dir: str):
+    """Watermark-style late-data audit: per-user arrival-order skew vs the
+    running event-time watermark, late = skew > 300 s; one user-bucket
+    shuffle, all-integer."""
+    import ray.data as rd
+
+    from raylink.ops.windows import late_events
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return late_events(ev, allowed_lateness_sec=300)
