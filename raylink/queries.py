@@ -6072,3 +6072,75 @@ def q_late_events(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     return late_events(ev, allowed_lateness_sec=300)
+
+
+def q_global_clustering(sf_dir: str):
+    """Global clustering coefficient (transitivity): 3*triangles / wedges
+    with wedges = sum d*(d-1)/2 over undirected distinct-neighbour
+    degrees, reported in int64 fixed point gcc = (3*T*10^9) // W — the
+    one-number triadic-closure summary next to the per-vertex
+    clustering_coeff. Distributed triangle count + per-batch wedge
+    partials; three scalars on the driver."""
+    from raylink.algos import triangle_count
+    from raylink.algos.triangles import _distinct_and_degrees
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    t = triangle_count(edges)
+    _, deg_ds = _distinct_and_degrees(edges)
+
+    def wpart(batch: pa.Table) -> pa.Table:
+        d = batch.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"w": pa.array([int((d * (d - 1) // 2).sum())], type=pa.int64())}
+        )
+
+    w = int(deg_ds.map_batches(wpart, batch_format="pyarrow").sum("w"))
+    gcc = (3 * t * 10**9) // w if w else 0
+    return pa.table(
+        {"triangles": pa.array([t], type=pa.int64()),
+         "wedges": pa.array([w], type=pa.int64()),
+         "gcc": pa.array([gcc], type=pa.int64())}
+    )
+
+
+def q_partition_skew(sf_dir: str):
+    """Partition-balance observability for the P=8 'mod' partitioner:
+    per-partition vertex and src-side distinct-edge counts — the skew
+    audit behind every shuffle-sizing decision; per-batch bincount
+    partials, one bounded combine tree."""
+    from raylink.join import tree_groupby_sum
+    from raylink.oracles_sql import P
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    de = distinct_edges(edges)
+
+    def vpart(batch: pa.Table) -> pa.Table:
+        v = batch.column("vid").to_numpy(zero_copy_only=False)
+        c = np.bincount(v % P, minlength=P).astype(np.int64)
+        return pa.table(
+            {"part": pa.array(np.arange(P, dtype=np.int64)),
+             "nv": pa.array(c),
+             "ne": pa.array(np.zeros(P, dtype=np.int64))}
+        )
+
+    def epart(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        c = np.bincount(s % P, minlength=P).astype(np.int64)
+        return pa.table(
+            {"part": pa.array(np.arange(P, dtype=np.int64)),
+             "nv": pa.array(np.zeros(P, dtype=np.int64)),
+             "ne": pa.array(c)}
+        )
+
+    rows = verts.map_batches(vpart, batch_format="pyarrow").union(
+        de.map_batches(epart, batch_format="pyarrow")
+    )
+    agg = tree_groupby_sum(rows, ["part"], ["nv", "ne"])
+    return agg.map_batches(
+        lambda b: pa.table(
+            {"part": b.column("part"),
+             "n_vertices": b.column("sum(nv)"),
+             "n_edges": b.column("sum(ne)")}
+        ),
+        batch_format="pyarrow",
+    )
