@@ -2140,3 +2140,101 @@ def distinctive_terms(docs_ds, k: int = 10, num_buckets: int = 64):
         .groupby("source")
         .map_groups(final_topk, batch_format="pyarrow")
     )
+
+
+BLOCKLIST = ("spark", "dup", "merge")
+
+
+def blocklist_filter(docs_ds, phrases: tuple = BLOCKLIST,
+                     max_hits: int = 2):
+    """Blocklist / phrase-based safety filtering: count non-overlapping
+    occurrences of each blocklist phrase per document (plain substring,
+    case-sensitive) and flag documents whose TOTAL hits exceed
+    ``max_hits`` — the standard curation gate for banned-phrase /
+    boilerplate-marker lists. -> Dataset (doc_id, n_hits, blocked).
+
+    One streaming pass, zero shuffle; per-phrase counting is the Arrow
+    ``count_substring`` kernel (greedy non-overlapping, the same semantics
+    as SQL's replace-length formula), vectorized over the batch. At crawl
+    scale with thousands of phrases swap in an Aho-Corasick actor pool —
+    same stage contract."""
+    import pyarrow.compute as pc
+
+    def flag(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        total = np.zeros(len(text), dtype=np.int64)
+        for ph in phrases:
+            total += (
+                pc.count_substring(text, pattern=ph)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "n_hits": pa.array(total),
+             "blocked": pa.array(total > max_hits)}
+        )
+
+    return docs_ds.map_batches(flag, batch_format="pyarrow")
+
+
+def quality_ranks(docs_ds, scale: int = 10**6):
+    """Percentile/rank transform of the TextStats quality score: every
+    document's rank = 1 + #docs with strictly smaller quality (ties share
+    the rank — SQL RANK() semantics) plus the fixed-point percentile
+    pct = ((rank - 1) * 10^6) // N. The score-calibration step before
+    thresholding a quality filter at a target keep rate.
+
+    Shape: quality is r6-rounded, so scaled = round(quality * 10^6) is an
+    EXACT integer key on a bounded grid (<= 10^6 + 1 distinct values —
+    bounded by the grid, not the corpus). One bucketed histogram sum over
+    the grid keys; the value->count table (grid-bounded) is pulled once
+    and broadcast; per-doc rank is then a searchsorted lookup in the same
+    streaming pass. -> Dataset (doc_id, quality, rank, pct)."""
+    import ray
+
+    from raylink.join import bucketed_sum
+    from raylink.util import round_half_away
+
+    stats = docs_ds.map_batches(
+        TextStats, batch_format="pyarrow", batch_size=512,
+        concurrency=(1, 2),
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"),
+             "quality": b.column("quality"),
+             "k": pa.array(
+                 round_half_away(
+                     b.column("quality").to_numpy(zero_copy_only=False)
+                     * scale, 0
+                 ).astype(np.int64)
+             ),
+             "c": pa.array(np.ones(len(b), dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    hist = bucketed_sum(
+        stats.select_columns(["k", "c"]), "k", "c", out_val="n"
+    ).to_pandas()  # grid-bounded pull (<= scale + 1 rows), documented
+    vals = hist["k"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    n_total = int(cnts.sum())
+    ref = ray.put((vals, below))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        v, b = ray.get(ref)
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v, k)
+        r = b[pos] + 1
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "quality": batch.column("quality"),
+             "rank": pa.array(r.astype(np.int64)),
+             "pct": pa.array(((r - 1) * np.int64(10**6)) // n_total)}
+        )
+
+    return stats.map_batches(rank, batch_format="pyarrow")

@@ -5146,3 +5146,71 @@ SELECT event_id, user_id,
        GREATEST(COALESCE(wm - ep, 0), 0)::BIGINT AS skew_sec,
        GREATEST(COALESCE(wm - ep, 0), 0) > {allowed_lateness_sec} AS late
 FROM w"""
+
+
+def blocklist_filter_sql(phrases=("spark", "dup", "merge"),
+                         max_hits: int = 2) -> str:
+    """Mirror of ops.textstats.blocklist_filter: non-overlapping substring
+    counts via the replace-length identity."""
+    terms = " + ".join(
+        f"(length(text) - length(replace(text, '{p}', ''))) // {len(p)}"
+        for p in phrases
+    )
+    return f"""
+SELECT doc_id, ({terms})::BIGINT AS n_hits,
+       ({terms}) > {max_hits} AS blocked
+FROM documents"""
+
+
+def quality_ranks_sql(scale: int = 10**6) -> str:
+    """Mirror of ops.textstats.quality_ranks: RANK() over the r6 quality,
+    pct = ((rank-1)*scale) // N."""
+    return f"""
+WITH ts AS MATERIALIZED ({text_stats_sql()}),
+nn2 AS (SELECT count(*)::BIGINT AS n FROM ts),
+r AS (SELECT doc_id, quality,
+             rank() OVER (ORDER BY quality) AS rank FROM ts)
+SELECT doc_id, quality, rank::BIGINT AS rank,
+       ((rank - 1) * {scale}) // (SELECT n FROM nn2) AS pct
+FROM r"""
+
+
+def global_clustering_sql() -> str:
+    """Mirror of queries.q_global_clustering: transitivity 3T/W in int64
+    fixed point."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """fwd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst),
+tri AS (SELECT count(*)::BIGINT AS t
+        FROM fwd e1 JOIN fwd e2 ON e2.a = e1.b
+        JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.b),
+degu AS (SELECT src AS v, count(*)::BIGINT AS d FROM und
+         WHERE src <> dst GROUP BY src),
+wdg AS (SELECT SUM(d * (d - 1) // 2)::BIGINT AS w FROM degu)""",
+        )
+        + """
+SELECT tri.t AS triangles, wdg.w AS wedges,
+       (CASE WHEN wdg.w > 0 THEN (3 * tri.t * 1000000000) // wdg.w
+             ELSE 0 END)::BIGINT AS gcc
+FROM tri, wdg"""
+    )
+
+
+def partition_skew_sql(p: int = 8) -> str:
+    """Mirror of queries.q_partition_skew: per-partition vertex and
+    src-side distinct-edge counts under the 'mod' partitioner."""
+    return (
+        _with(
+            GRAPH_CTES,
+            f"""vp AS (SELECT vid % {p} AS part, count(*)::BIGINT AS nv
+  FROM verts GROUP BY 1),
+ep AS (SELECT src % {p} AS part, count(*)::BIGINT AS ne
+  FROM edges GROUP BY 1)""",
+        )
+        + """
+SELECT vp.part::BIGINT AS part, vp.nv AS n_vertices,
+       COALESCE(ep.ne, 0)::BIGINT AS n_edges
+FROM vp LEFT JOIN ep ON ep.part = vp.part"""
+    )

@@ -6144,3 +6144,22 @@ def q_partition_skew(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Blocklist phrase gate: per-doc non-overlapping hit counts for a
+    fixed phrase list, blocked = total > 2; one streaming Arrow
+    count_substring pass."""
+    from raylink.ops.textstats import blocklist_filter
+
+    return blocklist_filter(_docs(sf_dir))
+
+
+def q_quality_ranks(sf_dir: str):
+    """Rank/percentile transform of the TextStats quality score (RANK()
+    tie semantics, fixed-point percentile) — score calibration before
+    thresholding a filter at a target keep rate; grid-bounded histogram
+    broadcast, one streaming lookup pass."""
+    from raylink.ops.textstats import quality_ranks
+
+    return quality_ranks(_docs(sf_dir))
