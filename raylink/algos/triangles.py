@@ -1422,3 +1422,145 @@ def cocitation_pairs(edges_ds, k: int = 50, num_buckets: int = 64,
         .map_batches(topk, batch_format="pyarrow", batch_size=None)
         .map_batches(number, batch_format="pyarrow", batch_size=None)
     )
+
+
+def directed_triangles(edges_ds, num_buckets: int = 64):
+    """Directed 3-cycle count — cycles i->j->k->i over the DIRECTED simple
+    graph, each counted exactly once at its minimum vertex (i < j, i < k;
+    a directed 3-cycle has one orientation and three rotations, so pinning
+    the start to the minimum vertex is a bijection onto cycles). The
+    feedback-loop motif of the web graph (Milo et al., Science 2002) —
+    the directed complement of the undirected ``triangle_count``, which the
+    reference counts on the symmetrized graph only
+    (sample-hama/.../TriangleCount.java:104,131).
+
+    -> one-row Dataset (cycles). Dataflow mirrors ``edge_support``'s
+    candidate/membership shape on the directed edge set:
+
+      1. distinct directed edges, self-loops dropped;
+      2. per-MIDDLE wedge generation: every edge (s,d) posts an in-row to
+         middle d and an out-row to middle s; middles hash-bucketed (B
+         coarse groups); per middle j the wedges are {(i,j,k): i in-nbr,
+         i < j, k out-nbr, k > i} -> candidate key pack(k,i) = the close
+         edge the cycle still needs;
+      3. close: candidates ∪ packed directed-edge keys bucketed on the
+         key; per-bucket sorted-search membership -> partial counts ->
+         one global sum.
+
+    Wedge volume is O(sum_j indeg_j * outdeg_j) cut by the i < j rank
+    filter; in-degree hubs are cheap as middles (few in-nbrs BELOW a small
+    hub id) but out-degree hubs multiply — degree-cap upstream at crawl
+    scale (same skew surface as ``cocitation_pairs``). vids < 2**32
+    (``assert_packable`` raises; ``ids.dense_id_remap`` is the cure)."""
+    from raylink.pipelines import distinct_edges
+
+    B = np.uint64(num_buckets)
+
+    def mid_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        mid = np.concatenate([d, s])
+        nbr = np.concatenate([s, d])
+        io = np.concatenate(
+            [np.zeros(len(s), np.int8), np.ones(len(d), np.int8)]
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (splitmix64(mid.astype(np.uint64)) % B).astype(np.int32)
+                ),
+                "mid": pa.array(mid),
+                "nbr": pa.array(nbr),
+                "io": pa.array(io),
+            }
+        )
+
+    def wedge_keys(group: pa.Table) -> pa.Table:
+        mid = group.column("mid").to_numpy(zero_copy_only=False)
+        nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+        io = group.column("io").to_numpy(zero_copy_only=False)
+        order = np.lexsort((io, mid))
+        mid, nbr, io = mid[order], nbr[order], io[order]
+        starts = np.flatnonzero(np.r_[True, mid[1:] != mid[:-1]])
+        ends = np.r_[starts[1:], len(mid)]
+        out = []
+        for st, en in zip(starts, ends):
+            j = mid[st]
+            seg_io = io[st:en]
+            ins = nbr[st:en][seg_io == 0]
+            ins = ins[ins < j]
+            if len(ins) == 0:
+                continue
+            outs = np.sort(nbr[st:en][seg_io == 1])
+            if len(outs) == 0:
+                continue
+            # per in-nbr i: close keys pack(k, i) for out-nbrs k > i
+            lo = np.searchsorted(outs, ins, side="right")
+            cnt = len(outs) - lo
+            keep = cnt > 0
+            if not keep.any():
+                continue
+            ins, lo, cnt = ins[keep], lo[keep], cnt[keep]
+            i_rep = np.repeat(ins, cnt)
+            # gather outs[lo_r : ] per i via a flat running index
+            base = np.repeat(lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
+            k_flat = outs[base + np.arange(len(i_rep))]
+            out.append((k_flat << np.int64(32)) | i_rep)
+        if not out:
+            return pa.table(
+                {"key": pa.array([], type=pa.int64()),
+                 "tag": pa.array([], type=pa.int8())}
+            )
+        key = np.concatenate(out)
+        return pa.table(
+            {"key": pa.array(key),
+             "tag": pa.array(np.zeros(len(key), np.int8))}
+        )
+
+    de = distinct_edges(edges_ds).materialize()
+    cands = (
+        de.map_batches(mid_rows, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(wedge_keys, batch_format="pyarrow")
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        key = (s[keep] << np.int64(32)) | d[keep]
+        return pa.table(
+            {"key": pa.array(key),
+             "tag": pa.array(np.ones(len(key), np.int8))}
+        )
+
+    both = cands.union(de.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "kb",
+            pa.array((splitmix64(k.astype(np.uint64)) % B).astype(np.int32)),
+        )
+
+    def close(group: pa.Table) -> pa.Table:
+        key = group.column("key").to_numpy(zero_copy_only=False)
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        ek = np.unique(key[tag == 1])
+        wk = key[tag == 0]
+        if len(ek) and len(wk):
+            pos = np.searchsorted(ek, wk)
+            n = int(((pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == wk)).sum())
+        else:
+            n = 0
+        return pa.table({"c": pa.array([n], type=pa.int64())})
+
+    partials = (
+        both.map_batches(rebucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(close, batch_format="pyarrow")
+    )
+    total = int(partials.sum("c") or 0)
+    return pa.table({"cycles": pa.array([total], type=pa.int64())})

@@ -5214,3 +5214,73 @@ SELECT vp.part::BIGINT AS part, vp.nv AS n_vertices,
        COALESCE(ep.ne, 0)::BIGINT AS n_edges
 FROM vp LEFT JOIN ep ON ep.part = vp.part"""
     )
+
+
+def directed_triangles_sql() -> str:
+    """Mirrors algos.triangles.directed_triangles: directed 3-cycles
+    i->j->k->i counted once at the minimum vertex (e1.src < e2.src,
+    e1.src < e3.src); self-loop guards on all three legs match the
+    engine's distinct-simple-edge input."""
+    return (
+        _with(GRAPH_CTES)
+        + """
+SELECT count(*)::BIGINT AS cycles
+FROM edges e1
+JOIN edges e2 ON e2.src = e1.dst AND e2.src <> e2.dst
+JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src AND e3.src <> e3.dst
+WHERE e1.src < e2.src AND e1.src < e3.src AND e1.src <> e1.dst"""
+    )
+
+
+def local_bridges_sql() -> str:
+    """Mirrors queries.q_local_bridges: canonical undirected edges whose
+    endpoints have NO common neighbour — support = 0 in the
+    edge_support_sql triangle-credit relation."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """fwd AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM fwd e1 JOIN fwd e2 ON e2.a = e1.b
+  JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.b),
+es AS (SELECT a, b FROM (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+) GROUP BY a, b)""",
+        )
+        + """
+SELECT fwd.a::BIGINT AS src, fwd.b::BIGINT AS dst
+FROM fwd LEFT JOIN es ON es.a = fwd.a AND es.b = fwd.b
+WHERE es.a IS NULL"""
+    )
+
+
+def waiting_suppliers_sql() -> str:
+    """Mirrors queries.q_waiting_suppliers (TPC-H Q21 adapted: late :=
+    l_shipdate > o_orderdate + 90 days; finished orders; exactly one late
+    supplier among >= 2 distinct suppliers; region-0 suppliers; top 100 by
+    numwait DESC, s_name — unique supplier names make the cut
+    deterministic)."""
+    return """
+WITH f AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+l AS (
+  SELECT li.l_orderkey AS okey, li.l_suppkey AS skey,
+         (li.l_shipdate > f.o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem li JOIN f ON li.l_orderkey = f.o_orderkey),
+ps AS (SELECT okey, skey, bool_or(late) AS late FROM l GROUP BY okey, skey),
+po AS (SELECT okey, count(*) AS ns,
+              count(*) FILTER (WHERE late) AS nl
+       FROM ps GROUP BY okey),
+q AS (SELECT ps.skey FROM ps JOIN po ON po.okey = ps.okey
+      WHERE ps.late AND po.ns >= 2 AND po.nl = 1),
+agg AS (SELECT skey, count(*)::BIGINT AS numwait FROM q GROUP BY skey)
+SELECT s.s_name, n.n_name, agg.numwait
+FROM agg
+JOIN supplier s ON s.s_suppkey = agg.skey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_regionkey = 0
+ORDER BY agg.numwait DESC, s.s_name
+LIMIT 100"""

@@ -6163,3 +6163,205 @@ def q_quality_ranks(sf_dir: str):
     from raylink.ops.textstats import quality_ranks
 
     return quality_ranks(_docs(sf_dir))
+
+
+def q_directed_triangles(sf_dir: str):
+    """Directed 3-cycle (feedback-loop) count over the DIRECTED page graph
+    — the motif the undirected triangle_count collapses; each cycle counted
+    once at its minimum vertex."""
+    from raylink.algos.triangles import directed_triangles
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return directed_triangles(edges)
+
+
+def q_local_bridges(sf_dir: str):
+    """Local bridges (Granovetter 1973): undirected edges whose endpoints
+    share NO common neighbour — removing one lengthens its endpoints'
+    distance beyond 2; the classic weak-tie/community-boundary signal.
+    Composition: ``edge_support`` (the k-truss primitive, 0-support rows
+    included) filtered to support == 0 — no new shuffle shape."""
+    import pyarrow.compute as pc
+
+    from raylink.algos.triangles import edge_support
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    sup = edge_support(edges)
+    return sup.map_batches(
+        lambda b: b.filter(pc.equal(b.column("support"), 0)).select(
+            ["src", "dst"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape ("suppliers who kept orders waiting", adapted to
+    the synthetic schema: no commit/receipt dates, so late :=
+    l_shipdate > o_orderdate + 90 days): for finished ('F') orders with
+    >= 2 distinct suppliers where EXACTLY ONE supplier shipped late,
+    charge that supplier one wait; report (s_name, n_name, numwait) for
+    suppliers in region 0, top 100 by (numwait DESC, s_name).
+
+    Shape: both fact tables hash-bucketed by orderkey and COGROUPED in one
+    shuffle (orders rows ride tagged alongside lineitem rows — no separate
+    hash-join pass); per-bucket vectorized per-order distinct-supplier /
+    late-supplier analysis emits one credit row per qualifying order;
+    ``bucketed_sum`` per supplier; nation+region names attached from the
+    broadcast-sized dimension tables; distributed sort + limit 100."""
+    import ray
+    import ray.data as rd
+
+    from raylink.join import bucketed_sum
+    from raylink.util import splitmix64
+
+    NB = np.uint64(64)
+    LATE_US = np.int64(90 * 86400) * np.int64(1_000_000)
+
+    def ord_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = b.filter(pc.equal(b.column("o_orderstatus"), "F"))
+        ok = f.column("o_orderkey").to_numpy(zero_copy_only=False)
+        od = f.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (splitmix64(ok.astype(np.uint64)) % NB).astype(np.int32)
+                ),
+                "okey": pa.array(ok),
+                "a": pa.array(od),  # order date (us) on order rows
+                "b": pa.array(np.full(len(ok), -1, dtype=np.int64)),
+            }
+        )
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        sh = b.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (splitmix64(ok.astype(np.uint64)) % NB).astype(np.int32)
+                ),
+                "okey": pa.array(ok),
+                "a": pa.array(sh),  # ship date (us) on lineitem rows
+                "b": pa.array(sk.astype(np.int64)),  # suppkey >= 0 tags li
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"],
+    ).map_batches(ord_rows, batch_format="pyarrow")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+
+    def per_order(group: pa.Table) -> pa.Table:
+        ok = group.column("okey").to_numpy(zero_copy_only=False)
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        sk = group.column("b").to_numpy(zero_copy_only=False)
+        is_ord = sk < 0
+        # order-date lookup for this bucket's 'F' orders
+        o_keys = ok[is_ord]
+        o_sort = np.argsort(o_keys, kind="stable")
+        o_keys = o_keys[o_sort]
+        o_dates = a[is_ord][o_sort]
+        lk, ls, lsk = ok[~is_ord], a[~is_ord], sk[~is_ord]
+        if len(o_keys) == 0 or len(lk) == 0:
+            return pa.table({"skey": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        pos = np.searchsorted(o_keys, lk)
+        hit = (pos < len(o_keys)) & (
+            o_keys[np.minimum(pos, len(o_keys) - 1)] == lk
+        )
+        lk, ls, lsk, pos = lk[hit], ls[hit], lsk[hit], pos[hit]
+        if len(lk) == 0:
+            return pa.table({"skey": pa.array([], type=pa.int64()),
+                             "w": pa.array([], type=pa.int64())})
+        late = ls > o_dates[pos] + LATE_US
+        # distinct (order, supplier) pairs with any-late flag
+        order_ = np.lexsort((lsk, lk))
+        lk, lsk, late = lk[order_], lsk[order_], late[order_]
+        new = np.r_[True, (lk[1:] != lk[:-1]) | (lsk[1:] != lsk[:-1])]
+        seg = np.cumsum(new) - 1
+        p_ok = lk[new]
+        p_sk = lsk[new]
+        p_late = np.zeros(seg[-1] + 1, dtype=bool)
+        np.logical_or.at(p_late, seg, late)
+        # per order: distinct suppliers + distinct late suppliers
+        onew = np.r_[True, p_ok[1:] != p_ok[:-1]]
+        oseg = np.cumsum(onew) - 1
+        n_ord = oseg[-1] + 1
+        ns = np.bincount(oseg, minlength=n_ord)
+        nl = np.bincount(oseg, weights=p_late.astype(np.int64),
+                         minlength=n_ord).astype(np.int64)
+        qual = (ns >= 2) & (nl == 1)
+        credit = qual[oseg] & p_late
+        w_sk = p_sk[credit]
+        uk, cnt = np.unique(w_sk, return_counts=True)
+        return pa.table({"skey": pa.array(uk),
+                         "w": pa.array(cnt.astype(np.int64))})
+
+    credits = (
+        orders.union(li).groupby("bkt").map_groups(
+            per_order, batch_format="pyarrow"
+        )
+    )
+    waits = bucketed_sum(credits, key="skey", val="w", out_val="numwait")
+
+    # region-0 supplier dimension (broadcast-sized: 10k rows/SF)
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nt = pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nk = nt.column("n_nationkey").to_numpy(zero_copy_only=False)
+    nr = nt.column("n_regionkey").to_numpy(zero_copy_only=False)
+    nn = np.asarray(nt.column("n_name").to_pylist(), dtype=object)
+    n_sort = np.argsort(nk, kind="stable")
+    nk, nr, nn = nk[n_sort], nr[n_sort], nn[n_sort]
+    sk_ = st.column("s_suppkey").to_numpy(zero_copy_only=False)
+    snk = st.column("s_nationkey").to_numpy(zero_copy_only=False)
+    sn = np.asarray(st.column("s_name").to_pylist(), dtype=object)
+    npos = np.searchsorted(nk, snk)
+    keep = nr[npos] == 0
+    s_sort = np.argsort(sk_[keep], kind="stable")
+    dim_keys = sk_[keep][s_sort]
+    dim_name = sn[keep][s_sort]
+    dim_nation = nn[npos[keep]][s_sort]
+    dim_ref = ray.put((dim_keys, dim_name, dim_nation))
+
+    def attach(b: pa.Table) -> pa.Table:
+        dk, dn, dna = ray.get(dim_ref)
+        sk2 = b.column("skey").to_numpy(zero_copy_only=False)
+        w = b.column("numwait").to_numpy(zero_copy_only=False)
+        if len(dk) == 0:
+            hit = np.zeros(len(sk2), dtype=bool)
+            pos2 = np.zeros(len(sk2), dtype=np.int64)
+        else:
+            pos2 = np.searchsorted(dk, sk2)
+            hit = (pos2 < len(dk)) & (
+                dk[np.minimum(pos2, len(dk) - 1)] == sk2
+            )
+        pos2 = pos2[hit]
+        return pa.table(
+            {
+                "s_name": pa.array(dn[pos2].tolist(), type=pa.string()),
+                "n_name": pa.array(dna[pos2].tolist(), type=pa.string()),
+                "numwait": pa.array(w[hit].astype(np.int64)),
+            }
+        )
+
+    out = waits.map_batches(attach, batch_format="pyarrow")
+    return out.sort(["numwait", "s_name"], descending=[True, False]).limit(100)

@@ -2165,3 +2165,59 @@ def test_bipartite_components(ray_session):
     got = bipartite_components(edges, forest).to_pandas()
     got = dict(zip(got["component"], got["is_bipartite"]))
     assert got == {0: True, 10: False, 20: True}
+
+
+def test_directed_triangles_brute(ray_session):
+    """directed_triangles == brute-force directed 3-cycle count (each
+    cycle once at its min vertex) on a random directed multigraph with
+    self-loops and duplicate edges."""
+    import ray.data as rd
+
+    from raylink.algos.triangles import directed_triangles
+
+    rng = np.random.default_rng(11)
+    n, m = 48, 420
+    s = rng.integers(0, n, m).astype(np.int64)
+    d = rng.integers(0, n, m).astype(np.int64)
+    E = {(a, b) for a, b in zip(s.tolist(), d.tolist()) if a != b}
+    brute = sum(
+        1
+        for (i, j) in E
+        for k in range(n)
+        if (j, k) in E and (k, i) in E and i < j and i < k
+    )
+    ds = rd.from_arrow(pa.table({"src": pa.array(s), "dst": pa.array(d)}))
+    out = directed_triangles(ds, num_buckets=8)
+    assert out.column("cycles")[0].as_py() == brute
+    # empty graph -> 0
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    assert directed_triangles(empty).column("cycles")[0].as_py() == 0
+
+
+def test_local_bridges_semantics(ray_session):
+    """An edge is a local bridge iff its endpoints share no common
+    neighbour: path 0-1-2-3 plus triangle (3,4,5) — every path edge is a
+    local bridge, no triangle edge is."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+    from raylink.algos.triangles import edge_support
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    sup = edge_support(ds)
+    bridges = sup.map_batches(
+        lambda b: b.filter(pc.equal(b.column("support"), 0)).select(["src", "dst"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    got = set(zip(bridges["src"], bridges["dst"]))
+    assert got == {(0, 1), (1, 2), (2, 3)}
