@@ -1564,3 +1564,107 @@ def directed_triangles(edges_ds, num_buckets: int = 64):
     )
     total = int(partials.sum("c") or 0)
     return pa.table({"cycles": pa.array([total], type=pa.int64())})
+
+
+def directed_assortativity(edges_ds, num_buckets: int = 32) -> pa.Table:
+    """Directed (out->in) degree assortativity (Foster et al., PNAS 2010):
+    the Pearson correlation of source OUT-degree vs target IN-degree over
+    the distinct directed simple edges -> one-row Table
+    (assortativity r6, n_edges). Does hub-pointing correlate with
+    hub-being-pointed-at — the directed question ``degree_assortativity``
+    symmetrizes away.
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    Every S is an exact int64 partial reduced in Python arbitrary
+    precision; the final expression is evaluated in the same IEEE order as
+    the SQL mirror (int -> float64 casts, one multiply, one sqrt, one
+    divide, ROUND half-away 6). Degenerate factors report 0.0.
+
+    Shape: distinct directed edges -> out-/in-degree tables (coarse-bucket
+    sums) -> two thresholded ``attach_lookup`` joins (broadcast below the
+    vertex threshold, hash_join above — nothing driver-side at crawl
+    scale) -> one 6-scalar per-batch partial."""
+    from raylink.join import attach_lookup, bucketed_sum
+    from raylink.pipelines import distinct_edges
+    from raylink.util import round_half_away
+
+    def noloop(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    de = distinct_edges(edges_ds).map_batches(
+        noloop, batch_format="pyarrow"
+    ).materialize()
+
+    def one_rows(col):
+        def f(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"v": pa.array(v),
+                 "c": pa.array(np.ones(len(v), np.int64))}
+            )
+
+        return f
+
+    od = bucketed_sum(
+        de.map_batches(one_rows("src"), batch_format="pyarrow"),
+        key="v", val="c", out_val="od", num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: pa.table({"src": b.column("v"), "od": b.column("od")}),
+        batch_format="pyarrow",
+    ).materialize()
+    idg = bucketed_sum(
+        de.map_batches(one_rows("dst"), batch_format="pyarrow"),
+        key="v", val="c", out_val="idg", num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: pa.table({"dst": b.column("v"), "idg": b.column("idg")}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    e1 = attach_lookup(
+        de, od, on="src", left_cols={"dst": pa.int64()},
+        value_cols={"od": pa.int64()}, n_lookup_rows=od.count(),
+        num_buckets=num_buckets,
+    )
+    e2 = attach_lookup(
+        e1, idg, on="dst", left_cols={"od": pa.int64()},
+        value_cols={"idg": pa.int64()}, n_lookup_rows=idg.count(),
+        num_buckets=num_buckets,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("od").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column("idg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            }
+        )
+
+    sums = e2.map_batches(partial, batch_format="pyarrow").sum(
+        ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    )
+    n = int(sums["sum(n)"] or 0)
+    sx, sy = int(sums["sum(sx)"] or 0), int(sums["sum(sy)"] or 0)
+    sxy = int(sums["sum(sxy)"] or 0)
+    sxx, syy = int(sums["sum(sxx)"] or 0), int(sums["sum(syy)"] or 0)
+    f1, f2 = n * sxx - sx * sx, n * syy - sy * sy
+    if f1 == 0 or f2 == 0:
+        r = 0.0
+    else:
+        den = np.sqrt(np.float64(f1) * np.float64(f2))
+        r = float(round_half_away(np.float64(n * sxy - sx * sy) / den, 6))
+    return pa.table(
+        {
+            "assortativity": pa.array([r], type=pa.float64()),
+            "n_edges": pa.array([n], type=pa.int64()),
+        }
+    )

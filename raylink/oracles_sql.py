@@ -5284,3 +5284,30 @@ JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE n.n_regionkey = 0
 ORDER BY agg.numwait DESC, s.s_name
 LIMIT 100"""
+
+
+def assortativity_directed_sql() -> str:
+    """Mirrors algos.triangles.directed_assortativity: exact integer sums;
+    the final expression repeats the engine's IEEE order (BIGINT->DOUBLE
+    casts, one multiply, one sqrt, one divide, ROUND 6 — DuckDB ROUND is
+    half-away, matching round_half_away)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """fwd AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+od AS (SELECT src AS v, count(*) AS d FROM fwd GROUP BY src),
+idg AS (SELECT dst AS v, count(*) AS d FROM fwd GROUP BY dst),
+s AS (SELECT count(*) AS n, SUM(o.d) AS sx, SUM(i.d) AS sy,
+             SUM(o.d * i.d) AS sxy, SUM(o.d * o.d) AS sxx,
+             SUM(i.d * i.d) AS syy
+      FROM fwd JOIN od o ON o.v = fwd.src JOIN idg i ON i.v = fwd.dst)""",
+        )
+        + """
+SELECT CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0.0
+            ELSE ROUND((n*sxy - sx*sy)::DOUBLE
+                       / sqrt((n*sxx - sx*sx)::DOUBLE
+                              * (n*syy - sy*sy)::DOUBLE), 6)
+       END AS assortativity,
+       n::BIGINT AS n_edges
+FROM s"""
+    )

@@ -6365,3 +6365,13 @@ def q_waiting_suppliers(sf_dir: str):
 
     out = waits.map_batches(attach, batch_format="pyarrow")
     return out.sort(["numwait", "s_name"], descending=[True, False]).limit(100)
+
+
+def q_assortativity_directed(sf_dir: str):
+    """Directed out->in degree assortativity of the page graph — does
+    linking-a-lot correlate with being-linked-a-lot (hub->authority
+    structure the undirected coefficient symmetrizes away)."""
+    from raylink.algos.triangles import directed_assortativity
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    return directed_assortativity(edges)

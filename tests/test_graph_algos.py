@@ -2221,3 +2221,27 @@ def test_local_bridges_semantics(ray_session):
     ).to_pandas()
     got = set(zip(bridges["src"], bridges["dst"]))
     assert got == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_directed_assortativity_brute(ray_session):
+    """directed_assortativity == np.corrcoef of (outdeg(src), indeg(dst))
+    over distinct directed edges of a random digraph."""
+    import ray.data as rd
+
+    from raylink.algos.triangles import directed_assortativity
+    from raylink.util import round_half_away
+
+    rng = np.random.default_rng(5)
+    n, m = 40, 300
+    s = rng.integers(0, n, m).astype(np.int64)
+    d = rng.integers(0, n, m).astype(np.int64)
+    E = sorted({(a, b) for a, b in zip(s.tolist(), d.tolist()) if a != b})
+    es = np.array([a for a, _ in E]); ed = np.array([b for _, b in E])
+    od = np.bincount(es, minlength=n); idg = np.bincount(ed, minlength=n)
+    x, y = od[es].astype(float), idg[ed].astype(float)
+    want = round_half_away(np.corrcoef(x, y)[0, 1], 6)
+    ds = rd.from_arrow(pa.table({"src": pa.array(s), "dst": pa.array(d)}))
+    out = directed_assortativity(ds, num_buckets=8)
+    got = out.column("assortativity")[0].as_py()
+    assert abs(got - want) < 2e-6
+    assert out.column("n_edges")[0].as_py() == len(E)
