@@ -112,21 +112,14 @@ def longest_path_layers(
     return res, res.state_dataset().select_columns(["vid", "layer"])
 
 
-def condensation_layers(
-    edges_ds,
-    comps_ds,
-    n_vertices: int,
-    num_parts: int = 8,
-    max_supersteps: int = 200,
-    ckpt_dir: str | None = None,
-    engine: str = "tasks",
-):
-    """Bow-tie depth of every vertex's SCC. ``comps_ds`` is (vid, scc)
-    from ``algos.scc.scc``; ``n_vertices`` sizes the label attach.
-    Returns a Dataset (vid, scc, layer) — layer of the vertex's component
-    in the condensation DAG (isolated components sit at their longest
-    incoming chain, 0 when none)."""
-    from raylink.join import attach_lookup, bucketed_distinct
+def condensation_edges(edges_ds, comps_ds, n_vertices: int):
+    """Distinct edges of the SCC condensation DAG: every directed page
+    edge mapped to (scc(src), scc(dst)), cross-component only, exact-dedup
+    via the packed-key groupby. ``comps_ds`` is (vid, scc) from
+    ``algos.scc.scc``; ``n_vertices`` sizes the thresholded label attach
+    (broadcast below the vertex threshold, hash_join above). The
+    acyclic skeleton the bow-tie/layering queries run on."""
+    from raylink.join import attach_lookup
     from raylink.pipelines import distinct_edges
 
     lab = comps_ds.map_batches(
@@ -155,7 +148,26 @@ def condensation_layers(
         keep = ls != ld
         return pa.table({"src": pa.array(ls[keep]), "dst": pa.array(ld[keep])})
 
-    cond = distinct_edges(e.map_batches(cross, batch_format="pyarrow"))
+    return distinct_edges(e.map_batches(cross, batch_format="pyarrow"))
+
+
+def condensation_layers(
+    edges_ds,
+    comps_ds,
+    n_vertices: int,
+    num_parts: int = 8,
+    max_supersteps: int = 200,
+    ckpt_dir: str | None = None,
+    engine: str = "tasks",
+):
+    """Bow-tie depth of every vertex's SCC. ``comps_ds`` is (vid, scc)
+    from ``algos.scc.scc``; ``n_vertices`` sizes the label attach.
+    Returns a Dataset (vid, scc, layer) — layer of the vertex's component
+    in the condensation DAG (isolated components sit at their longest
+    incoming chain, 0 when none)."""
+    from raylink.join import attach_lookup, bucketed_distinct
+
+    cond = condensation_edges(edges_ds, comps_ds, n_vertices)
     comp_ids = bucketed_distinct(
         comps_ds.map_batches(
             lambda b: pa.table({"vid": b.column("scc")}),

@@ -5311,3 +5311,22 @@ SELECT CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0.0
        n::BIGINT AS n_edges
 FROM s"""
     )
+
+
+def host_pr_mass_sql(iters: int = 30) -> str:
+    """Mirrors queries.q_host_pr_mass: femto-unit int64 scaling before the
+    per-host SUM makes the float aggregation order-independent; share is
+    one BIGINT->DOUBLE division, ROUND 6 (half-away both sides)."""
+    return (
+        _with(
+            *_pagerank_ctes(iters),
+            f"""fp AS (SELECT vid % 97 AS host,
+            CAST(ROUND(rank * 1000000000000.0) AS BIGINT) AS f FROM pr{iters}),
+m AS (SELECT host, SUM(f)::BIGINT AS mass_fp FROM fp GROUP BY host),
+t AS (SELECT SUM(mass_fp)::BIGINT AS tot FROM m)""",
+        )
+        + """
+SELECT m.host::BIGINT AS host, m.mass_fp,
+       ROUND(m.mass_fp::DOUBLE / t.tot::DOUBLE, 6) AS share
+FROM m, t"""
+    )

@@ -6375,3 +6375,49 @@ def q_assortativity_directed(sf_dir: str):
 
     _, edges, _, _ = page_edge_tables(sf_dir)
     return directed_assortativity(edges)
+
+
+def q_host_pr_mass(sf_dir: str):
+    """Per-host PageRank mass concentration — SUM of page ranks by host
+    plus each host's share of total mass: the link-farm / host-level
+    demotion aggregate (distinct from q_host_rank, which ranks the
+    COARSENED host graph). Float sums are pinned exactly: each rank is
+    scaled to int64 femto-units (rank * 1e12, round half-away — the
+    big_orders cents trick) BEFORE summing, so the per-host aggregation is
+    integer-exact and order-independent on both engine and SQL sides.
+    Reuses q_pagerank's checkpointed BSP result; one 97-ary groupby."""
+    from raylink.algos import pagerank
+    from raylink.join import tree_groupby_sum
+
+    g = page_graph(sf_dir, directed=True)
+    _, ranks = pagerank(
+        g=g, iters=PR_ITERS, engine="tasks",
+        ckpt_dir=_ckpt("pagerank", sf_dir, PR_ITERS),
+    )
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False)
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        f = round_half_away(r * np.float64(1e12), 0).astype(np.int64)
+        return pa.table(
+            {"host": pa.array(vid % np.int64(97)), "f": pa.array(f)}
+        )
+
+    mass = tree_groupby_sum(
+        ranks.map_batches(fp_rows, batch_format="pyarrow"), ["host"], ["f"]
+    ).map_batches(
+        lambda b: pa.table(
+            {"host": b.column("host"), "mass_fp": b.column("sum(f)")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    tot = int(mass.sum("mass_fp") or 0)
+
+    def share(batch: pa.Table) -> pa.Table:
+        m = batch.column("mass_fp").to_numpy(zero_copy_only=False)
+        s = round_half_away(
+            m.astype(np.float64) / np.float64(tot), 6
+        )
+        return batch.append_column("share", pa.array(s))
+
+    return mass.map_batches(share, batch_format="pyarrow")
