@@ -5330,3 +5330,22 @@ SELECT m.host::BIGINT AS host, m.mass_fp,
        ROUND(m.mass_fp::DOUBLE / t.tot::DOUBLE, 6) AS share
 FROM m, t"""
     )
+
+
+def outlink_diversity_sql() -> str:
+    """Mirrors queries.q_outlink_diversity: distinct target hosts vs
+    distinct outlinks per source; one BIGINT->DOUBLE division, ROUND 6
+    (half-away both sides)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """od AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+hh AS (SELECT DISTINCT src, dst % 97 AS host FROM edges),
+nh AS (SELECT src, count(*) AS n_hosts FROM hh GROUP BY src)""",
+        )
+        + """
+SELECT od.src::BIGINT AS vid, od.outdeg::BIGINT AS outdeg,
+       nh.n_hosts::BIGINT AS n_hosts,
+       ROUND(nh.n_hosts::DOUBLE / od.outdeg::DOUBLE, 6) AS diversity
+FROM od JOIN nh ON nh.src = od.src"""
+    )

@@ -6421,3 +6421,76 @@ def q_host_pr_mass(sf_dir: str):
         return batch.append_column("share", pa.array(s))
 
     return mass.map_batches(share, batch_format="pyarrow")
+
+
+def q_outlink_diversity(sf_dir: str):
+    """Per-page outlink host diversity — distinct target hosts vs distinct
+    outlinks per source page, diversity = n_hosts/outdeg (r6): the
+    link-farm smell test (spam pages concentrate outlinks on few hosts).
+    Host id is the synthetic site number (vid % 97 — the closed-form
+    ``synth.url_of`` host). Shape: distinct edges -> packed (src, host)
+    distinct -> two coarse-bucket count-sums -> one thresholded attach;
+    one final single-division float, pinned by ROUND half-away on both
+    sides. -> (vid, outdeg, n_hosts, diversity)."""
+    from raylink.join import attach_lookup, bucketed_distinct, bucketed_sum
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    de = distinct_edges(edges).materialize()
+
+    def src_host(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array((s << np.int64(32)) | (d % np.int64(97)))}
+        )
+
+    sh = bucketed_distinct(
+        de.map_batches(src_host, batch_format="pyarrow"), "key"
+    )
+
+    def one_per(col_expr):
+        def f(batch: pa.Table) -> pa.Table:
+            if col_expr == "key":
+                v = batch.column("key").to_numpy(zero_copy_only=False) >> np.int64(32)
+            else:
+                v = batch.column("src").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"v": pa.array(v), "c": pa.array(np.ones(len(v), np.int64))}
+            )
+
+        return f
+
+    outdeg = bucketed_sum(
+        de.map_batches(one_per("src"), batch_format="pyarrow"),
+        key="v", val="c", out_val="outdeg",
+    ).map_batches(
+        lambda b: pa.table({"vid": b.column("v"), "outdeg": b.column("outdeg")}),
+        batch_format="pyarrow",
+    ).materialize()
+    nhosts = bucketed_sum(
+        sh.map_batches(one_per("key"), batch_format="pyarrow"),
+        key="v", val="c", out_val="n_hosts",
+    ).map_batches(
+        lambda b: pa.table({"vid": b.column("v"), "n_hosts": b.column("n_hosts")}),
+        batch_format="pyarrow",
+    )
+
+    out = attach_lookup(
+        nhosts, outdeg, on="vid", left_cols={"n_hosts": pa.int64()},
+        value_cols={"outdeg": pa.int64()}, n_lookup_rows=outdeg.count(),
+    )
+
+    def div(batch: pa.Table) -> pa.Table:
+        h = batch.column("n_hosts").to_numpy(zero_copy_only=False)
+        o = batch.column("outdeg").to_numpy(zero_copy_only=False)
+        d = round_half_away(h.astype(np.float64) / o.astype(np.float64), 6)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "outdeg": pa.array(o.astype(np.int64)),
+                "n_hosts": pa.array(h.astype(np.int64)),
+                "diversity": pa.array(d),
+            }
+        )
+
+    return out.map_batches(div, batch_format="pyarrow")
