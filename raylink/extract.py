@@ -182,3 +182,30 @@ def explode_links_pos(batch: pa.Table) -> pa.Table:
         src = src.combine_chunks()
     src_rep = src.take(pa.array(np.repeat(np.arange(len(counts), dtype=np.int64), counts)))
     return pa.table({"src_url": src_rep, "dst_url": flat, "pos": pa.array(pos)})
+
+
+def extract_titles(batch: pa.Table) -> pa.Table:
+    """Vectorized <title> extraction over raw page HTML -> (url, title):
+    the inner text of the FIRST <title>...</title> element (RE2 via
+    pyarrow.compute — non-greedy, no entity decoding; pages without a
+    title get empty string). Zero Python per row on the fast path; a
+    batch containing invalid UTF-8 falls back to a per-row lossy decode
+    (same errors="replace" contract as ExtractPages) — rare enough at
+    crawl scale that the fallback never dominates."""
+    import pyarrow.compute as pc
+
+    try:
+        h = pc.cast(batch.column("html"), pa.string())
+    except pa.lib.ArrowInvalid:
+        h = pa.array(
+            [
+                (bytes(x) if x is not None else b"").decode("utf-8", "replace")
+                for x in batch.column("html").to_pylist()
+            ],
+            type=pa.string(),
+        )
+    m = pc.extract_regex(h, r"<title>(?P<t>[^<]*)</title>")
+    t = pc.if_else(
+        pc.is_valid(m), pc.struct_field(m, "t"), pa.scalar("", pa.string())
+    )
+    return pa.table({"url": batch.column("url"), "title": t})

@@ -5349,3 +5349,12 @@ SELECT od.src::BIGINT AS vid, od.outdeg::BIGINT AS outdeg,
        ROUND(nh.n_hosts::DOUBLE / od.outdeg::DOUBLE, 6) AS diversity
 FROM od JOIN nh ON nh.src = od.src"""
     )
+
+
+def page_titles_sql() -> str:
+    """Mirrors queries.q_page_titles over the closed-form synthetic HTML
+    (synth.page_html writes <title>Skip {i}</title>)."""
+    return """
+SELECT 'https://site' || (doc_id % 97) || '.example/d/' || doc_id AS url,
+       'Skip ' || doc_id AS title
+FROM documents"""

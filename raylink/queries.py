@@ -6494,3 +6494,16 @@ def q_outlink_diversity(sf_dir: str):
         )
 
     return out.map_batches(div, batch_format="pyarrow")
+
+
+def q_page_titles(sf_dir: str):
+    """Per-page <title> text parsed from the raw HTML bytes (first title
+    element, RE2-vectorized, no per-row Python) — crawl-metadata
+    extraction next to the byte-contract body text."""
+    from raylink.extract import extract_titles
+    from raylink.synth import pages_dataset
+
+    pages, _ = pages_dataset(sf_dir, include_golden=False)
+    return pages.select_columns(["url", "html"]).map_batches(
+        extract_titles, batch_format="pyarrow", batch_size=512
+    )

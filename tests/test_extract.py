@@ -73,3 +73,27 @@ def test_batch_stage_and_explode():
 def test_urls_deterministic():
     assert url_of(5) == "https://site5.example/d/5"
     assert url_of(97 + 4) == "https://site4.example/d/101"
+
+
+def test_extract_titles_malformed():
+    """extract_titles: first-title semantics; empty/no-title/invalid-utf8
+    inputs degrade to '' (or the lossy-decoded title) without raising."""
+    import pyarrow as pa
+
+    from raylink.extract import extract_titles
+
+    b = pa.table(
+        {
+            "url": pa.array(["a", "b", "c", "d"]),
+            "html": pa.array(
+                [
+                    b"\xff\xfe<title>x</title>",
+                    b"",
+                    b"<title>unclosed",
+                    b"<html><title>T</title><title>U</title>",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    assert extract_titles(b).column("title").to_pylist() == ["x", "", "", "T"]
