@@ -3220,3 +3220,67 @@ def test_mmr_prefers_diversity(ray_session):
     picks = list(out["vec_id"])
     assert picks[0] in (1, 2)      # pure relevance first
     assert picks[1] == 3           # diversity beats the second duplicate
+
+
+def test_waiting_suppliers_semantics(ray_session, tmp_path):
+    """q_waiting_suppliers (TPC-H Q21 shape) on a crafted fixture:
+    - order 1 ('F', 2 suppliers, only s1 late)     -> credits s1
+    - order 2 ('F', 2 suppliers, BOTH late)        -> excluded (nl=2)
+    - order 3 ('F', single supplier, late)         -> excluded (ns=1)
+    - order 4 ('O', 2 suppliers, one late)         -> excluded (not 'F')
+    - s1 late again in order 5 ('F', 2 supp, s1 only late) -> numwait=2
+    Supplier s9 sits in region 1 and must not appear."""
+    import pyarrow.parquet as pq
+
+    from raylink.queries import q_waiting_suppliers
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(1, "D").astype("timedelta64[us]")
+
+    def ts(d):
+        return base + d * day
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_orderstatus": pa.array(["F", "F", "F", "O", "F"]),
+            "o_orderdate": pa.array([ts(0)] * 5, pa.timestamp("us")),
+        }
+    )
+    late, ok = ts(100), ts(10)
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(
+                [1, 1, 2, 2, 3, 4, 4, 5, 5], pa.int64()
+            ),
+            "l_suppkey": pa.array(
+                [1, 2, 1, 2, 1, 1, 2, 1, 9], pa.int64()
+            ),
+            "l_shipdate": pa.array(
+                [late, ok, late, late, late, late, ok, late, ok],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([1, 2, 9], pa.int64()),
+            "s_name": pa.array(["S#1", "S#2", "S#9"]),
+            "s_nationkey": pa.array([0, 0, 5], pa.int64()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([0, 5], pa.int64()),
+            "n_name": pa.array(["N0", "N5"]),
+            "n_regionkey": pa.array([0, 1], pa.int64()),
+        }
+    )
+    for name, t in [
+        ("orders", orders), ("lineitem", li),
+        ("supplier", supplier), ("nation", nation),
+    ]:
+        pq.write_table(t, tmp_path / f"{name}.parquet")
+    out = q_waiting_suppliers(str(tmp_path)).to_pandas()
+    assert out[["s_name", "numwait"]].values.tolist() == [["S#1", 2]]
+    assert out["n_name"].tolist() == ["N0"]
