@@ -5358,3 +5358,29 @@ def page_titles_sql() -> str:
 SELECT 'https://site' || (doc_id % 97) || '.example/d/' || doc_id AS url,
        'Skip ' || doc_id AS title
 FROM documents"""
+
+
+def degree_inout_corr_sql() -> str:
+    """Mirrors queries.q_degree_inout_corr: degrees_sql's per-vertex
+    (out, in) relation, exact integer sums, the directed_assortativity
+    IEEE-pinned final expression."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """dg AS (
+  SELECT v.vid, COALESCE(o.c, 0) AS x, COALESCE(i.c, 0) AS y
+  FROM verts v
+  LEFT JOIN (SELECT src, count(*) AS c FROM edges GROUP BY src) o ON o.src = v.vid
+  LEFT JOIN (SELECT dst, count(*) AS c FROM edges GROUP BY dst) i ON i.dst = v.vid),
+s AS (SELECT count(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy FROM dg)""",
+        )
+        + """
+SELECT CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0.0
+            ELSE ROUND((n*sxy - sx*sy)::DOUBLE
+                       / sqrt((n*sxx - sx*sx)::DOUBLE
+                              * (n*syy - sy*sy)::DOUBLE), 6)
+       END AS corr,
+       n::BIGINT AS n_vertices
+FROM s"""
+    )

@@ -6507,3 +6507,49 @@ def q_page_titles(sf_dir: str):
     return pages.select_columns(["url", "html"]).map_batches(
         extract_titles, batch_format="pyarrow", batch_size=512
     )
+
+
+def q_degree_inout_corr(sf_dir: str):
+    """Per-vertex in/out degree correlation — Pearson of (out_degree,
+    in_degree) across ALL vertices (zero-degree included): do pages that
+    link a lot also GET linked a lot (a standard web-graph measurement
+    next to the per-edge assortativity coefficients). Reuses
+    ``degree_table``; one 5-scalar per-batch integer partial; final
+    expression IEEE-pinned like directed_assortativity.
+    -> one row (corr r6, n_vertices)."""
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    deg = degree_table(distinct_edges(edges), verts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("out_degree").to_numpy(zero_copy_only=False)
+        y = batch.column("in_degree").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "syy": pa.array([int((y * y).sum())], type=pa.int64()),
+            }
+        )
+
+    sums = deg.map_batches(partial, batch_format="pyarrow").sum(
+        ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    )
+    n = int(sums["sum(n)"] or 0)
+    sx, sy = int(sums["sum(sx)"] or 0), int(sums["sum(sy)"] or 0)
+    sxy = int(sums["sum(sxy)"] or 0)
+    sxx, syy = int(sums["sum(sxx)"] or 0), int(sums["sum(syy)"] or 0)
+    f1, f2 = n * sxx - sx * sx, n * syy - sy * sy
+    if f1 == 0 or f2 == 0:
+        r = 0.0
+    else:
+        den = np.sqrt(np.float64(f1) * np.float64(f2))
+        r = float(round_half_away(np.float64(n * sxy - sx * sy) / den, 6))
+    return pa.table(
+        {
+            "corr": pa.array([r], type=pa.float64()),
+            "n_vertices": pa.array([n], type=pa.int64()),
+        }
+    )

@@ -2245,3 +2245,37 @@ def test_directed_assortativity_brute(ray_session):
     got = out.column("assortativity")[0].as_py()
     assert abs(got - want) < 2e-6
     assert out.column("n_edges")[0].as_py() == len(E)
+
+
+def test_degree_inout_corr_brute(ray_session):
+    """q_degree_inout_corr's partial/final math == np.corrcoef over the
+    fixture graph's (out, in) degree vectors (zero-degree rows included)."""
+    import ray.data as rd
+
+    from raylink.pipelines import degree_table, distinct_edges
+    from raylink.synth import expected_edges
+    from raylink.util import round_half_away
+
+    edges = expected_edges(N)
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(edges[:, 0]), "dst": pa.array(edges[:, 1])})
+    )
+    verts = rd.from_arrow(pa.table({"vid": pa.array(np.arange(N, dtype=np.int64))}))
+    deg = degree_table(distinct_edges(ds), verts).to_pandas().sort_values("vid")
+    x = deg["out_degree"].to_numpy(float)
+    y = deg["in_degree"].to_numpy(float)
+    want = round_half_away(np.corrcoef(x, y)[0, 1], 6)
+
+    # the query's end-to-end path is covered by the oracle gate; here pin
+    # the integer-partial + IEEE-pinned final reduction on the fixture graph
+    sums = dict(
+        n=len(x), sx=int(x.sum()), sy=int(y.sum()),
+        sxy=int((x * y).sum()), sxx=int((x * x).sum()), syy=int((y * y).sum()),
+    )
+    f1 = sums["n"] * sums["sxx"] - sums["sx"] ** 2
+    f2 = sums["n"] * sums["syy"] - sums["sy"] ** 2
+    den = np.sqrt(np.float64(f1) * np.float64(f2))
+    got = float(round_half_away(
+        np.float64(sums["n"] * sums["sxy"] - sums["sx"] * sums["sy"]) / den, 6
+    ))
+    assert abs(got - want) < 2e-6
