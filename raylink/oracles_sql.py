@@ -5384,3 +5384,21 @@ SELECT CASE WHEN (n*sxx - sx*sx) = 0 OR (n*syy - sy*sy) = 0 THEN 0.0
        n::BIGINT AS n_vertices
 FROM s"""
     )
+
+
+def inlink_diversity_sql() -> str:
+    """Mirrors queries.q_inlink_diversity (outlink_diversity_sql with the
+    endpoints swapped)."""
+    return (
+        _with(
+            GRAPH_CTES,
+            """idg AS (SELECT dst, count(*) AS indeg FROM edges GROUP BY dst),
+hh AS (SELECT DISTINCT dst, src % 97 AS host FROM edges),
+nh AS (SELECT dst, count(*) AS n_hosts FROM hh GROUP BY dst)""",
+        )
+        + """
+SELECT idg.dst::BIGINT AS vid, idg.indeg::BIGINT AS indeg,
+       nh.n_hosts::BIGINT AS n_hosts,
+       ROUND(nh.n_hosts::DOUBLE / idg.indeg::DOUBLE, 6) AS diversity
+FROM idg JOIN nh ON nh.dst = idg.dst"""
+    )

@@ -6553,3 +6553,74 @@ def q_degree_inout_corr(sf_dir: str):
             "n_vertices": pa.array([n], type=pa.int64()),
         }
     )
+
+
+def q_inlink_diversity(sf_dir: str):
+    """Per-page inlink host diversity — distinct SOURCE hosts vs distinct
+    inlinks per target page (the inbound mirror of q_outlink_diversity):
+    authority earned from many hosts vs hammered from one — the inbound
+    link-farm smell. Same shape: packed (dst, src-host) distinct -> two
+    coarse-bucket sums -> thresholded attach -> ROUND-pinned division.
+    -> (vid, indeg, n_hosts, diversity)."""
+    from raylink.join import attach_lookup, bucketed_distinct, bucketed_sum
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    de = distinct_edges(edges).materialize()
+
+    def dst_host(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array((d << np.int64(32)) | (s % np.int64(97)))}
+        )
+
+    sh = bucketed_distinct(
+        de.map_batches(dst_host, batch_format="pyarrow"), "key"
+    )
+
+    def ones(src_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            if src_col == "key":
+                v = batch.column("key").to_numpy(zero_copy_only=False) >> np.int64(32)
+            else:
+                v = batch.column(src_col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"v": pa.array(v), "c": pa.array(np.ones(len(v), np.int64))}
+            )
+
+        return f
+
+    indeg = bucketed_sum(
+        de.map_batches(ones("dst"), batch_format="pyarrow"),
+        key="v", val="c", out_val="indeg",
+    ).map_batches(
+        lambda b: pa.table({"vid": b.column("v"), "indeg": b.column("indeg")}),
+        batch_format="pyarrow",
+    ).materialize()
+    nhosts = bucketed_sum(
+        sh.map_batches(ones("key"), batch_format="pyarrow"),
+        key="v", val="c", out_val="n_hosts",
+    ).map_batches(
+        lambda b: pa.table({"vid": b.column("v"), "n_hosts": b.column("n_hosts")}),
+        batch_format="pyarrow",
+    )
+
+    out = attach_lookup(
+        nhosts, indeg, on="vid", left_cols={"n_hosts": pa.int64()},
+        value_cols={"indeg": pa.int64()}, n_lookup_rows=indeg.count(),
+    )
+
+    def div(batch: pa.Table) -> pa.Table:
+        h = batch.column("n_hosts").to_numpy(zero_copy_only=False)
+        o = batch.column("indeg").to_numpy(zero_copy_only=False)
+        d = round_half_away(h.astype(np.float64) / o.astype(np.float64), 6)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "indeg": pa.array(o.astype(np.int64)),
+                "n_hosts": pa.array(h.astype(np.int64)),
+                "diversity": pa.array(d),
+            }
+        )
+
+    return out.map_batches(div, batch_format="pyarrow")
