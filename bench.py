@@ -1071,6 +1071,92 @@ def run_scaling() -> dict:
     }
 
 
+def run_cluster() -> dict:
+    """Two-raylet cluster validation leg (VERDICT r4 item 1): stand up a real
+    `ray start` head + worker on this box, run the validation suite
+    (flagship queries spanning both BSP engines, a hash join, the bucketed
+    triangle close, and a mid-job resume) plus a flagship timing against it,
+    tear it down, run the identical suite in single-process local mode at
+    the same total CPU count, and assert the result hashes are bit-identical.
+
+    The tasks engine's P x P ObjectRef exchange and Ray Data's block
+    movement cross a real raylet/object-store boundary only here — this is
+    the repo's multi-node execution evidence (reference analog: the Docker
+    swarm deployment, Docker/Hama/Goffish_Hama_Bin/goffish:6-15).
+
+    Processes are killed by their unique --temp-dir pattern, NOT `ray stop`,
+    so a concurrently-running local-mode Ray session (e.g. pytest's) is
+    never touched.
+    """
+    port = int(os.environ.get("RAYLINK_CLUSTER_PORT", "63791"))
+    addr = f"127.0.0.1:{port}"
+    tmpdir = f"/tmp/rl_cluster_{port}"
+    env = {k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"}
+    env["RAY_GRAFT_CPUS"] = "16"
+    here = os.path.dirname(os.path.abspath(__file__))
+    validate = os.path.join(here, "tools", "cluster_validate.py")
+
+    def vrun(extra: list[str]) -> dict:
+        out = subprocess.run(
+            [sys.executable, validate, *extra], env=env, cwd=here,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    def teardown() -> None:
+        # SIGKILL: gcs_server lingers on TERM; pattern is the unique temp
+        # dir, present in every cluster process's cmdline and nothing else's
+        subprocess.run(["pkill", "-9", "-f", tmpdir], capture_output=True)
+        time.sleep(2.0)
+
+    teardown()  # clear any stale cluster from an aborted prior run
+    import shutil
+
+    shutil.rmtree(tmpdir, ignore_errors=True)
+    try:
+        subprocess.run(
+            ["ray", "start", "--head", f"--port={port}", "--num-cpus=8",
+             "--include-dashboard=false", "--disable-usage-stats",
+             f"--temp-dir={tmpdir}"],
+            env=env, check=True, capture_output=True, text=True,
+        )
+        subprocess.run(
+            ["ray", "start", f"--address={addr}", "--num-cpus=8",
+             "--disable-usage-stats"],
+            env=env, check=True, capture_output=True, text=True,
+        )
+        cl = vrun(["--address", addr])
+        cl_fs = vrun(["--address", addr, "--flagship-only",
+                      "--sf", SF_DIR, "--scale", str(SCALE)])
+    finally:
+        teardown()
+    lo = vrun(["--local", "--num-cpus", "16"])
+    lo_fs = vrun(["--local", "--num-cpus", "16", "--flagship-only",
+                  "--sf", SF_DIR, "--scale", str(SCALE)])
+    match = (
+        cl["hashes"] == lo["hashes"]
+        and cl["resume"]["ranks_md5"] == lo["resume"]["ranks_md5"]
+        and cl_fs["flagship"]["ranks_md5"] == lo_fs["flagship"]["ranks_md5"]
+    )
+    return {
+        "metric": "two-raylet cluster vs local-mode, bit-identical + flagship",
+        "hashes_bit_identical": match,
+        "cluster_raylets": cl["nodes"]["alive_raylets"],
+        "cluster_task_nodes_seen": cl["nodes"]["task_nodes_seen"],
+        "resume_cross_raylet_ok": cl["resume"]["resume_bit_identical"],
+        "flagship_cluster_sec": cl_fs["flagship"]["flagship_sec"],
+        "flagship_local_sec": lo_fs["flagship"]["flagship_sec"],
+        "cluster_vs_local_ratio": round(
+            lo_fs["flagship"]["flagship_sec"]
+            / cl_fs["flagship"]["flagship_sec"], 3),
+        "cluster_edges_per_sec": cl_fs["flagship"]["edges_per_sec_total"],
+        "cluster": cl, "local": lo,
+        "flagship_cluster": cl_fs["flagship"],
+        "flagship_local": lo_fs["flagship"],
+        "sf": SF_DIR,
+    }
+
+
 def run_bpe_bench() -> dict:
     """Tokenizer-training leg: 6 BPE merge rounds over the extracted text
     of the 192x-amplified page corpus (960k pages) — the vocabulary-round
@@ -1116,6 +1202,8 @@ def run_bpe_bench() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--cluster" in sys.argv:
+        print(json.dumps(run_cluster()))
     elif "--bpe-bench" in sys.argv:
         print(json.dumps(run_bpe_bench()))
     elif "--shuffle-bench" in sys.argv:
