@@ -1636,18 +1636,13 @@ def directed_assortativity(edges_ds, num_buckets: int = 32) -> pa.Table:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        x = batch.column("od").to_numpy(zero_copy_only=False).astype(np.int64)
-        y = batch.column("idg").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "n": pa.array([len(x)], type=pa.int64()),
-                "sx": pa.array([int(x.sum())], type=pa.int64()),
-                "sy": pa.array([int(y.sum())], type=pa.int64()),
-                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
-                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
-                "syy": pa.array([int((y * y).sum())], type=pa.int64()),
-            }
+        from raylink.util import pearson_partials
+
+        p = pearson_partials(
+            batch.column("od").to_numpy(zero_copy_only=False),
+            batch.column("idg").to_numpy(zero_copy_only=False),
         )
+        return pa.table({k: pa.array([v], type=pa.int64()) for k, v in p.items()})
 
     sums = e2.map_batches(partial, batch_format="pyarrow").sum(
         ["n", "sx", "sy", "sxy", "sxx", "syy"]

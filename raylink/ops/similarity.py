@@ -1459,23 +1459,38 @@ def knn_all(emb_ds, k: int = 3, num_blocks: int = 8):
 
     def _emit_topk(ids_q, ids_c, sims):
         """per-row local top-k of sims (rows = queries, cols = candidates);
-        self-pairs masked by the caller."""
-        out_q, out_n, out_s = [], [], []
-        for r in range(len(ids_q)):
-            s, nid = sims[r], ids_c
-            ok = np.isfinite(s)
-            s, nid = s[ok], nid[ok]
-            if len(s) == 0:
-                continue
-            take = min(len(s), k)
-            order = np.lexsort((nid, -s))[:take]
-            out_q.append(np.full(take, ids_q[r], dtype=np.int64))
-            out_n.append(nid[order])
-            out_s.append(s[order])
-        if not out_q:
+        self-pairs masked to -inf by the caller. Fully vectorized (VERDICT
+        r4 item 5): one argpartition over the 2-D sims matrix, ties broken
+        by ascending neighbor id via an exact integer composite key — sims
+        are already round_half_away(.., 6), so rint(s*1e6) is lossless and
+        two distinct similarities always differ by >= 1 in key space."""
+        nq, nc = sims.shape
+        if nq == 0 or nc == 0:
             return None
-        return (np.concatenate(out_q), np.concatenate(out_n),
-                np.concatenate(out_s))
+        order_c = np.argsort(ids_c, kind="stable")
+        nid = ids_c[order_c]
+        s = sims[:, order_c]
+        finite = np.isfinite(s)
+        s_int = np.where(
+            finite, np.rint(s * 1e6), float(np.iinfo(np.int64).min // 4)
+        ).astype(np.int64)
+        # composite: higher sim first, then smaller nid (== column position,
+        # candidates pre-sorted by nid); pos < nc so keys never collide
+        key = -s_int * np.int64(nc) + np.arange(nc, dtype=np.int64)
+        take = min(nc, k)
+        if take < nc:
+            cols = np.argpartition(key, take - 1, axis=1)[:, :take]
+            sub = np.take_along_axis(key, cols, axis=1)
+            cols = np.take_along_axis(cols, np.argsort(sub, axis=1), axis=1)
+        else:
+            cols = np.argsort(key, axis=1, kind="stable")
+        rows = np.repeat(np.arange(nq, dtype=np.int64), cols.shape[1])
+        colsf = cols.ravel()
+        keep = finite[rows, colsf]
+        if not keep.any():
+            return None
+        rows, colsf = rows[keep], colsf[keep]
+        return (ids_q[rows], nid[colsf], s[rows, colsf])
 
     def cross(group: pa.Table) -> pa.Table:
         pb = int(group.column("pb")[0].as_py())

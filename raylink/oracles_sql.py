@@ -5314,7 +5314,7 @@ FROM s"""
 
 
 def host_pr_mass_sql(iters: int = 30) -> str:
-    """Mirrors queries.q_host_pr_mass: femto-unit int64 scaling before the
+    """Mirrors queries.q_host_pr_mass: pico-unit (1e12) int64 scaling before the
     per-host SUM makes the float aggregation order-independent; share is
     one BIGINT->DOUBLE division, ROUND 6 (half-away both sides)."""
     return (

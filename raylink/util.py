@@ -151,6 +151,34 @@ def round_half_away(x, decimals: int = 6):
     return np.copysign(np.floor(np.abs(x) * p + 0.5) / p, x)
 
 
+def pearson_partials(x: np.ndarray, y: np.ndarray) -> dict:
+    """The 6-scalar integer Pearson partial for one batch — {n, sx, sy,
+    sxy, sxx, syy}, each an exact python int destined for an int64 column —
+    with an explicit overflow guard (ADVICE r4): numpy int64 products wrap
+    silently, while the DuckDB oracle's SUM(BIGINT) promotes to HUGEINT, so
+    a hub with degree d in a batch of b rows is only exact while
+    b * d^2 < 2^63 (d ~ 3e6 at b = 1e6 rows — far above any web host's
+    degree at this repo's partition sizes, but reachable on a pathological
+    supernode). Rather than diverge from the oracle, raise: the caller
+    should shard the batch (smaller batch_size) or pre-scale the metric."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    n = len(x)
+    mx = int(np.abs(x).max(initial=0))
+    my = int(np.abs(y).max(initial=0))
+    worst = max(mx * mx, my * my, mx * my)
+    if n and worst and worst > (2**63 - 1) // n:
+        raise OverflowError(
+            f"int64 Pearson partials would wrap: batch n={n}, "
+            f"max|x|={mx}, max|y|={my}; reduce batch_size or rescale"
+        )
+    return {
+        "n": n, "sx": int(x.sum()), "sy": int(y.sum()),
+        "sxy": int((x * y).sum()), "sxx": int((x * x).sum()),
+        "syy": int((y * y).sum()),
+    }
+
+
 def hash64_str(texts) -> np.ndarray:
     """General-corpus 64-bit string id: splitmix64-finalized FNV-1a of the
     utf-8 bytes, returned as non-negative int64 (top bit cleared so ids fit

@@ -97,3 +97,31 @@ def test_extract_titles_malformed():
         }
     )
     assert extract_titles(b).column("title").to_pylist() == ["x", "", "", "T"]
+
+
+def test_extract_titles_case_and_attributes():
+    """Real-crawl tag shapes (VERDICT r4 item 3): uppercase <TITLE>, mixed
+    case, attributed <title lang=..>, and multiline inner text all extract;
+    the all-lowercase plain tag (the oracle's shape) is unchanged."""
+    import pyarrow as pa
+
+    from raylink.extract import extract_titles
+
+    b = pa.table(
+        {
+            "url": pa.array(["a", "b", "c", "d", "e"]),
+            "html": pa.array(
+                [
+                    b"<html><TITLE>Upper</TITLE></html>",
+                    b"<Title>Mixed</Title>",
+                    b'<title lang="en" data-x=1>Attr</title>',
+                    b"<title>line1\nline2</title>",
+                    b"<html><head><title>plain</title></head>",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    assert extract_titles(b).column("title").to_pylist() == [
+        "Upper", "Mixed", "Attr", "line1\nline2", "plain",
+    ]
