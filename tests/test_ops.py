@@ -2884,6 +2884,112 @@ def test_event_gap_quantiles(ray_session):
     assert list(map(tuple, got.to_numpy().tolist())) == exp
 
 
+def test_bmp_decode_24bit_padding_and_flip():
+    """Hand-built 3x2 24-bit BMP: bottom-up row order must flip to
+    top-down, 4-byte row padding must strip, and the gray conversion must
+    be PIL's exact integer ITU-R 601-2 kernel."""
+    import struct
+
+    from raylink.ops.multimodal import _bmp_decode
+
+    # top-down logical image, rows of (B,G,R) pixels
+    row0 = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]  # blue, green, red
+    row1 = [(10, 10, 10), (200, 200, 200), (0, 0, 0)]
+    stride = (3 * 3 + 3) & ~3  # 12, includes 3 pad bytes
+    data = b""
+    for row in (row1, row0):  # bottom-up on disk
+        raw = b"".join(bytes(p) for p in row)
+        data += raw + b"\x00" * (stride - len(raw))
+    off = 14 + 40
+    blob = (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(data),
+                      0, 0, 0, 0)
+        + data
+    )
+    w, h, px = _bmp_decode(blob)
+    assert (w, h) == (3, 2)
+
+    def luma(b, g, r):
+        return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+    exp = [luma(*p) for p in row0] + [luma(*p) for p in row1]
+    assert px.tolist() == exp
+
+    # negative height = top-down on disk: same bytes, no flip
+    blob_td = (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 3, -2, 1, 24, 0, len(data),
+                      0, 0, 0, 0)
+        + data
+    )
+    _, _, px_td = _bmp_decode(blob_td)
+    assert px_td.tolist() == [luma(*p) for p in row1] + [luma(*p) for p in row0]
+
+
+def test_bmp_gray8_roundtrip_and_resize():
+    """encode_bmp_gray8 -> _bmp_decode round-trips bytes exactly (identity
+    palette), including non-multiple-of-4 widths; ResizeMedia accepts the
+    real BMP as input."""
+    import numpy as np
+
+    from raylink.ops.multimodal import (
+        MAGIC, ResizeMedia, _bmp_decode, encode_bmp_gray8,
+    )
+
+    px = np.arange(5 * 3, dtype=np.uint8) * 7  # w=5 -> stride 8, 3 pad bytes
+    blob = encode_bmp_gray8(px, 5, 3)
+    w, h, got = _bmp_decode(blob)
+    assert (w, h) == (5, 3)
+    assert np.array_equal(got, px)
+
+    out = ResizeMedia(out_w=2, out_h=2)._resize(blob)
+    assert out[:8] == MAGIC
+    img = px.reshape(3, 5)
+    rows = (np.arange(2) * 3) // 2
+    cols = (np.arange(2) * 5) // 2
+    assert np.frombuffer(out[12:], dtype=np.uint8).tolist() == \
+        img[rows[:, None], cols[None, :]].reshape(-1).tolist()
+
+
+def test_wav_decode_8_and_16_bit():
+    """Stdlib-written PCM WAV files decode through DecodeMedia's real-codec
+    chain: 8-bit passes through; 16-bit stereo maps via (s >> 8) + 128 with
+    channel interleave preserved."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from raylink.ops.multimodal import DecodeMedia, _wav_decode
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes([0, 128, 255, 7]))
+    n, ch, samples = _wav_decode(buf.getvalue())
+    assert (n, ch) == (4, 1)
+    assert samples.tolist() == [0, 128, 255, 7]
+
+    buf = io.BytesIO()
+    sig = np.array([-32768, 0, 32767, 256, -256, 1000], dtype="<i2")  # 3 stereo frames
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(sig.tobytes())
+    n, ch, samples = _wav_decode(buf.getvalue())
+    assert (n, ch) == (3, 2)
+    assert samples.tolist() == [
+        (int(s) >> 8) + 128 for s in sig
+    ]
+    # and through the decode stage dispatch (RIFF....WAVE sniff)
+    w, h, px = DecodeMedia()._decode(buf.getvalue())
+    assert (w, h) == (3, 2) and len(px) == 6
+
+
 def test_media_dedup(ray_session):
     import ray.data as rd
 
