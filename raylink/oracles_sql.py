@@ -327,6 +327,46 @@ def subgraph_rank_sql(iters: int = 120) -> str:
     return pagerank_sql(iters=iters, decimals=6)
 
 
+def recrawl_round_sql(iters: int = 120) -> str:
+    """Mirrors queries.q_recrawl_round: PageRank fixpoint over capture B's
+    edge set (src % 3 != 0 — what the incrementally-updated graph holds
+    after diff -> apply_edge_updates), deep-unrolled T=120 at ROUND 6 (the
+    subgraph_rank_sql tolerance argument: warm start changes the engine's
+    trajectory, not the unique contraction fixpoint), plus per-src
+    added/removed edge counts via EXCEPT between the two captures."""
+    ctes = [
+        GRAPH_CTES,
+        "a_e AS MATERIALIZED (SELECT src, dst FROM edges WHERE src % 2 = 0)",
+        "b_e AS MATERIALIZED (SELECT src, dst FROM edges WHERE src % 3 <> 0)",
+        "deg AS (SELECT src AS vid, count(*)::BIGINT AS outdeg FROM b_e GROUP BY src)",
+        "pr0 AS (SELECT vid, 1.0 / nn.n AS rank FROM verts, nn)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pr{t} AS MATERIALIZED (
+  SELECT v.vid, 0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(s.ms, 0) AS rank
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS vid, SUM(p.rank / d.outdeg) AS ms
+    FROM pr{t - 1} p JOIN deg d ON d.vid = p.vid JOIN b_e e ON e.src = p.vid
+    GROUP BY e.dst
+  ) s ON s.vid = v.vid)"""
+        )
+    ctes.append(
+        "adds AS (SELECT src, count(*)::BIGINT AS c FROM "
+        "(SELECT src, dst FROM b_e EXCEPT SELECT src, dst FROM a_e) GROUP BY src)"
+    )
+    ctes.append(
+        "rems AS (SELECT src, count(*)::BIGINT AS c FROM "
+        "(SELECT src, dst FROM a_e EXCEPT SELECT src, dst FROM b_e) GROUP BY src)"
+    )
+    return _with(*ctes) + f"""
+SELECT v.vid::BIGINT AS vid, ROUND(p.rank, 6) AS rank,
+       COALESCE(a.c, 0)::BIGINT AS added_out,
+       COALESCE(r.c, 0)::BIGINT AS removed_out
+FROM verts v JOIN pr{iters} p ON p.vid = v.vid
+LEFT JOIN adds a ON a.src = v.vid LEFT JOIN rems r ON r.src = v.vid"""
+
+
 def seeded_pagerank_sql(iters: int = 30) -> str:
     """Personalized PageRank: teleport proportional to seed s(v)=1+(v%7)
     (mirrors queries.q_seeded_pagerank / algos.SeededPageRank)."""

@@ -3057,6 +3057,134 @@ def q_incremental_pagerank(sf_dir: str):
     return ranks.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_recrawl_round(sf_dir: str):
+    """The weekly recrawl operation, composed end-to-end (VERDICT r4 item
+    9): crawl diff -> partition-pruned graph update -> warm-start PageRank
+    — the four incremental paths proving they compose, not just pass alone.
+
+    Captures: A (old crawl) = out-links of even-src pages; B (new crawl) =
+    out-links of src % 3 != 0 pages (q_crawl_diff's deterministic snapshot
+    membership). Steps:
+      1. rank capture A (the previous week's ranks),
+      2. rebuild A's graph with those ranks persisted as vertex value
+         ``rank0`` (the warm-start column),
+      3. ``diff_edges(A, B)`` -> added/removed, fed to
+         ``apply_edge_updates`` (only touched partitions rebuild),
+      4. PageRank on the updated graph, ``init_ranks="rank0"``, eps=1e-12
+         (same fixpoint as cold — unique contraction fixpoint — reached
+         from the warm trajectory),
+      5. per-page diff counts (added_out/removed_out packed into one
+         int64 value -> ONE bucketed_sum shuffle, zero-completed over all
+         vids) attached to the ranks.
+    Oracle: recrawl_round_sql — deep-unrolled PR (T=120, the
+    subgraph_rank_sql tolerance argument) over capture B's edges + EXCEPT
+    diff counts. -> (vid, rank r6, added_out, removed_out)."""
+    import pyarrow.compute as pc
+
+    from raylink.algos import pagerank
+    from raylink.graph import apply_edge_updates, build_graph
+    from raylink.join import attach_lookup, bucketed_sum
+    from raylink.pipelines import diff_edges
+
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    edges = edges.materialize()
+
+    def cap(is_b: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            m = (s % 3) != 0 if is_b else (s % 2) == 0
+            return batch.filter(pa.array(m))
+
+        return fn
+
+    cap_a = edges.map_batches(cap(False), batch_format="pyarrow").materialize()
+    cap_b = edges.map_batches(cap(True), batch_format="pyarrow").materialize()
+
+    # 1. last week's ranks
+    g_a = build_graph(cap_a, verts, num_parts=8, partitioner="hash",
+                      directed=True)
+    _, ranks_a = pagerank(g=g_a, eps=1e-8, engine="tasks",
+                          ckpt_dir=_ckpt("recrawl_a", sf_dir))
+    verts_warm = ranks_a.map_batches(
+        lambda b: pa.table({"vid": b.column("vid"), "rank0": b.column("rank")}),
+        batch_format="pyarrow",
+    )
+    # 2. old graph with the warm column persisted
+    g_warm = build_graph(cap_a, verts_warm, num_parts=8, partitioner="hash",
+                         directed=True, vertex_cols=["rank0"])
+
+    # 3. diff -> incremental update (only touched partitions rebuild)
+    diff = diff_edges(cap_a, cap_b).materialize()
+
+    def only(change: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.equal(batch.column("change"), change)
+            ).select(["src", "dst"])
+
+        return fn
+
+    adds = diff.map_batches(only("added"), batch_format="pyarrow")
+    dels = diff.map_batches(only("removed"), batch_format="pyarrow")
+    g_b = apply_edge_updates(g_warm, adds=adds, dels=dels)
+
+    # 4. warm-start PR on the updated graph
+    _, ranks = pagerank(g=g_b, eps=1e-12, engine="tasks",
+                        init_ranks="rank0", ckpt_dir=_ckpt("recrawl_b", sf_dir))
+
+    # 5. per-src diff counts: added in the high 32 bits, removed in the low
+    # (each bounded by max outdegree << 2^31) -> one shuffle for both
+    def diff_counts(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        is_add = pc.equal(batch.column("change"), "added").to_numpy(
+            zero_copy_only=False
+        )
+        v = np.where(is_add, np.int64(1) << np.int64(32), np.int64(1))
+        return pa.table({"v": pa.array(s), "c": pa.array(v)})
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": batch.column("vid"),
+             "c": pa.array(np.zeros(batch.num_rows, dtype=np.int64))}
+        )
+
+    stacked = diff.map_batches(diff_counts, batch_format="pyarrow").union(
+        ranks.map_batches(zero_rows, batch_format="pyarrow")
+    )
+    counts = bucketed_sum(stacked, key="v", val="c", out_val="packed")
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = batch.column("packed").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": batch.column("v"),
+                "added_out": pa.array(p >> np.int64(32)),
+                "removed_out": pa.array(p & np.int64(0xFFFFFFFF)),
+            }
+        )
+
+    counts = counts.map_batches(unpack, batch_format="pyarrow")
+
+    rank_r6 = ranks.map_batches(
+        lambda b: pa.table(
+            {
+                "vid": b.column("vid"),
+                "rank": pa.array(
+                    round_half_away(
+                        b.column("rank").to_numpy(zero_copy_only=False), 6
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return attach_lookup(
+        counts, rank_r6, on="vid",
+        left_cols={"added_out": pa.int64(), "removed_out": pa.int64()},
+        value_cols={"rank": pa.float64()}, n_lookup_rows=rank_r6.count(),
+    )
+
+
 def q_spanning_forest(sf_dir: str):
     """Per-component BFS spanning forest; rows-only, invariant-tested in
     pytest (test_spanning_forest)."""

@@ -2279,3 +2279,26 @@ def test_degree_inout_corr_brute(ray_session):
         np.float64(sums["n"] * sums["sxy"] - sums["sx"] * sums["sy"]) / den, 6
     ))
     assert abs(got - want) < 2e-6
+
+
+def test_recrawl_round_composes(ray_session):
+    """The composed weekly recrawl (diff -> apply_edge_updates ->
+    warm-start PR -> attached diff counts): every vertex present exactly
+    once, diff counts reconcile with diff_edges' own output, ranks
+    positive. Value-exactness (warm fixpoint == capture-B fixpoint) is
+    gated by recrawl_round_sql at three scales."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from raylink.queries import q_recrawl_round, q_crawl_diff
+
+    sf = "/root/testdata/sf0.001"
+    out = q_recrawl_round(sf).to_pandas().sort_values("vid").reset_index(drop=True)
+    diff = q_crawl_diff(sf).to_pandas()
+
+    assert out["vid"].is_unique and len(out) == 500
+    n_added = int((diff["change"] == "added").sum())
+    n_removed = int((diff["change"] == "removed").sum())
+    assert int(out["added_out"].sum()) == n_added
+    assert int(out["removed_out"].sum()) == n_removed
+    assert (out["rank"] > 0).all()
