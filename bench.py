@@ -1141,6 +1141,98 @@ def run_scaling() -> dict:
     }
 
 
+def run_skew_bench() -> dict:
+    """Adversarial-skew standing leg (VERDICT r4 item 7): the same graph
+    jobs on a uniform random graph vs a power-law one where a single
+    supernode holds ~10% of all edge endpoints, at EQUAL edge count. The
+    hub-aware pieces (per-partition message combiners, degree-oriented
+    triangle orientation, coarse-bucket pre-sums) exist so skew cannot blow
+    any stage up; this leg pins that claim per-round — skew_ok asserts
+    every leg's wall stays within 2x of uniform (the synthetic uniform
+    corpus can't catch a regression here on its own)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _init_ray()
+    import ray.data as rd
+
+    from raylink.algos import connected_components, pagerank, triangle_count
+    from raylink.graph import build_graph
+    from raylink.util import splitmix64
+
+    N = int(os.environ.get("RAYLINK_SKEW_N", "200000"))
+    E = N * 8
+
+    def edges_for(skewed: bool):
+        def gen(batch: pa.Table) -> pa.Table:
+            i = batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            src = (splitmix64(i * np.uint64(2) + np.uint64(1))
+                   % np.uint64(N)).astype(np.int64)
+            dst = (splitmix64(i * np.uint64(2) + np.uint64(2))
+                   % np.uint64(N)).astype(np.int64)
+            if skewed:
+                # every 10th edge points AT vertex 0: one supernode with
+                # ~10% of all in-edges (plus its uniform share)
+                hub = (i % np.uint64(10)) == np.uint64(0)
+                dst = np.where(hub, np.int64(0), dst)
+            keep = src != dst
+            return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+        return (
+            rd.range(E, override_num_blocks=NUM_CPUS * 2)
+            .map_batches(gen, batch_format="pyarrow")
+            .materialize()
+        )
+
+    verts = rd.range(N).map_batches(
+        lambda b: pa.table({"vid": b.column("id")}), batch_format="pyarrow"
+    )
+
+    def legs(edges) -> dict:
+        out = {}
+        t0 = time.perf_counter()
+        g = build_graph(edges, verts, num_parts=8, partitioner="hash",
+                        directed=True)
+        out["build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        _, ranks = pagerank(g=g, iters=5, resume=False, engine="tasks")
+        ranks.count()
+        out["pagerank_5it"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        gu = build_graph(edges, verts, num_parts=8, partitioner="hash",
+                         directed=False)
+        _, comps = connected_components(g=gu, resume=False, engine="tasks")
+        comps.count()
+        out["cc"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out["triangles_count"] = triangle_count(edges)
+        out["triangles"] = round(time.perf_counter() - t0, 3)
+        return out
+
+    uni_edges = edges_for(False)
+    skw_edges = edges_for(True)
+    n_uni, n_skw = uni_edges.count(), skw_edges.count()
+    uni = legs(uni_edges)
+    skw = legs(skw_edges)
+    ratios = {
+        k: round(skw[k] / uni[k], 2)
+        for k in ("build", "pagerank_5it", "cc", "triangles")
+    }
+    out = {
+        "metric": "skewed (10%-supernode) vs uniform graph wall ratio",
+        "n_vertices": N,
+        "n_edges_uniform": n_uni,
+        "n_edges_skewed": n_skw,
+        "uniform": uni,
+        "skewed": skw,
+        "skew_over_uniform": ratios,
+        "skew_ok": all(r <= 2.0 for r in ratios.values()),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_cluster(flagship: bool = True) -> dict:
     """Two-raylet cluster validation leg (VERDICT r4 item 1): stand up a real
     `ray start` head + worker on this box, run the validation suite
@@ -1281,6 +1373,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--cluster" in sys.argv:
         print(json.dumps(run_cluster()))
+    elif "--skew-bench" in sys.argv:
+        print(json.dumps(run_skew_bench()))
     elif "--bpe-bench" in sys.argv:
         print(json.dumps(run_bpe_bench()))
     elif "--shuffle-bench" in sys.argv:
