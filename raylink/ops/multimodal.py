@@ -162,6 +162,60 @@ def _wav_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
     return n, ch, samples
 
 
+def encode_y4m_gray(frames: np.ndarray, w: int, h: int) -> bytes:
+    """Minimal REAL YUV4MPEG2 (.y4m) encoder, Cmono colourspace: a genuine
+    uncompressed video container ffmpeg/mpv open directly — used to give
+    ``FrameSampler`` a real-format end-to-end path with no codec library.
+    ``frames`` is F*(w*h) luma bytes."""
+    frames = np.asarray(frames, dtype=np.uint8).reshape(-1, w * h)
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode()
+    return head + b"".join(b"FRAME\n" + f.tobytes() for f in frames)
+
+
+def _y4m_decode(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-numpy YUV4MPEG2 parser -> (w, h, concatenated luma frame
+    bytes): the same F-frames-of-(w x h) layout the RLNKIMG1 video parser
+    and ``_av_decode`` emit, so FrameSampler is container-agnostic.
+    Supports Cmono (Y only) and C420/C420jpeg/C420paldv (Y plane kept,
+    quarter-size U+V planes skipped — gray contract, mirrors the other
+    decoders' single-channel layout)."""
+    if not blob.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = blob.index(b"\n")
+    w = h = 0
+    chroma = "420"
+    for tok in blob[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "C":
+            chroma = t[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("YUV4MPEG2 header missing W/H")
+    if chroma.startswith("mono"):
+        fsize = w * h
+    elif chroma.startswith("420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    else:
+        raise ValueError(f"unsupported Y4M colourspace C{chroma}")
+    ysize = w * h
+    frames, pos = [], nl + 1
+    marker = b"FRAME"
+    while pos < len(blob):
+        if blob[pos: pos + 5] != marker:
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = blob.index(b"\n", pos) + 1  # frame params line (usually bare)
+        if pos + fsize > len(blob):
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(blob, np.uint8, count=ysize, offset=pos))
+        pos += fsize
+    if not frames:
+        raise ValueError("Y4M stream decoded to zero frames")
+    return w, h, np.concatenate(frames)
+
+
 def synth_media(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media table (media_id, media:binary, mime, w, h)."""
     rng = np.random.default_rng(seed)
@@ -311,13 +365,15 @@ class FrameSampler:
             if blob[:8] == MAGIC:
                 w, h = struct.unpack("<HH", blob[8:12])
                 px = np.frombuffer(blob[12:], dtype=np.uint8)
+            elif blob[:9] == b"YUV4MPEG2":  # real video: pure-numpy Y4M
+                w, h, px = _y4m_decode(blob)
             elif _HAVE_AV:  # pragma: no cover - PyAV absent in this sandbox
                 w, h, px = _av_decode(blob)
             else:
                 raise NotImplementedError(
-                    "real video decode requires a codec library (PyAV/"
-                    "ffmpeg) not present in this environment; only RLNKIMG1 "
-                    "blobs are supported"
+                    "video decode for this container requires a codec "
+                    "library (PyAV/ffmpeg) not present in this environment; "
+                    "supported without one: RLNKIMG1, YUV4MPEG2 (.y4m)"
                 )
             fsize = max(1, w * h)
             n_frames = len(px) // fsize

@@ -1471,9 +1471,13 @@ def knn_all(emb_ds, k: int = 3, num_blocks: int = 8):
         nid = ids_c[order_c]
         s = sims[:, order_c]
         finite = np.isfinite(s)
-        s_int = np.where(
-            finite, np.rint(s * 1e6), float(np.iinfo(np.int64).min // 4)
-        ).astype(np.int64)
+        # masked (-inf self-pair) entries get a sentinel just BELOW the
+        # finite range (cosines are r6-rounded, so finite s_int is within
+        # +-1e6): they sort strictly last, and |s_int| * nc stays far from
+        # int64 overflow (a huge sentinel like iinfo.min//4 WRAPS when
+        # multiplied by nc and sorts masked entries arbitrarily — caught by
+        # the sf0.01 oracle sweep)
+        s_int = np.where(finite, np.rint(s * 1e6), -2e6).astype(np.int64)
         # composite: higher sim first, then smaller nid (== column position,
         # candidates pre-sorted by nid); pos < nc so keys never collide
         key = -s_int * np.int64(nc) + np.arange(nc, dtype=np.int64)

@@ -1,0 +1,320 @@
+"""Named query implementations backing ``__ray_entry__.queries()``.
+
+Each function takes ``sf_dir`` (a testdata scale directory) and returns a Ray
+Dataset / pyarrow Table. Column names and types match the corresponding SQL
+oracle in ``raylink.oracles_sql`` exactly (the driver hash-compares values).
+
+Graph queries run over the synthetic page corpus derived from ``documents``
+(LINK SPEC v1, raylink/synth.py) with the 'mod' partitioner and P=8 so
+subgraph identities are SQL-checkable. BSP checkpoints live under
+deterministic /tmp keys — repeated calls resume instead of recomputing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.oracles_sql import P
+from raylink.pipelines import (
+    cache_key,
+    degree_table,
+    distinct_edges,
+    page_edge_tables,
+    page_graph,
+)
+from raylink.superstep import CKPT_ROOT
+from raylink.util import pearson_partials, round_half_away
+
+PR_ITERS = 30
+HITS_ITERS = 8
+KATZ_ITERS = 8
+
+
+
+
+def _ckpt(name: str, sf_dir: str, *extra) -> str:
+    from raylink import storage
+
+    return storage.join(CKPT_ROOT, f"{name}-{cache_key(name, sf_dir, *extra)}")
+
+
+def _dual_graph(sf_dir: str):
+    """Cached dual-direction page graph (e_dirmask; algos.scc.scc_edges) —
+    shared by scc and betweenness."""
+    from raylink import storage
+    from raylink.algos.scc import scc_edges
+    from raylink.graph import LinkGraph, build_graph
+    from raylink.pipelines import GRAPH_ROOT
+
+    gdir = storage.join(GRAPH_ROOT, cache_key("scc_graph", sf_dir))
+    if storage.exists(storage.join(gdir, "manifest.json")):
+        return LinkGraph.load(gdir)
+    _, edges, verts, _ = page_edge_tables(sf_dir)
+    return build_graph(
+        scc_edges(edges.materialize()), verts, num_parts=8,
+        partitioner="mod", directed=True, edge_cols=["dirmask"],
+        graph_dir=gdir,
+    )
+
+
+def _cents(arr) -> np.ndarray:
+    """Exact-2dp float column -> int64 cents (values are exact multiples of
+    0.01, so nearest-int is exact; matches SQL ROUND(x*100)::BIGINT)."""
+    return np.rint(arr.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTER — free (no execution), so join
+    shapes can be size-thresholded without materializing anything."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+
+def _plant_pii(batch: pa.Table) -> pa.Table:
+    """Deterministic PII planting shared by q_pii_scan / q_pii_redact (the
+    synthetic corpus is digit-free): an email / an IPv4 / a long number on
+    doc_id mod 7/11/13 == 0 rows, mirrored verbatim in the SQL oracles."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id").combine_chunks()
+    idn = ids.to_numpy(zero_copy_only=False)
+    s = lambda a: pc.cast(a, pa.string())  # noqa: E731
+    j = pc.binary_join_element_wise
+    empty = pa.scalar("", type=pa.string())
+    em = pc.if_else(
+        pa.array(idn % 7 == 0),
+        j(" contact admin", s(ids), "@example.com", ""), empty,
+    )
+    ip = pc.if_else(
+        pa.array(idn % 11 == 0),
+        j(" 10.", s(pa.array(idn % 256)), ".0.", s(pa.array(idn % 100)), ""),
+        empty,
+    )
+    ln = pc.if_else(
+        pa.array(idn % 13 == 0),
+        j(" ", s(pa.array(1000000000 + idn)), ""), empty,
+    )
+    text = pc.fill_null(batch.column("text").combine_chunks(), "")
+    return pa.table({"doc_id": ids, "text": j(text, em, ip, ln, "")})
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _flatten_media_features(batch: pa.Table) -> pa.Table:
+    """features: list<float64>[8] -> f0..f7 scalar columns, ROUND-pinned;
+    zero-copy list flatten -> reshape (VERDICT r4 item 5), no per-row
+    Python materialization."""
+    n = batch.num_rows
+    if n:
+        f = batch.column("features")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        m = (
+            f.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, 8)
+        )
+    else:
+        m = np.zeros((0, 8))
+    cols = {
+        "media_id": batch.column("media_id"),
+        "width": batch.column("width"),
+        "height": batch.column("height"),
+        "n_bytes": batch.column("n_bytes"),
+    }
+    for k in range(8):
+        cols[f"f{k}"] = pa.array(round_half_away(m[:, k], 6))
+    return pa.table(cols)
+
+
+def _planted_lines(sf_dir: str):
+    """The documents table with deterministic line structure planted (the
+    corpus has no newlines): even doc_ids get a shared 'promo variant
+    <doc_id % 3>' header line; every body splits into its first-8-words
+    line plus the remainder line. Shared by the line-level ops
+    (q_boilerplate, q_line_dedup) and mirrored in their SQL oracles."""
+    import pyarrow.compute as pc
+
+    def plant(batch: pa.Table) -> pa.Table:
+        text = (
+            pc.fill_null(batch.column("text"), "")
+            .combine_chunks()
+            .cast(pa.large_string())
+        )
+        ws = pc.split_pattern(text, " ")
+        sp = pa.scalar(" ", type=pa.large_string())
+        head = pc.binary_join(pc.list_slice(ws, 0, 8), sp)
+        tail = pc.binary_join(pc.list_slice(ws, 8), sp)
+        body = pc.binary_join_element_wise(
+            head, tail, pa.scalar("\n", type=pa.large_string())
+        )
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        variants = np.array(
+            ["promo variant 0\n", "promo variant 1\n", "promo variant 2\n"],
+            dtype=object,
+        )
+        promo = pa.array(
+            np.where(did % 2 == 0, variants[did % 3], ""),
+            type=pa.large_string(),
+        )
+        t2 = pc.binary_join_element_wise(
+            promo, body, pa.scalar("", type=pa.large_string())
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": t2})
+
+    return _docs(sf_dir).map_batches(plant, batch_format="pyarrow")
+
+
+def _link_host_diversity(sf_dir: str, vertex_col: str, other_col: str,
+                         deg_name: str):
+    """Shared engine for q_outlink_diversity / q_inlink_diversity (the two
+    were ~140 near-duplicated lines, VERDICT r4 item 6): distinct
+    (vertex, other-side-host) pairs vs distinct links per vertex,
+    diversity = n_hosts/degree (r6). Host id is the synthetic site number
+    (vid % 97 — the closed-form ``synth.url_of`` host). Shape: distinct
+    edges (packable-guarded) -> packed (vertex, host) distinct -> two
+    coarse-bucket count-sums -> one thresholded attach -> single
+    ROUND-half-away-pinned division. -> (vid, <deg_name>, n_hosts,
+    diversity)."""
+    from raylink.join import attach_lookup, bucketed_distinct, bucketed_sum
+
+    _, edges, _, _ = page_edge_tables(sf_dir)
+    de = distinct_edges(edges).materialize()
+
+    def pack(batch: pa.Table) -> pa.Table:
+        v = batch.column(vertex_col).to_numpy(zero_copy_only=False)
+        o = batch.column(other_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"key": pa.array((v << np.int64(32)) | (o % np.int64(97)))}
+        )
+
+    sh = bucketed_distinct(
+        de.map_batches(pack, batch_format="pyarrow"), "key"
+    )
+
+    def ones(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            if col == "key":
+                v = batch.column("key").to_numpy(zero_copy_only=False) >> np.int64(32)
+            else:
+                v = batch.column(col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"v": pa.array(v), "c": pa.array(np.ones(len(v), np.int64))}
+            )
+
+        return f
+
+    deg = bucketed_sum(
+        de.map_batches(ones(vertex_col), batch_format="pyarrow"),
+        key="v", val="c", out_val=deg_name,
+    ).map_batches(
+        lambda b: pa.table({"vid": b.column("v"), deg_name: b.column(deg_name)}),
+        batch_format="pyarrow",
+    ).materialize()
+    nhosts = bucketed_sum(
+        sh.map_batches(ones("key"), batch_format="pyarrow"),
+        key="v", val="c", out_val="n_hosts",
+    ).map_batches(
+        lambda b: pa.table({"vid": b.column("v"), "n_hosts": b.column("n_hosts")}),
+        batch_format="pyarrow",
+    )
+
+    out = attach_lookup(
+        nhosts, deg, on="vid", left_cols={"n_hosts": pa.int64()},
+        value_cols={deg_name: pa.int64()}, n_lookup_rows=deg.count(),
+    )
+
+    def div(batch: pa.Table) -> pa.Table:
+        h = batch.column("n_hosts").to_numpy(zero_copy_only=False)
+        o = batch.column(deg_name).to_numpy(zero_copy_only=False)
+        d = round_half_away(h.astype(np.float64) / o.astype(np.float64), 6)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                deg_name: pa.array(o.astype(np.int64)),
+                "n_hosts": pa.array(h.astype(np.int64)),
+                "diversity": pa.array(d),
+            }
+        )
+
+    return out.map_batches(div, batch_format="pyarrow")
+
+
+EIGEN_ITERS = 8
+
+
+HARMONIC_SEEDS = [0, 1, 2, 7]
+
+
+ANF_ROUNDS = 8
+
+
+DENSEST_SQL_ROUNDS = 32
+
+
+PPR_ITERS = 12
+
+
+WL_ROUNDS = 3
+
+
+LPA_COMMUNITY_ROUNDS = 5
+
+
+_SHIP_CUTOFF = np.datetime64("2001-01-01", "us")
+
+
+_Q3_DATE = np.datetime64("2000-03-15", "us")
+
+
+DSIR_TARGET = "src0"
+
+
+PERC_DIM = 64
+
+
+PERC_ROUNDS = 6
+
+
+MIX_SEED = 11
+
+
+GAP_QS = (0.5, 0.9, 0.99)
+
+
+PACK_BUDGET = 4096
+
+
+BOILER_MIN_DOCS = 20
+
+
+EGO_SEEDS = [17, 123]
+
+
+JP_ROUNDS = 32
+
+
+MATCH_ROUNDS = 32
+
+
+SPLIT_SEED = 17
+
+
+SPLIT_BOUNDS = (80, 90)

@@ -1,0 +1,1351 @@
+from __future__ import annotations
+
+import os  # noqa: F401
+
+import numpy as np  # noqa: F401
+import pyarrow as pa  # noqa: F401
+
+from raylink.oracles_sql import P  # noqa: F401
+from raylink.pipelines import (  # noqa: F401
+    cache_key,
+    degree_table,
+    distinct_edges,
+    page_edge_tables,
+    page_graph,
+)
+from raylink.superstep import CKPT_ROOT  # noqa: F401
+from raylink.util import pearson_partials, round_half_away  # noqa: F401
+
+from raylink.queries._common import (  # noqa: F401
+    PR_ITERS,
+    HITS_ITERS,
+    KATZ_ITERS,
+    EIGEN_ITERS,
+    HARMONIC_SEEDS,
+    ANF_ROUNDS,
+    DENSEST_SQL_ROUNDS,
+    PPR_ITERS,
+    WL_ROUNDS,
+    LPA_COMMUNITY_ROUNDS,
+    _SHIP_CUTOFF,
+    _Q3_DATE,
+    DSIR_TARGET,
+    PERC_DIM,
+    PERC_ROUNDS,
+    MIX_SEED,
+    GAP_QS,
+    PACK_BUDGET,
+    BOILER_MIN_DOCS,
+    EGO_SEEDS,
+    JP_ROUNDS,
+    MATCH_ROUNDS,
+    SPLIT_SEED,
+    SPLIT_BOUNDS,
+    _ckpt,
+    _dual_graph,
+    _cents,
+    _parquet_rows,
+    _docs,
+    _plant_pii,
+    _emb,
+    _flatten_media_features,
+    _planted_lines,
+    _link_host_diversity,
+)
+
+
+def q_dedup_exact(sf_dir: str):
+    from raylink.ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_dedup_ngram(sf_dir: str):
+    from raylink.ops.dedup import ngram_pairs
+
+    return ngram_pairs(_docs(sf_dir), n=3, tau=0.5)
+
+
+def q_containment(sf_dir: str):
+    """Asymmetric n-gram containment pairs (|A n B| / min(|A|, |B|) >=
+    0.2) — subset-duplication (quote / aggregator-wrap) detection the
+    symmetric Jaccard threshold misses."""
+    from raylink.ops.dedup import containment_pairs
+
+    return containment_pairs(_docs(sf_dir), n=3, tau=0.2)
+
+
+def q_novelty(sf_dir: str):
+    """Per-doc trigram novelty (fraction of the doc's distinct grams with
+    corpus DF 1) — the uniqueness curation signal."""
+    from raylink.ops.dedup import novelty_scores
+
+    return novelty_scores(_docs(sf_dir), n=3)
+
+
+def q_dedup_minhash(sf_dir: str):
+    from raylink.ops.dedup import minhash_pairs
+
+    return minhash_pairs(_docs(sf_dir), n=3, tau=0.5)
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental MinHash near-dup for a continuous crawl: docs with
+    doc_id % 10 == 4 play the newly-crawled batch; output = the LSH pairs
+    touching the new batch (old x old candidates never form)."""
+    from raylink.ops.dedup import minhash_pairs_incremental
+
+    docs = _docs(sf_dir)
+
+    def split(want_new: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 4) == want_new
+            return batch.filter(pa.array(m))
+
+        return fn
+
+    old = docs.map_batches(split(False), batch_format="pyarrow")
+    new = docs.map_batches(split(True), batch_format="pyarrow")
+    return minhash_pairs_incremental(old, new, n=3, tau=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from raylink.ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
+def q_token_count(sf_dir: str):
+    from raylink.ops.textstats import TextStats
+
+    stats = _docs(sf_dir).map_batches(
+        TextStats, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
+    )
+    total = stats.sum("n_tokens")
+    return pa.table({"total_tokens": pa.array([int(total)], type=pa.int64())})
+
+
+def q_text_stats(sf_dir: str):
+    from raylink.ops.textstats import TextStats
+
+    return _docs(sf_dir).map_batches(
+        TextStats, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
+    )
+
+
+def q_lang_id(sf_dir: str):
+    from raylink.ops.textstats import LangId
+
+    return _docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    from raylink.ops.textstats import fingerprint_batch
+
+    return _docs(sf_dir).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    ).select_columns(["doc_id", "fp_md5"])
+
+
+def q_curation_funnel(sf_dir: str):
+    """The canonical training-data curation funnel, composed end-to-end:
+    keep a document iff (quality keep rule) AND (predicted lang == 'en')
+    AND (it is the canonical copy of its exact-dup group). One streaming
+    pass computes stats+lang per batch; the dedup keep-set arrives via the
+    distributed exact-dedup groupby and a hash join (no driver set).
+    Output: (doc_id, n_words, quality) of survivors."""
+    from raylink.join import hash_join
+    from raylink.ops.dedup import exact_dedup
+    from raylink.ops.textstats import LangId, TextStats
+
+    docs = _docs(sf_dir)
+    stats = docs.map_batches(TextStats, batch_format="pyarrow", batch_size=512,
+                             concurrency=(1, 2))
+    langs = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                      batch_size=512, concurrency=(1, 2))
+    keep_ids = exact_dedup(_docs(sf_dir)).map_batches(
+        lambda b: pa.table({"doc_id": b.column("keep_id"),
+                            "is_keep": pa.array(np.ones(len(b), dtype=np.int64))}),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(
+        stats.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "n_words": b.column("n_words"),
+                                "quality": b.column("quality"),
+                                "keep": b.column("keep")}),
+            batch_format="pyarrow",
+        ),
+        langs.map_batches(
+            lambda b: pa.table({"doc_id": b.column("doc_id"),
+                                "pred_lang": b.column("pred_lang")}),
+            batch_format="pyarrow",
+        ),
+        on="doc_id",
+        left_cols={"n_words": pa.int64(), "quality": pa.float64(),
+                   "keep": pa.bool_()},
+        right_cols={"pred_lang": pa.string()},
+    )
+    j2 = hash_join(
+        j1, keep_ids, on="doc_id",
+        left_cols={"n_words": pa.int64(), "quality": pa.float64(),
+                   "keep": pa.bool_(), "pred_lang": pa.string()},
+        right_cols={"is_keep": pa.int64()},
+        strict=False,  # non-canonical dups have no keep row -> dropped
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(
+            batch.column("keep"),
+            pc.equal(batch.column("pred_lang"), pa.scalar("en")),
+        )
+        kept = batch.filter(mask)
+        return pa.table(
+            {
+                "doc_id": kept.column("doc_id"),
+                "n_words": kept.column("n_words"),
+                "quality": kept.column("quality"),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def q_search_topk(sf_dir: str):
+    """BM25-lite search ranking: top-20 docs for the fixed query
+    (spark, join, window) by tf x (N/df) — two shuffle-free scans +
+    distributed sort."""
+    from raylink.ops.textstats import search_topk
+
+    return search_topk(
+        _docs(sf_dir), ["spark", "join", "window"], k=20,
+        n_docs=_parquet_rows(sf_dir, "documents"),
+    )
+
+
+def q_token_topk(sf_dir: str):
+    """Top-100 vocabulary tokens (cnt desc, token asc tie-break)."""
+    from raylink.ops.textstats import token_topk
+
+    return token_topk(_docs(sf_dir), k=100)
+
+
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog (p=12) distinct-word estimate over documents — the
+    mergeable-sketch path for crawl-scale cardinality (vs token_topk's
+    exact vocabulary shuffle)."""
+    from raylink.ops.sketch import hll_distinct_words
+
+    return hll_distinct_words(_docs(sf_dir), p=12)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark-contamination flags: the 'benchmark' is the deterministic
+    pseudo-eval-set doc_id % 101 == 7; a doc is contaminated iff it shares
+    any verbatim 8-word-gram with a benchmark doc."""
+    from raylink.ops.dedup import decontaminate
+
+    docs = _docs(sf_dir)
+
+    def bench_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 101 == 7))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return decontaminate(docs, bench, n=8)
+
+
+def q_bloom_decontaminate(sf_dir: str):
+    """Bloom-filter decontamination (fixed 2^16-bit broadcast bitset, k=4
+    probes) over the same doc_id % 101 == 7 pseudo-benchmark — the
+    bounded-broadcast variant of `decontaminate`; the oracle reproduces the
+    sketch's false positives exactly."""
+    from raylink.ops.sketch import bloom_decontaminate
+
+    docs = _docs(sf_dir)
+
+    def bench_filter(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 101 == 7))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return bloom_decontaminate(docs, bench, n=8, m_bits=16, k=4)
+
+
+def q_pii_scan(sf_dir: str):
+    """PII-pattern counts over the deterministically planted corpus — the
+    scan itself (`ops.textstats.pii_scan`) is generic and pattern-only."""
+    from raylink.ops.textstats import pii_scan
+
+    return pii_scan(_docs(sf_dir).map_batches(_plant_pii, batch_format="pyarrow"))
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction over the same planted corpus: emails/IPv4s/long digit
+    runs replaced by <EMAIL>/<IP>/<NUM> placeholders in a fixed stage
+    order -> (doc_id, redacted_text, n_redactions)."""
+    from raylink.ops.textstats import pii_redact
+
+    return pii_redact(_docs(sf_dir).map_batches(_plant_pii, batch_format="pyarrow"))
+
+
+def q_cooccurrence(sf_dir: str):
+    """Top-100 window-3 skip-gram word pairs over the documents table."""
+    from raylink.ops.textstats import cooccurrence_topk
+
+    return cooccurrence_topk(_docs(sf_dir), window=3, k=100)
+
+
+def q_postings(sf_dir: str):
+    """Inverted index over the documents table, df in [2, 400] (the max_df
+    cut drops the corpus-wide stopword rows)."""
+    from raylink.ops.textstats import postings
+
+    return postings(_docs(sf_dir), min_df=2, max_df=400)
+
+
+def q_bigram_topk(sf_dir: str):
+    """Top-100 adjacent word pairs (cnt desc, bigram asc tie-break)."""
+    from raylink.ops.textstats import bigram_topk
+
+    return bigram_topk(_docs(sf_dir), k=100)
+
+
+def q_bpe_merges(sf_dir: str):
+    """Learn the top-6 BPE merge rules over the corpus word vocabulary —
+    the tokenizer-training stage (Sennrich et al. 2016). The corpus is
+    scanned once; every round runs over the vocabulary Dataset (pair
+    partials -> bucket groupby -> per-bucket winners; driver holds <=
+    num_buckets rows/round)."""
+    from raylink.ops.bpe import bpe_merges
+
+    return bpe_merges(_docs(sf_dir), rounds=6)
+
+
+def q_bpe_token_count(sf_dir: str):
+    """Tokenizer train-then-apply: learn 6 BPE merges, then count per-doc
+    subword tokens with the merge-table actor pool (shuffle-free
+    inference scan) -> (doc_id, n_bpe_tokens)."""
+    from raylink.ops.bpe import bpe_token_count
+
+    return bpe_token_count(_docs(sf_dir), rounds=6)
+
+
+def q_bigram_coherence(sf_dir: str):
+    """Per-doc bigram coherence (mean corpus frequency of the doc's
+    adjacent word pairs) — the n-gram-LM fluency proxy curation filter."""
+    from raylink.ops.textstats import bigram_coherence
+
+    return bigram_coherence(_docs(sf_dir)).sort("doc_id")
+
+
+def q_lm_score(sf_dir: str):
+    """Smoothed bigram-LM likelihood score per doc (fixed-point CCNet-style
+    fluency signal): mean over bigram occurrences of
+    ((bc+1)*SCALE) // (uc(w1)+V)."""
+    from raylink.ops.textstats import lm_score
+
+    return lm_score(_docs(sf_dir)).sort("doc_id")
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style hashed n-gram importance scores against the src0 target
+    distribution (linear-domain fixed-point variant) — the data-selection
+    signal for importance resampling."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import dsir_weights
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return dsir_weights(docs, target_source=DSIR_TARGET)
+
+
+def q_typo_pairs(sf_dir: str):
+    """Edit-distance-1 vocabulary pairs via SymSpell deletion-neighborhood
+    blocking, over the corpus vocabulary plus deterministically planted
+    typos (the pii_scan precedent — the closed-form corpus has no natural
+    typos): docs with doc_id % 7 == 2 contribute their first word with the
+    2nd character deleted (words of length >= 4 only)."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.textstats import _word_codes, typo_pairs
+
+    def vocab_rows(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        _, _, dic = _word_codes(text)
+        words = [pc.cast(dic, pa.string())]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        st = pc.extract_regex(pc.utf8_lower(text), r"(?P<fw>[a-z]+)")
+        fw = pc.fill_null(pc.struct_field(st, "fw"), "")
+        keep = (
+            (ids % 7 == 2)
+            & (pc.utf8_length(fw).to_numpy(zero_copy_only=False) >= 4)
+        )
+        if keep.any():
+            fwk = fw.filter(pa.array(keep))
+            words.append(
+                pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(fwk, 0, 1),
+                    pc.utf8_slice_codeunits(fwk, 2, 1 << 30),
+                    "",
+                )
+            )
+        out = pa.concat_arrays(
+            [w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
+             for w in words]
+        )
+        return pa.table({"word": out})
+
+    vocab = _docs(sf_dir).map_batches(vocab_rows, batch_format="pyarrow")
+    return typo_pairs(vocab)
+
+
+def q_perceptron(sf_dir: str):
+    """Batch-perceptron training of a hashed bag-of-words linear classifier
+    (6 full-corpus rounds, integer updates) -> the dim+1 final weights —
+    the TRAINING side of the curation stack's quality classifier."""
+    import ray.data as rd
+
+    from raylink.ops.train import perceptron_train
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    weights, _ = perceptron_train(docs, dim=PERC_DIM, rounds=PERC_ROUNDS)
+    return weights
+
+
+def q_perceptron_scores(sf_dir: str):
+    """Inference with the trained perceptron: per-doc planted label y,
+    prediction yhat and integer margin — train + eval end-to-end."""
+    import ray.data as rd
+
+    from raylink.ops.train import perceptron_eval, perceptron_train
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    weights, _ = perceptron_train(docs, dim=PERC_DIM, rounds=PERC_ROUNDS)
+    return perceptron_eval(docs, weights, dim=PERC_DIM)
+
+
+def q_dsir_sample(sf_dir: str):
+    """DSIR importance resampling against src0: docs kept with probability
+    proportional to their fixed-point target/raw ratio (deterministic
+    splitmix64 draw — no RNG state)."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import dsir_resample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return dsir_resample(docs, target_source=DSIR_TARGET)
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup resolution: connected components over the n-gram Jaccard
+    pair graph -> one cluster id (min doc_id) per document. Composes the
+    curation layer (pair generation + distributed verify) with the graph
+    engine (meta-graph CC) — the standard 'pick a canonical doc per
+    duplicate cluster' step of a crawl pipeline."""
+    from raylink.algos import connected_components
+    from raylink.ops.dedup import ngram_pairs
+
+    docs = _docs(sf_dir)
+    pairs = ngram_pairs(docs, n=3, tau=0.5).map_batches(
+        lambda b: pa.table({"src": b.column("doc_a"), "dst": b.column("doc_b")}),
+        batch_format="pyarrow",
+    ).materialize()
+    verts = docs.map_batches(
+        lambda b: pa.table({"vid": b.column("doc_id")}), batch_format="pyarrow"
+    )
+    _, comps = connected_components(
+        pairs, vertices_ds=verts, num_parts=P, partitioner="mod",
+        engine="tasks", ckpt_dir=_ckpt("dedup_clusters", sf_dir),
+    )
+    return comps.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("vid"), "cluster": b.column("component")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_dedup_survivors(sf_dir: str):
+    """The dedup OUTPUT corpus: one canonical doc (min doc_id) per
+    near-dup cluster, annotated with its cluster size — the row-level
+    decision the cluster resolution exists for."""
+    from raylink.join import bucketed_sum, hash_join
+
+    comps = q_dedup_clusters(sf_dir)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cluster": batch.column("cluster"),
+             "c": pa.array(np.ones(batch.num_rows, np.int64))}
+        )
+
+    sizes = bucketed_sum(
+        comps.map_batches(ones, batch_format="pyarrow"),
+        "cluster", "c", out_val="n_in_cluster",
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False)
+        m = d == cl
+        return pa.table({"cluster": pa.array(cl[m])})
+
+    return hash_join(
+        comps.map_batches(canon, batch_format="pyarrow"), sizes,
+        on="cluster", left_cols={}, right_cols={"n_in_cluster": pa.int64()},
+    ).map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("cluster"),
+             "n_in_cluster": b.column("n_in_cluster")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_host_vocab(sf_dir: str):
+    """Per-host vocabulary-richness estimate (HLL distinct words per
+    site, p=8) — the grouped sketch: shuffle carries at most
+    hosts x 256 register rows, never per-host vocabularies."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.sketch import hll_grouped_distinct_words
+
+    extracted, _, _, _ = page_edge_tables(sf_dir)
+
+    def host_col(batch: pa.Table) -> pa.Table:
+        host = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                batch.column("url"), pattern="^https://", replacement=""
+            ),
+            pattern="/.*$", replacement="",
+        )
+        return pa.table({"host": host, "text": batch.column("text")})
+
+    pages = extracted.map_batches(host_col, batch_format="pyarrow")
+    return hll_grouped_distinct_words(pages, "host", p=8).sort("host")
+
+
+def q_knn(sf_dir: str):
+    from raylink.ops.similarity import knn_brute
+
+    return knn_brute(_emb(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_ann_lsh(sf_dir: str):
+    from raylink.ops.similarity import lsh_ann
+
+    return lsh_ann(_emb(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF inverted-file ANN (seeded codebook, deterministic); rows-only —
+    recall is approximate by design, verified >= 0.8 vs brute force in
+    pytest (test_ivf_ann_recall)."""
+    from raylink.ops.similarity import ivf_ann
+
+    return ivf_ann(_emb(sf_dir), query_ids=list(range(10)), k=5,
+                   n_centroids=16, n_probe=4)
+
+
+def q_ann_join(sf_dir: str):
+    """Dataset-sized-query ANN (VERDICT r2 item 4): every embedding is a
+    query, k nearest via the bucketed candidate join — no broadcast query
+    matrix. Rows-only (float hyperplane geometry has no SQL mirror); recall
+    >= 0.6 vs brute force at >=10k queries is pytest-verified
+    (test_knn_join_recall)."""
+    from raylink.ops.similarity import knn_join
+
+    return knn_join(_emb(sf_dir), k=3, n_tables=12, bits=6)
+
+
+def q_embedding_pairs(sf_dir: str):
+    from raylink.ops.similarity import embedding_pairs
+
+    return embedding_pairs(_emb(sf_dir), tau=0.4)
+
+
+def q_embedding_pairs_lsh(sf_dir: str):
+    """Sketch-bucketed cosine near-dup (subquadratic scale path); rows-only —
+    recall is probabilistic by design (the sf embeddings top out near cosine
+    0.5, where theory gives ~0.8 catch at these parameters); verified >= 0.8
+    vs the exact join on clustered vectors in pytest
+    (test_embedding_pairs_lsh_recall)."""
+    from raylink.ops.similarity import embedding_pairs_lsh
+
+    return embedding_pairs_lsh(_emb(sf_dir), tau=0.4, n_tables=24, bits=6)
+
+
+def q_embedding_gram(sf_dir: str):
+    """Exact int64 Gram matrix of the quantized embedding corpus (upper
+    triangle) — the covariance/PCA building block; one streaming pass of
+    d x d integer matmul partials."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import embedding_gram
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return embedding_gram(emb)
+
+
+def q_mixture_sample(sf_dir: str):
+    """Data-mixture downsampling: per-source keep rate
+    ((N % 10) + 1) / 10 for source 'srcN', applied as a deterministic
+    splitmix64 draw per doc — the corpus-reweighting step before
+    training-data packing. -> kept (doc_id, source) rows."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.util import splitmix64
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        src = batch.column("source").combine_chunks()
+        num = pc.cast(
+            pc.utf8_slice_codeunits(src, 3, 1 << 30), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        rate = (num % 10 + 1) * np.int64(100)  # permille
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        draw = (
+            splitmix64(ids.astype(np.uint64) ^ np.uint64(MIX_SEED))
+            % np.uint64(1000)
+        ).astype(np.int64)
+        m = draw < rate
+        return pa.table(
+            {"doc_id": pa.array(ids[m]), "source": src.filter(pa.array(m))}
+        )
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def q_repeated_substrings(sf_dir: str):
+    """Cross-document exact repeated 40-byte substrings at content-defined
+    anchors (byte % 16 == 0 — spaces among others): the exact-substring
+    dedup signal. Groups key on the window bytes themselves (no hash
+    verify pass); counts are final in one shuffle."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import repeated_substrings
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return repeated_substrings(
+        docs, window=40, modulus=16, residue=0, min_docs=2
+    ).sort("window")
+
+
+def q_substring_pairs(sf_dir: str):
+    """Near-duplicate candidate doc pairs sharing >= 3 distinct repeated
+    40-byte windows (exact-substring sibling of dedup_ngram), with the
+    max_df=64 hot-window cut."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import substring_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return substring_pairs(
+        docs, window=40, modulus=16, residue=0, min_shared=3, max_df=64
+    ).sort(["doc_a", "doc_b"])
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic stratified Bernoulli sample of the documents table:
+    50% of English docs, 20% of everything else, seed 7 — the keep
+    decision is splitmix64(doc_id ^ seed) < fraction * 2^64, mirrored
+    bit-for-bit in SQL."""
+    import ray.data as rd
+
+    from raylink.ops.select import stratified_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    return stratified_sample(
+        docs, "doc_id", 0.2, seed=7, by="lang", fractions={"en": 0.5}
+    ).sort("doc_id")
+
+
+def q_source_topk(sf_dir: str):
+    """Top-3 documents per source by length (ties by doc_id asc) with a
+    1-based ``rk`` — per-batch local top-k before the one coarse-bucket
+    shuffle (``ops.select.group_topk``)."""
+    import ray.data as rd
+
+    from raylink.ops.select import group_topk
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return group_topk(docs, "source", "n_chars", k=3, id_col="doc_id").sort(
+        ["source", "rk"]
+    )
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Top-3 distinctive terms per document by tf/df (log-free idf — see
+    ops.textstats.doc_top_terms), rank-ordered."""
+    from raylink.ops.textstats import doc_top_terms
+
+    return doc_top_terms(_docs(sf_dir), k=3).sort(["doc_id", "rk"])
+
+
+def q_source_sample(sf_dir: str):
+    """Exactly 5 uniformly-chosen docs per source (seed 11) via the
+    hash-permutation top-k composition (ops.select.sample_k_per_group)."""
+    import ray.data as rd
+
+    from raylink.ops.select import sample_k_per_group
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return sample_k_per_group(docs, "source", "doc_id", k=5, seed=11).sort(
+        ["source", "rk"]
+    )
+
+
+def q_length_quantiles(sf_dir: str):
+    """Per-language document-length quantiles (p25/p50/p75/p95 of n_chars)
+    via the exact distributed histogram (ops.select.group_quantiles) —
+    the curation-threshold-picking query."""
+    import ray.data as rd
+
+    from raylink.ops.select import group_quantiles
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return group_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.75, 0.95]).sort(
+        ["lang", "q"]
+    )
+
+
+def q_media_dedup(sf_dir: str):
+    """Exact media dedup on raw payload bytes over the documents-derived
+    RLNK corpus — identical blob <=> identical text, so the oracle dedups
+    by the text string; content addressing before any decode."""
+    from raylink.ops.multimodal import media_dedup, media_from_documents
+
+    return media_dedup(media_from_documents(_docs(sf_dir)))
+
+
+def q_media_features(sf_dir: str):
+    """Decode features over a deterministic media corpus derived from the
+    documents table (text bytes wrapped as RLNKIMG1 blobs) — the byte
+    histogram is recomputed by the SQL oracle, so this is hash-exact. The
+    PRNG synth_media plumbing path stays covered in pytest."""
+    from raylink.ops.multimodal import media_features, media_from_documents
+
+    feats = media_features(
+        media_from_documents(_docs(sf_dir)), batch_size=64, concurrency=2
+    )
+    return feats.map_batches(_flatten_media_features, batch_format="pyarrow")
+
+
+def q_media_bmp_features(sf_dir: str):
+    """Decode features over REAL image files: each document's text bytes
+    encoded as a genuine 8-bit grayscale BMP (identity palette, padded
+    bottom-up row — any image viewer opens these), decoded by the
+    pure-numpy BMP parser in DecodeMedia's real-codec chain. Same byte
+    histogram as q_media_features, so the same SQL oracle applies —
+    the previously-unexecuted non-RLNK decode path, oracle-gated
+    (VERDICT r4 item 4)."""
+    from raylink.ops.multimodal import media_bmp_from_documents, media_features
+
+    feats = media_features(
+        media_bmp_from_documents(_docs(sf_dir)), batch_size=64, concurrency=2
+    )
+    return feats.map_batches(_flatten_media_features, batch_format="pyarrow")
+
+
+def q_media_resize(sf_dir: str):
+    """Nearest-neighbour resize of the document-derived media corpus to 8x8;
+    the resized PAYLOAD (pure ASCII — sampled text bytes) is md5-
+    fingerprinted so the SQL oracle can reconstruct it byte-for-byte
+    (media_resize_sql); numpy oracle for the resample itself in pytest
+    (test_media_resize)."""
+    import hashlib
+
+    from raylink.ops.multimodal import media_from_documents, resize_media
+
+    resized = resize_media(media_from_documents(_docs(sf_dir)), out_w=8, out_h=8,
+                           concurrency=2)
+
+    def fp(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(bytes(b)[12:]).hexdigest()  # payload only (ASCII)
+            for b in batch.column("media").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "width": batch.column("width"),
+                "height": batch.column("height"),
+                "fp_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return resized.map_batches(fp, batch_format="pyarrow")
+
+
+def q_media_frames(sf_dir: str):
+    """Frame sampling over 'video'-shaped blobs (docs text bytes chunked as
+    16x4 frames), every 2nd frame; rows-only, pytest oracle
+    (test_frame_sampler)."""
+    from raylink.ops.multimodal import sample_frames, media_from_documents
+    import struct as _struct
+
+    media = media_from_documents(_docs(sf_dir))
+
+    def as_video(batch: pa.Table) -> pa.Table:
+        # reinterpret each blob's payload as 16x4-byte frames
+        blobs = []
+        for b in batch.column("media").to_pylist():
+            b = bytes(b)
+            blobs.append(b[:8] + _struct.pack("<HH", 16, 4) + b[12:])
+        return pa.table(
+            {"media_id": batch.column("media_id"),
+             "media": pa.array(blobs, type=pa.binary())}
+        )
+
+    frames = sample_frames(media.map_batches(as_video, batch_format="pyarrow"),
+                           every=2, concurrency=2)
+    return frames.map_batches(
+        lambda b: pa.table({"media_id": b.column("media_id"),
+                            "frame_idx": b.column("frame_idx")}),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_y4m_frames(sf_dir: str):
+    """Frame sampling over REAL video containers: each document's text
+    bytes become a genuine YUV4MPEG2 stream (Cmono, 16x4 luma frames —
+    any ffmpeg build opens these), parsed by the pure-numpy Y4M decoder in
+    FrameSampler's container chain, every 2nd frame kept. Unlike the
+    rows-only RLNK `media_frames`, this pins the PAYLOAD: frame_md5 is the
+    md5 of the 64 text bytes the frame carries, recomputed by the SQL
+    oracle with substr+md5 — the real-video path, hash-exact."""
+    import hashlib
+
+    from raylink.ops.multimodal import encode_y4m_gray, sample_frames
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            bs = np.frombuffer((t or "").encode("utf-8"), np.uint8)
+            nf = len(bs) // 64
+            if nf == 0:
+                continue
+            ids.append(i)
+            blobs.append(encode_y4m_gray(bs[: nf * 64], 16, 4))
+        return pa.table(
+            {"media_id": pa.array(ids, pa.int64()),
+             "media": pa.array(blobs, pa.binary())}
+        )
+
+    frames = sample_frames(
+        _docs(sf_dir).map_batches(wrap, batch_format="pyarrow"),
+        every=2, concurrency=2,
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(bytes(f)[12:]).hexdigest()  # strip the RLNK header
+            for f in batch.column("frame").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "frame_idx": batch.column("frame_idx"),
+                "frame_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return frames.map_batches(fp, batch_format="pyarrow")
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition signals per doc (top-word / dup-char /
+    top-bigram fractions) — a streaming map-only stage, no shuffle."""
+    from raylink.ops.textstats import repetition_stats
+
+    return _docs(sf_dir).map_batches(
+        repetition_stats, batch_format="pyarrow", batch_size=512
+    )
+
+
+def q_pack_windows(sf_dir: str):
+    """Training-sequence packing: assign each doc to the 4096-token shard
+    its exclusive running token total (doc_id order) starts in. Exercises
+    the distributed ordered prefix sum (range-bucket histogram + per-bucket
+    scan — the driver holds O(buckets))."""
+    from raylink.ops.select import pack_windows
+    from raylink.ops.textstats import TextStats
+
+    toks = _docs(sf_dir).map_batches(
+        TextStats, batch_format="pyarrow", batch_size=512, concurrency=(1, 2)
+    ).select_columns(["doc_id", "n_tokens"])
+    return pack_windows(toks, "doc_id", "n_tokens", budget=PACK_BUDGET)
+
+
+def q_boilerplate(sf_dir: str):
+    """CCNet-style boilerplate-line removal over a deterministically
+    line-structured corpus (the documents table has no newlines, so lines
+    are planted — the pii_scan precedent): even doc_ids get a shared promo
+    header line 'promo variant <doc_id % 3>', and every doc's body splits
+    into its first-8-words line plus the remainder line.
+    ``remove_boilerplate(min_docs=20)`` then drops every line shared by
+    >= 20 distinct docs (the three promo variants; an incidentally shared
+    body line would be dropped identically by engine and oracle). Output
+    (doc_id, clean_text, n_removed, n_lines)."""
+    from raylink.ops.textstats import remove_boilerplate
+
+    return remove_boilerplate(_planted_lines(sf_dir), min_docs=BOILER_MIN_DOCS)
+
+
+def q_line_dedup(sf_dir: str):
+    """Global first-occurrence line dedup (RefinedWeb/C4-style) over the
+    planted line corpus: every line survives only at its minimal
+    (doc_id, position) occurrence corpus-wide
+    (ops/textstats.dedup_lines). -> (doc_id, clean_text, n_removed,
+    n_lines)."""
+    from raylink.ops.textstats import dedup_lines
+
+    return dedup_lines(_planted_lines(sf_dir))
+
+
+def q_cms_topk(sf_dir: str):
+    """Count-min-sketch word-frequency estimation: exact top-50 tokens with
+    their CMS estimates (register table built distributed, bounded by the
+    sketch size; est >= cnt one-sided error surfaced as a column)."""
+    from raylink.ops.sketch import cms_word_topk
+
+    return cms_word_topk(_docs(sf_dir), k=50)
+
+
+def q_chunk_docs(sf_dir: str):
+    """RAG/pretraining chunking: 64-word windows starting every 48 words
+    (16-word overlap) -> (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    from raylink.ops.select import chunk_docs
+
+    return chunk_docs(_docs(sf_dir), chunk=64, overlap=16)
+
+
+def q_dataset_checksum(sf_dir: str):
+    """Order-invariant documents checksum (XOR of per-row hashes) — the
+    integrity check a resumable 100-TB pipeline runs after every stage."""
+    from raylink.ops.select import dataset_checksum
+
+    return dataset_checksum(_docs(sf_dir))
+
+
+def q_quality_filter(sf_dir: str):
+    """Percentile-threshold curation filter: keep docs whose model score
+    reaches the corpus P80 — score with the actor-pool linear model, take
+    the exact distributed quantile (histogram shuffle carries distinct
+    score values only), broadcast the one threshold scalar, filter in a
+    shuffle-free scan. The scoring scan runs twice (quantile + filter);
+    both are shuffle-free. -> (doc_id, score) survivors."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.select import group_quantiles
+    from raylink.ops.textstats import linear_score
+
+    sc = linear_score(_docs(sf_dir)).select_columns(["doc_id", "score"])
+    keyed = sc.map_batches(
+        lambda b: pa.table(
+            {"k": pa.array(np.zeros(b.num_rows, np.int64)),
+             "score": b.column("score")}
+        ),
+        batch_format="pyarrow",
+    )
+    rows = group_quantiles(keyed, "k", "score", [0.8]).take_all()
+    t = int(rows[0]["score"])
+    return sc.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("score"), t)),
+        batch_format="pyarrow",
+    )
+
+
+def q_source_quality(sf_dir: str):
+    """Per-source quality report: doc count and mean linear-model score
+    per `source` value — integer score sums per batch on dictionary codes,
+    bounded combine tree (sources are a small vocabulary), one IEEE
+    division per source. -> (source, n_docs, sum_score, mean_score)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from raylink.join import tree_groupby_sum
+    from raylink.ops.textstats import LinearScorer
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    class _Partial:
+        def __init__(self) -> None:
+            self.scorer = LinearScorer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            y = self.scorer(batch).column("score").to_numpy(
+                zero_copy_only=False
+            )
+            src = batch.column("source")
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            enc = src.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            ns = len(enc.dictionary)
+            s = np.zeros(ns, np.int64)
+            np.add.at(s, codes, y)
+            return pa.table(
+                {
+                    "source": enc.dictionary,
+                    "n": pa.array(
+                        np.bincount(codes, minlength=ns).astype(np.int64)
+                    ),
+                    "s": pa.array(s),
+                }
+            )
+
+    partials = docs.map_batches(
+        _Partial, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    agg = tree_groupby_sum(partials, ["source"], ["n", "s"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False)
+        s = b.column("sum(s)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": pa.array(n),
+                "sum_score": pa.array(s),
+                "mean_score": pa.array(s / n),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_corr_length_quality(sf_dir: str):
+    """Signed r^2 between document length (chars) and the linear-model
+    quality score — the pre-training sanity correlation, sqrt-free so it
+    mirrors exactly: integer partial sums (n, Sx, Sy, Sxy, Sxx, Syy) per
+    batch, python-int driver fold (arbitrary precision), sign(cov) *
+    cov^2/(varx*vary) with the two big-int->double conversions and one
+    IEEE division identical on both engines, ROUND 6.
+    -> one row (n_docs, signed_r2)."""
+    import pyarrow.compute as pc
+
+    from raylink.ops.textstats import LinearScorer
+
+    class _Partial:
+        def __init__(self) -> None:
+            self.scorer = LinearScorer()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            scored = self.scorer(batch)
+            y = scored.column("score").to_numpy(zero_copy_only=False)
+            x = pc.utf8_length(
+                pc.fill_null(batch.column("text").combine_chunks(), "")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            p = pearson_partials(x, y)
+            return pa.table(
+                {k: pa.array([v], type=pa.int64()) for k, v in p.items()}
+            )
+
+    rows = _docs(sf_dir).map_batches(
+        _Partial, batch_format="pyarrow", concurrency=(1, 8)
+    ).take_all()  # one tiny row per batch
+    n = sum(r["n"] for r in rows)
+    sx = sum(r["sx"] for r in rows)
+    sy = sum(r["sy"] for r in rows)
+    sxy = sum(r["sxy"] for r in rows)
+    sxx = sum(r["sxx"] for r in rows)
+    syy = sum(r["syy"] for r in rows)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    if dx * dy == 0:
+        r2 = 0.0
+    else:
+        r2 = float(num * num) / float(dx * dy)  # exact-int -> double, 1 div
+        if num < 0:
+            r2 = -1.0 * r2
+    return pa.table(
+        {
+            "n_docs": pa.array([n], type=pa.int64()),
+            "signed_r2": pa.array([round_half_away(np.float64(r2), 6)],
+                                  type=pa.float64()),
+        }
+    )
+
+
+def q_quality_score(sf_dir: str):
+    """Hashed-feature linear model scoring (the curation pipeline's
+    quality-classifier inference stage): integer weights derived from
+    splitmix64(fnv1a(word) % dim XOR splitmix64(seed)), per-doc score =
+    int64 sum over word occurrences, label = score > 0. Actor-pool scan,
+    zero shuffle. Exact oracle (hash/weight formula mirrored in SQL)."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import linear_score
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return linear_score(docs).sort("doc_id")
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source 8-gram contamination matrix over the documents table
+    (ops/dedup.source_overlap): distinct shared grams per unordered
+    source pair. -> (source_a, source_b, shared_grams)."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import source_overlap
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return source_overlap(docs, n=8)
+
+
+def q_centroid_similarity(sf_dir: str):
+    """Per-label centroid cosine matrix over the embeddings table
+    (ops/similarity.centroid_similarity): which labels sit close in
+    embedding space. -> (label_a, label_b, cosine) rounded to 6."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import centroid_similarity
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+    return centroid_similarity(emb)
+
+
+def q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding corpus (k=8, 3 centroid
+    updates + final hard assignment) — the clustering stage of semantic
+    curation (cluster-then-filter / SemDeDup-style pipelines). INTEGER-
+    EXACT end to end (fixed-point quantization, int64 distances, pure-
+    integer centroid rounding), so the unrolled SQL oracle matches
+    bit-for-bit; see ops.similarity.kmeans_lloyd for the scale shape
+    (broadcast centroids, k x (dim+1) int64 partial rows per batch,
+    bounded combine tree, O(k x dim) driver state).
+    -> (vec_id, cluster)."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import kmeans_lloyd
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_lloyd(emb, k=8, rounds=3)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic near-dup pruning (cluster with Lloyd
+    k-means, then inside each cluster drop every vector with a
+    smaller-vec_id neighbor within int64 squared-L2 ``tau``) — the
+    embedding sibling of dedup_exact/dedup_minhash; see
+    ops.similarity.semantic_dedup for the scale contract (quadratic term
+    bounded per cluster; k grows with the corpus).
+    -> (vec_id, cluster) survivors."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import semantic_dedup
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(emb, k=8, rounds=3)
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic train/val/test split audit: every doc is assigned by
+    splitmix64(doc_id ^ 17) % 100 (< 80 train, < 90 val, else test) and
+    the per-(source, split) doc counts + char sums are reported — the
+    dataset-versioning step before packing; the hash IS the coin, so the
+    assignment is stable under any partitioning/replay."""
+    import ray.data as rd
+
+    from raylink.ops.select import train_split
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return train_split(docs, seed=SPLIT_SEED, bounds=SPLIT_BOUNDS)
+
+
+def q_pca_project(sf_dir: str):
+    """1-D PCA reduce of the embedding corpus: integer power iteration on
+    the exact int64 Gram matrix (uncentered), then every vector's exact
+    integer projection onto the resulting direction — spectral ordering /
+    dominant-axis diagnostics with no float on the engine/oracle
+    boundary."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import pca_project
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(emb, rounds=12)
+
+
+def q_lang_fertility(sf_dir: str):
+    """Per-language tokenizer-fertility audit: doc counts, exact RE2 token
+    totals and utf8 char totals per lang — the chars-per-token comparison
+    behind tokenizer/vocab allocation in a training mix."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import lang_fertility
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return lang_fertility(docs)
+
+
+def q_kmeans_inertia(sf_dir: str):
+    """Per-cluster k-means quality: member counts + exact int64
+    within-cluster squared-error sums against the final Lloyd centroids —
+    the elbow/convergence audit of the clustering stage."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import kmeans_inertia
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_inertia(emb, k=8, rounds=3)
+
+
+def q_cluster_labels(sf_dir: str):
+    """Cluster x label contingency of the Lloyd assignment vs the corpus
+    label column — the purity / external-evaluation audit."""
+    import ray.data as rd
+
+    from raylink.ops.similarity import cluster_label_counts
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return cluster_label_counts(emb, k=8, rounds=3)
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Vocabulary-richness profile per document (type/token counts, hapax
+    count, Yule's-K repeat mass) — integer-exact, one streaming actor-pool
+    pass, zero shuffle."""
+    from raylink.ops.textstats import lexical_diversity
+
+    return lexical_diversity(_docs(sf_dir))
+
+
+def q_quantized_knn(sf_dir: str):
+    """Int8 scalar-quantized brute kNN (the 4x-memory embedding-search
+    scale path): exact integer dot products over per-vector max-abs
+    quantization; broadcast query matrix, per-batch local top-k, bounded
+    merge."""
+    from raylink.ops.similarity import quantized_knn
+
+    return quantized_knn(_emb(sf_dir), query_ids=list(range(10)), k=5)
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact kNN GRAPH construction (k=3 for every vector) — the building
+    block of graph-based ANN indexes and agglomerative clustering; block-
+    pair replication, per-group local top-k, one groupby merge. O(N^2)
+    compute because exact; ``knn_join`` is the approximate scale path."""
+    from raylink.ops.similarity import knn_all
+
+    return knn_all(_emb(sf_dir), k=3)
+
+
+def q_knn_outliers(sf_dir: str):
+    """kNN outlier detection (Ramaswamy): the 20 vectors with the lowest
+    3rd-nearest-neighbor cosine — off-distribution document flagging for
+    curation; knn_graph + distributed sort + limit."""
+    from raylink.ops.similarity import knn_outliers
+
+    return knn_outliers(_emb(sf_dir), k=3, top_n=20)
+
+
+def q_mmr_rerank(sf_dir: str):
+    """Maximal-Marginal-Relevance diversified top-5 from the 20 nearest
+    candidates of query vector 0 (lambda=0.7) — retrieval reranking with a
+    diversity penalty; distributed candidate scan, bounded greedy."""
+    from raylink.ops.similarity import mmr_rerank
+
+    return mmr_rerank(_emb(sf_dir), query_id=0, n_candidates=20, k=5)
+
+
+def q_kcenter(sf_dir: str):
+    """Greedy k-center coreset selection (Gonzalez farthest-point, k=8
+    from vec_id 0) — diversity sampling for subset selection; k
+    distributed scans, one winning row per step on the driver."""
+    from raylink.ops.similarity import kcenter_select
+
+    return kcenter_select(_emb(sf_dir), k=8, start_id=0)
+
+
+def q_distinctive_terms(sf_dir: str):
+    """Per-source distinctive vocabulary: top-10 words per source by int64
+    fixed-point chi-squared association — the training-mix composition
+    audit; one word-hash bucket shuffle."""
+    import ray.data as rd
+
+    from raylink.ops.textstats import distinctive_terms
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return distinctive_terms(docs, k=10)
+
+
+def q_blocklist_filter(sf_dir: str):
+    """Blocklist phrase gate: per-doc non-overlapping hit counts for a
+    fixed phrase list, blocked = total > 2; one streaming Arrow
+    count_substring pass."""
+    from raylink.ops.textstats import blocklist_filter
+
+    return blocklist_filter(_docs(sf_dir))
+
+
+def q_quality_ranks(sf_dir: str):
+    """Rank/percentile transform of the TextStats quality score (RANK()
+    tie semantics, fixed-point percentile) — score calibration before
+    thresholding a filter at a target keep rate; grid-bounded histogram
+    broadcast, one streaming lookup pass."""
+    from raylink.ops.textstats import quality_ranks
+
+    return quality_ranks(_docs(sf_dir))

@@ -2990,6 +2990,48 @@ def test_wav_decode_8_and_16_bit():
     assert (w, h) == (3, 2) and len(px) == 6
 
 
+def test_y4m_roundtrip_and_c420():
+    """Real video container: encode_y4m_gray -> _y4m_decode round-trips
+    luma bytes exactly; a hand-built C420 stream keeps the Y plane and
+    skips the quarter-size U+V planes; FrameSampler consumes the container
+    through its dispatch chain."""
+    import numpy as np
+
+    from raylink.ops.multimodal import (
+        FrameSampler, _y4m_decode, encode_y4m_gray,
+    )
+
+    frames = np.arange(3 * 4 * 2, dtype=np.uint8).reshape(3, 8)  # 3x (4x2)
+    blob = encode_y4m_gray(frames, 4, 2)
+    assert blob.startswith(b"YUV4MPEG2 W4 H2 ")
+    w, h, px = _y4m_decode(blob)
+    assert (w, h) == (4, 2)
+    assert np.array_equal(px, frames.reshape(-1))
+
+    # C420: Y plane (4x2) + U,V planes (2x1 each) per frame
+    y0, y1 = bytes(range(8)), bytes(range(8, 16))
+    c420 = (
+        b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
+        + b"FRAME\n" + y0 + b"\x77\x88" + b"\x99\xaa"
+        + b"FRAME\n" + y1 + b"\xbb\xcc" + b"\xdd\xee"
+    )
+    w, h, px = _y4m_decode(c420)
+    assert (w, h) == (4, 2)
+    assert px.tobytes() == y0 + y1
+
+    import pyarrow as pa
+    import pytest as _pytest
+
+    out = FrameSampler(every=2)(
+        pa.table({"media_id": pa.array([7], pa.int64()),
+                  "media": pa.array([blob], pa.binary())})
+    )
+    assert out.column("frame_idx").to_pylist() == [0, 2]
+
+    with _pytest.raises(ValueError):
+        _y4m_decode(b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n\x00\x01")  # truncated
+
+
 def test_media_dedup(ray_session):
     import ray.data as rd
 
@@ -3247,11 +3289,19 @@ def test_knn_all_matches_brute(ray_session):
 
     tbl = _emb_table(n=90)
     ds = rd.from_arrow(tbl)
-    got = knn_all(ds, k=5, num_blocks=4).to_pandas()
-    exp = _brute_topk(tbl, [0, 7, 33, 89], 5)
-    for q in [0, 7, 33, 89]:
-        sub = got[got["vec_id"] == q].sort_values("rank")
-        assert list(zip(sub["neighbor_id"], sub["cosine"])) == exp[q]
+    # EVERY vector, two block geometries (different per-group candidate
+    # counts nc): the r5 argpartition rewrite's masked-sentinel sort-key
+    # bug only showed at specific nc values (caught by the sf0.01 sweep,
+    # missed by a 4-query sample) — never sample here again
+    all_ids = list(range(90))
+    exp = _brute_topk(tbl, all_ids, 5)
+    for nb in (4, 8):
+        got = knn_all(ds, k=5, num_blocks=nb).to_pandas()
+        for q in all_ids:
+            sub = got[got["vec_id"] == q].sort_values("rank")
+            assert list(zip(sub["neighbor_id"], sub["cosine"])) == exp[q], (
+                nb, q,
+            )
 
 
 def test_quantized_knn_values(ray_session):

@@ -218,3 +218,21 @@ def test_ed1_equals_levenshtein(a, b):
         for j, cb in enumerate(b, 1):
             prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
     assert _ed1(a, b) == (dp[len(b)] == 1)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_gray8_roundtrip_property(w, h, seed):
+    """encode_bmp_gray8 -> _bmp_decode is the identity on arbitrary
+    dimensions (every stride-padding / flip case), pixels exact."""
+    from raylink.ops.multimodal import _bmp_decode, encode_bmp_gray8
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+    got_w, got_h, got = _bmp_decode(encode_bmp_gray8(px, w, h))
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, px)
