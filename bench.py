@@ -1375,6 +1375,19 @@ if __name__ == "__main__":
         print(json.dumps(run_cluster()))
     elif "--skew-bench" in sys.argv:
         print(json.dumps(run_skew_bench()))
+    elif "--chaos" in sys.argv:
+        # node-loss validation: SIGKILL the worker raylet mid-PageRank on a
+        # two-raylet cluster; asserts bit-identical ranks either via Ray
+        # task retry / lineage reconstruction or checkpoint resume
+        rc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "chaos_validate.py")],
+            env={k: v for k, v in os.environ.items() if k != "RAY_ADDRESS"},
+            capture_output=True, text=True, timeout=1800,
+        )
+        print(rc.stdout.strip().splitlines()[-1] if rc.stdout.strip()
+              else json.dumps({"error": rc.stderr[-300:]}))
     elif "--bpe-bench" in sys.argv:
         print(json.dumps(run_bpe_bench()))
     elif "--shuffle-bench" in sys.argv:
