@@ -108,14 +108,17 @@ def orchestrate() -> int:
         for line in proc.stdout.splitlines():
             if line.startswith("RANKS_MD5="):
                 md5 = line.split("=", 1)[1]
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-2000:] + "\n")
         return proc.returncode, md5, wall
 
-    teardown()
-    shutil.rmtree(TMPDIR, ignore_errors=True)
-    shutil.rmtree(GDIR, ignore_errors=True)
-    shutil.rmtree(CKPT, ignore_errors=True)
-    out: dict = {"metric": "worker-raylet SIGKILL mid-PageRank, bit-identical"}
-    try:
+    def start_cluster():
+        # a SIGKILLed raylet can leave the survivor degraded; chaos
+        # recovery always resumes on a freshly restarted cluster (graph
+        # shards + per-superstep checkpoints live on shared storage and
+        # survive the restart — that is the point of the layout)
+        teardown()
+        shutil.rmtree(TMPDIR, ignore_errors=True)
         subprocess.run(
             ["ray", "start", "--head", f"--port={PORT}", "--num-cpus=8",
              "--include-dashboard=false", "--disable-usage-stats",
@@ -127,6 +130,12 @@ def orchestrate() -> int:
              "--disable-usage-stats"],
             env=env, check=True, capture_output=True, text=True,
         )
+
+    shutil.rmtree(GDIR, ignore_errors=True)
+    shutil.rmtree(CKPT, ignore_errors=True)
+    out: dict = {"metric": "worker-raylet SIGKILL mid-PageRank, bit-identical"}
+    try:
+        start_cluster()
         # control: undisturbed run (also builds + persists the graph)
         rc, control_md5, control_wall = run_driver(ckpt_fresh=True)
         assert rc == 0 and control_md5, "control run failed"
@@ -158,14 +167,43 @@ def orchestrate() -> int:
             out["scenario"] = "survived_inflight"  # task retry / lineage
             out["chaos_md5"] = md5
         else:
-            # driver lost objects beyond reconstruction: resume from the
-            # per-superstep checkpoint on the surviving node
+            # driver lost objects beyond reconstruction: restart the
+            # cluster and resume from the per-superstep checkpoint
+            start_cluster()
             rc2, md5, resume_wall = run_driver(ckpt_fresh=False)
             assert rc2 == 0 and md5, "resume driver failed after node loss"
             out["scenario"] = "resumed_from_checkpoint"
             out["chaos_md5"] = md5
             out["resume_sec"] = round(resume_wall, 2)
         out["bit_identical"] = out["chaos_md5"] == control_md5
+
+        # scenario 2: kill the DRIVER mid-run (process crash, not node
+        # loss) and resume from the per-superstep checkpoint — the weekly
+        # operations case (driver OOM/preemption). Must also be
+        # bit-identical. Fresh cluster so scenario 1's node loss cannot
+        # bleed into this measurement.
+        start_cluster()
+        shutil.rmtree(CKPT, ignore_errors=True)
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--driver"],
+            env=env, cwd=here, stdout=subprocess.PIPE, text=True,
+        )
+        for line in proc.stdout:  # type: ignore[union-attr]
+            if line.startswith("PR_START"):
+                time.sleep(kill_delay)
+                proc.kill()
+                break
+        proc.wait(timeout=120)
+        rc3, md5_d, resume_wall = run_driver(ckpt_fresh=False)
+        assert rc3 == 0 and md5_d, "resume after driver kill failed"
+        out["driver_kill"] = {
+            "resumed_md5": md5_d,
+            "bit_identical": md5_d == control_md5,
+            "resume_sec": round(resume_wall, 2),
+        }
+        out["bit_identical"] = (
+            out["bit_identical"] and md5_d == control_md5
+        )
     finally:
         teardown()
         shutil.rmtree(GDIR, ignore_errors=True)
