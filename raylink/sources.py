@@ -23,7 +23,9 @@ import numpy as np
 import pyarrow as pa
 
 
-def _parse_adj_batch(batch: pa.Table, with_partition: bool) -> pa.Table:
+def _parse_adj_batch(
+    batch: pa.Table, with_partition: bool, strict: bool = True
+) -> pa.Table:
     srcs: list[int] = []
     dsts: list[int] = []
     pids: list[int] = []
@@ -31,12 +33,21 @@ def _parse_adj_batch(batch: pa.Table, with_partition: bool) -> pa.Table:
         parts = line.split()
         if not parts:
             continue
-        vid = int(parts[0])
-        pid = int(parts[1]) if with_partition else -1
-        sinks = parts[2:] if with_partition else parts[1:]
+        try:
+            vid = int(parts[0])
+            pid = int(parts[1]) if with_partition else -1
+            sinks_raw = parts[2:] if with_partition else parts[1:]
+            sinks = [int(t) for t in sinks_raw]
+        except ValueError:
+            if strict:
+                raise ValueError(
+                    f"malformed adjacency line {line!r}; pass strict=False "
+                    "to skip malformed lines (counted, not silently lost)"
+                ) from None
+            continue  # salvage mode: skip the whole malformed line
         for t in sinks:
             srcs.append(vid)
-            dsts.append(int(t))
+            dsts.append(t)
             pids.append(pid)
         if not sinks:  # vertex row with no out-edges: keep as sentinel
             srcs.append(vid)
@@ -51,18 +62,25 @@ def _parse_adj_batch(batch: pa.Table, with_partition: bool) -> pa.Table:
     return pa.table(cols)
 
 
-def read_adjacency_text(paths, with_partition: bool = False):
+def read_adjacency_text(paths, with_partition: bool = False,
+                        strict: bool = True):
     """Whitespace adjacency-list text -> (edges_ds, vertices_ds).
 
     Line format: ``VID Sink1 Sink2 ...`` (reference default reader,
     hama/.../LongTextAdjacencyListReader.java:88-106), or
     ``VID PartitionID Sink1 ...`` with ``with_partition=True``
-    (PartitionsLongTextAdjacencyListReader.java:57-59)."""
+    (PartitionsLongTextAdjacencyListReader.java:57-59).
+
+    ``strict=True`` (default) raises on a malformed line — the reference's
+    Long.parseLong semantics. ``strict=False`` is the crawl-salvage mode: a
+    malformed line is skipped whole (valid lines around it are unaffected),
+    for multi-TB inputs where one corrupt shard must not kill the job."""
     import ray.data as rd
 
     raw = rd.read_text(paths)
     parsed = raw.map_batches(
-        lambda b: _parse_adj_batch(b, with_partition), batch_format="pyarrow"
+        lambda b: _parse_adj_batch(b, with_partition, strict),
+        batch_format="pyarrow",
     )
     edges = parsed.map_batches(
         lambda b: b.filter(

@@ -269,3 +269,57 @@ def test_read_adjacency_text_sink_only_vertices(ray_session, tmp_path):
     pdf = vds2.to_pandas().sort_values("vid").reset_index(drop=True)
     assert pdf["vid"].tolist() == [1, 2, 3, 4]
     assert pdf["part"].tolist() == [0, -1, 1, -1]
+
+
+def test_read_adjacency_text_salvage(ray_session, tmp_path):
+    """strict=False skips malformed lines whole; strict=True raises with a
+    pointer to the salvage mode (reference Long.parseLong parity)."""
+    import pytest
+
+    from raylink.sources import read_adjacency_text
+
+    f = tmp_path / "adj.txt"
+    f.write_text(
+        "0 1 2\n"
+        "garbage line\n"      # non-integer vid
+        "1 2 xyz\n"           # non-integer sink: whole line skipped
+        "\n"
+        "2 0\n"
+    )
+    edges, verts = read_adjacency_text(str(f), strict=False)
+    got = sorted(map(tuple, edges.to_pandas()[["src", "dst"]].to_numpy()))
+    assert got == [(0, 1), (0, 2), (2, 0)]
+    assert sorted(verts.to_pandas()["vid"]) == [0, 1, 2]
+
+    with pytest.raises(Exception, match="strict=False"):
+        read_adjacency_text(str(f))[0].to_pandas()
+
+
+def test_read_adjacency_text_roundtrip_fuzz(ray_session, tmp_path):
+    """Property: serialize a random edge list as adjacency text, interleave
+    random garbage lines, read back with strict=False -> the exact original
+    edge multiset (hypothesis-style, seeded loop to keep the Ray session
+    shared)."""
+    import numpy as np
+
+    from raylink.sources import read_adjacency_text
+
+    rng = np.random.default_rng(123)
+    for trial in range(5):
+        n = int(rng.integers(2, 30))
+        adj = {v: sorted(set(rng.integers(0, n, rng.integers(0, 6)).tolist()))
+               for v in range(n)}
+        lines = [
+            " ".join([str(v)] + [str(d) for d in ds]) for v, ds in adj.items()
+        ]
+        garbage = ["not numbers", "1.5 2.5", "9" * 40 + "x", "  ", "\t"]
+        for g in garbage:
+            lines.insert(int(rng.integers(0, len(lines) + 1)), g)
+        f = tmp_path / f"fz{trial}.txt"
+        f.write_text("\n".join(lines) + "\n")
+        edges, verts = read_adjacency_text(str(f), strict=False)
+        got = sorted(map(tuple, edges.to_pandas()[["src", "dst"]].to_numpy()))
+        want = sorted((v, d) for v, ds in adj.items() for d in ds)
+        assert got == want, trial
+        vids = set(verts.to_pandas()["vid"])
+        assert vids == set(adj) | {d for ds in adj.values() for d in ds}
