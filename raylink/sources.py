@@ -42,7 +42,7 @@ def _parse_adj_batch(
             if strict:
                 raise ValueError(
                     f"malformed adjacency line {line!r}; pass strict=False "
-                    "to skip malformed lines (counted, not silently lost)"
+                    "to skip malformed lines whole"
                 ) from None
             continue  # salvage mode: skip the whole malformed line
         for t in sinks:
