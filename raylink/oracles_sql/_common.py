@@ -1,5 +1,5 @@
-"""ANSI-SQL oracles (DuckDB dialect) for every SQL-expressible query in
-``__ray_entry__.queries()``.
+"""Shared CTE snippets, 64-bit-arithmetic mirrors and helpers for the
+raylink.oracles_sql domain modules.
 
 The synthetic page corpus embeds a link graph with a closed form
 (raylink/synth.py LINK SPEC v1), so even the HTML-extraction pipeline and the

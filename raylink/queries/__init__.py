@@ -1,4 +1,15 @@
-"""Named query implementations backing ``__ray_entry__.queries()``, split by domain (graph / relational / curation / events / crawl); ``from raylink.queries import q_x`` keeps working for every query."""
+"""Named query implementations backing ``__ray_entry__.queries()``, split
+by domain (graph / relational / curation / events / crawl);
+``from raylink.queries import q_x`` keeps working for every query.
+
+Each function takes ``sf_dir`` (a testdata scale directory) and returns a
+Ray Dataset / pyarrow Table. Column names and types match the corresponding
+SQL oracle in ``raylink.oracles_sql`` exactly (the driver hash-compares
+values). Graph queries run over the synthetic page corpus derived from
+``documents`` (LINK SPEC v1, raylink/synth.py) with the 'mod' partitioner
+and P=8 so subgraph identities are SQL-checkable; BSP checkpoints live
+under deterministic /tmp keys — repeated calls resume instead of
+recomputing."""
 
 from raylink.queries._common import (  # noqa: F401
     PR_ITERS,

@@ -1,4 +1,5 @@
-"""Named query implementations backing ``__ray_entry__.queries()``.
+"""Shared constants + helpers for the raylink.queries domain modules
+(graph / relational / curation / events / crawl).
 
 Each function takes ``sf_dir`` (a testdata scale directory) and returns a Ray
 Dataset / pyarrow Table. Column names and types match the corresponding SQL
