@@ -1233,6 +1233,74 @@ def run_skew_bench() -> dict:
     return out
 
 
+def run_dedup_skew_bench() -> dict:
+    """Boilerplate-cluster adversarial leg: a corpus where one template
+    accounts for ~4% of all docs as near-identical mutations — the
+    LSH-bucket analog of the graph supernode. Candidate generation is
+    O(K^2) per bucket, so the cluster dominates the uncapped wall; the
+    ``max_bucket`` star-pair guard must collapse it to O(K) while keeping
+    the cluster connected (cluster-preservation is pytest-pinned;
+    this leg pins the WALL and the pair-count ratio per round)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _init_ray()
+    import ray.data as rd
+
+    from raylink.ops.dedup import minhash_pairs
+
+    n_total = int(os.environ.get("RAYLINK_DEDUP_SKEW_N", "50000"))
+    n_cluster = int(os.environ.get("RAYLINK_DEDUP_SKEW_K", "2000"))
+    base = ("breaking news syndicated wire story about the local team "
+            "winning the regional finals in overtime last night ") * 4
+    rng = np.random.default_rng(5)
+
+    from raylink.util import splitmix64
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            if i < n_cluster:
+                texts.append(base + f"filed under local sports item {i}")
+            else:
+                # splitmix-hashed word ids: background docs share no
+                # shingles (an arithmetic-progression id scheme makes the
+                # background its own giant near-dup family)
+                w = splitmix64(
+                    np.uint64(i) * np.uint64(1000)
+                    + np.arange(60, dtype=np.uint64)
+                )
+                texts.append(" ".join(f"w{x % np.uint64(1 << 32)}" for x in w))
+        return pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    _ = rng  # deterministic closed form above; rng kept out of the data path
+    docs = rd.range(n_total, override_num_blocks=NUM_CPUS * 2).map_batches(
+        gen, batch_format="pyarrow"
+    ).materialize()
+
+    t0 = time.perf_counter()
+    full_pairs = minhash_pairs(docs, tau=0.7).count()
+    full_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    star_pairs = minhash_pairs(docs, tau=0.7, max_bucket=64).count()
+    star_wall = time.perf_counter() - t0
+    out = {
+        "metric": "boilerplate-cluster near-dup: uncapped vs max_bucket=64",
+        "n_docs": n_total,
+        "n_cluster": n_cluster,
+        "uncapped_pairs": full_pairs,
+        "uncapped_sec": round(full_wall, 2),
+        "star_pairs": star_pairs,
+        "star_sec": round(star_wall, 2),
+        "pair_ratio": round(full_pairs / max(star_pairs, 1), 1),
+        "speedup": round(full_wall / star_wall, 2),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_cluster(flagship: bool = True) -> dict:
     """Two-raylet cluster validation leg (VERDICT r4 item 1): stand up a real
     `ray start` head + worker on this box, run the validation suite
@@ -1375,6 +1443,8 @@ if __name__ == "__main__":
         print(json.dumps(run_cluster()))
     elif "--skew-bench" in sys.argv:
         print(json.dumps(run_skew_bench()))
+    elif "--dedup-skew-bench" in sys.argv:
+        print(json.dumps(run_dedup_skew_bench()))
     elif "--chaos" in sys.argv:
         # node-loss validation: SIGKILL the worker raylet mid-PageRank on a
         # two-raylet cluster; asserts bit-identical ranks either via Ray

@@ -418,10 +418,23 @@ class MinHasher:
 
 
 def minhash_pairs(
-    docs_ds, n: int = 3, tau: float = 0.7, bands: int = 32, rows: int = 4, seed: int = 7
+    docs_ds, n: int = 3, tau: float = 0.7, bands: int = 32, rows: int = 4,
+    seed: int = 7, max_bucket: int | None = None,
 ):
     """MinHash-LSH near-dup -> Dataset (doc_a, doc_b, jaccard r6), exact
-    Jaccard verified >= tau. b=32 x r=4 => P(catch | j=0.9) ~ 1-1e-15."""
+    Jaccard verified >= tau. b=32 x r=4 => P(catch | j=0.9) ~ 1-1e-15.
+
+    ``max_bucket`` is the boilerplate-cluster scale guard: candidate
+    generation is O(K^2) per band-bucket, so one template with 100k
+    near-identical pages would emit ~5e9 pairs per band. When a bucket
+    exceeds ``max_bucket`` docs, it degrades to STAR pairs — every doc
+    paired with the bucket's min doc, O(K) — which preserves dedup
+    CLUSTERS (connected components over verified pairs: in a boilerplate
+    bucket every doc verifies against the representative, so the component
+    is unchanged) but no longer enumerates every within-cluster pair
+    (pair-level recall trade-off, cluster-level none in the
+    mutually-similar case that creates giant buckets). Default None =
+    exact all-pairs (the oracle-gated path)."""
     hasher = MinHasher(n=n, perms=bands * rows, seed=seed)
     sigs = docs_ds.map_batches(hasher, batch_format="pyarrow")
 
@@ -470,6 +483,10 @@ def minhash_pairs(
         for st, en in zip(starts, ends):
             docs = np.unique(ids[st:en])
             if len(docs) < 2:
+                continue
+            if max_bucket is not None and len(docs) > max_bucket:
+                # giant (boilerplate) bucket: star pairs to the min doc
+                keys.append((docs[0] << np.int64(32)) | docs[1:])
                 continue
             ii, jj = np.triu_indices(len(docs), k=1)
             keys.append((docs[ii] << np.int64(32)) | docs[jj])

@@ -3440,3 +3440,47 @@ def test_waiting_suppliers_semantics(ray_session, tmp_path):
     out = q_waiting_suppliers(str(tmp_path)).to_pandas()
     assert out[["s_name", "numwait"]].values.tolist() == [["S#1", 2]]
     assert out["n_name"].tolist() == ["N0"]
+
+
+def test_minhash_max_bucket_star_preserves_clusters(ray_session):
+    """Boilerplate-cluster scale guard: with max_bucket set, giant LSH
+    buckets emit O(K) star pairs instead of O(K^2) all-pairs, and the
+    connected components over verified pairs (what dedup_clusters consumes)
+    are unchanged while the pair count collapses."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import minhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight ") * 3
+    texts = [base + f"suffix {i}" for i in range(30)]          # one cluster
+    texts += [f"totally unrelated document number {i} with words "
+              f"{'x%d ' % (i * 7) * 12}" for i in range(10)]   # singletons
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+
+    def components(pairs_df):
+        parent = list(range(len(texts)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs_df[["doc_a", "doc_b"]].to_numpy():
+            parent[find(int(a))] = find(int(b))
+        groups = {}
+        for i in range(len(texts)):
+            groups.setdefault(find(i), set()).add(i)
+        return frozenset(frozenset(g) for g in groups.values())
+
+    full = minhash_pairs(docs, tau=0.7).to_pandas()
+    star = minhash_pairs(docs, tau=0.7, max_bucket=8).to_pandas()
+    assert components(full) == components(star)
+    # 30-doc cluster: 435 all-pairs collapse to a few stars (one per
+    # band-bucket minimum; distinct suffixes split some bands)
+    assert len(star) < len(full) / 4
+    assert len(full) >= 400
