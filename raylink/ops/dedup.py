@@ -595,9 +595,15 @@ class SimHasher:
         )
 
 
-def simhash_pairs(docs_ds, max_hamming: int = 3):
+def simhash_pairs(docs_ds, max_hamming: int = 3,
+                  max_bucket: int | None = None):
     """SimHash near-dup: 4x16-bit bands (catches all pairs with hamming <= 3
-    by pigeonhole) + exact hamming verify -> (doc_a, doc_b, hamming)."""
+    by pigeonhole) + exact hamming verify -> (doc_a, doc_b, hamming).
+
+    ``max_bucket``: same boilerplate-cluster O(K^2) guard as
+    ``minhash_pairs`` — an oversized band-bucket degrades to star pairs
+    against its min doc (cluster-preserving in the mutually-similar case;
+    default None = exact all-pairs, the oracle-gated path)."""
     sigs = docs_ds.map_batches(SimHasher(), batch_format="pyarrow").materialize()
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -634,6 +640,10 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
         for st, en in zip(starts, ends):
             docs = np.unique(ids[st:en])
             if len(docs) < 2:
+                continue
+            if max_bucket is not None and len(docs) > max_bucket:
+                # giant (boilerplate) bucket: star pairs to the min doc
+                keys.append((docs[0] << np.int64(32)) | docs[1:])
                 continue
             ii, jj = np.triu_indices(len(docs), k=1)
             keys.append((docs[ii] << np.int64(32)) | docs[jj])

@@ -3484,3 +3484,44 @@ def test_minhash_max_bucket_star_preserves_clusters(ray_session):
     # band-bucket minimum; distinct suffixes split some bands)
     assert len(star) < len(full) / 4
     assert len(full) >= 400
+
+
+def test_simhash_max_bucket_star_preserves_clusters(ray_session):
+    """Same guard as minhash: an oversized simhash band-bucket degrades to
+    star pairs; partitions of the verified-pair graph unchanged."""
+    import ray.data as rd
+
+    from raylink.ops.dedup import simhash_pairs
+
+    base = ("breaking wire story about the annual festival drawing record "
+            "crowds downtown despite the heavy rain yesterday evening ") * 3
+    texts = [base + f"item {i}" for i in range(25)]
+    texts += [f"unrelated doc {i} " + " ".join(
+        f"u{(i * 977 + j * 613) % (1 << 20)}x{j}" for j in range(40)
+    ) for i in range(8)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+
+    def parts(df):
+        parent = list(range(len(texts)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in df[["doc_a", "doc_b"]].to_numpy():
+            parent[find(int(a))] = find(int(b))
+        groups = {}
+        for i in range(len(texts)):
+            groups.setdefault(find(i), set()).add(i)
+        return frozenset(frozenset(g) for g in groups.values())
+
+    full = simhash_pairs(docs).to_pandas()
+    star = simhash_pairs(docs, max_bucket=6).to_pandas()
+    assert len(full) > 0  # the template cluster collides within hamming 3
+    assert parts(full) == parts(star)
+    assert len(star) < len(full)
