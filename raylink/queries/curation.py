@@ -839,6 +839,53 @@ def q_media_frames(sf_dir: str):
     )
 
 
+def q_media_wds_features(sf_dir: str):
+    """REAL container x REAL codec end-to-end: documents text -> genuine
+    8-bit grayscale BMP files -> packed into WebDataset tar shards on disk
+    (stdlib tarfile; `tar tf` opens them) -> shard-parallel read ->
+    DecodeMedia's pure-numpy BMP parser -> byte-histogram features. The
+    full multimodal training-data on-ramp (tar shards are the de-facto
+    storage layout), gated by the same SQL oracle as q_media_features."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from raylink.ops.multimodal import media_bmp_from_documents, media_features
+    from raylink.webdataset import (
+        read_webdataset, select_field, write_webdataset,
+    )
+
+    media = media_bmp_from_documents(_docs(sf_dir))
+    out_dir = f"/tmp/raylink/wds_{cache_key('media_wds', sf_dir)}"
+    # fresh shard set per run: shard names depend on block boundaries, so a
+    # prior run's differently-split shards must not add duplicate samples
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def as_sample(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": pc.cast(batch.column("media_id"), pa.string()),
+             "media": batch.column("media")}
+        )
+
+    write_webdataset(
+        media.map_batches(as_sample, batch_format="pyarrow"), out_dir,
+        columns={"media": "bmp"}, batch_size=256,
+    )
+    blobs = select_field(read_webdataset(out_dir), "bmp", out_col="media")
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"media_id": pc.cast(batch.column("key"), pa.int64()),
+             "media": batch.column("media")}
+        )
+
+    feats = media_features(
+        blobs.map_batches(with_id, batch_format="pyarrow"),
+        batch_size=64, concurrency=2,
+    )
+    return feats.map_batches(_flatten_media_features, batch_format="pyarrow")
+
+
 def q_media_y4m_frames(sf_dir: str):
     """Frame sampling over REAL video containers: each document's text
     bytes become a genuine YUV4MPEG2 stream (Cmono, 16x4 luma frames —

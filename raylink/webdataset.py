@@ -1,0 +1,215 @@
+"""WebDataset-style tar-shard IO — the de-facto container for large-scale
+multimodal training data (a dataset = many POSIX tar shards; a sample = all
+members sharing a basename key, member extensions naming the field).
+Stdlib ``tarfile`` only: shards are REAL tar files `tar tf` and any
+WebDataset loader open.
+
+- ``write_webdataset(ds, out_dir, columns=...)``: one ``.tar`` per input
+  block (content-derived idempotent names + atomic rename — the resumable
+  shard layout, mirroring raylink.warc). Each row's binary/string columns
+  become ``<key>.<ext>`` members, consecutive per sample (the WebDataset
+  contract that lets readers stream without an index).
+- ``read_webdataset(paths)``: ``read_binary_files`` -> per-shard parse
+  (one file = one unit of parallelism), members grouped by basename key ->
+  one row per sample, one binary column per extension + ``__shard__``.
+  Tolerates a truncated final member (salvage: complete samples kept,
+  partial tail counted in ``n_skipped``).
+
+At 100 TB: shard size is set by the WRITER's ``batch_size`` (pick
+payload x batch_size ~ 0.5-1 GiB, the standard WebDataset shard target);
+the reader's parallelism is the shard count, and a sample never spans
+shards, so decode stages (DecodeMedia / FrameSampler actor pools) stream
+shard-by-shard with no cross-file state.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+
+import numpy as np
+import pyarrow as pa
+
+from raylink.warc import _fnv64
+
+
+class _WdsWriteBatch:
+    """map_batches fn: sample block -> one .tar shard + manifest row."""
+
+    def __init__(self, out_dir: str, key_col: str, columns: dict[str, str]):
+        self.out_dir = out_dir
+        self.key_col = key_col
+        self.columns = columns  # column name -> member extension
+        os.makedirs(out_dir, exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = [str(k) for k in batch.column(self.key_col).to_pylist()]
+        if not keys:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "n_samples": pa.array([], type=pa.int64())})
+        cols = {
+            c: batch.column(c).to_pylist() for c in self.columns
+        }
+        h = 0xCBF29CE484222325
+        for k in keys:
+            h = ((h ^ _fnv64(k.encode())) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        name = f"shard-{h:016x}-{len(keys)}.tar"
+        path = os.path.join(self.out_dir, name)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for i, k in enumerate(keys):
+                for c, ext in self.columns.items():
+                    v = cols[c][i]
+                    data = (v.encode("utf-8") if isinstance(v, str)
+                            else bytes(v or b""))
+                    info = tarfile.TarInfo(name=f"{k}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic bytes -> idempotent shard
+                    tf.addfile(info, io.BytesIO(data))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, path)  # atomic: readers never see partial shards
+        return pa.table({"path": pa.array([path]),
+                         "n_samples": pa.array([len(keys)], type=pa.int64())})
+
+
+def write_webdataset(ds, out_dir: str, columns: dict[str, str],
+                     key_col: str = "key", batch_size: int = 1024):
+    """Dataset -> WebDataset tar shards; returns the (small) manifest
+    Dataset (path, n_samples). ``columns`` maps column -> member extension,
+    e.g. ``{"media": "bmp", "meta": "json"}``."""
+    return ds.map_batches(
+        _WdsWriteBatch(out_dir, key_col, columns),
+        batch_format="pyarrow", batch_size=batch_size,
+    ).materialize()
+
+
+def parse_webdataset_shard(data: bytes) -> tuple[list[tuple[str, dict]], int]:
+    """One shard's bytes -> ([(key, {ext: bytes})], n_skipped).
+
+    Samples = maximal runs of members sharing a basename key (the
+    WebDataset adjacency contract). A corrupt / truncated tail drops only
+    the partial sample; complete samples before it survive."""
+    samples: list[tuple[str, dict]] = []
+    skipped = 0
+    cur_key: str | None = None
+    cur: dict = {}
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(data))
+    except (tarfile.TarError, EOFError, OSError):
+        return [], 1  # not a tar at all
+    with tf:
+        while True:
+            try:
+                info = tf.next()
+            except (tarfile.TarError, EOFError, OSError):
+                # truncated HEADER: whether cur had further members is
+                # unknowable -> drop it (complete-samples-only guarantee)
+                skipped += 1
+                cur_key = None
+                break
+            if info is None:
+                break
+            if not info.isfile():
+                continue
+            base = os.path.basename(info.name)
+            key, dot, ext = base.rpartition(".")
+            if not dot:
+                key, ext = base, ""
+            try:
+                payload = tf.extractfile(info).read()
+                if len(payload) != info.size:
+                    raise EOFError("short member payload")
+            except (tarfile.TarError, EOFError, OSError):
+                # truncated PAYLOAD: this member's key closed cur, so cur
+                # is provably complete — keep it; the partial one is lost
+                skipped += 1
+                if key != cur_key and cur_key is not None:
+                    samples.append((cur_key, cur))
+                cur_key = None
+                break
+            if key != cur_key:
+                if cur_key is not None:
+                    samples.append((cur_key, cur))
+                cur_key, cur = key, {}
+            cur[ext] = payload
+    if cur_key is not None:
+        samples.append((cur_key, cur))
+    return samples, skipped
+
+
+class WdsParser:
+    """map_batches fn over read_binary_files rows (one shard per row)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, shards, exts_all, payloads, skips = [], [], [], [], []
+        for path, data in zip(batch.column("path").to_pylist(),
+                              batch.column("bytes").to_pylist()):
+            samples, skipped = parse_webdataset_shard(bytes(data))
+            if not samples and skipped:
+                # fully-corrupt shard: one sentinel row carries the count
+                samples = [("", {})]
+            for i, (k, fields) in enumerate(samples):
+                keys.append(k)
+                shards.append(path)
+                exts_all.append(list(fields.keys()))
+                payloads.append(list(fields.values()))
+                # shard skip count rides on its first row (sum(n_skipped)
+                # over the Dataset == total partial samples dropped)
+                skips.append(skipped if i == 0 else 0)
+        # flat layout: one row per sample; per-sample field lists (a sample
+        # may carry any subset of extensions — schema-free like WebDataset)
+        return pa.table(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "__shard__": pa.array(shards, type=pa.string()),
+                "exts": pa.array(exts_all, type=pa.list_(pa.string())),
+                "payloads": pa.array(payloads, type=pa.list_(pa.binary())),
+                "n_skipped": pa.array(
+                    np.asarray(skips, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )  # explicit types everywhere: an empty shard batch must carry the
+        #    same schema as a full one (Ray unions blocks across files)
+
+
+def read_webdataset(paths, use_actors: bool = False, concurrency=(1, 8)):
+    """WebDataset tar shards -> Dataset (key, __shard__, exts, payloads).
+
+    One shard = one unit of parallelism (same rationale as read_warc).
+    Use ``select_field`` to project one extension to a flat binary column
+    for a decode stage."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(paths, include_paths=True)
+    if use_actors:
+        return files.map_batches(WdsParser, batch_format="pyarrow",
+                                 batch_size=1, concurrency=concurrency)
+    return files.map_batches(lambda b: WdsParser()(b),
+                             batch_format="pyarrow", batch_size=1)
+
+
+def select_field(wds_ds, ext: str, out_col: str = "media"):
+    """Project one member extension -> (key, <out_col>: binary); samples
+    lacking the extension are dropped (count them upstream if needed)."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        exts = batch.column("exts").to_pylist()
+        pays = batch.column("payloads").to_pylist()
+        ok_k, ok_p = [], []
+        for k, es, ps in zip(keys, exts, pays):
+            try:
+                i = es.index(ext)
+            except ValueError:
+                continue
+            ok_k.append(k)
+            ok_p.append(ps[i])
+        return pa.table(
+            {"key": pa.array(ok_k, type=pa.string()),
+             out_col: pa.array(ok_p, type=pa.binary())}
+        )
+
+    return wds_ds.map_batches(pick, batch_format="pyarrow")

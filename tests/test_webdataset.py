@@ -1,0 +1,103 @@
+"""WebDataset tar-shard IO: round-trip, salvage, and the real-format
+contract (shards are genuine POSIX tars)."""
+
+import subprocess
+import tarfile
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_wds_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from raylink.webdataset import (
+        read_webdataset, select_field, write_webdataset,
+    )
+
+    n = 50
+    tbl = pa.table(
+        {
+            "key": pa.array([f"doc{i:04d}" for i in range(n)]),
+            "media": pa.array(
+                [bytes([i % 256]) * (i + 1) for i in range(n)], pa.binary()
+            ),
+            "meta": pa.array([f'{{"i": {i}}}' for i in range(n)]),
+        }
+    )
+    out = tmp_path / "shards"
+    manifest = write_webdataset(
+        rd.from_arrow(tbl).repartition(4), str(out),
+        columns={"media": "bin", "meta": "json"}, batch_size=16,
+    ).to_pandas()
+    assert manifest["n_samples"].sum() == n
+    assert len(manifest) >= 4  # one shard per block
+
+    # the shards are REAL tars: system tar lists them
+    one = manifest["path"].iloc[0]
+    listing = subprocess.run(["tar", "tf", one], capture_output=True,
+                             text=True, check=True).stdout.split()
+    assert all(m.endswith((".bin", ".json")) for m in listing)
+
+    got = read_webdataset(str(out)).to_pandas()
+    assert int(got["n_skipped"].sum()) == 0
+    assert sorted(got["key"]) == sorted(tbl.column("key").to_pylist())
+    row = got[got["key"] == "doc0007"].iloc[0]
+    fields = dict(zip(row["exts"], row["payloads"]))
+    assert bytes(fields["bin"]) == bytes([7]) * 8
+    assert bytes(fields["json"]) == b'{"i": 7}'
+
+    media = select_field(read_webdataset(str(out)), "bin").to_pandas()
+    assert len(media) == n
+    assert bytes(media[media["key"] == "doc0003"]["media"].iloc[0]) == bytes([3]) * 4
+
+
+def test_wds_truncated_tail_salvage(tmp_path):
+    """A shard cut mid-member keeps every complete sample before the cut
+    and counts the loss; a fully-garbage shard yields a counted sentinel."""
+    from raylink.webdataset import parse_webdataset_shard
+
+    import io
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for k in ("a", "b", "c"):
+            data = (k * 600).encode()
+            info = tarfile.TarInfo(name=f"{k}.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    whole = buf.getvalue()
+    samples, skipped = parse_webdataset_shard(whole)
+    assert [k for k, _ in samples] == ["a", "b", "c"] and skipped == 0
+
+    # cut inside c's payload: a+b survive, one loss counted
+    cut = whole[: whole.index(b"c.txt") + 700]
+    samples, skipped = parse_webdataset_shard(cut)
+    assert [k for k, _ in samples] == ["a", "b"]
+    assert skipped == 1
+
+    samples, skipped = parse_webdataset_shard(b"\x00garbage" * 100)
+    assert samples == [] and skipped == 1
+
+
+def test_wds_idempotent_shard_names(ray_session, tmp_path):
+    """Identical blocks -> identical shard file names (atomic rewrite, the
+    resumable-output contract shared with write_warc)."""
+    import ray.data as rd
+
+    from raylink.webdataset import write_webdataset
+
+    tbl = pa.table(
+        {"key": pa.array(["x", "y"]),
+         "media": pa.array([b"1", b"2"], pa.binary())}
+    )
+    d = tmp_path / "w"
+    m1 = write_webdataset(rd.from_arrow(tbl), str(d),
+                          columns={"media": "bin"}).to_pandas()
+    m2 = write_webdataset(rd.from_arrow(tbl), str(d),
+                          columns={"media": "bin"}).to_pandas()
+    assert sorted(m1["path"]) == sorted(m2["path"])
+    import os
+
+    assert len(os.listdir(d)) == len(m1)
