@@ -1233,6 +1233,95 @@ def run_skew_bench() -> dict:
     return out
 
 
+def run_media_bench() -> dict:
+    """Multimodal on-ramp throughput: synthesize real 8-bit BMP images
+    (~4 KB each), pack them into WebDataset tar shards, then read shards ->
+    decode (pure-numpy BMP parser) -> histogram features. Reports write and
+    read+decode samples/s — the first standing number for the media path."""
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _init_ray()
+    import ray.data as rd
+
+    from raylink.ops.multimodal import encode_bmp_gray8
+    from raylink.util import splitmix64
+    from raylink.webdataset import (
+        read_webdataset, select_field, write_webdataset,
+    )
+
+    n = int(os.environ.get("RAYLINK_MEDIA_N", "100000"))
+    w, h = 64, 64
+    out_dir = "/tmp/raylink/bench_wds"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy(zero_copy_only=False)
+        keys, blobs = [], []
+        for i in ids:
+            # deterministic pseudo-image: splitmix64 keystream bytes
+            words = splitmix64(
+                np.uint64(i) * np.uint64(4099)
+                + np.arange(w * h // 8, dtype=np.uint64)
+            )
+            px = words.view(np.uint8)[: w * h]
+            keys.append(f"img{i:08d}")
+            blobs.append(encode_bmp_gray8(px, w, h))
+        return pa.table(
+            {"key": pa.array(keys), "media": pa.array(blobs, pa.binary())}
+        )
+
+    samples = rd.range(n, override_num_blocks=NUM_CPUS * 2).map_batches(
+        gen, batch_format="pyarrow"
+    )
+    t0 = time.perf_counter()
+    manifest = write_webdataset(samples, out_dir, columns={"media": "bmp"},
+                                batch_size=2048)
+    write_wall = time.perf_counter() - t0
+    n_shards = manifest.count()
+
+    def with_id(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"media_id": pc.cast(
+                pc.utf8_slice_codeunits(batch.column("key"), 3, 12),
+                pa.int64()),
+             "media": batch.column("media")}
+        )
+
+    # plain tasks, not the actor pool: the autoscaling pool ramps from 1
+    # actor and its ramp-up IS the measurement on a seconds-long leg (same
+    # rationale as the WARC leg); DecodeMedia holds no state to amortize
+    from raylink.ops.multimodal import DecodeMedia
+
+    t0 = time.perf_counter()
+    n_feat = (
+        select_field(read_webdataset(out_dir), "bmp")
+        .map_batches(with_id, batch_format="pyarrow")
+        .map_batches(lambda b: DecodeMedia()(b), batch_format="pyarrow",
+                     batch_size=256)
+        .count()
+    )
+    read_wall = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out = {
+        "metric": "WebDataset write + read->BMP-decode->features, samples/s",
+        "n_samples": n,
+        "image_bytes": w * h,
+        "n_shards": n_shards,
+        "write_sec": round(write_wall, 2),
+        "write_samples_per_sec": round(n / write_wall),
+        "decode_sec": round(read_wall, 2),
+        "decode_samples_per_sec": round(n_feat / read_wall),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_dedup_skew_bench() -> dict:
     """Boilerplate-cluster adversarial leg: a corpus where one template
     accounts for ~4% of all docs as near-identical mutations — the
@@ -1445,6 +1534,8 @@ if __name__ == "__main__":
         print(json.dumps(run_skew_bench()))
     elif "--dedup-skew-bench" in sys.argv:
         print(json.dumps(run_dedup_skew_bench()))
+    elif "--media-bench" in sys.argv:
+        print(json.dumps(run_media_bench()))
     elif "--chaos" in sys.argv:
         # node-loss validation: SIGKILL the worker raylet mid-PageRank on a
         # two-raylet cluster; asserts bit-identical ranks either via Ray

@@ -253,7 +253,9 @@ class DecodeMedia:
     N_BINS = 8
 
     def __init__(self) -> None:
-        self.bins = np.linspace(0, 256, self.N_BINS + 1)
+        # feature layout pinned to 8 equal-width byte bins (the >> 5
+        # bincount in __call__ and every media_features SQL oracle)
+        assert self.N_BINS == 8
 
     def _decode(self, blob: bytes) -> tuple[int, int, np.ndarray]:
         if blob[:8] == MAGIC:
@@ -276,7 +278,10 @@ class DecodeMedia:
         ws, hs, nb, feats = [], [], [], []
         for blob in batch.column("media").to_pylist():
             w, h, px = self._decode(bytes(blob))
-            hist, _ = np.histogram(px, bins=self.bins)
+            # 8 equal-width byte bins == px >> 5: exact np.histogram(bins=
+            # linspace(0,256,9)) replacement, ~10x faster (the decode
+            # stage's former hot spot at 100k imgs, bench --media-bench)
+            hist = np.bincount(px >> 5, minlength=self.N_BINS)
             total = hist.sum() or 1
             ws.append(w)
             hs.append(h)
