@@ -86,12 +86,99 @@ def write_webdataset(ds, out_dir: str, columns: dict[str, str],
     ).materialize()
 
 
+_TRUNC_HEADER = object()  # sentinel: cut/corrupt header, member key unknown
+
+
+def _parse_tar_fast(data: bytes):
+    """Raw 512-byte-block tar walk -> ([(name, payload_memoryview)],
+    trunc, ok). Much faster than stdlib tarfile (no per-member object
+    machinery; payloads are zero-copy views into the shard buffer).
+    ``trunc`` is None (clean end), a member NAME (that member's payload was
+    cut — its header was intact), or ``_TRUNC_HEADER`` (cut/corrupt
+    header, key unknowable). Returns ok=False on any extension member
+    (pax / GNU long-name / sparse) so the caller falls back to the full
+    tarfile parser — correctness never depends on this path's coverage."""
+    view = memoryview(data)
+    out: list[tuple[str, memoryview]] = []
+    pos, n = 0, len(data)
+    while pos + 512 <= n:
+        hdr = view[pos: pos + 512]
+        if hdr[0] == 0:
+            if any(hdr):  # zero-led garbage is NOT an end-of-archive block
+                return out, _TRUNC_HEADER, True
+            return out, None, True  # end-of-archive zero block
+        # checksum: octal at 148:156, computed with the field spaced out
+        try:
+            want = int(bytes(hdr[148:156]).split(b"\0")[0].strip() or b"0", 8)
+            size = int(bytes(hdr[124:136]).split(b"\0")[0].strip() or b"0", 8)
+        except ValueError:
+            return out, _TRUNC_HEADER, True
+        if sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:]) != want:
+            return out, _TRUNC_HEADER, True  # corrupt header
+        typeflag = hdr[156]
+        if typeflag in (ord("L"), ord("K"), ord("x"), ord("g"), ord("S")):
+            return [], None, False  # extension member: use the tarfile path
+        name = bytes(hdr[:100]).split(b"\0")[0].decode("utf-8", "replace")
+        end = pos + 512 + size
+        if end > n:
+            return out, name, True  # truncated payload, header intact
+        if typeflag in (0, ord("0")):
+            out.append((name, view[pos + 512: end]))
+        pos += 512 + ((size + 511) & ~511)
+        if pos > n:
+            # payload complete but its zero-padding cut: stdlib tarfile
+            # raises here (seek past EOF), key context lost -> same drop
+            return out, _TRUNC_HEADER, True
+    # no full header block left: stdlib tarfile treats a partial TRAILING
+    # block as clean EOF but an absent/partial FIRST block as an error
+    # (tarfile.open raises) — mirrored exactly; the equivalence property
+    # test is the contract
+    if not out and pos == 0:
+        return [], _TRUNC_HEADER, True
+    return out, None, True
+
+
+def _key_of(name: str) -> tuple[str, str]:
+    base = os.path.basename(name)
+    key, dot, ext = base.rpartition(".")
+    return (key, ext) if dot else (base, "")
+
+
 def parse_webdataset_shard(data: bytes) -> tuple[list[tuple[str, dict]], int]:
     """One shard's bytes -> ([(key, {ext: bytes})], n_skipped).
 
     Samples = maximal runs of members sharing a basename key (the
     WebDataset adjacency contract). A corrupt / truncated tail drops only
-    the partial sample; complete samples before it survive."""
+    what cannot be proven complete; samples before it survive. Fast
+    raw-block parse with zero-copy payload slices; full tarfile fallback
+    for shards carrying extension members (pax/long-name/sparse)."""
+    members, trunc, ok = _parse_tar_fast(data)
+    if not ok:
+        return _parse_webdataset_tarfile(data)
+    samples: list[tuple[str, dict]] = []
+    cur_key: str | None = None
+    cur: dict = {}
+    for name, payload in members:
+        key, ext = _key_of(name)
+        if key != cur_key:
+            if cur_key is not None:
+                samples.append((cur_key, cur))
+            cur_key, cur = key, {}
+        cur[ext] = bytes(payload)
+    skipped = 0 if trunc is None else 1
+    if cur_key is not None:
+        if trunc is None:
+            samples.append((cur_key, cur))  # clean end: last sample complete
+        elif trunc is not _TRUNC_HEADER and _key_of(trunc)[0] != cur_key:
+            # the truncated member's (intact) header shows a NEW key, so
+            # cur was provably closed — keep it (same rule as the tarfile
+            # path); otherwise completeness is unknowable -> drop
+            samples.append((cur_key, cur))
+    return samples, skipped
+
+
+def _parse_webdataset_tarfile(data: bytes) -> tuple[list[tuple[str, dict]], int]:
+    """The stdlib-tarfile parser (full member-type coverage)."""
     samples: list[tuple[str, dict]] = []
     skipped = 0
     cur_key: str | None = None

@@ -101,3 +101,58 @@ def test_wds_idempotent_shard_names(ray_session, tmp_path):
     import os
 
     assert len(os.listdir(d)) == len(m1)
+
+
+def test_wds_fast_parser_equals_tarfile_parser():
+    """Property: the raw-block fast parser and the stdlib-tarfile fallback
+    produce identical (samples, skipped) on random shards and at every
+    truncation class (clean, mid-payload, mid-header, padding cut)."""
+    import io
+
+    from raylink.webdataset import (
+        _parse_tar_fast, _parse_webdataset_tarfile, parse_webdataset_shard,
+    )
+
+    rng = np.random.default_rng(77)
+    for trial in range(20):
+        buf = io.BytesIO()
+        n_samples = int(rng.integers(1, 8))
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for s in range(n_samples):
+                for ext in ("bin", "json")[: int(rng.integers(1, 3))]:
+                    data = bytes(rng.integers(0, 256,
+                                              int(rng.integers(0, 1500)),
+                                              dtype=np.uint8))
+                    info = tarfile.TarInfo(name=f"k{trial}_{s}.{ext}")
+                    info.size = len(data)
+                    tf.addfile(info, io.BytesIO(data))
+        whole = buf.getvalue()
+        cuts = [len(whole)] + [int(rng.integers(1, len(whole)))
+                               for _ in range(6)]
+        for cut in cuts:
+            data = whole[:cut]
+            assert _parse_tar_fast(data)[2], "fast path must handle ustar"
+            fast = parse_webdataset_shard(data)
+            slow = _parse_webdataset_tarfile(data)
+            assert fast == slow, (trial, cut)
+
+
+def test_wds_pax_shard_falls_back(tmp_path):
+    """A PAX shard (extension members) is parsed via the tarfile fallback
+    path — same samples out."""
+    import io
+
+    from raylink.webdataset import _parse_tar_fast, parse_webdataset_shard
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT,
+                      pax_headers={"comment": "x"}) as tf:
+        data = b"payload"
+        info = tarfile.TarInfo(name="k1.bin")
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    blob = buf.getvalue()
+    assert not _parse_tar_fast(blob)[2]  # extension members present
+    samples, skipped = parse_webdataset_shard(blob)
+    assert samples == [("k1", {"bin": b"payload"})] and skipped == 0
