@@ -483,6 +483,41 @@ def media_bmp_from_documents(docs_ds):
     return docs_ds.map_batches(wrap, batch_format="pyarrow")
 
 
+def media_wav_from_documents(docs_ds):
+    """Wrap each document's ASCII text bytes as a REAL 8-bit PCM WAV file
+    (mono, 8 kHz; any audio player opens these — unsigned 8-bit samples ==
+    the text bytes): the audio sibling of ``media_bmp_from_documents``,
+    closing the image/video/audio real-format triad on the same
+    SQL-recomputable byte histogram."""
+    import io as _io
+    import wave
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        blobs, ws = [], []
+        for t in batch.column("text").to_pylist():
+            bs = (t or "").encode("utf-8")
+            buf = _io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(1)
+                wf.setframerate(8000)
+                wf.writeframes(bs)
+            blobs.append(buf.getvalue())
+            ws.append(len(bs))
+        return pa.table(
+            {
+                "media_id": ids,
+                "media": pa.array(blobs, type=pa.binary()),
+                "mime": pa.array(["audio/wav"] * len(blobs)),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(np.ones(len(blobs), dtype=np.int32)),
+            }
+        )
+
+    return docs_ds.map_batches(wrap, batch_format="pyarrow")
+
+
 def media_features(media_ds, batch_size: int = 64, concurrency: int = 4):
     """Decode/feature pipeline. Small batch_size on purpose: wide binary rows
     (KB-MB each) x batch_size x concurrency must fit the worker heap."""

@@ -886,6 +886,20 @@ def q_media_wds_features(sf_dir: str):
     return feats.map_batches(_flatten_media_features, batch_format="pyarrow")
 
 
+def q_media_wav_features(sf_dir: str):
+    """Decode features over REAL audio files: each document's text bytes
+    written as a genuine 8-bit PCM WAV (mono, 8 kHz — unsigned 8-bit
+    samples == the text bytes), decoded by the stdlib-wave path in
+    DecodeMedia's codec chain. Completes the image (BMP) / video (Y4M) /
+    audio (WAV) real-format triad; same byte-histogram SQL oracle."""
+    from raylink.ops.multimodal import media_features, media_wav_from_documents
+
+    feats = media_features(
+        media_wav_from_documents(_docs(sf_dir)), batch_size=64, concurrency=2
+    )
+    return feats.map_batches(_flatten_media_features, batch_format="pyarrow")
+
+
 def q_media_y4m_frames(sf_dir: str):
     """Frame sampling over REAL video containers: each document's text
     bytes become a genuine YUV4MPEG2 stream (Cmono, 16x4 luma frames —
