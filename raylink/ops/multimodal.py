@@ -518,6 +518,61 @@ def media_wav_from_documents(docs_ds):
     return docs_ds.map_batches(wrap, batch_format="pyarrow")
 
 
+def audio_window_stats(media_ds, window: int = 256, midpoint: int = 128,
+                       batch_size: int = 64, concurrency: int = 4):
+    """Per-window audio analysis over PCM WAV blobs -> (media_id, win,
+    n_samples, sum_sq, zero_crossings): tumbling ``window``-sample windows,
+    energy as the exact int64 sum of squared deviations from 128 (the
+    unsigned-8-bit DC), crossings counted against ``midpoint`` (128 for
+    real audio; the document-derived corpus uses 64 so space/letter
+    transitions register). Inner math fully vectorized (bincount over the
+    window index, partial tail window included); integer-exact so the SQL
+    oracle mirrors it with LAG + GROUP BY."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out_id, out_w, out_n, out_ss, out_zc = [], [], [], [], []
+        for mid, blob in zip(batch.column("media_id").to_pylist(),
+                             batch.column("media").to_pylist()):
+            _n, _ch, s = _wav_decode(bytes(blob))
+            if len(s) == 0:
+                continue
+            win = np.arange(len(s), dtype=np.int64) // window
+            nw = int(win[-1]) + 1
+            c = s.astype(np.int64) - 128
+            ss = np.zeros(nw, dtype=np.int64)
+            np.add.at(ss, win, c * c)
+            counts = np.bincount(win, minlength=nw)
+            sign = s >= midpoint
+            chg = (sign[1:] != sign[:-1]) & (win[1:] == win[:-1])
+            zc = np.bincount(win[1:][chg], minlength=nw)
+            out_id.append(np.full(nw, mid, dtype=np.int64))
+            out_w.append(np.arange(nw, dtype=np.int64))
+            out_n.append(counts.astype(np.int64))
+            out_ss.append(ss)
+            out_zc.append(zc.astype(np.int64))
+        if not out_id:
+            return pa.table(
+                {"media_id": pa.array([], type=pa.int64()),
+                 "win": pa.array([], type=pa.int64()),
+                 "n_samples": pa.array([], type=pa.int64()),
+                 "sum_sq": pa.array([], type=pa.int64()),
+                 "zero_crossings": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(out_id)),
+                "win": pa.array(np.concatenate(out_w)),
+                "n_samples": pa.array(np.concatenate(out_n)),
+                "sum_sq": pa.array(np.concatenate(out_ss)),
+                "zero_crossings": pa.array(np.concatenate(out_zc)),
+            }
+        )
+
+    return media_ds.map_batches(
+        stats, batch_format="pyarrow", batch_size=batch_size,
+    )
+
+
 def media_features(media_ds, batch_size: int = 64, concurrency: int = 4):
     """Decode/feature pipeline. Small batch_size on purpose: wide binary rows
     (KB-MB each) x batch_size x concurrency must fit the worker heap."""

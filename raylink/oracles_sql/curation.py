@@ -496,6 +496,33 @@ FROM (SELECT doc_id, strlen(text) // {fsize} AS nf FROM documents),
 WHERE nf >= 1"""
 
 
+def audio_features_sql(window: int = 256, midpoint: int = 64) -> str:
+    """Mirrors queries.q_audio_features: the WAV samples ARE the ASCII text
+    bytes, so per-window integer energy and threshold crossings recompute
+    from ord(substr(..)) with LAG for the consecutive-sample comparison."""
+    return f"""
+WITH ch AS (
+  SELECT doc_id, i, ord(substr(text, i, 1)) AS v
+  FROM documents, unnest(generate_series(1, strlen(text))) AS t(i)
+),
+w AS (
+  SELECT doc_id, (i - 1) // {window} AS win, i, v - 128 AS c,
+         CASE WHEN v >= {midpoint} THEN 1 ELSE 0 END AS sgn
+  FROM ch
+),
+l AS (
+  SELECT doc_id, win, c, sgn,
+         LAG(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS psgn,
+         LAG(win) OVER (PARTITION BY doc_id ORDER BY i) AS pwin
+  FROM w
+)
+SELECT doc_id AS media_id, win::BIGINT AS win, count(*)::BIGINT AS n_samples,
+       SUM(c * c)::BIGINT AS sum_sq,
+       COALESCE(SUM(CASE WHEN pwin = win AND sgn <> psgn THEN 1 END), 0)::BIGINT
+         AS zero_crossings
+FROM l GROUP BY doc_id, win"""
+
+
 def media_y4m_frames_sql(frame_bytes: int = 64, every: int = 2) -> str:
     """Mirrors queries.q_media_y4m_frames: the Y4M stream carries the text
     bytes as 16x4 luma frames, so frame f's payload is the ASCII substring

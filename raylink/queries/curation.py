@@ -900,6 +900,22 @@ def q_media_wav_features(sf_dir: str):
     return feats.map_batches(_flatten_media_features, batch_format="pyarrow")
 
 
+def q_audio_features(sf_dir: str):
+    """Per-window audio analysis over REAL WAV files: tumbling 256-sample
+    windows of each document's 8-bit PCM stream -> integer energy (sum of
+    squared deviations from the DC midpoint) + zero-crossing counts against
+    threshold 64 (space/letter transitions in the ASCII-derived corpus —
+    128 for real audio). Exact SQL mirror via LAG + GROUP BY.
+    -> (media_id, win, n_samples, sum_sq, zero_crossings)."""
+    from raylink.ops.multimodal import (
+        audio_window_stats, media_wav_from_documents,
+    )
+
+    return audio_window_stats(
+        media_wav_from_documents(_docs(sf_dir)), window=256, midpoint=64,
+    )
+
+
 def q_media_y4m_frames(sf_dir: str):
     """Frame sampling over REAL video containers: each document's text
     bytes become a genuine YUV4MPEG2 stream (Cmono, 16x4 luma frames —

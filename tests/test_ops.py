@@ -3525,3 +3525,39 @@ def test_simhash_max_bucket_star_preserves_clusters(ray_session):
     assert len(full) > 0  # the template cluster collides within hamming 3
     assert parts(full) == parts(star)
     assert len(star) < len(full)
+
+
+def test_audio_window_stats(ray_session):
+    """audio_window_stats == a hand-rolled per-window replica on a signal
+    with real crossings (values straddling the midpoint), including the
+    partial tail window and the no-cross-window-boundary rule."""
+    import io
+    import wave
+
+    import ray.data as rd
+
+    from raylink.ops.multimodal import audio_window_stats
+
+    sig = np.array([10, 200, 30, 250, 100, 120, 130, 125, 90, 255],
+                   dtype=np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(sig.tobytes())
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "media": pa.array([buf.getvalue()], pa.binary()),
+    }))
+    got = (audio_window_stats(ds, window=4, midpoint=128)
+           .to_pandas().sort_values("win").reset_index(drop=True))
+    c = sig.astype(np.int64) - 128
+    sign = sig >= 128
+    for w0 in range(3):
+        seg = slice(w0 * 4, min((w0 + 1) * 4, len(sig)))
+        row = got.iloc[w0]
+        assert row["n_samples"] == len(sig[seg])
+        assert row["sum_sq"] == int((c[seg] * c[seg]).sum())
+        s = sign[seg]
+        assert row["zero_crossings"] == int((s[1:] != s[:-1]).sum())
