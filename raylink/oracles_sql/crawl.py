@@ -390,3 +390,16 @@ SELECT idg.dst::BIGINT AS vid, idg.indeg::BIGINT AS indeg,
        ROUND(nh.n_hosts::DOUBLE / idg.indeg::DOUBLE, 6) AS diversity
 FROM idg JOIN nh ON nh.dst = idg.dst"""
     )
+
+
+def robots_filter_sql() -> str:
+    """Mirrors queries.q_robots_filter's fixture corpus in closed form
+    (ops/robots.synth_robots): hosts h%3==0 -> the raylinkbot group blocks
+    ids starting with '1'; other hosts -> the * group allows only ids
+    ending in the host's last digit."""
+    return """
+SELECT doc_id AS vid, (doc_id % 97)::BIGINT AS host,
+       CASE WHEN (doc_id % 97) % 3 = 0
+            THEN NOT (CAST(doc_id AS VARCHAR) LIKE '1%')
+            ELSE (doc_id % 10) = ((doc_id % 97) % 10) END AS allowed
+FROM documents"""

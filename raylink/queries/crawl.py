@@ -453,6 +453,20 @@ def q_spam_mass(sf_dir: str):
     return joined.map_batches(sm, batch_format="pyarrow")
 
 
+def q_robots_filter(sf_dir: str):
+    """RFC 9309 robots.txt compliance over the page corpus: per-host
+    robots.txt (deterministic fixture text carrying wildcard + $-anchored
+    Allow/Disallow rules and a per-bot override group) parsed and matched
+    by the generic longest-match engine (ops/robots.py), rules compiled
+    once and ray.put-broadcast. -> (vid, host, allowed); oracle mirrors the
+    fixture's closed form."""
+    from raylink.ops.robots import robots_filter
+    from raylink.synth import pages_dataset
+
+    pages, _ = pages_dataset(sf_dir, include_golden=False)
+    return robots_filter(pages.select_columns(["url"]))
+
+
 def q_outlink_diversity(sf_dir: str):
     """Per-page outlink host diversity — distinct target hosts vs distinct
     outlinks per source page, diversity = n_hosts/outdeg (r6): the

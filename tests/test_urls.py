@@ -59,3 +59,44 @@ SELECT head || rest FROM (
         if "://" not in raw:
             continue  # SQL mirror is only used on scheme-ful planted urls
         assert con.execute(sql, [raw]).fetchone()[0] == want, raw
+
+
+def test_robots_rfc9309_semantics():
+    """The generic parser/matcher on RFC 9309's own edge cases: longest
+    match wins, equal-length tie -> Allow, empty Disallow matches nothing,
+    multi-agent runs share rules, later groups for the same agent
+    concatenate, unknown fields close an agent run, case-insensitivity."""
+    from raylink.ops.robots import parse_robots, robots_allowed
+
+    txt = """
+# comment
+User-Agent: FooBot
+User-agent: BarBot
+Disallow: /private/
+Allow: /private/public*
+
+User-agent: foobot
+Allow: /private/
+Sitemap: https://x.example/map.xml
+
+User-agent: *
+Disallow:
+"""
+    g = parse_robots(txt)
+    # multi-agent run: both share the first group's rules
+    assert ("/private/" in [p for _a, p in g["barbot"]][0])
+    # concatenation: foobot has rules from BOTH its groups
+    assert len(g["foobot"]) == 3
+    # longest match: /private/publicX allowed for barbot (Allow longer)
+    assert robots_allowed(g, "BarBot", "/private/public1")
+    assert not robots_allowed(g, "BarBot", "/private/secret")
+    # foobot's extra Allow: /private/ tie with Disallow: /private/ -> Allow
+    assert robots_allowed(g, "FooBot", "/private/secret")
+    # * group: empty Disallow matches nothing -> everything allowed
+    assert robots_allowed(g, "OtherBot", "/anything")
+    # unknown agent with no * group present at all -> allowed
+    assert robots_allowed({}, "x", "/a")
+    # $ anchor
+    g2 = parse_robots("User-agent: *\nDisallow: /*.pdf$\n")
+    assert not robots_allowed(g2, "x", "/a/b.pdf")
+    assert robots_allowed(g2, "x", "/a/b.pdfx")
