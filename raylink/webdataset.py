@@ -151,7 +151,13 @@ def parse_webdataset_shard(data: bytes) -> tuple[list[tuple[str, dict]], int]:
     WebDataset adjacency contract). A corrupt / truncated tail drops only
     what cannot be proven complete; samples before it survive. Fast
     raw-block parse with zero-copy payload slices; full tarfile fallback
-    for shards carrying extension members (pax/long-name/sparse)."""
+    for shards carrying extension members (pax/long-name/sparse).
+    ``.tar.gz`` shards decompress through the WARC layer's salvaging
+    multi-member gunzip first (truncated gzip tails keep what decodes)."""
+    if data[:2] == b"\x1f\x8b":
+        from raylink.warc import _gunzip_salvage
+
+        data = _gunzip_salvage(data)
     members, trunc, ok = _parse_tar_fast(data)
     if not ok:
         return _parse_webdataset_tarfile(data)

@@ -156,3 +156,27 @@ def test_wds_pax_shard_falls_back(tmp_path):
     assert not _parse_tar_fast(blob)[2]  # extension members present
     samples, skipped = parse_webdataset_shard(blob)
     assert samples == [("k1", {"bin": b"payload"})] and skipped == 0
+
+
+def test_wds_gzip_shard():
+    """.tar.gz shards decompress through the salvaging gunzip, then parse
+    identically; a truncated gzip tail keeps the samples that decode."""
+    import gzip
+    import io
+
+    from raylink.webdataset import parse_webdataset_shard
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for k in ("a", "b"):
+            data = (k * 700).encode()
+            info = tarfile.TarInfo(name=f"{k}.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    gz = gzip.compress(buf.getvalue())
+    samples, skipped = parse_webdataset_shard(gz)
+    assert [k for k, _ in samples] == ["a", "b"] and skipped == 0
+    assert bytes(samples[0][1]["txt"]) == b"a" * 700
+
+    cut = parse_webdataset_shard(gz[: len(gz) // 2])
+    assert [k for k, _ in cut[0]] in ([], ["a"])  # whatever decoded
