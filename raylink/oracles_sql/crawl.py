@@ -403,3 +403,13 @@ SELECT doc_id AS vid, (doc_id % 97)::BIGINT AS host,
             THEN NOT (CAST(doc_id AS VARCHAR) LIKE '1%')
             ELSE (doc_id % 10) = ((doc_id % 97) % 10) END AS allowed
 FROM documents"""
+
+
+def sitemap_coverage_sql() -> str:
+    """Mirrors queries.q_sitemap_coverage's fixture corpus in closed form
+    (ops/sitemap.synth_sitemaps): every doc is listed in its host's
+    sitemap except doc_id % 4 == 2."""
+    return """
+SELECT doc_id AS vid, (doc_id % 97)::BIGINT AS host,
+       (doc_id % 4 <> 2) AS in_sitemap
+FROM documents"""

@@ -453,6 +453,18 @@ def q_spam_mass(sf_dir: str):
     return joined.map_batches(sm, batch_format="pyarrow")
 
 
+def q_sitemap_coverage(sf_dir: str):
+    """Sitemap coverage audit: per-host sitemapindex (2-part, namespaced
+    XML with CDATA and lastmod — parsed by the generic recursive expander
+    in ops/sitemap.py) vs the crawled pages. -> (vid, host, in_sitemap);
+    the fixture 'forgets' doc_id % 4 == 2, which the oracle mirrors."""
+    from raylink.ops.sitemap import sitemap_coverage
+    from raylink.synth import pages_dataset
+
+    pages, n = pages_dataset(sf_dir, include_golden=False)
+    return sitemap_coverage(pages.select_columns(["url"]), n)
+
+
 def q_robots_filter(sf_dir: str):
     """RFC 9309 robots.txt compliance over the page corpus: per-host
     robots.txt (deterministic fixture text carrying wildcard + $-anchored

@@ -8,7 +8,7 @@ import __ray_entry__ as e
 
 def test_registry_integrity():
     qs, oracles = e.queries(), e.oracle_sql()
-    assert len(qs) >= 233
+    assert len(qs) >= 234
     missing = [k for k in oracles if k not in qs]
     assert not missing, f"oracle keys without queries: {missing}"
     for name, fn in qs.items():

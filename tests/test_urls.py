@@ -100,3 +100,34 @@ Disallow:
     g2 = parse_robots("User-agent: *\nDisallow: /*.pdf$\n")
     assert not robots_allowed(g2, "x", "/a/b.pdf")
     assert robots_allowed(g2, "x", "/a/b.pdfx")
+
+
+def test_sitemap_parser_and_expansion():
+    """Generic sitemap machinery: namespaced XML, CDATA locs, lastmod,
+    recursive index expansion with cycle and depth guards."""
+    from raylink.ops.sitemap import parse_sitemap, sitemap_urls
+
+    kind, entries = parse_sitemap(
+        '<?xml version="1.0"?>'
+        '<ns:urlset xmlns:ns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<ns:url><ns:loc> <![CDATA[https://a.example/x]]> </ns:loc>"
+        "<ns:lastmod>2026-02-03</ns:lastmod></ns:url>"
+        "<ns:url><ns:loc>https://a.example/y</ns:loc></ns:url>"
+        "</ns:urlset>"
+    )
+    assert kind == "urlset"
+    assert entries == [("https://a.example/x", "2026-02-03"),
+                       ("https://a.example/y", "")]
+
+    files = {
+        "root": "<sitemapindex><sitemap><loc>a</loc></sitemap>"
+                "<sitemap><loc>root</loc></sitemap></sitemapindex>",
+        "a": "<urlset><url><loc>u1</loc></url></urlset>",
+    }
+    assert sitemap_urls(files.__getitem__, "root") == [("u1", "")]
+
+    deep = {f"l{i}": f"<sitemapindex><sitemap><loc>l{i+1}</loc></sitemap>"
+            "</sitemapindex>" for i in range(10)}
+    deep["l4"] = "<urlset><url><loc>deep</loc></url></urlset>"
+    assert sitemap_urls(deep.__getitem__, "l0", max_depth=3) == []
+    assert sitemap_urls(deep.__getitem__, "l0", max_depth=6) == [("deep", "")]
