@@ -1233,6 +1233,106 @@ def run_skew_bench() -> dict:
     return out
 
 
+def run_e2e_bench() -> dict:
+    """The COMPLETE weekly crawl pipeline as one wall: WARC containers ->
+    parse -> HTML extract -> RFC 9309 robots filter -> exact dedup
+    survivors -> link extraction -> graph build -> PageRank(5 it). Every
+    stage is a component benched alone elsewhere; this leg pins the
+    composition (fusion boundaries, intermediate materialization, the
+    robots broadcast riding the extract stage) per round."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _init_ray()
+    import ray.data as rd
+
+    from raylink.algos import pagerank
+    from raylink.extract import ExtractPages, explode_links
+    from raylink.graph import build_graph
+    from raylink.join import semi_join
+    from raylink.ops.dedup import exact_dedup
+    from raylink.ops.robots import robots_filter
+    from raylink.pipelines import _ids_from_urls
+    from raylink.warc import read_warc, write_warc
+
+    scale = int(os.environ.get("RAYLINK_E2E_SCALE", "24"))
+    pages, n = amplified_pages(SF_DIR, scale)
+    warc_dir = "/tmp/raylink/bench_e2e_warc"
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    write_warc(pages.select_columns(["url", "warc_ts", "html"]), warc_dir,
+               batch_size=2048)
+
+    t0 = time.perf_counter()
+    parsed = read_warc(warc_dir, use_actors=False).drop_columns(["n_skipped"])
+    # robots gate on the raw urls (fetch-compliance happens before any
+    # parse in a real crawler; here it prunes the extract input)
+    allowed = robots_filter(parsed.select_columns(["url"]))
+    keep_vids = allowed.map_batches(
+        lambda b: b.filter(b.column("allowed")).select(["vid"]),
+        batch_format="pyarrow",
+    )
+    extracted = parsed.map_batches(
+        ExtractPages().__call__, batch_format="pyarrow", batch_size=1024
+    )
+    ex_ids = extracted.map_batches(
+        lambda b: pa.table(
+            {"doc_id": _ids_from_urls(
+                pa.table({"src_url": b.column("url"),
+                          "dst_url": b.column("url"),
+                          "pos": pa.array(
+                              np.zeros(b.num_rows, dtype=np.int64))})
+             ).column("src"),
+             "url": b.column("url"), "text": b.column("text"),
+             "links": b.column("links")}
+        ),
+        batch_format="pyarrow",
+    )
+    # robots-allowed pages only (distributed semi-join on vid)
+    compliant = semi_join(
+        ex_ids, keep_vids.map_batches(
+            lambda b: pa.table({"doc_id": b.column("vid")}),
+            batch_format="pyarrow",
+        ),
+        on="doc_id",
+        left_cols={"url": pa.string(), "text": pa.string(),
+                   "links": pa.list_(pa.string())},
+    ).materialize()
+    # exact-dedup survivors of the compliant set
+    survivors = exact_dedup(
+        compliant.select_columns(["doc_id", "text"])
+    )
+    n_survivors = survivors.count()
+    # link graph over the compliant pages -> 5 PR rounds
+    edges = (
+        compliant.select_columns(["url", "links"])
+        .map_batches(explode_links, batch_format="pyarrow")
+        .map_batches(_ids_from_urls, batch_format="pyarrow")
+    )
+    verts = rd.range(n).map_batches(
+        lambda b: pa.table({"vid": b.column("id")}), batch_format="pyarrow"
+    )
+    g = build_graph(edges, verts, num_parts=8, partitioner="hash",
+                    directed=True)
+    _, ranks = pagerank(g=g, iters=5, resume=False, engine="tasks")
+    ranks.count()
+    wall = time.perf_counter() - t0
+    shutil.rmtree(warc_dir, ignore_errors=True)
+    out = {
+        "metric": "e2e crawl pipeline: WARC->extract->robots->dedup->graph->PR5",
+        "n_pages": n,
+        "n_compliant": compliant.count(),
+        "n_dedup_survivors": n_survivors,
+        "n_edges": g.n_edges,
+        "e2e_sec": round(wall, 2),
+        "pages_per_sec": round(n / wall),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_media_bench() -> dict:
     """Multimodal on-ramp throughput: synthesize real 8-bit BMP images
     (~4 KB each), pack them into WebDataset tar shards, then read shards ->
@@ -1534,6 +1634,8 @@ if __name__ == "__main__":
         print(json.dumps(run_skew_bench()))
     elif "--dedup-skew-bench" in sys.argv:
         print(json.dumps(run_dedup_skew_bench()))
+    elif "--e2e-bench" in sys.argv:
+        print(json.dumps(run_e2e_bench()))
     elif "--media-bench" in sys.argv:
         print(json.dumps(run_media_bench()))
     elif "--chaos" in sys.argv:
