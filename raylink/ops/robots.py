@@ -138,9 +138,10 @@ def robots_filter(pages_ds, agent: str = "raylinkbot",
     ``robots_by_host`` defaults to the synthetic fixture corpus."""
     import ray
 
-    robots_by_host = robots_by_host or {
-        h: synth_robots(h) for h in range(97)  # synth.url_of host modulus
-    }
+    if robots_by_host is None:  # an explicit {} means "none fetched yet"
+        robots_by_host = {
+            h: synth_robots(h) for h in range(97)  # synth.url_of host modulus
+        }
     compiled = {h: CompiledRobots(parse_robots(t))
                 for h, t in robots_by_host.items()}
     ref = ray.put(compiled)
@@ -156,7 +157,9 @@ def robots_filter(pages_ds, agent: str = "raylinkbot",
             i = int(path.rsplit("/", 1)[1])
             vids.append(i)
             hosts.append(h)
-            allowed.append(comp[h].allowed(agent, path))
+            c = comp.get(h)
+            # a host with no robots.txt is allow-all (RFC 9309)
+            allowed.append(c.allowed(agent, path) if c is not None else True)
         return pa.table(
             {
                 "vid": pa.array(np.asarray(vids, dtype=np.int64)),

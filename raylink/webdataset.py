@@ -56,8 +56,11 @@ class _WdsWriteBatch:
             h = ((h ^ _fnv64(k.encode())) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         name = f"shard-{h:016x}-{len(keys)}.tar"
         path = os.path.join(self.out_dir, name)
-        buf = io.BytesIO()
-        with tarfile.open(fileobj=buf, mode="w") as tf:
+        tmp = path + ".tmp"
+        # stream straight to the tmp file: buffering the whole shard in a
+        # BytesIO + getvalue() copy held ~2x the 0.5-1 GiB shard target in
+        # memory per write task (review finding)
+        with open(tmp, "wb") as f, tarfile.open(fileobj=f, mode="w") as tf:
             for i, k in enumerate(keys):
                 for c, ext in self.columns.items():
                     v = cols[c][i]
@@ -67,9 +70,6 @@ class _WdsWriteBatch:
                     info.size = len(data)
                     info.mtime = 0  # deterministic bytes -> idempotent shard
                     tf.addfile(info, io.BytesIO(data))
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(buf.getvalue())
         os.replace(tmp, path)  # atomic: readers never see partial shards
         return pa.table({"path": pa.array([path]),
                          "n_samples": pa.array([len(keys)], type=pa.int64())})
@@ -106,15 +106,24 @@ def _parse_tar_fast(data: bytes):
         if hdr[0] == 0:
             if any(hdr):  # zero-led garbage is NOT an end-of-archive block
                 return out, _TRUNC_HEADER, True
+            if not out and pos == 0:
+                # all-zero shard (preallocated-never-written): stdlib
+                # tarfile.open raises ReadError -> counted, not clean-empty
+                return [], _TRUNC_HEADER, True
             return out, None, True  # end-of-archive zero block
         # checksum: octal at 148:156, computed with the field spaced out
         try:
             want = int(bytes(hdr[148:156]).split(b"\0")[0].strip() or b"0", 8)
             size = int(bytes(hdr[124:136]).split(b"\0")[0].strip() or b"0", 8)
         except ValueError:
-            return out, _TRUNC_HEADER, True
+            # non-octal numeric field: either corruption or a VALID header
+            # this walk does not speak (GNU base-256 size for >= 8 GiB
+            # members) — the tarfile fallback decides, so coverage gaps
+            # here can never silently drop members
+            return [], None, False
         if sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:]) != want:
-            return out, _TRUNC_HEADER, True  # corrupt header
+            # corrupt OR a valid signed-checksum tar: tarfile decides
+            return [], None, False
         typeflag = hdr[156]
         if typeflag in (ord("L"), ord("K"), ord("x"), ord("g"), ord("S")):
             return [], None, False  # extension member: use the tarfile path
@@ -139,9 +148,15 @@ def _parse_tar_fast(data: bytes):
 
 
 def _key_of(name: str) -> tuple[str, str]:
-    base = os.path.basename(name)
-    key, dot, ext = base.rpartition(".")
-    return (key, ext) if dot else (base, "")
+    """WebDataset key convention: the key is the member path up to the
+    FIRST dot of the basename (directories stay part of the key, so
+    'a/x.bin' and 'b/x.bin' are different samples); the extension is
+    everything after that first dot ('seg.png' style dotted extensions
+    stay whole)."""
+    d, _, base = name.rpartition("/")
+    stem, dot, ext = base.partition(".")
+    key = f"{d}/{stem}" if d else stem
+    return (key, ext) if dot else (key, "")
 
 
 def parse_webdataset_shard(data: bytes) -> tuple[list[tuple[str, dict]], int]:

@@ -131,3 +131,27 @@ def test_sitemap_parser_and_expansion():
     deep["l4"] = "<urlset><url><loc>deep</loc></url></urlset>"
     assert sitemap_urls(deep.__getitem__, "l0", max_depth=3) == []
     assert sitemap_urls(deep.__getitem__, "l0", max_depth=6) == [("deep", "")]
+
+
+def test_robots_filter_defaults(ray_session):
+    """Review findings: an explicit empty robots_by_host means nothing
+    fetched yet (allow-all, NOT the synthetic fixture), and a host absent
+    from the rule dict is allow-all instead of a KeyError."""
+    import ray.data as rd
+
+    from raylink.ops.robots import robots_filter, synth_robots
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array(["https://site5.example/d/12",
+                         "https://site6.example/d/26"]),
+    }))
+    got = robots_filter(pages, robots_by_host={}).to_pandas()
+    assert got["allowed"].all()
+
+    got = robots_filter(
+        pages, robots_by_host={6: synth_robots(6)}
+    ).to_pandas().sort_values("host")
+    assert got[got["host"] == 5]["allowed"].iloc[0]  # no rules -> allowed
+    # host 6 carries the raylinkbot override group (6 % 3 == 0): ids not
+    # starting with '1' are allowed
+    assert got[got["host"] == 6]["allowed"].iloc[0]

@@ -180,3 +180,35 @@ def test_wds_gzip_shard():
 
     cut = parse_webdataset_shard(gz[: len(gz) // 2])
     assert [k for k, _ in cut[0]] in ([], ["a"])  # whatever decoded
+
+
+def test_wds_key_convention_first_dot_and_dirs():
+    """WebDataset key rules (review findings): extension = everything after
+    the FIRST dot of the basename (dotted extensions stay whole) and
+    directories stay part of the key (a/x vs b/x are different samples);
+    an all-zero shard is counted as lost, not a clean empty archive."""
+    import io
+
+    from raylink.webdataset import _key_of, parse_webdataset_shard
+
+    assert _key_of("k.seg.png") == ("k", "seg.png")
+    assert _key_of("a/x.bin") == ("a/x", "bin")
+    assert _key_of("b/x.bin") == ("b/x", "bin")
+    assert _key_of("plain") == ("plain", "")
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in (("k.jpg", b"1"), ("k.seg.png", b"2"),
+                           ("a/x.bin", b"3"), ("b/x.bin", b"4")):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    samples, skipped = parse_webdataset_shard(buf.getvalue())
+    assert skipped == 0
+    assert samples == [
+        ("k", {"jpg": b"1", "seg.png": b"2"}),
+        ("a/x", {"bin": b"3"}),
+        ("b/x", {"bin": b"4"}),
+    ]
+
+    assert parse_webdataset_shard(b"\0" * 2048) == ([], 1)
