@@ -35,7 +35,7 @@ GDIR = f"{TMPDIR}_graph"
 CKPT = f"{TMPDIR}_ckpt"
 
 
-def driver(resume_only: bool) -> int:
+def driver() -> int:
     import ray
 
     ray.init(address=ADDR, include_dashboard=False, logging_level="ERROR")
@@ -143,26 +143,42 @@ def orchestrate() -> int:
         out["control_sec"] = round(control_wall, 2)
 
         # chaos: fresh ckpt, kill the WORKER raylet shortly after PR starts
+        import threading
+
         shutil.rmtree(CKPT, ignore_errors=True)
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--driver"],
             env=env, cwd=here, stdout=subprocess.PIPE, text=True,
         )
+        # watchdog: a driver hung in ray.get after the node loss must not
+        # hang the orchestrator — the stdout iteration below has no
+        # deadline of its own (review finding)
+        watchdog = threading.Timer(600.0, proc.kill)
+        watchdog.start()
         kill_delay = float(os.environ.get("RAYLINK_CHAOS_DELAY", "0.6"))
         md5 = None
         for line in proc.stdout:  # type: ignore[union-attr]
             if line.startswith("PR_START"):
                 time.sleep(kill_delay)
-                # the worker raylet is the one bound to the .1 sockets
-                subprocess.run(
+                # the worker raylet is the one bound to the .1 sockets;
+                # pattern scoped to THIS cluster's temp dir so concurrent
+                # clusters (bench --cluster, pytest) are never touched,
+                # and the match is VERIFIED — an unmatched pkill would
+                # silently certify an undisturbed run (review finding)
+                rc_k = subprocess.run(
                     ["pkill", "-9", "-f",
-                     r"raylet_socket_name=.*raylet\.1"],
+                     rf"raylet_socket_name={TMPDIR}/.*raylet\.1"],
                     capture_output=True,
-                )
-                out["worker_killed"] = True
+                ).returncode
+                out["worker_killed"] = rc_k == 0
+                assert rc_k == 0, "worker raylet kill pattern matched nothing"
             elif line.startswith("RANKS_MD5="):
                 md5 = line.split("=", 1)[1].strip()
         rc = proc.wait(timeout=900)
+        watchdog.cancel()
+        assert out.get("worker_killed"), (
+            "driver ended before PR_START was seen; no chaos was injected"
+        )
         if rc == 0 and md5:
             out["scenario"] = "survived_inflight"  # task retry / lineage
             out["chaos_md5"] = md5
@@ -188,12 +204,17 @@ def orchestrate() -> int:
             [sys.executable, os.path.abspath(__file__), "--driver"],
             env=env, cwd=here, stdout=subprocess.PIPE, text=True,
         )
+        killed_mid_run = False
         for line in proc.stdout:  # type: ignore[union-attr]
             if line.startswith("PR_START"):
                 time.sleep(kill_delay)
                 proc.kill()
+                killed_mid_run = True
                 break
         proc.wait(timeout=120)
+        # a driver that died before PR_START would make the "resume" below
+        # a full fresh run — vacuously bit-identical (review finding)
+        assert killed_mid_run, "driver ended before PR_START in scenario 2"
         rc3, md5_d, resume_wall = run_driver(ckpt_fresh=False)
         assert rc3 == 0 and md5_d, "resume after driver kill failed"
         out["driver_kill"] = {
@@ -216,4 +237,4 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--driver", action="store_true")
     args = ap.parse_args()
-    sys.exit(driver(False) if args.driver else orchestrate())
+    sys.exit(driver() if args.driver else orchestrate())

@@ -9,6 +9,11 @@ cluster); every other scale claim in this repo was measured on one raylet.
 The tasks engine's P x P ObjectRef message exchange (superstep_tasks.py) and
 Ray Data's block movement both cross the raylet/object-store boundary here.
 
+Scope: a SAME-BOX multi-raylet cluster (all state roots under this
+machine's /tmp). Against a multi-MACHINE cluster, point RAYLINK_CKPT_ROOT /
+RAYLINK_GRAPH_ROOT at shared storage (s3://-style URIs) first — node-local
+/tmp is not visible across workers.
+
 Usage:
   python tools/cluster_validate.py --local             # address="local", 16 cpus
   python tools/cluster_validate.py --address IP:PORT   # join existing cluster
@@ -130,7 +135,7 @@ def run_flagship(sf_dir: str, scale: int, reps: int = 2) -> dict:
         res, ranks = pagerank(g=g, eps=1e-6, resume=False, engine="tasks",
                               ckpt_every=5)
         p = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
-        rank_md5 = __import__("hashlib").md5(p.tobytes()).hexdigest()
+        rank_md5 = hashlib.md5(p.tobytes()).hexdigest()
         walls.append(time.perf_counter() - t0)
     wall = statistics.median(walls)
     return {"flagship_sec": round(wall, 2), "n_pages": n, "n_edges": n_edges,
@@ -153,6 +158,20 @@ def main() -> int:
     ap.add_argument("--scale", type=int, default=8,
                     help="corpus amplification for --flagship-only")
     args = ap.parse_args()
+
+    # ISOLATED state roots per mode (review finding): the hash-suite
+    # queries checkpoint+cache under deterministic keys; with a shared
+    # /tmp/raylink root the second mode would RESUME the first mode's
+    # completed checkpoints (0 supersteps) and the bit-identical comparison
+    # would be true by construction. Fresh roots force every mode to
+    # compute from scratch — the cluster mode genuinely crosses raylets.
+    import shutil
+
+    mode_tag = "cluster" if args.address else "local"
+    scratch = f"/tmp/raylink_cv/{mode_tag}"
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.environ["RAYLINK_CKPT_ROOT"] = f"{scratch}/ckpt"
+    os.environ["RAYLINK_GRAPH_ROOT"] = f"{scratch}/graphs"
 
     import ray
 
