@@ -84,6 +84,24 @@ def amplified_pages(sf_dir: str, scale: int):
     return pages, n
 
 
+def flagship_edges(pages):
+    """pages -> link-edge table: the flagship extract chain (HTML ->
+    text+links -> exploded links -> int64 ids) shared by run_bench,
+    tools/cluster_validate.run_flagship and tools/chaos_validate.driver —
+    one definition so the three measured pipelines cannot drift apart
+    (review finding)."""
+    from raylink.extract import ExtractPages, explode_links
+    from raylink.pipelines import _ids_from_urls
+
+    return (
+        pages.drop_columns(["text"])
+        .map_batches(ExtractPages().__call__, batch_format="pyarrow",
+                     batch_size=1024)
+        .map_batches(explode_links, batch_format="pyarrow")
+        .map_batches(_ids_from_urls, batch_format="pyarrow")
+    )
+
+
 def run_bench() -> dict:
     import numpy as np
     import pyarrow as pa
@@ -120,14 +138,7 @@ def run_bench() -> dict:
     for _rep in range(3):
         # extract: HTML -> text/links over zero-copy Arrow batches
         t0 = time.perf_counter()
-        extracted = pages.drop_columns(["text"]).map_batches(
-            ExtractPages().__call__, batch_format="pyarrow", batch_size=1024
-        )
-        edges = (
-            extracted.map_batches(explode_links, batch_format="pyarrow")
-            .map_batches(_ids_from_urls, batch_format="pyarrow")
-            .materialize()
-        )
+        edges = flagship_edges(pages).materialize()
         n_edge_rows = edges.count()
         ex_walls.append(time.perf_counter() - t0)
 

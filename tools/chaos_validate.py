@@ -60,17 +60,8 @@ def driver() -> int:
     if storage.exists(storage.join(GDIR, "manifest.json")):
         g = LinkGraph.load(GDIR)
     else:
-        from raylink.extract import ExtractPages, explode_links
-        from raylink.pipelines import _ids_from_urls
-
         pages, n = bench.amplified_pages(sf, scale)
-        edges = (
-            pages.drop_columns(["text"])
-            .map_batches(ExtractPages().__call__, batch_format="pyarrow",
-                         batch_size=1024)
-            .map_batches(explode_links, batch_format="pyarrow")
-            .map_batches(_ids_from_urls, batch_format="pyarrow")
-        )
+        edges = bench.flagship_edges(pages)
         verts = rd.from_arrow(
             pa.table({"vid": pa.array(np.arange(n, dtype=np.int64))})
         )

@@ -111,9 +111,7 @@ def run_flagship(sf_dir: str, scale: int, reps: int = 2) -> dict:
 
     import bench
     from raylink.algos import pagerank
-    from raylink.extract import ExtractPages, explode_links
     from raylink.graph import build_graph
-    from raylink.pipelines import _ids_from_urls
 
     pages, n = bench.amplified_pages(sf_dir, scale)
     pages = pages.materialize()
@@ -121,14 +119,7 @@ def run_flagship(sf_dir: str, scale: int, reps: int = 2) -> dict:
     walls, n_edges, rank_md5 = [], 0, ""
     for _rep in range(reps):
         t0 = time.perf_counter()
-        extracted = pages.drop_columns(["text"]).map_batches(
-            ExtractPages().__call__, batch_format="pyarrow", batch_size=1024
-        )
-        edges = (
-            extracted.map_batches(explode_links, batch_format="pyarrow")
-            .map_batches(_ids_from_urls, batch_format="pyarrow")
-            .materialize()
-        )
+        edges = bench.flagship_edges(pages).materialize()
         n_edges = edges.count()
         g = build_graph(edges, verts, num_parts=8, partitioner="hash",
                         directed=True)
